@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is collected (driver-side materialization included) after a warmup
+run of the flagship to amortize JVM/session startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_pipeline_spark.queries import QUERIES  # noqa: E402
+from data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (keep bench runtime bounded).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "tailer_projection",
+    "monitor_window_counts",
+    "refresh_range_batches",
+    "compaction_latest_per_key",
+    "broadcast_dim_enrich",
+    "shipped_within_90d",
+    "priority_queue_head",
+    "revenue_by_nation",
+    "top_orders_by_price",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warmup: JIT/codegen + parquet footer caches
+    QUERIES["q1_pricing_summary"].spark(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name].spark(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference's aggregations are monitoring window counts
+(data_pipeline/client.py:170-347), COUNT/MIN/MAX range planning for the full
+refresh (tools/copy_table_to_blackhole_table.py:228-235,414-439), and
+per-topic publish stats (_producer_retry.py:85-118).  All are partial-agg
+friendly groupBys here: map-side combine runs before the shuffle, so the
+shuffled bytes are proportional to |groups|, not |rows| — the property that
+keeps these viable at 100 TB.
+
+Floating-point policy: money-like doubles are summed as DECIMAL (exact,
+order-independent — a distributed sum of doubles is not reproducible across
+partitionings) and cast back to double at the end, so results are
+bit-identical to any other engine using the same rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact accumulation type for double money columns: wide enough for 1e18.
+_DEC = "decimal(28,6)"
+
+
+def exact_sum(col: str | Column, alias: str) -> Column:
+    """Order-independent exact sum of a double column (via decimal), returned
+    as double.  Matches ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def exact_avg(col: str | Column, alias: str) -> Column:
+    """Exact-sum-based average: double(sum_decimal) / count — deterministic
+    across partitionings, reproducible in any engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def tumbling_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    window_seconds: int,
+    keys: Sequence[str],
+    count_alias: str = "message_count",
+    window_alias: str = "window_start",
+) -> DataFrame:
+    """Epoch-aligned fixed-window counts — the monitoring aggregation.
+
+    Reference: windows are ``floor(timestamp / 600) * 600`` epoch-aligned
+    600 s buckets counting messages per (topic, client)
+    (client.py:217-221,303-324; monitoring_message_v1.avsc).
+
+    The window start is computed arithmetically (bigint epoch seconds) rather
+    than with ``F.window`` so batch and oracle SQL agree exactly; the
+    streaming path (streaming/monitor.py) uses the same alignment.
+    """
+    win = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / window_seconds) * window_seconds
+    ).cast("bigint")
+    return (
+        df.withColumn(window_alias, win)
+        .groupBy(window_alias, *keys)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+
+
+def scan_stats(df: DataFrame, pk: str) -> DataFrame:
+    """COUNT(*) + MIN/MAX of the primary key in one pass — the refresh
+    runner's range-planning queries (copy_table_to_blackhole_table.py:
+    228-235,414-439) fused into a single aggregation (one scan, no shuffle
+    beyond a single-row reduce)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min(pk).alias("min_pk"),
+        F.max(pk).alias("max_pk"),
+    )
+
+
+def grouped_counts(df: DataFrame, keys: Sequence[str], alias: str = "n") -> DataFrame:
+    """Plain per-key counts (per-topic published stats, meteorite counters —
+    _producer_retry.py:85-118, tools/meteorite_wrappers.py:32-77)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def rollup_counts(df: DataFrame, keys: Sequence[str], alias: str = "n") -> DataFrame:
+    """ROLLUP counts — declared engine surface beyond the reference (SURVEY
+    §2.4 note): hierarchical totals in one pass via partial aggregation."""
+    return df.rollup(*keys).agg(F.count(F.lit(1)).alias(alias))

@@ -1,0 +1,119 @@
+"""Join operators (SURVEY.md §2.5).
+
+The reference performs "lookup joins" in client code against its schema
+registry and Kafka metadata (e.g. schema_id -> schema/topic,
+data_pipeline/message.py:159-161; topic -> latest schema,
+schematizer_clientlib/schematizer.py:455-472; offset-in-watermark checks,
+tools/tailer.py:278-308; prefix anti-join recovery, producer.py:291-422).
+Here they are real distributed joins with scale-appropriate physical
+strategies:
+
+- dimension lookups  -> broadcast hash join (no shuffle of the fact side)
+- latest-per-key     -> window `row_number` (single shuffle on the key), or
+                        `max_by` aggregation when only one row is needed
+- range predicates   -> equi-key + range condition so Spark can still hash
+                        partition on the equi key instead of a BNL join
+- prefix anti-join   -> window rank filter, no second scan
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast hash join of a fact stream/table against a small dimension.
+
+    Reference behavior: per-message schema/topic resolution via a cached
+    registry (message.py:159-161, schematizer.py:116-139).  At scale the
+    dimension (schema catalog, nation, part, ...) is MBs while the fact side
+    is TBs — an explicit ``broadcast`` hint guarantees no fact-side shuffle
+    regardless of statistics.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Keep the single newest row per key.
+
+    Reference behaviors: latest enabled schema per topic
+    (schematizer.py:455-472), newest topic by updated_at
+    (tools/tailer.py:347-351), Kafka log compaction semantics
+    (tools/compaction_setter.py:79-116).
+
+    One shuffle on ``keys``; rows never collected to the driver.  AQE handles
+    skewed keys (one hot topic) by splitting oversized partitions.
+    """
+    order_cols = [F.col(c).desc() if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Sequence[tuple[str, str]],
+    range_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key join with an additional range predicate.
+
+    Reference behavior: requested offsets validated within
+    [low_watermark, high_watermark] per (topic, partition)
+    (tools/tailer.py:278-308).  Keeping at least one equi pair lets Spark use
+    a shuffled/broadcast hash join and apply the range as a post-filter —
+    never a cartesian BNL.
+    """
+    cond = range_cond
+    for l_col, r_col in equi:
+        cond = (left[l_col] == right[r_col]) & cond
+    return left.join(right, on=cond, how=how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``left`` with no match in ``right`` (left_anti).
+
+    Reference behavior: recovery treats messages below the saved high
+    watermark as already published and republishes only the rest
+    (producer.py:291-422, _producer_retry.py:120-190).
+    """
+    return left.join(right, on=on, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``left`` that have a match in ``right`` (left_semi) — the
+    topic-filter patterns of base_consumer.py:906-914 expressed relationally."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def prefix_rows_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    n_col: Column,
+) -> DataFrame:
+    """Mark the first N rows per key (N may vary per key) — the reference's
+    "first `already_published_count` messages per topic are already
+    published" prefix anti-join (producer.py:291-422).
+
+    Adds boolean ``__in_prefix``; callers filter on it (or its negation).
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return df.withColumn("__in_prefix", F.row_number().over(w) <= n_col)

@@ -1,0 +1,535 @@
+"""Headline query catalog: the checkable operator surface.
+
+Every entry pairs a Spark-first implementation (built from the
+``operators``/``functions`` modules) with the equivalent ANSI SQL a DuckDB
+oracle can run on the same parquet tables.  Names in the pair are the
+operator-inventory ids from SURVEY.md §2.
+
+Determinism rules (so an order-insensitive value-hash matches across
+engines):
+
+- every computed column is aliased identically on both sides;
+- double aggregations go through exact decimal accumulation
+  (operators.aggregates.exact_sum/exact_avg) — a distributed double sum is
+  not reproducible, a decimal sum is;
+- multiplicative decimal chains keep operand precision small enough
+  (DECIMAL(10,2)) that no engine hits its 38-digit cap and rounds;
+- any top-k / per-key-first has a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.functions import scalars
+from data_pipeline_spark.io import load_table
+from data_pipeline_spark.operators import aggregates as agg
+from data_pipeline_spark.operators import dedup, joins, ordering
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+# money-safe decimal casts (see module docstring)
+def _d(col: str) -> F.Column:
+    return F.col(col).cast("decimal(10,2)")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (A-family aggregation; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                    * (1 - CAST(l_discount AS DECIMAL(10,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Partial-agg groupBy over the fact table; map-side combine shrinks "
+    "the shuffle to |groups| rows (SURVEY §2.4).",
+    tags=("A1", "A2"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    charge = disc_price * (F.lit(1) + _d("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        agg.exact_sum("l_quantity", "sum_qty"),
+        agg.exact_sum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        agg.exact_avg("l_quantity", "avg_qty"),
+        agg.exact_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tailer: projection + event-time bounds + limit (S7, P1, P2, P4, P11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tailer_projection",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+           event_type, user_id, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+    ORDER BY event_id
+    LIMIT 500
+    """,
+    doc="Tailer field projection with event-time bounds, ISO display "
+    "transform and message limit (tools/tailer.py:381-458).  Projection + "
+    "predicate reach the parquet scan (PushedFilters).",
+    tags=("P1", "P2", "P4", "P11", "S7"),
+)
+def tailer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "event_id",
+            scalars.iso_time("ts").alias("ts_iso"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monitoring windows (A1/T2): epoch-aligned 600 s counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monitor_window_counts",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS message_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Monitoring aggregation: fixed 600 s epoch-aligned windows per type "
+    "(client.py:217-221,303-324).",
+    tags=("A1", "T2"),
+)
+def monitor_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return agg.tumbling_window_counts(ev, "ts", 600, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Refresh planning: scan stats + pk-range batches (S6, O1, A2, A3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "refresh_scan_stats",
+    """
+    SELECT COUNT(*) AS row_count, MIN(o_orderkey) AS min_pk, MAX(o_orderkey) AS max_pk
+    FROM orders
+    """,
+    doc="COUNT + MIN/MAX pk fused into one scan — refresh range planning "
+    "(copy_table_to_blackhole_table.py:228-235,414-439).",
+    tags=("A2", "A3"),
+)
+def refresh_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.scan_stats(load_table(spark, sf_dir, "orders"), "o_orderkey")
+
+
+@register(
+    "refresh_range_batches",
+    """
+    SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS batch_id,
+           COUNT(*) AS batch_rows,
+           MIN(o_orderkey) AS min_pk,
+           MAX(o_orderkey) AS max_pk
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Value-based pk-range batching of the full-refresh scan "
+    "(copy_table_to_blackhole_table.py:237-257,462-481): ranges push down "
+    "as JDBC partition predicates at scale.",
+    tags=("S6", "O1"),
+)
+def refresh_range_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    batched = ordering.ordered_range_batches(orders, "o_orderkey", 1000)
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("batch_rows"),
+        F.min("o_orderkey").alias("min_pk"),
+        F.max("o_orderkey").alias("max_pk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction / latest-per-key (D3, J2, O4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compaction_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Log-compaction view: latest message per primary key "
+    "(compaction_setter.py:79-116); single shuffle on the key.",
+    tags=("D3", "J2", "O4"),
+)
+def compaction_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.compaction_view(
+        ev.select("user_id", "event_id", "event_type", "value", "ts"),
+        ["user_id"],
+        offset_col="event_id",
+    ).select("user_id", "event_id", "event_type", "value", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join (J1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_dim_enrich",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY p.p_brand
+    """,
+    doc="schema_id->registry lookup pattern as a broadcast hash join "
+    "(message.py:159-161): dimension broadcast, fact side never shuffles "
+    "for the join.",
+    tags=("J1",),
+)
+def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    joined = joins.broadcast_lookup(
+        li, part, on=[li.l_partkey == part.p_partkey], how="inner"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        agg.exact_sum("l_quantity", "sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti join (J6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Prefix/recovery anti-join pattern (producer.py:291-422) as "
+    "left_anti.",
+    tags=("J6",),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.anti_join(cust, orders, on="c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join with equi key (J3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipped_within_90d",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Offset-within-watermark range predicate (tools/tailer.py:278-308) "
+    "as equi+range join: hash join on the equi key, range as post-filter — "
+    "never a cartesian product.",
+    tags=("J3",),
+)
+def shipped_within_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = joins.range_join(
+        li,
+        orders,
+        equi=[("l_orderkey", "o_orderkey")],
+        range_cond=(
+            (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+        ),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        agg.exact_sum("l_quantity", "sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Priority queue head (O2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_queue_head",
+    """
+    SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderpriority ASC, o_orderdate ASC, o_orderkey ASC) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    """,
+    doc="Priority refresh queue peek: top job per source by (priority, "
+    "created_at) (helpers/priority_refresh_queue.py:88-116).",
+    tags=("O2", "O3"),
+)
+def priority_queue_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return ordering.top_k_per_key(
+        orders,
+        keys=["o_custkey"],
+        order_by=[
+            F.col("o_orderpriority").asc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        ],
+        k=1,
+    ).select("o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# Global top-k (O4/O5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders_by_price",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Top-k via TakeOrderedAndProject: per-partition local top-k, no "
+    "global sort (tailer message-limit, newest-topic top-1).",
+    tags=("O4", "O5"),
+)
+def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return ordering.top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (D1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topic_set_difference",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="Dynamic topic-set difference on refresh (consumer.py:274-293, "
+    "base_consumer.py:891-947).",
+    tags=("D1",),
+)
+def topic_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    erronious = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return dedup.set_difference(clickers, erronious)
+
+
+# ---------------------------------------------------------------------------
+# CDC update diff via window lag (E6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_update_diff",
+    """
+    SELECT user_id, event_id, value, value_prev
+    FROM (
+        SELECT user_id, event_id, value,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS value_prev
+        FROM events
+    )
+    WHERE value_prev IS NOT NULL AND value <> value_prev
+    """,
+    doc="UpdateMessage.payload_diff / has_changed (message.py:789-798): "
+    "previous-image comparison via window lag over the event stream.",
+    tags=("E6",),
+)
+def cdc_update_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    flagged = scalars.change_flags(
+        ev, keys=["user_id"], order_by=["ts", "event_id"], value_cols=["value"]
+    )
+    return flagged.filter(
+        F.col("value_prev").isNotNull() & F.col("has_changed")
+    ).select("user_id", "event_id", "value", "value_prev")
+
+
+# ---------------------------------------------------------------------------
+# Rollup (engine surface beyond reference — SURVEY §2.4 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_event_counts",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP(event_type)
+    """,
+    doc="Hierarchical totals in one pass (declared engine surface; the "
+    "reference has no grouping sets).",
+    tags=("A-ext",),
+)
+def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return agg.rollup_counts(ev, ["event_type"], alias="n")
+
+
+# ---------------------------------------------------------------------------
+# Multiway join + agg (J4; TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="refresh⋈source⋈topic multiway lookup chain (refresh_manager.py:"
+    "192-251) generalized: two big-table shuffle joins + broadcast dims.",
+    tags=("J4", "J7"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = joins.broadcast_lookup(
+        nation, region, on=[nation.n_regionkey == region.r_regionkey]
+    ).select("n_nationkey", "n_name")
+    cust_dim = joins.broadcast_lookup(
+        cust, dim, on=[F.col("c_nationkey") == F.col("n_nationkey")]
+    ).select("c_custkey", "n_name")
+    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust_dim, F.col("o_custkey") == cust_dim.c_custkey
+    )
+    return fact.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# JSON props extraction (E7-adjacent; events side-channel like MetaAttribute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_json_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Typed side-channel extraction (MetaAttribute analogue, "
+    "meta_attribute.py:22-96): JSON path extract stays in codegen.",
+    tags=("E7", "meta"),
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
