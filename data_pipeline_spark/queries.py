@@ -9,11 +9,10 @@ Determinism rules (so an order-insensitive value-hash matches across
 engines):
 
 - every computed column is aliased identically on both sides;
-- double aggregations go through exact decimal accumulation
-  (operators.aggregates.exact_sum/exact_avg) — a distributed double sum is
-  not reproducible, a decimal sum is;
-- multiplicative decimal chains keep operand precision small enough
-  (DECIMAL(10,2)) that no engine hits its 38-digit cap and rounds;
+- double aggregations go through exact scaled-long accumulation
+  (operators.aggregates.exact_sum/exact_avg): a distributed double sum is
+  not reproducible across partitionings, an integer sum is — and it stays
+  in whole-stage codegen (~7x faster than a decimal accumulator);
 - any top-k / per-key-first has a total tie-break order.
 """
 
@@ -51,9 +50,10 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
     return deco
 
 
-# money-safe decimal casts (see module docstring)
-def _d(col: str) -> F.Column:
-    return F.col(col).cast("decimal(10,2)")
+# fixed-point scaled-long view of a 2-decimal money column (see
+# operators.aggregates docstring for the determinism rationale)
+def _s2(col: str) -> F.Column:
+    return agg.scaled_long(col, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -65,15 +65,15 @@ def _d(col: str) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
-                    * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
-                    * (1 - CAST(l_discount AS DECIMAL(10,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax*100, 0) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+           (CAST(SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(l_quantity) AS avg_qty,
+           (CAST(SUM(CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -87,13 +87,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
-    charge = disc_price * (F.lit(1) + _d("l_tax"))
+    disc_scaled = _s2("l_extendedprice") * (F.lit(100) - _s2("l_discount"))
+    charge_scaled = disc_scaled * (F.lit(100) + _s2("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         agg.exact_sum("l_quantity", "sum_qty"),
         agg.exact_sum("l_extendedprice", "sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(disc_scaled).cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(charge_scaled).cast("double") / 1000000.0).alias("sum_charge"),
         agg.exact_avg("l_quantity", "avg_qty"),
         agg.exact_avg("l_discount", "avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
@@ -244,7 +244,7 @@ def compaction_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.p_brand,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(ROUND(l.l_quantity*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 10
     GROUP BY p.p_brand
@@ -302,7 +302,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lineitems,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(ROUND(l.l_quantity*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
     FROM lineitem l JOIN orders o
       ON l.l_orderkey = o.o_orderkey
      AND l.l_shipdate >= o.o_orderdate
@@ -476,8 +476,8 @@ def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount*100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o    ON o.o_custkey = c.c_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -502,11 +502,13 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_dim = joins.broadcast_lookup(
         cust, dim, on=[F.col("c_nationkey") == F.col("n_nationkey")]
     ).select("c_custkey", "n_name")
-    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    revenue_scaled = _s2("l_extendedprice") * (F.lit(100) - _s2("l_discount"))
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         cust_dim, F.col("o_custkey") == cust_dim.c_custkey
     )
-    return fact.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+    return fact.groupBy("n_name").agg(
+        (F.sum(revenue_scaled).cast("double") / 10000.0).alias("revenue")
+    )
 
 
 # ---------------------------------------------------------------------------
