@@ -18,6 +18,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import data_pipeline_spark.queries_llm  # noqa: E402,F401  (registers LLM ops)
 from data_pipeline_spark.queries import QUERIES  # noqa: E402
 from data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -35,6 +36,13 @@ BENCH_QUERIES = [
     "priority_queue_head",
     "revenue_by_nation",
     "top_orders_by_price",
+    "doc_text_stats",
+    "doc_exact_dedup",
+    "jaccard_neardup_pairs",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "embedding_cosine_topk",
+    "lsh_ann_neardup",
 ]
 
 

@@ -1,0 +1,228 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the whole point of these operators):
+
+- exact dedup: one groupBy on md5(text) — shuffle carries (hash, id), never
+  the text.
+- n-gram Jaccard: the quadratic pair space is never materialized; candidate
+  pairs come from an inverted shingle index (join on shingle), so cost is
+  sum over shingles of |docs|^2 *within a shingle bucket* — linear-ish for
+  natural corpora.
+- MinHash-LSH: k md5-derived hash functions -> per-band bucket keys -> pairs
+  only within identical buckets.  At 100 TB the band-bucket join is the only
+  shuffle and its keys are uniformly distributed by construction.
+- SimHash: 32-bit signature per doc from token-hash bit votes; one scan +
+  one groupBy(doc), then near-dup = signatures within Hamming distance k.
+
+Every hash is md5-based so a SQL oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.llmops.textstats import tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """md5-keyed exact-duplicate groups: (doc_md5, n_copies, keeper_id).
+    Shuffle payload is (hash, id) only — the text never moves."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("doc_md5"), F.col(id_col))
+        .groupBy("doc_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs: word n-grams via posexplode + window lead —
+    no quadratic blowup, one shuffle on (id) for the window."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("shingle"),
+        *[parts[i].alias(f"__p{i}") for i in range(1, n)],
+    ).filter(F.col(f"__p{n-1}").isNotNull())
+    out = sh.select(id_col, "shingle")
+    return out.distinct() if distinct else out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram shingle-set Jaccard >= threshold.
+
+    Inverted-index self-join on shingle -> intersection counts; set sizes
+    joined back; jaccard = inter / (|A| + |B| - inter).  Integer counts =>
+    the double division is reproducible bit-for-bit.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: seed j's hash of a shingle is
+    md5(shingle || '#' || j); the signature element is the lexicographic min
+    over the doc's shingles.  One explode (x num_hashes) + one groupBy."""
+    sh = shingles(df, id_col, text_col, n)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        id_col,
+        "seed",
+        F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed"))).alias("h"),
+    )
+    per_seed = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
+    return per_seed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("seed"), F.col("minh")))),
+            lambda s: s.minh,
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    num_hashes/bands rows; band key = md5 of the band's concatenated minhash
+    values; candidate pairs share at least one band bucket.
+
+    Returns (id_a, id_b, n_shared_bands).  The band-bucket join is the only
+    shuffle; bucket keys are md5-uniform so no salting needed.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    banded = sigs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Token hash bits come from md5 hex nibbles (bit b = nibble b/4, bit
+    3-b%4), votes are +-1 per token occurrence, signature bit = sign of the
+    vote sum.  Explode factor is bits x tokens but all integer codegen; one
+    groupBy(doc, bit) + one groupBy(doc).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).select(
+        id_col, F.md5("w").alias("hw")
+    )
+    exploded = toks.select(
+        id_col,
+        "hw",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    nibble = F.substring(F.col("hw"), (F.col("b") / 4).cast("int") + 1, 1)
+    val = F.conv(nibble, 16, 10).cast("int")  # oracle: strpos(hex_digits, ch)-1
+    # (val >> (3-b%4)) & 1 — shiftright needs a literal count, so use exact
+    # power-of-two division (val<=15, divisor in {1,2,4,8}: exact in double)
+    bit = F.floor(val / F.pow(F.lit(2.0), 3 - (F.col("b") % 4))).cast("int") % 2
+    votes = exploded.select(
+        id_col, "b", (bit * 2 - 1).alias("vote")
+    ).groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    sig_bit = F.when(F.col("v") >= 0, 1).otherwise(0)
+    weight = F.pow(F.lit(2.0), (bits - 1) - F.col("b")).cast("bigint")  # exact <= 2^31
+    return votes.select(
+        id_col,
+        (sig_bit.cast("bigint") * weight).alias("contrib"),
+    ).groupBy(id_col).agg(F.sum("contrib").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Scale path: block on bit-prefix bands (pigeonhole: distance<=3 over 4
+    bands guarantees one exact band match), so the join is banded, not
+    all-pairs.
+    """
+    sigs = simhash_signatures(df, id_col, text_col).cache()
+    bands = 4
+    band_width = 8  # 32 bits / 4 bands
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        # simhash >> shift, shift varies per band: exact pow-2 division
+        F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), (bands - 1 - F.col("band")) * band_width)
+        ).cast("bigint")
+        % (1 << band_width),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,100 @@
+"""Text analysis over a document corpus: tokenization, counting, quality
+scoring, language-ID, fingerprinting.
+
+All pure column expressions (split/filter/transform lambdas run in the JVM),
+so at 100 TB this is a single scan with full codegen — no shuffle at all for
+per-document outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word sets for the n-gram/stopword heuristic.
+# Deliberately small and hash-free so the SQL oracle states the same sets.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "y"),
+}
+
+_WS = " "  # corpus is single-space tokenized; swap for r"\s+" regex corpora
+
+
+def tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, _WS)
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(text: str | Column, lang: str = "en") -> Column:
+    """Occurrences (not distinct) of the language's function words."""
+    stops = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stops)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, distinct-token ratio,
+    mean token length, stopword ratio — the standard cheap filters a
+    pretraining pipeline applies before anything expensive."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    return df.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / n).alias("distinct_ratio"),
+        ((F.length(F.col(text_col)) - (F.size(toks) - 1)) / n).alias("avg_token_len"),
+        (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def quality_score() -> Column:
+    """Scalar quality score over ``quality_features`` output: rewards
+    vocabulary diversity and natural stopword density.  Fixed double
+    arithmetic order => reproducible bit-for-bit in any engine."""
+    return (
+        F.col("distinct_ratio") * 0.5
+        + F.col("stopword_ratio") * 0.3
+        + (F.least(F.col("n_tokens").cast("double"), F.lit(100.0)) / 100.0) * 0.2
+    )
+
+
+def lang_scores(text: str | Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
+
+
+def lang_id(text: str | Column) -> Column:
+    """Function-word-ratio language ID: the language whose stopword set hits
+    most tokens wins; ties break lexicographically; zero hits => 'und'
+    (ISO 639-3 undetermined)."""
+    scores = lang_scores(text)
+    best_score = F.greatest(*[s for _, s in scores])
+    # lexicographic-first argmax: coalesce of when-chains in sorted order
+    pred = F.lit("und")
+    for lang, score in reversed(scores):
+        pred = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Two document fingerprints: raw md5 (exact-dup key) and a content
+    fingerprint over the sorted distinct token set (order/robustness-
+    normalized — catches shuffled copies)."""
+    toks = tokens(text_col)
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("doc_md5"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "content_fp"
+        ),
+    )

@@ -1,0 +1,342 @@
+"""LLM-data-pipeline query catalog: text analysis, dedup families,
+similarity search, multimodal plumbing — each Spark implementation paired
+with DuckDB oracle SQL (same md5-derived hash families, same quantized
+fixed-point similarity math, so results match bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.io import load_table
+from data_pipeline_spark.llmops import dedup as ld
+from data_pipeline_spark.llmops import multimodal, similarity, textstats
+from data_pipeline_spark.queries import register
+
+_STOP_EN_SQL = "('the','a','of','and','to','in','is')"
+
+
+@register(
+    "doc_text_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text,' ')) AS n_tokens,
+           len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+           len(list_distinct(string_split(text,' ')))
+             / CAST(len(string_split(text,' ')) AS DOUBLE) AS distinct_ratio,
+           (length(text) - (len(string_split(text,' ')) - 1))
+             / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len,
+           len(list_filter(string_split(text,' '), x -> x IN {_STOP_EN_SQL}))
+             / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Per-document token/quality features in one codegen scan (no "
+    "shuffle): the cheap filters a pretraining pipeline runs first.",
+    tags=("llm", "textstats"),
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "distinct_ratio",
+        "avg_token_len",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           (len(list_distinct(string_split(text,' ')))
+              / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5
+           + (len(list_filter(string_split(text,' '), x -> x IN {_STOP_EN_SQL}))
+              / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+           + (least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0) * 0.2
+             AS quality_score
+    FROM documents
+    """,
+    doc="Composite quality score (diversity + stopword density + length "
+    "cap); fixed double expression order => engine-reproducible.",
+    tags=("llm", "textstats"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_features(docs).select(
+        "doc_id", textstats.quality_score().alias("quality_score")
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    stops = ",".join(f"'{s}'" for s in textstats.STOPWORDS[lang])
+    return f"len(list_filter(string_split(text,' '), x -> x IN ({stops})))"
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_hits_sql('de')} AS h_de, {_hits_sql('en')} AS h_en,
+               {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+    doc="Function-word-ratio language ID (n-gram heuristic), lexicographic "
+    "tie-break; compared against the corpus label downstream.",
+    tags=("llm", "textstats"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", textstats.lang_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(text) AS doc_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' '))
+             AS content_fp
+    FROM documents
+    """,
+    doc="Raw + order-normalized content fingerprints (rolling-hash family "
+    "analogue) for exact and shuffled-copy detection.",
+    tags=("llm", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS doc_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup groups keyed by md5 — the shuffle carries (hash,id), "
+    "never the document body.",
+    tags=("llm", "dedup"),
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.exact_dup_groups(docs, "doc_id", "text")
+
+
+_SHINGLES_SQL = """
+    toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM toks
+        QUALIFY shingle IS NOT NULL
+    )
+"""
+
+
+@register(
+    "jaccard_neardup_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    """,
+    doc="3-gram shingle-set Jaccard near-dup pairs via inverted shingle "
+    "index — the quadratic pair space is never materialized.",
+    tags=("llm", "dedup"),
+)
+def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH {_SHINGLES_SQL},
+    seeded AS (
+        SELECT doc_id, t.seed, md5(shingle || '#' || CAST(t.seed AS VARCHAR)) AS h
+        FROM sh CROSS JOIN range(0, 12) t(seed)
+    ),
+    per_seed AS (SELECT doc_id, seed, MIN(h) AS minh FROM seeded GROUP BY 1, 2),
+    banded AS (
+        SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+               md5(string_agg(minh, '|' ORDER BY seed)) AS bucket
+        FROM per_seed GROUP BY doc_id, CAST(seed // 3 AS INT)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="MinHash(12)+LSH(4 bands x 3 rows) candidate pairs: md5-derived "
+    "hash family, band-bucket join is the only shuffle (uniform keys).",
+    tags=("llm", "dedup"),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=4, n=3
+    )
+
+
+@register(
+    "simhash_signatures",
+    """
+    WITH toks AS (
+        SELECT doc_id, md5(unnest(string_split(text,' '))) AS hw FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, t.b,
+               SUM(2 * ((strpos('0123456789abcdef',
+                                substr(hw, CAST(t.b // 4 AS INT) + 1, 1)) - 1)
+                        >> (3 - (t.b % 4)) & 1) - 1) AS v
+        FROM toks CROSS JOIN range(0, 32) t(b)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           SUM(CAST(CASE WHEN v >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               * (CAST(1 AS BIGINT) << CAST(31 - b AS INT))) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+    doc="32-bit SimHash signatures from md5-nibble bit votes; integer "
+    "codegen end-to-end.",
+    tags=("llm", "dedup"),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.simhash_signatures(docs, "doc_id", "text", bits=32)
+
+
+_QDOT = (
+    "list_sum(list_transform({a}, (x,i) -> "
+    "CAST(ROUND(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT) "
+    "* CAST(ROUND(CAST({b}[i] AS DOUBLE)*1000000, 0) AS BIGINT)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _QDOT.format(a=a, b=b)
+    na = _QDOT.format(a=a, b=a)
+    nb = _QDOT.format(a=b, b=b)
+    return (
+        f"CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_cos_sql('q.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+           cos_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="Brute-force cosine top-k (ANN baseline): queries broadcast, base "
+    "scanned once; 1e-6 quantized integer dot => bit-reproducible.",
+    tags=("llm", "similarity"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", k=10
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    doc="Exact cosine near-dup pairs (correctness baseline for the LSH "
+    "scale path in llmops.similarity.lsh_neardup_pairs).",
+    tags=("llm", "similarity"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.45)
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id, 'image' AS media_type, 'raw' AS format,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: opaque blob + typed metadata "
+    "(decode itself is stubbed; see llmops.multimodal).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.attach_media(docs, "doc_id", "text").select(
+        "media_id", "media_type", "format", "n_bytes"
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # pandas-UDF path: rows-only check (no SQL equivalent)
+    doc="Arrow-batched fake feature extraction over binary media via "
+    "mapInPandas — the GPU-inference batch shape, testable without codecs.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(docs, "doc_id", "text")
+    return multimodal.extract_features(media)
+
+
+@register(
+    "lsh_ann_neardup",
+    None,  # approximate (bucketed recall): rows-only check
+    doc="Hyperplane-LSH bucketed near-dup search — the 100 TB scale path: "
+    "bucket join replaces the O(n^2) cross product.",
+    tags=("llm", "similarity"),
+)
+def lsh_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.45, num_planes=8, dim=64)
