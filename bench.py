@@ -19,6 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import data_pipeline_spark.queries_llm  # noqa: E402,F401  (registers LLM ops)
+import data_pipeline_spark.queries_pipeline  # noqa: E402,F401  (registers wire ops)
 from data_pipeline_spark.queries import QUERIES  # noqa: E402
 from data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -43,6 +44,7 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "embedding_cosine_topk",
     "lsh_ann_neardup",
+    "envelope_roundtrip",
 ]
 
 

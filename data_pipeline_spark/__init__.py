@@ -34,3 +34,17 @@ wire boundary (Arrow-batched) and in clearly-marked multimodal stubs.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Executor Python workers re-import this package by name when unpickling UDF
+# closures (envelope codec, multimodal).  Exporting the package parent on
+# PYTHONPATH before the first worker launches makes that import work no
+# matter which directory the driver process started in.
+_pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _pkg_parent not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _pkg_parent + (_os.pathsep + _pp if _pp else "")
+    )
+del _os, _pkg_parent, _pp

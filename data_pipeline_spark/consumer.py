@@ -1,0 +1,162 @@
+"""Consumer path: topic bytes -> envelope -> schema-dispatched payload
+decode -> typed DataFrame.
+
+Re-expresses data_pipeline/consumer.py + base_consumer.py: tail topics from
+committed/explicit offsets, decode with registry schemas (optional reader-
+schema override), commit max(offset)+1 per partition.
+
+Schema-id dispatch (SURVEY §4 custom-work item 1): `from_avro`-style decode
+needs one static schema, but a topic's messages may span schema versions.
+Strategy (a) from the survey: decode every message with the topic's LATEST
+schema as the reader, relying on Avro resolution rules that the registry's
+compatibility gate guarantees hold within a topic.  Writer schema per
+message is looked up from the broadcast registry map inside the batch UDF.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from data_pipeline_spark import avro_codec
+from data_pipeline_spark import envelope as env
+from data_pipeline_spark.registry import SchemaRegistry
+from data_pipeline_spark.sources.file_topic import OffsetLedger, TopicStore
+
+
+class Consumer:
+    """Batch-oriented consumer over a TopicStore (the Consumer.get_messages
+    loop, consumer.py:162-247, as one DataFrame pass per micro-batch)."""
+
+    def __init__(
+        self,
+        store: TopicStore,
+        registry: SchemaRegistry,
+        group: str = "default",
+        ledger: OffsetLedger | None = None,
+    ):
+        self.store = store
+        self.registry = registry
+        self.group = group
+        self.ledger = ledger
+
+    # -- raw tail -----------------------------------------------------------
+
+    def raw(
+        self,
+        topic: str,
+        starting_offsets: dict[int, int] | None = None,
+        from_committed: bool = False,
+    ) -> DataFrame:
+        if from_committed and self.ledger is not None and starting_offsets is None:
+            starting_offsets = self.ledger.committed(self.group, topic)
+        wire = self.store.read(topic, starting_offsets=starting_offsets)
+        return wire.withColumn("envelope", env.unpack(F.col("value")))
+
+    # -- decoded tail -------------------------------------------------------
+
+    def messages(
+        self,
+        topic: str,
+        starting_offsets: dict[int, int] | None = None,
+        reader_schema_id: int | None = None,
+        from_committed: bool = False,
+    ) -> DataFrame:
+        """Envelope metadata + payload decoded to typed columns.
+
+        Reader schema defaults to the topic's latest (schema-id dispatch via
+        registry map broadcast into the decode UDF); ``reader_schema_id``
+        overrides it (consumer.py:226-233).
+        """
+        raw = self.raw(topic, starting_offsets, from_committed)
+        if reader_schema_id is not None:
+            reader = self.registry.get_schema_by_id(reader_schema_id).schema_json
+        else:
+            latest = self.registry.latest_schema_for_topic(topic)
+            if latest is None:
+                raise KeyError(f"no schema registered for topic {topic}")
+            reader = latest.schema_json
+
+        # writer-schema map for this topic only (small; broadcast by Spark
+        # as a captured literal inside the UDF closure)
+        writers = {
+            rs.schema_id: avro_codec.parse_schema(rs.schema_json)
+            for rs in self.registry._schemas.values()
+            if rs.topic == topic
+        }
+        reader_parsed = avro_codec.parse_schema(reader)
+        spark_type = avro_codec.to_spark_type(reader_parsed)
+
+        @pandas_udf(spark_type)
+        def dispatch_decode(schema_id: pd.Series, payload: pd.Series) -> pd.DataFrame:
+            out = [
+                avro_codec.decode(
+                    writers[int(sid)], bytes(blob), reader_parsed
+                )
+                for sid, blob in zip(schema_id, payload)
+            ]
+            return pd.DataFrame(out)
+
+        e = F.col("envelope")
+        return raw.select(
+            "partition",
+            "offset",
+            "key",
+            e.uuid.alias("uuid"),
+            e.message_type.alias("message_type"),
+            e.schema_id.alias("schema_id"),
+            e.timestamp.alias("timestamp"),
+            dispatch_decode(e.schema_id, e.payload).alias("payload"),
+        )
+
+    def commit(self, topic: str, consumed: DataFrame) -> None:
+        if self.ledger is None:
+            raise RuntimeError("no offset ledger configured")
+        self.ledger.commit_messages(self.group, topic, consumed)
+
+
+class Tailer:
+    """The tailer tool (tools/tailer.py:381-458) as engine API: projection,
+    event-time bounds, message limit, ISO-time display."""
+
+    def __init__(self, consumer: Consumer):
+        self.consumer = consumer
+
+    def tail(
+        self,
+        topic: str,
+        fields: list[str] | None = None,
+        start_ts: int | None = None,
+        end_ts: int | None = None,
+        limit: int | None = None,
+        iso_time: bool = False,
+        starting_offsets: dict[int, int] | None = None,
+    ) -> DataFrame:
+        msgs = self.consumer.messages(topic, starting_offsets=starting_offsets)
+        if start_ts is not None:
+            msgs = msgs.filter(F.col("timestamp") >= start_ts)  # P3
+        if end_ts is not None:
+            msgs = msgs.filter(F.col("timestamp") < end_ts)  # P2
+        payload_fields = (
+            [F.col(f"payload.{f}").alias(f) for f in fields]
+            if fields
+            else [F.col("payload.*")]
+        )
+        ts_col: Column = (
+            F.date_format(
+                F.timestamp_seconds(F.col("timestamp")), "yyyy-MM-dd'T'HH:mm:ss"
+            )
+            if iso_time
+            else F.col("timestamp")
+        ).alias("timestamp")
+        out = msgs.select(
+            "partition", "offset", F.col("message_type"), ts_col, *payload_fields
+        ).orderBy("partition", "offset")
+        if limit is not None:
+            out = out.limit(limit)  # P4/O5
+        return out

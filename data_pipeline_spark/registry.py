@@ -1,0 +1,208 @@
+"""Schema registry — the Schematizer analogue as an in-engine catalog.
+
+The reference talks to an external registry service
+(schematizer_clientlib/schematizer.py); messages carry only an int
+schema_id.  Here the registry is a driver-side catalog (dict-backed, with
+parquet persistence and DataFrame views) holding the same entities:
+namespaces / sources / topics / schemas (models/*.py), with the semantics
+the rebuild must reproduce:
+
+- register_schema is idempotent: the same (namespace, source, schema) returns
+  the existing id (schematizer.py:474-521);
+- a compatibility-breaking change creates a NEW topic for the same source
+  (schematizer.py:474-521 + compatibility check :1191-1219) — compatibility
+  here is avro_codec.fully_compatible;
+- topic/source discovery with criteria (namespace, source, created_after)
+  (schematizer.py:793-859);
+- latest enabled schema per topic (schematizer.py:455-472).
+
+Registry tables are tiny next to the data (thousands of rows vs TBs), so at
+scale every registry join is a broadcast; ``topics_df``/``schemas_df`` views
+exist precisely to join against streams.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from data_pipeline_spark import avro_codec
+
+
+@dataclass
+class RegisteredSchema:
+    schema_id: int
+    topic: str
+    source: str
+    namespace: str
+    schema_json: str
+    primary_keys: tuple[str, ...]
+    contains_pii: bool
+    created_at: int  # epoch seconds
+
+
+@dataclass
+class SchemaRegistry:
+    """In-engine schema registry with reference-parity registration rules."""
+
+    _schemas: dict[int, RegisteredSchema] = field(default_factory=dict)
+    _topic_versions: dict[tuple[str, str], int] = field(default_factory=dict)
+    _next_id: int = 1
+
+    # -- registration -------------------------------------------------------
+
+    def register_schema(
+        self,
+        namespace: str,
+        source: str,
+        schema_json: str | dict,
+        primary_keys: tuple[str, ...] = (),
+        contains_pii: bool = False,
+    ) -> RegisteredSchema:
+        """Idempotently register; breaking changes roll the topic version."""
+        canonical = json.dumps(avro_codec.parse_schema(schema_json), sort_keys=True)
+        for rs in self._schemas.values():
+            if (
+                rs.namespace == namespace
+                and rs.source == source
+                and rs.schema_json == canonical
+            ):
+                return rs  # idempotent re-registration
+
+        key = (namespace, source)
+        version = self._topic_versions.get(key, 1)
+        latest = self.latest_schema_for_source(namespace, source)
+        if latest is not None and not avro_codec.fully_compatible(
+            latest.schema_json, canonical
+        ):
+            version += 1  # breaking change => new topic
+            self._topic_versions[key] = version
+        else:
+            self._topic_versions.setdefault(key, version)
+
+        rs = RegisteredSchema(
+            schema_id=self._next_id,
+            topic=f"{namespace}.{source}.v{version}",
+            source=source,
+            namespace=namespace,
+            schema_json=canonical,
+            primary_keys=tuple(primary_keys),
+            contains_pii=contains_pii,
+            created_at=int(time.time()),
+        )
+        self._schemas[rs.schema_id] = rs
+        self._next_id += 1
+        return rs
+
+    # -- lookups (schematizer.py:116-139 cached get_schema_by_id etc.) ------
+
+    def get_schema_by_id(self, schema_id: int) -> RegisteredSchema:
+        return self._schemas[schema_id]
+
+    def latest_schema_for_topic(self, topic: str) -> RegisteredSchema | None:
+        matches = [rs for rs in self._schemas.values() if rs.topic == topic]
+        return max(matches, key=lambda rs: rs.schema_id) if matches else None
+
+    def latest_schema_for_source(
+        self, namespace: str, source: str
+    ) -> RegisteredSchema | None:
+        matches = [
+            rs
+            for rs in self._schemas.values()
+            if rs.namespace == namespace and rs.source == source
+        ]
+        return max(matches, key=lambda rs: rs.schema_id) if matches else None
+
+    def topics(
+        self,
+        namespace: str | None = None,
+        source: str | None = None,
+        created_after: int | None = None,
+    ) -> list[str]:
+        """Topic discovery with criteria (consumer_source.py:27-265)."""
+        seen: dict[str, int] = {}
+        for rs in self._schemas.values():
+            if namespace is not None and rs.namespace != namespace:
+                continue
+            if source is not None and rs.source != source:
+                continue
+            if created_after is not None and rs.created_at < created_after:
+                continue
+            seen[rs.topic] = max(seen.get(rs.topic, 0), rs.created_at)
+        return sorted(seen)
+
+    def topics_with_primary_keys(self) -> list[str]:
+        """Topics whose latest schema declares primary keys
+        (schematizer.py:1221-1242) — the compaction-eligible set."""
+        out = []
+        for topic in self.topics():
+            latest = self.latest_schema_for_topic(topic)
+            if latest and latest.primary_keys:
+                out.append(topic)
+        return out
+
+    # -- DataFrame views (broadcastable catalog dimensions) -----------------
+
+    SCHEMA_VIEW_TYPE = T.StructType(
+        [
+            T.StructField("schema_id", T.IntegerType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("namespace", T.StringType()),
+            T.StructField("schema_json", T.StringType()),
+            T.StructField("primary_keys", T.ArrayType(T.StringType())),
+            T.StructField("contains_pii", T.BooleanType()),
+            T.StructField("created_at", T.LongType()),
+        ]
+    )
+
+    def schemas_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (
+                rs.schema_id,
+                rs.topic,
+                rs.source,
+                rs.namespace,
+                rs.schema_json,
+                list(rs.primary_keys),
+                rs.contains_pii,
+                rs.created_at,
+            )
+            for rs in self._schemas.values()
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA_VIEW_TYPE)
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        self.schemas_df(spark).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SchemaRegistry":
+        reg = cls()
+        if not os.path.exists(path):
+            return reg
+        for r in spark.read.parquet(path).collect():
+            rs = RegisteredSchema(
+                schema_id=r.schema_id,
+                topic=r.topic,
+                source=r.source,
+                namespace=r.namespace,
+                schema_json=r.schema_json,
+                primary_keys=tuple(r.primary_keys),
+                contains_pii=r.contains_pii,
+                created_at=r.created_at,
+            )
+            reg._schemas[rs.schema_id] = rs
+            reg._next_id = max(reg._next_id, rs.schema_id + 1)
+            ns_src = (rs.namespace, rs.source)
+            ver = int(rs.topic.rsplit(".v", 1)[-1])
+            reg._topic_versions[ns_src] = max(
+                reg._topic_versions.get(ns_src, 1), ver
+            )
+        return reg

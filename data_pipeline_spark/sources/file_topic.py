@@ -1,0 +1,181 @@
+"""File-backed topic transport with Kafka semantics.
+
+No Kafka broker or connector jar exists in this environment, so topics are
+parquet directories with the exact Kafka record shape — (partition, offset,
+key, value, publish_ts) — and Kafka's guarantees re-expressed:
+
+- key-hash partitioning (xxhash64(key) pmod P — the producer partitions by
+  the Avro-encoded primary-key record, _kafka_producer.py:46-54);
+- per-partition monotonically increasing offsets continuing from the stored
+  high watermark;
+- per-partition FIFO order = (offset) order within a partition directory.
+
+On a real cluster this module is swapped for `format("kafka")` read/write;
+every consumer in the engine sees the same columns either way.  Batch reads
+prune on the `partition` directory column and push offset predicates into
+parquet row-group filters; `read_stream` is a Structured Streaming file
+source over the same layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPIC_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("publish_ts", T.LongType()),
+    ]
+)
+
+
+class TopicStore:
+    """Root directory holding one parquet dir per topic."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, topic: str) -> str:
+        return os.path.join(self.root, topic)
+
+    def exists(self, topic: str) -> bool:
+        return os.path.isdir(self._dir(topic))
+
+    def topics(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(self._dir(d))
+        )
+
+    # -- producer side ------------------------------------------------------
+
+    def publish(
+        self,
+        df: DataFrame,
+        topic: str,
+        num_partitions: int = 4,
+        order_by: Column | str | None = None,
+    ) -> dict[int, int]:
+        """Append (key, value) rows to the topic; returns new high watermarks.
+
+        Partition = pmod(xxhash64(key), P) so identical keys co-locate (the
+        compaction + FIFO-per-key guarantee); keyless rows hash the value.
+        Offsets continue from the current high watermark per partition —
+        assignment is a per-partition row_number, a single narrow shuffle.
+        """
+        highs = self.high_watermarks(topic, num_partitions)
+        key_or_value = F.coalesce(F.col("key"), F.col("value"))
+        part = F.pmod(F.xxhash64(key_or_value), F.lit(num_partitions)).cast("int")
+        order_col = (
+            F.col(order_by) if isinstance(order_by, str) else order_by
+        ) if order_by is not None else F.monotonically_increasing_id()
+
+        base = F.create_map(
+            *[x for p, h in highs.items() for x in (F.lit(p), F.lit(h))]
+        )
+        w = Window.partitionBy("partition").orderBy("__ord")
+        out = (
+            df.withColumn("partition", part)
+            .withColumn("__ord", order_col)
+            .withColumn(
+                "offset",
+                (F.row_number().over(w) - 1 + F.element_at(base, F.col("partition"))).cast(
+                    "long"
+                ),
+            )
+            .withColumn("publish_ts", F.unix_timestamp(F.current_timestamp()))
+            .select("partition", "offset", "key", "value", "publish_ts")
+        )
+        out.write.mode("append").partitionBy("partition").parquet(self._dir(topic))
+        return self.high_watermarks(topic, num_partitions)
+
+    # -- metadata -----------------------------------------------------------
+
+    def high_watermarks(self, topic: str, num_partitions: int = 4) -> dict[int, int]:
+        """next-offset per partition (_kafka_util.py:22-64 watermark fetch)."""
+        highs = {p: 0 for p in range(num_partitions)}
+        if not self.exists(topic):
+            return highs
+        rows = (
+            self.read(topic)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("high"))
+            .collect()
+        )
+        for r in rows:
+            highs[r.partition] = r.high + 1
+        return highs
+
+    # -- consumer side ------------------------------------------------------
+
+    def read(
+        self,
+        topic: str,
+        starting_offsets: dict[int, int] | None = None,
+        ending_offsets: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """Batch read with per-partition offset bounds (base_consumer.py:
+        566-657 commit/seek semantics).  Bounds compile to partition-pruned
+        parquet filters — no shuffle, no full scan."""
+        if not self.exists(topic):
+            raise KeyError(f"unknown topic {topic!r}; known: {self.topics()}")
+        df = self.spark.read.schema(TOPIC_SCHEMA).parquet(self._dir(topic))
+        if starting_offsets:
+            cond = F.lit(False)
+            for p, off in starting_offsets.items():
+                cond = cond | ((F.col("partition") == p) & (F.col("offset") >= off))
+            df = df.filter(cond)
+        if ending_offsets:
+            cond = F.lit(True)
+            for p, off in ending_offsets.items():
+                cond = cond & ((F.col("partition") != p) | (F.col("offset") < off))
+            df = df.filter(cond)
+        return df
+
+    def read_stream(self, topic: str) -> DataFrame:
+        """Structured Streaming source over the same layout (S2)."""
+        return self.spark.readStream.schema(TOPIC_SCHEMA).parquet(self._dir(topic))
+
+
+class OffsetLedger:
+    """Consumer-group committed offsets (S3): (group, topic, partition) ->
+    next offset, persisted as parquet.  Commit takes max(offset)+1 per
+    partition like base_consumer.py:597-611."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def committed(self, group: str, topic: str) -> dict[int, int]:
+        if not os.path.exists(self.path):
+            return {}
+        rows = (
+            self.spark.read.parquet(self.path)
+            .filter((F.col("group") == group) & (F.col("topic") == topic))
+            .groupBy("partition")
+            .agg(F.max("next_offset").alias("next_offset"))
+            .collect()
+        )
+        return {r.partition: r.next_offset for r in rows}
+
+    def commit_messages(self, group: str, topic: str, consumed: DataFrame) -> None:
+        """Commit max(offset)+1 per partition of the consumed batch."""
+        commits = (
+            consumed.groupBy("partition")
+            .agg((F.max("offset") + 1).alias("next_offset"))
+            .select(
+                F.lit(group).alias("group"),
+                F.lit(topic).alias("topic"),
+                "partition",
+                "next_offset",
+            )
+        )
+        commits.write.mode("append").parquet(self.path)

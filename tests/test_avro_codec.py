@@ -1,0 +1,139 @@
+"""Avro codec: binary roundtrip, schema resolution, compatibility rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_spark import avro_codec as ac
+
+RECORD = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "opt", "type": ["null", "string"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["red", "blue"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "u16", "size": 4}},
+    ],
+}
+
+VALUE = {
+    "i": -42,
+    "l": 1 << 40,
+    "f": 1.5,
+    "d": 3.141592653589793,
+    "s": "héllo",
+    "b": b"\x00\x01\xff",
+    "opt": "there",
+    "arr": [1, -2, 3],
+    "m": {"a": 1, "b": -5},
+    "e": "blue",
+    "fx": b"\xde\xad\xbe\xef",
+}
+
+
+def test_roundtrip_all_types():
+    blob = ac.encode(RECORD, VALUE)
+    out = ac.decode(RECORD, blob)
+    assert out == VALUE
+
+
+def test_roundtrip_null_union():
+    v = dict(VALUE, opt=None)
+    assert ac.decode(RECORD, ac.encode(RECORD, v)) == v
+
+
+def test_zigzag_edge_values():
+    sch = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    for x in (0, -1, 1, 63, 64, -64, -65, (1 << 62), -(1 << 62)):
+        assert ac.decode(sch, ac.encode(sch, {"x": x}))["x"] == x
+
+
+def test_resolution_reader_adds_field_with_default():
+    writer = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "int"}]}
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "string", "default": "dflt"},
+        ],
+    }
+    out = ac.decode(writer, ac.encode(writer, {"a": 7}), reader)
+    assert out == {"a": 7, "b": "dflt"}
+
+
+def test_resolution_reader_drops_field():
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "int"}, {"name": "junk", "type": "string"}],
+    }
+    reader = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "int"}]}
+    out = ac.decode(writer, ac.encode(writer, {"a": 7, "junk": "x"}), reader)
+    assert out == {"a": 7}
+
+
+def test_resolution_int_promotes_to_long_and_double():
+    writer = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "int"}]}
+    for target, expect in (("long", 7), ("double", 7.0)):
+        reader = {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "a", "type": target}],
+        }
+        out = ac.decode(writer, ac.encode(writer, {"a": 7}), reader)
+        assert out["a"] == expect
+
+
+def test_compat_rules():
+    base = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "int"}]}
+    add_default = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "int", "default": 0},
+        ],
+    }
+    add_required = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "int"}, {"name": "b", "type": "int"}],
+    }
+    retype = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "string"}]}
+    assert ac.fully_compatible(base, add_default)
+    # required new field: old data unreadable by new reader (no default)
+    assert not ac.fully_compatible(base, add_required)
+    assert not ac.fully_compatible(base, retype)
+
+
+def test_union_branch_selection():
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": ["null", "long", "string"]}],
+    }
+    for v in (None, 9, "s"):
+        assert ac.decode(sch, ac.encode(sch, {"x": v}))["x"] == v
+
+
+def test_spark_type_mapping():
+    st = ac.to_spark_type(RECORD)
+    names = [f.name for f in st.fields]
+    assert names == ["i", "l", "f", "d", "s", "b", "opt", "arr", "m", "e", "fx"]
+    assert st["arr"].dataType.simpleString() == "array<int>"
+    assert st["m"].dataType.simpleString() == "map<string,bigint>"
+    assert st["fx"].dataType.simpleString() == "binary"
+
+
+def test_fixed_size_mismatch_raises():
+    with pytest.raises(ValueError):
+        ac.encode(RECORD, dict(VALUE, fx=b"\x00"))

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 import data_pipeline_spark.queries_llm  # noqa: F401  (registers LLM ops)
+import data_pipeline_spark.queries_pipeline  # noqa: F401  (registers wire ops)
 from data_pipeline_spark.queries import QUERIES
 from tests.conftest import SF_CORRECT
 from tests.oracle_utils import compare_query, register_duck_views

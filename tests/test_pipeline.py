@@ -1,0 +1,247 @@
+"""End-to-end pipeline tests: registry, envelope in Spark, producer ->
+topic -> consumer roundtrip, exactly-once recovery, tailer, refresh."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark import envelope as env
+from data_pipeline_spark.consumer import Consumer, Tailer
+from data_pipeline_spark.io import load_table
+from data_pipeline_spark.producer import Producer
+from data_pipeline_spark.refresh import FullRefreshManager, FullRefreshRunner, RefreshJob
+from data_pipeline_spark.registry import SchemaRegistry
+from data_pipeline_spark.sources.file_topic import OffsetLedger, TopicStore
+from tests.conftest import SF_SMOKE
+
+EVENT_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+        ],
+    }
+)
+
+
+@pytest.fixture()
+def registry():
+    reg = SchemaRegistry()
+    reg.register_schema(
+        "test.main.db", "events", EVENT_SCHEMA, primary_keys=("event_id",)
+    )
+    return reg
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TopicStore(spark, str(tmp_path / "topics"))
+
+
+def _events(spark, n=200):
+    return (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(n)
+    )
+
+
+# -- registry ---------------------------------------------------------------
+
+
+def test_registry_idempotent_and_compat_rolls_topic():
+    reg = SchemaRegistry()
+    a = reg.register_schema("ns.cluster.db", "tbl", EVENT_SCHEMA)
+    b = reg.register_schema("ns.cluster.db", "tbl", EVENT_SCHEMA)
+    assert a.schema_id == b.schema_id and a.topic == b.topic  # idempotent
+
+    compatible = json.loads(EVENT_SCHEMA)
+    compatible["fields"].append({"name": "extra", "type": "int", "default": 0})
+    c = reg.register_schema("ns.cluster.db", "tbl", json.dumps(compatible))
+    assert c.topic == a.topic and c.schema_id != a.schema_id
+
+    breaking = json.loads(EVENT_SCHEMA)
+    breaking["fields"][0]["type"] = "string"  # retype pk: incompatible
+    d = reg.register_schema("ns.cluster.db", "tbl", json.dumps(breaking))
+    assert d.topic != a.topic and d.topic.endswith(".v2")
+
+    assert reg.topics(namespace="ns.cluster.db") == sorted([a.topic, d.topic])
+    assert reg.latest_schema_for_topic(a.topic).schema_id == c.schema_id
+
+
+# -- envelope in Spark ------------------------------------------------------
+
+
+def test_envelope_pack_unpack_roundtrip(spark):
+    df = _events(spark, 50)
+    enc = env.encode_payload_udf(EVENT_SCHEMA)(
+        F.struct("event_id", "user_id", "event_type", "value")
+    )
+    packed = df.select(
+        env.pack(
+            F.struct(
+                env.generate_uuid().alias("uuid"),
+                F.lit("create").alias("message_type"),
+                F.lit(1).alias("schema_id"),
+                enc.alias("payload"),
+                F.lit(None).cast("binary").alias("previous_payload"),
+                F.lit(None).cast("string").alias("encryption_type"),
+                F.lit(1700000000).alias("timestamp"),
+            )
+        ).alias("value"),
+        "event_id",
+    )
+    unpacked = packed.select("event_id", env.unpack("value").alias("e"))
+    dec = env.decode_payload_udf(EVENT_SCHEMA)(F.col("e.payload"))
+    out = unpacked.select("event_id", F.col("e.message_type"), dec.alias("p"))
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.message_type == "create"
+        assert r.p.event_id == r.event_id
+
+
+# -- producer -> consumer roundtrip ----------------------------------------
+
+
+def test_publish_consume_roundtrip(spark, registry, store):
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    producer = Producer(store, registry)
+    stats = producer.publish(
+        _events(spark, 200), rs.schema_id, num_partitions=4, order_by="event_id"
+    )
+    assert stats.message_count == 200
+    assert sum(stats.high_watermarks.values()) == 200
+
+    consumer = Consumer(store, registry)
+    msgs = consumer.messages(rs.topic)
+    got = sorted(
+        (r.payload.event_id, r.payload.event_type, r.payload.value)
+        for r in msgs.collect()
+    )
+    want = sorted(
+        (r.event_id, r.event_type, r.value) for r in _events(spark, 200).collect()
+    )
+    assert got == want
+
+    # same key -> same partition (FIFO per key)
+    parts = msgs.select("payload.event_id", "partition").collect()
+    by_key = {}
+    for r in parts:
+        by_key.setdefault(r.event_id, set()).add(r.partition)
+    assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_offset_ledger_commit_and_resume(spark, registry, store, tmp_path):
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    producer = Producer(store, registry)
+    ledger = OffsetLedger(spark, str(tmp_path / "offsets"))
+    consumer = Consumer(store, registry, group="g1", ledger=ledger)
+
+    producer.publish(_events(spark, 100), rs.schema_id, order_by="event_id")
+    batch1 = consumer.messages(rs.topic, from_committed=True)
+    assert batch1.count() == 100
+    consumer.commit(rs.topic, batch1)
+
+    # nothing new -> empty resume
+    assert consumer.messages(rs.topic, from_committed=True).count() == 0
+
+    # publish 50 more; resume sees exactly those
+    more = _events(spark, 150).filter(F.col("event_id") >= 100)
+    producer.publish(more, rs.schema_id, order_by="event_id")
+    batch2 = consumer.messages(rs.topic, from_committed=True)
+    assert batch2.count() == 50
+
+
+def test_reader_schema_resolution_on_consume(spark, registry, store):
+    """Old messages decode with the topic's newer (compatible) schema."""
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    producer = Producer(store, registry)
+    producer.publish(_events(spark, 30), rs.schema_id, order_by="event_id")
+
+    evolved = json.loads(EVENT_SCHEMA)
+    evolved["fields"].append({"name": "score", "type": "double", "default": -1.0})
+    registry.register_schema(
+        "test.main.db", "events", json.dumps(evolved), primary_keys=("event_id",)
+    )
+    consumer = Consumer(store, registry)
+    rows = consumer.messages(rs.topic).collect()  # latest = evolved reader
+    assert all(r.payload.score == -1.0 for r in rows)
+    assert len(rows) == 30
+
+
+def test_exactly_once_unpublished_suffix(spark):
+    msgs = spark.createDataFrame(
+        [(p, i) for p in (0, 1) for i in range(10)], "partition INT, __order INT"
+    )
+    # partition 0: saved=3 actual=7 -> skip first 4; partition 1: in sync
+    out = Producer.unpublished_suffix(
+        msgs, saved_offsets={0: 3, 1: 5}, actual_highs={0: 7, 1: 5}
+    )
+    remaining = sorted((r["partition"], r["__order"]) for r in out.collect())
+    assert remaining == [(0, i) for i in range(4, 10)] + [(1, i) for i in range(10)]
+
+
+# -- tailer -----------------------------------------------------------------
+
+
+def test_tailer_projection_bounds_limit(spark, registry, store):
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    Producer(store, registry).publish(
+        _events(spark, 100),
+        rs.schema_id,
+        order_by="event_id",
+        timestamp_col="event_id",  # deterministic event-time for bounds
+    )
+    tailer = Tailer(Consumer(store, registry))
+    out = tailer.tail(
+        rs.topic, fields=["event_id", "event_type"], start_ts=10, end_ts=60, limit=20
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(10 <= r.timestamp < 60 for r in rows)
+    assert set(out.columns) == {
+        "partition", "offset", "message_type", "timestamp", "event_id", "event_type",
+    }
+
+
+# -- refresh ----------------------------------------------------------------
+
+
+def test_full_refresh_runner_and_manager(spark, registry, store):
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    runner = FullRefreshRunner(Producer(store, registry))
+    job = RefreshJob(
+        refresh_id=1,
+        source="events",
+        namespace="test.main.db",
+        schema_id=rs.schema_id,
+        batch_size=64,
+        filter_condition="event_type = 'click'",
+    )
+    table = _events(spark, 200)
+    n = runner.run(table, "event_id", job)
+    expected = table.filter("event_type = 'click'").count()
+    assert n == expected
+
+    msgs = Consumer(store, registry).messages(rs.topic)
+    assert msgs.filter(F.col("message_type") == "refresh").count() == expected
+    assert msgs.select("payload.event_type").distinct().collect()[0][0] == "click"
+
+    mgr = FullRefreshManager(spark, total_rows_per_second_cap=1000)
+    mgr.request(source="s1", namespace="ns", schema_id=1, priority=80)
+    paused = mgr.request(source="s1", namespace="ns", schema_id=1, priority=80)
+    mgr.set_status(paused.refresh_id, "PAUSED", offset=3)
+    mgr.request(source="s2", namespace="ns", schema_id=1, priority=10)
+    heads = {r.source: r.refresh_id for r in mgr.next_per_source().collect()}
+    # equal priority: PAUSED job beats the new one
+    assert heads["s1"] == paused.refresh_id
+    assert mgr.allocate_throughput(["s1", "s2"]) == {"s1": 500, "s2": 500}
