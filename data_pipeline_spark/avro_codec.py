@@ -345,6 +345,284 @@ def _try(fn) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# compiled codecs — the hot path
+#
+# The generic encode/decode above walk the schema per value; the compiled
+# variants specialize the walk into nested closures once per schema (the
+# reference memoizes Avro writer/reader objects the same way,
+# helpers/yelp_avro_store.py:26-84).  Records compile to POSITIONAL
+# encoders: fn(out, (v0, v1, ...)) in field order — no per-row dicts.
+# ---------------------------------------------------------------------------
+
+
+def compile_encoder(schema: Any):
+    """schema -> fn(out: bytearray, value) appending Avro binary."""
+    schema = parse_schema(schema)
+    t = schema_type(schema)
+    if t == "null":
+        return lambda out, v: None
+    if t == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    if t in ("int", "long"):
+
+        def enc_long(out, v):
+            n = (int(v) << 1) ^ (int(v) >> 63)
+            while n & ~0x7F:
+                out.append((n & 0x7F) | 0x80)
+                n >>= 7
+            out.append(n)
+
+        return enc_long
+    if t == "float":
+        pack_f = struct.Struct("<f").pack
+        return lambda out, v: out.extend(pack_f(v))
+    if t == "double":
+        pack_d = struct.Struct("<d").pack
+        return lambda out, v: out.extend(pack_d(v))
+    if t in ("bytes", "string"):
+
+        def enc_bytes(out, v):
+            data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            n = len(data) << 1  # zigzag of non-negative
+            while n & ~0x7F:
+                out.append((n & 0x7F) | 0x80)
+                n >>= 7
+            out.append(n)
+            out.extend(data)
+
+        return enc_bytes
+    if t == "fixed":
+        size = schema["size"]
+
+        def enc_fixed(out, v):
+            if len(v) != size:
+                raise ValueError(f"fixed size mismatch: {len(v)} != {size}")
+            out.extend(v)
+
+        return enc_fixed
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+        enc_i = compile_encoder("int")
+        return lambda out, v: enc_i(out, index[v])
+    if t == "array":
+        enc_item = compile_encoder(schema["items"])
+        enc_n = compile_encoder("long")
+
+        def enc_arr(out, v):
+            if v:
+                enc_n(out, len(v))
+                for item in v:
+                    enc_item(out, item)
+            out.append(0)
+
+        return enc_arr
+    if t == "map":
+        enc_val = compile_encoder(schema["values"])
+        enc_s = compile_encoder("string")
+        enc_n = compile_encoder("long")
+
+        def enc_map(out, v):
+            if v:
+                enc_n(out, len(v))
+                for k, val in v.items():
+                    enc_s(out, k)
+                    enc_val(out, val)
+            out.append(0)
+
+        return enc_map
+    if t == "union":
+        # fast path for the ubiquitous ["null", X] optional
+        if len(schema) == 2 and schema_type(parse_schema(schema[0])) == "null":
+            enc_x = compile_encoder(schema[1])
+
+            def enc_opt(out, v):
+                if v is None:
+                    out.append(0)
+                else:
+                    out.append(2)  # zigzag(1)
+                    enc_x(out, v)
+
+            return enc_opt
+        generic = schema
+
+        def enc_union(out, v):
+            idx = _union_index(generic, v)
+            compile_encoder("int")(out, idx)
+            encode(generic[idx], v, _BytesShim(out))
+
+        return enc_union
+    if t == "record":
+        encoders = [compile_encoder(f["type"]) for f in schema["fields"]]
+
+        def enc_rec(out, values):
+            for enc, v in zip(encoders, values):
+                enc(out, v)
+
+        return enc_rec
+    raise ValueError(f"unsupported schema type {t!r}")
+
+
+class _BytesShim:
+    """io-like shim so the generic encoder can write into a bytearray."""
+
+    def __init__(self, buf: bytearray):
+        self.buf = buf
+
+    def write(self, data: bytes) -> None:
+        self.buf.extend(data)
+
+
+def compile_decoder(writer: Any, reader: Any | None = None):
+    """(writer, reader) -> fn(memoryview, pos) -> (value, new_pos).
+
+    Records decode to POSITIONAL tuples in reader field order.  Supports the
+    same resolution subset as the generic decoder (defaults, promotions,
+    skipped writer fields, optional unions).
+    """
+    writer = parse_schema(writer)
+    reader = parse_schema(reader) if reader is not None else writer
+    wt, rt = schema_type(writer), schema_type(reader)
+
+    if wt == "union":
+        branch_decoders = [compile_decoder(b, reader) for b in writer]
+
+        def dec_union(mv, pos):
+            idx, pos = _read_long_mv(mv, pos)
+            return branch_decoders[idx](mv, pos)
+
+        return dec_union
+    if rt == "union" and wt != "union":
+        return compile_decoder(writer, _match_union_branch(reader, writer))
+
+    if wt == "null":
+        return lambda mv, pos: (None, pos)
+    if wt == "boolean":
+        return lambda mv, pos: (mv[pos] == 1, pos + 1)
+    if wt in ("int", "long"):
+        if rt == "double":
+            def dec_long_d(mv, pos):
+                v, pos = _read_long_mv(mv, pos)
+                return float(v), pos
+            return dec_long_d
+        return _read_long_mv
+    if wt == "float":
+        unpack_f = struct.Struct("<f").unpack_from
+        return lambda mv, pos: (unpack_f(mv, pos)[0], pos + 4)
+    if wt == "double":
+        unpack_d = struct.Struct("<d").unpack_from
+        return lambda mv, pos: (unpack_d(mv, pos)[0], pos + 8)
+    if wt == "bytes":
+
+        def dec_bytes(mv, pos):
+            n, pos = _read_long_mv(mv, pos)
+            return bytes(mv[pos : pos + n]), pos + n
+
+        return dec_bytes
+    if wt == "string":
+        as_bytes = rt == "bytes"
+
+        def dec_str(mv, pos):
+            n, pos = _read_long_mv(mv, pos)
+            raw = bytes(mv[pos : pos + n])
+            return (raw if as_bytes else raw.decode("utf-8")), pos + n
+
+        return dec_str
+    if wt == "fixed":
+        size = writer["size"]
+        return lambda mv, pos: (bytes(mv[pos : pos + size]), pos + size)
+    if wt == "enum":
+        symbols = writer["symbols"]
+
+        def dec_enum(mv, pos):
+            i, pos = _read_long_mv(mv, pos)
+            return symbols[i], pos
+
+        return dec_enum
+    if wt == "array":
+        dec_item = compile_decoder(
+            writer["items"], reader["items"] if rt == "array" else None
+        )
+
+        def dec_arr(mv, pos):
+            out = []
+            while True:
+                n, pos = _read_long_mv(mv, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _read_long_mv(mv, pos)
+                for _ in range(n):
+                    v, pos = dec_item(mv, pos)
+                    out.append(v)
+
+        return dec_arr
+    if wt == "map":
+        dec_val = compile_decoder(
+            writer["values"], reader["values"] if rt == "map" else None
+        )
+        dec_key = compile_decoder("string")
+
+        def dec_map(mv, pos):
+            out = {}
+            while True:
+                n, pos = _read_long_mv(mv, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _read_long_mv(mv, pos)
+                for _ in range(n):
+                    k, pos = dec_key(mv, pos)
+                    v, pos = dec_val(mv, pos)
+                    out[k] = v
+
+        return dec_map
+    if wt == "record":
+        r_fields = reader["fields"] if rt == "record" else writer["fields"]
+        r_index = {f["name"]: i for i, f in enumerate(r_fields)}
+        steps = []  # (decoder, target_slot or None=skip)
+        for f in writer["fields"]:
+            slot = r_index.get(f["name"])
+            rf_type = r_fields[slot]["type"] if slot is not None else f["type"]
+            steps.append((compile_decoder(f["type"], rf_type), slot))
+        defaults = []
+        w_names = {f["name"] for f in writer["fields"]}
+        for i, rf in enumerate(r_fields):
+            if rf["name"] not in w_names:
+                if "default" not in rf:
+                    raise ValueError(f"reader field {rf['name']} missing, no default")
+                defaults.append((i, rf["default"]))
+        n_slots = len(r_fields)
+
+        def dec_rec(mv, pos):
+            row = [None] * n_slots
+            for dec, slot in steps:
+                v, pos = dec(mv, pos)
+                if slot is not None:
+                    row[slot] = v
+            for i, d in defaults:
+                row[i] = d
+            return tuple(row), pos
+
+        return dec_rec
+    raise ValueError(f"unsupported writer type {wt!r}")
+
+
+def _read_long_mv(mv, pos: int):
+    shift = 0
+    acc = 0
+    while True:
+        byte = mv[pos]
+        pos += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+# ---------------------------------------------------------------------------
 # Avro schema -> Spark StructType (for decode-to-columns)
 # ---------------------------------------------------------------------------
 

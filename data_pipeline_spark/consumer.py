@@ -85,22 +85,28 @@ class Consumer:
         # writer-schema map for this topic only (small; broadcast by Spark
         # as a captured literal inside the UDF closure)
         writers = {
-            rs.schema_id: avro_codec.parse_schema(rs.schema_json)
+            rs.schema_id: rs.schema_json
             for rs in self.registry._schemas.values()
             if rs.topic == topic
         }
         reader_parsed = avro_codec.parse_schema(reader)
         spark_type = avro_codec.to_spark_type(reader_parsed)
+        reader_names = [f["name"] for f in reader_parsed["fields"]]
 
         @pandas_udf(spark_type)
         def dispatch_decode(schema_id: pd.Series, payload: pd.Series) -> pd.DataFrame:
+            # compiled (writer -> latest-reader) decoders, one per schema_id
+            # seen on the topic — the memoized reader store pattern
+            # (yelp_avro_store.py:26-84)
+            decoders = {
+                sid: avro_codec.compile_decoder(wjson, reader_parsed)
+                for sid, wjson in writers.items()
+            }
             out = [
-                avro_codec.decode(
-                    writers[int(sid)], bytes(blob), reader_parsed
-                )
+                decoders[int(sid)](memoryview(bytes(blob)), 0)[0]
                 for sid, blob in zip(schema_id, payload)
             ]
-            return pd.DataFrame(out)
+            return pd.DataFrame(out, columns=reader_names)
 
         e = F.col("envelope")
         return raw.select(

@@ -94,8 +94,43 @@ ENVELOPE_STRUCT = T.StructType(
 )
 
 
-def _pack_one(row: dict[str, Any], ascii_mode: bool) -> bytes:
-    body = avro_codec.encode(ENVELOPE_SCHEMA, row)
+# compiled envelope codecs, built lazily once per Python worker (the
+# reference memoizes Avro writers the same way, yelp_avro_store.py:26-84)
+_ENV_ENCODER = None
+_ENV_DECODER = None
+
+
+def _env_encoder():
+    global _ENV_ENCODER
+    if _ENV_ENCODER is None:
+        _ENV_ENCODER = avro_codec.compile_encoder(ENVELOPE_SCHEMA)
+    return _ENV_ENCODER
+
+
+def _env_decoder():
+    global _ENV_DECODER
+    if _ENV_DECODER is None:
+        _ENV_DECODER = avro_codec.compile_decoder(ENVELOPE_SCHEMA)
+    return _ENV_DECODER
+
+
+def _pack_one(row: dict[str, Any], ascii_mode: bool = False) -> bytes:
+    """Single-message pack (tests / driver-side use)."""
+    out = bytearray()
+    _env_encoder()(
+        out,
+        (
+            row["uuid"],
+            row["message_type"],
+            row["schema_id"],
+            row["payload"],
+            row.get("previous_payload"),
+            row.get("meta"),
+            row.get("encryption_type"),
+            row["timestamp"],
+        ),
+    )
+    body = bytes(out)
     if ascii_mode:
         return MAGIC_ASCII + base64.urlsafe_b64encode(body)
     return MAGIC_BINARY + body
@@ -107,44 +142,67 @@ def _unpack_one(blob: bytes) -> dict[str, Any]:
         body = base64.urlsafe_b64decode(body)
     elif magic != MAGIC_BINARY:
         raise ValueError(f"unknown envelope magic byte {magic!r}")
-    return avro_codec.decode(ENVELOPE_SCHEMA, body)
+    values, _ = _env_decoder()(memoryview(body), 0)
+    names = [f["name"] for f in ENVELOPE_SCHEMA["fields"]]
+    return dict(zip(names, values))
 
 
 @pandas_udf(T.BinaryType())
 def _pack_udf(env: pd.DataFrame) -> pd.Series:
-    return env.apply(
-        lambda r: _pack_one(
-            {
-                "uuid": bytes(r["uuid"]),
-                "message_type": r["message_type"],
-                "schema_id": int(r["schema_id"]),
-                "payload": bytes(r["payload"]),
-                "previous_payload": None
-                if r["previous_payload"] is None
-                else bytes(r["previous_payload"]),
-                "meta": None,
-                "encryption_type": r["encryption_type"],
-                "timestamp": int(r["timestamp"]),
-            },
-            ascii_mode=False,
-        ),
-        axis=1,
-    )
+    enc = _env_encoder()
+    out = []
+    for uuid_v, mtype, sid, payload, prev, enc_type, ts in zip(
+        env["uuid"],
+        env["message_type"],
+        env["schema_id"],
+        env["payload"],
+        env["previous_payload"],
+        env["encryption_type"],
+        env["timestamp"],
+    ):
+        buf = bytearray(MAGIC_BINARY)
+        enc(
+            buf,
+            (
+                bytes(uuid_v),
+                mtype,
+                int(sid),
+                bytes(payload),
+                None if prev is None else bytes(prev),
+                None,  # meta
+                enc_type,
+                int(ts),
+            ),
+        )
+        out.append(bytes(buf))
+    return pd.Series(out, dtype=object)
 
 
 @pandas_udf(ENVELOPE_STRUCT)
 def _unpack_udf(blob: pd.Series) -> pd.DataFrame:
-    rows = blob.map(_unpack_one)
+    dec = _env_decoder()
+    rows = []
+    for b in blob:
+        mv = memoryview(bytes(b))
+        magic = bytes(mv[:1])
+        body = mv[1:]
+        if magic == MAGIC_ASCII:
+            body = memoryview(base64.urlsafe_b64decode(bytes(body)))
+        elif magic != MAGIC_BINARY:
+            raise ValueError(f"unknown envelope magic byte {magic!r}")
+        (uuid_v, mtype, sid, payload, prev, _meta, enc_type, ts), _ = dec(body, 0)
+        rows.append((uuid_v, mtype, sid, payload, prev, enc_type, ts))
     return pd.DataFrame(
-        {
-            "uuid": rows.map(lambda r: r["uuid"]),
-            "message_type": rows.map(lambda r: r["message_type"]),
-            "schema_id": rows.map(lambda r: r["schema_id"]),
-            "payload": rows.map(lambda r: r["payload"]),
-            "previous_payload": rows.map(lambda r: r["previous_payload"]),
-            "encryption_type": rows.map(lambda r: r["encryption_type"]),
-            "timestamp": rows.map(lambda r: r["timestamp"]),
-        }
+        rows,
+        columns=[
+            "uuid",
+            "message_type",
+            "schema_id",
+            "payload",
+            "previous_payload",
+            "encryption_type",
+            "timestamp",
+        ],
     )
 
 
@@ -169,12 +227,19 @@ def encode_payload_udf(schema_json: str):
     """Returns a pandas UDF encoding a struct column to Avro bytes with the
     given schema (the _AvroPayload write path, _avro_payload.py:86-100)."""
     schema = avro_codec.parse_schema(schema_json)
+    field_names = [f["name"] for f in schema["fields"]]
 
     @pandas_udf(T.BinaryType())
     def enc(data: pd.DataFrame) -> pd.Series:
-        return data.apply(
-            lambda r: avro_codec.encode(schema, _clean_row(r.to_dict())), axis=1
-        )
+        # positional compiled encoder: the struct column MUST be built in
+        # schema field order (producer.prepare does)
+        rec = avro_codec.compile_encoder(schema)
+        out = []
+        for values in zip(*[data[n] for n in field_names]):
+            buf = bytearray()
+            rec(buf, [v.item() if hasattr(v, "item") else v for v in values])
+            out.append(bytes(buf))
+        return pd.Series(out, dtype=object)
 
     return enc
 
@@ -190,11 +255,13 @@ def decode_payload_udf(writer_schema_json: str, reader_schema_json: str | None =
         else writer
     )
     spark_type = avro_codec.to_spark_type(reader)
+    reader_names = [f["name"] for f in avro_codec.parse_schema(reader)["fields"]]
 
     @pandas_udf(spark_type)
     def dec(blob: pd.Series) -> pd.DataFrame:
-        rows = blob.map(lambda b: avro_codec.decode(writer, bytes(b), reader))
-        return pd.DataFrame(list(rows))
+        rec = avro_codec.compile_decoder(writer, reader)
+        rows = [rec(memoryview(bytes(b)), 0)[0] for b in blob]
+        return pd.DataFrame(rows, columns=reader_names)
 
     return dec
 
