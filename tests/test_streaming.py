@@ -1,0 +1,178 @@
+"""Structured Streaming tests: streaming consume from a file topic,
+watermarked window counts, and the stateful gap-flush monitor."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark import envelope as env
+from data_pipeline_spark.io import load_table
+from data_pipeline_spark.producer import Producer
+from data_pipeline_spark.registry import SchemaRegistry
+from data_pipeline_spark.sources.file_topic import TopicStore
+from data_pipeline_spark.streaming.monitor import (
+    counts_with_gap_flush,
+    windowed_counts,
+)
+from tests.conftest import SF_SMOKE
+
+EVENT_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+        ],
+    }
+)
+
+
+def _run_available_now(stream_df, tmp_path, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_consume_from_file_topic(spark, tmp_path):
+    reg = SchemaRegistry()
+    rs = reg.register_schema("dev.main.db", "events", EVENT_SCHEMA)
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "event_type")
+        .limit(100)
+    )
+    Producer(store, reg).publish(events, rs.schema_id, order_by="event_id")
+
+    stream = store.read_stream(rs.topic).withColumn(
+        "envelope", env.unpack(F.col("value"))
+    )
+    decoded = stream.select(
+        "partition",
+        "offset",
+        env.decode_payload_udf(EVENT_SCHEMA)(F.col("envelope.payload")).alias("p"),
+    )
+    _run_available_now(decoded, tmp_path, "consume")
+    got = spark.sql("SELECT p.event_id FROM consume").collect()
+    assert sorted(r.event_id for r in got) == sorted(
+        r.event_id for r in events.collect()
+    )
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Streaming watermark windows == batch epoch-window counts (A1/T2)."""
+    src_dir = tmp_path / "stream_src"
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "event_type")
+    events.write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    counts = windowed_counts(stream, "ts", ["event_type"], window_seconds=600)
+    # complete mode: append would (correctly) withhold the final window
+    # still open under the watermark — here we want the full comparison
+    _run_available_now(counts, tmp_path, "wincounts", mode="complete")
+
+    got = {
+        (r.window_start, r.event_type): r.message_count
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.message_count
+        for r in (
+            events.withColumn(
+                "window_start",
+                (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint"),
+            )
+            .groupBy("window_start", "event_type")
+            .agg(F.count(F.lit(1)).alias("message_count"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_gap_flush_emits_empty_windows(spark, tmp_path):
+    """A message far past the current window flushes every gap window with
+    zero counts (client.py:316-324 exact semantics)."""
+    src_dir = tmp_path / "gap_src"
+    rows = [
+        ("topicA", 100), ("topicA", 150),          # window 0
+        ("topicA", 700),                           # window 600
+        ("topicA", 2500),                          # window 2400 (gaps: 1200, 1800)
+        ("topicB", 50),                            # never advances
+    ]
+    spark.createDataFrame(rows, "topic STRING, epoch LONG").select(
+        "topic", F.timestamp_seconds("epoch").alias("ts")
+    ).write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema("topic STRING, ts TIMESTAMP").parquet(
+        str(src_dir)
+    )
+    flushed = counts_with_gap_flush(
+        stream, "ts", "topic", window_seconds=600, idle_timeout_ms=None
+    )
+    _run_available_now(flushed, tmp_path, "gapflush")
+
+    got = {
+        (r.topic, r.window_start): r.message_count
+        for r in spark.sql("SELECT * FROM gapflush").collect()
+    }
+    # emitted = all CLOSED windows for topicA (0, 600, 1200, 1800); the
+    # current window (2400) stays in state; topicB emitted nothing yet
+    assert got == {
+        ("topicA", 0): 2,
+        ("topicA", 600): 1,
+        ("topicA", 1200): 0,
+        ("topicA", 1800): 0,
+    }
+
+
+def test_gap_flush_idle_timeout_closes_final_window(spark, tmp_path):
+    """Idle streams flush their open window via processing-time timeout —
+    idle vs stalled disambiguation (T3/heartbeat motivation)."""
+    import time
+
+    src_dir = tmp_path / "idle_src"
+    spark.createDataFrame(
+        [("t1", 100), ("t1", 800)], "topic STRING, epoch LONG"
+    ).select("topic", F.timestamp_seconds("epoch").alias("ts")).write.parquet(
+        str(src_dir)
+    )
+    stream = spark.readStream.schema("topic STRING, ts TIMESTAMP").parquet(
+        str(src_dir)
+    )
+    flushed = counts_with_gap_flush(
+        stream, "ts", "topic", window_seconds=600, idle_timeout_ms=2000
+    )
+    q = (
+        flushed.writeStream.format("memory")
+        .queryName("idleflush")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_idle"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            got = {
+                (r.topic, r.window_start): r.message_count
+                for r in spark.sql("SELECT * FROM idleflush").collect()
+            }
+            if ("t1", 600) in got:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # window 0 closed by the event at 800; window 600 closed by the timeout
+    assert got == {("t1", 0): 1, ("t1", 600): 1}
