@@ -1,0 +1,73 @@
+"""Payload encryption (E4) and meta-attribute operations (D5).
+
+Re-expresses _encryption_helper.py:108-204 + initialization_vector.py:26-33:
+PII payloads are AES-CBC encrypted with a keyed cipher; the per-message IV
+rides as a meta attribute; `encryption_type` strings look like
+'AES_MODE_CBC-<key_id>' and select the key.
+
+Spark-first: `aes_encrypt`/`aes_decrypt` SQL functions (JVM, codegen) in
+CBC/PKCS mode with an explicit IV column — no Python in the row path.  Key
+management stays driver-side (key id -> 32-byte key), as in the reference's
+key files (_encryption_helper.py:136-149).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ENCRYPTION_TYPE_PREFIX = "AES_MODE_CBC"
+
+
+def encryption_type_str(key_id: int) -> str:
+    return f"{ENCRYPTION_TYPE_PREFIX}-{key_id}"
+
+
+def parse_key_id(encryption_type: Column) -> Column:
+    """'AES_MODE_CBC-1' -> 1 (_encryption_helper.py:57-66 parsing)."""
+    return F.split(encryption_type, "-").getItem(1).cast("int")
+
+
+def random_iv() -> Column:
+    """16 random bytes per row (initialization_vector.py:26-33)."""
+    return F.unhex(F.regexp_replace(F.expr("uuid()"), "-", ""))
+
+
+def encrypt_payload(payload: Column, key: bytes, iv: Column) -> Column:
+    """AES-CBC/PKCS encrypt with explicit IV (so the IV can ride in meta)."""
+    return F.aes_encrypt(payload, F.lit(key), F.lit("CBC"), F.lit("PKCS"), iv)
+
+
+def decrypt_payload(ciphertext: Column, key: bytes, iv: Column) -> Column:
+    """AES-CBC/PKCS decrypt.  Spark's aes_decrypt expects the IV prepended
+    to the ciphertext in CBC mode; aes_encrypt already emits iv||ct, so
+    decrypt is direct."""
+    return F.aes_decrypt(ciphertext, F.lit(key), F.lit("CBC"), F.lit("PKCS"))
+
+
+# -- meta attributes (MetaAttribute array on the envelope) -------------------
+
+
+def meta_attribute(schema_id: int | Column, payload: Column) -> Column:
+    sid = F.lit(schema_id) if isinstance(schema_id, int) else schema_id
+    return F.struct(sid.alias("schema_id"), payload.alias("payload"))
+
+
+def add_meta(meta: Column, attr: Column) -> Column:
+    """Append an attribute to the (nullable) meta array."""
+    return F.when(meta.isNull(), F.array(attr)).otherwise(
+        F.concat(meta, F.array(attr))
+    )
+
+
+def pop_meta(meta: Column, schema_id: int) -> Column:
+    """Remove attributes with the given schema_id (the swap-pop of
+    message.py:536-550, e.g. stripping the IV after decryption)."""
+    return F.filter(meta, lambda m: m.schema_id != F.lit(schema_id))
+
+
+def get_meta(meta: Column, schema_id: int) -> Column:
+    """First attribute payload with the given schema_id (IV extraction)."""
+    return F.element_at(
+        F.filter(meta, lambda m: m.schema_id == F.lit(schema_id)), 1
+    ).payload

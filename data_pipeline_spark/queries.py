@@ -535,3 +535,174 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts -> offset mapping (P3): first offset at-or-after an event-time bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "first_event_at_or_after",
+    """
+    SELECT event_type, MIN(event_id) AS start_offset
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+    doc="timestamp->offset mapping (tools/timestamp_to_offset_mapper.py:"
+    "31-263): the per-partition binary search relationally is min(offset) "
+    "over ts >= bound (built-in startingOffsetsByTimestamp on real Kafka).",
+    tags=("P3",),
+)
+def first_event_at_or_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.sources.offsets import first_offsets_at_or_after
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"), F.col("event_id"), F.unix_timestamp("ts").alias("epoch")
+    )
+    bound = 1705276800  # 2024-01-15 UTC
+    return first_offsets_at_or_after(
+        ev, bound, ts_col="epoch", partition_col="event_type", offset_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (streaming-shaped analysis; gap-based sessions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch(ts) AS e,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                         OR lag(epoch(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, e,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(FLOOR(MIN(e)) AS BIGINT) AS session_start,
+           CAST(FLOOR(MAX(e)) AS BIGINT) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity) via cumulative-sum "
+    "window — integer logic end-to-end, one shuffle on user_id.",
+    tags=("A-ext", "T2"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("e"),
+        F.col("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("e") - F.lag("e").over(w) > 1800)
+            | F.lag("e").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("e").alias("session_start"),
+        F.max("e").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window average (exact scaled-long arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_value_avg",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS avg3
+    FROM events
+    """,
+    doc="Rolling 3-event average per user — windowed sum in exact scaled "
+    "longs so any engine reproduces it bit-for-bit.",
+    tags=("A-ext",),
+)
+def sliding_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            (F.sum(agg.scaled_long("value")).over(w).cast("double") / 100.0)
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE + distinct aggregation (engine surface beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_lineitem_counts",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE in one pass via partial aggregation (declared engine surface; "
+    "reference has no grouping sets).",
+    tags=("A-ext",),
+)
+def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact distinct aggregation (two-phase expand under the hood); the "
+    "approx_count_distinct variant is the scale path for ultra-high "
+    "cardinality.",
+    tags=("A-ext",),
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,54 @@
+"""Physical-plan audits: pin the physical strategy, not just the results.
+
+These are the `.explain("formatted")` checks SURVEY §0/§4 calls for: filters
+reach the parquet scan, projections prune columns, dimension joins
+broadcast, range joins never degrade to cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import data_pipeline_spark.queries_llm  # noqa: F401
+from data_pipeline_spark.plans import audit
+from data_pipeline_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def _q(name, spark):
+    return QUERIES[name].spark(spark, SF_CORRECT)
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = _q("q1_pricing_summary", spark)
+    audit.assert_pushdown(df, "lineitem", "l_shipdate")
+    # 7 needed columns of 11 in the table
+    audit.assert_pruned_schema(df, "lineitem", max_fields=7)
+    assert audit.has_whole_stage_codegen(df)
+
+
+def test_tailer_projection_pushdown(spark):
+    df = _q("tailer_projection", spark)
+    audit.assert_pushdown(df, "events", "ts")
+    audit.assert_pruned_schema(df, "events", max_fields=5)
+
+
+def test_dim_join_broadcasts(spark):
+    audit.assert_broadcast_join(_q("broadcast_dim_enrich", spark))
+    audit.assert_no_cartesian(_q("broadcast_dim_enrich", spark))
+
+
+def test_range_join_is_not_cartesian(spark):
+    df = _q("shipped_within_90d", spark)
+    audit.assert_no_cartesian(df)
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    df = _q("revenue_by_nation", spark)
+    audit.assert_broadcast_join(df)
+    audit.assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = audit.formatted_plan(_q("top_orders_by_price", spark))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k

@@ -1,0 +1,164 @@
+"""Auxiliary tool tests: DDL compiler, binlog source, ts->offset, crypto,
+meta attributes, rotating sink."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark import avro_codec
+from data_pipeline_spark.functions import crypto
+from data_pipeline_spark.functions.ddl import compile_create_table, create_table_to_struct
+from data_pipeline_spark.sources.binlog import binlog_activity_rollup, parse_binlog_lines
+from data_pipeline_spark.sources.offsets import first_offsets_at_or_after, write_rotated
+
+DDL = """
+CREATE TABLE IF NOT EXISTS app.users (
+    id BIGINT NOT NULL PRIMARY KEY,
+    name VARCHAR(128),
+    balance DECIMAL(12, 2) DEFAULT 0,
+    tier CHAR(2) NOT NULL DEFAULT 'BR',
+    active BOOLEAN NOT NULL DEFAULT TRUE,
+    signup_date DATE,
+    updated_at TIMESTAMP NOT NULL
+);
+"""
+
+
+def test_ddl_compile_types_and_metadata():
+    schema = compile_create_table(DDL)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    assert schema["name"] == "users"
+    assert by_name["id"] == {"name": "id", "type": "long", "pkey": 1}
+    assert by_name["name"]["type"] == ["null", "string"]
+    assert by_name["name"]["maxlen"] == 128
+    assert by_name["balance"]["fixed_pt"] is True
+    assert by_name["balance"]["precision"] == 12
+    assert by_name["balance"]["scale"] == 2
+    assert by_name["balance"]["type"] == ["double", "null"]  # default-first
+    assert by_name["balance"]["default"] == 0.0
+    assert by_name["tier"] == {
+        "name": "tier", "type": "string", "default": "BR", "fixlen": 2
+    }
+    assert by_name["active"]["default"] is True
+    assert by_name["signup_date"]["date"] is True
+    assert by_name["updated_at"]["timestamp"] is True
+    # compiled schema is a valid avro schema for the codec
+    enc = avro_codec.compile_encoder(schema)
+    assert enc is not None
+
+
+def test_ddl_table_level_pk_and_struct():
+    sql = "CREATE TABLE t (a INT NOT NULL, b VARCHAR(10), PRIMARY KEY (a, b))"
+    name, struct, pks = create_table_to_struct(sql)
+    assert name == "t" and pks == ["a", "b"]
+    assert struct.simpleString() == "struct<a:int,b:string>"
+
+
+def test_ddl_rejects_non_create():
+    with pytest.raises(ValueError):
+        compile_create_table("DROP TABLE users")
+
+
+BINLOG = """\
+SET TIMESTAMP=1500000000/*!*/;
+### INSERT INTO `main`.`users`
+### INSERT INTO `main`.`users`
+SET TIMESTAMP=1500000700/*!*/;
+### UPDATE `main`.`users`
+### DELETE FROM `main`.`orders`
+garbage line to ignore
+SET TIMESTAMP=1500001300/*!*/;
+### INSERT INTO `main`.`orders`
+"""
+
+
+def test_binlog_parse_and_rollup(spark):
+    lines = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(BINLOG.splitlines())],
+        "line_no INT, value STRING",
+    )
+    stmts = parse_binlog_lines(lines)
+    got = [tuple(r) for r in stmts.orderBy("ts", "table", "statement_type").collect()]
+    assert got == [
+        (1500000000, "insert", "main", "users"),
+        (1500000000, "insert", "main", "users"),
+        (1500000700, "delete", "main", "orders"),
+        (1500000700, "update", "main", "users"),
+        (1500001300, "insert", "main", "orders"),
+    ]
+    rollup = {
+        (r.window_start, r.table, r.statement_type): r.n_statements
+        for r in binlog_activity_rollup(stmts, 600).collect()
+    }
+    assert rollup[(1500000000, "users", "insert")] == 2
+    assert rollup[(1500000600, "users", "update")] == 1
+
+
+def test_first_offsets_at_or_after(spark):
+    msgs = spark.createDataFrame(
+        [(0, 0, 100), (0, 1, 200), (0, 2, 300), (1, 0, 150), (1, 1, 250)],
+        "partition INT, offset LONG, publish_ts LONG",
+    )
+    got = {
+        r.partition: r.start_offset
+        for r in first_offsets_at_or_after(msgs, 200).collect()
+    }
+    assert got == {0: 1, 1: 1}
+    # bound past everything -> empty (caller falls back to high watermark)
+    assert first_offsets_at_or_after(msgs, 999).count() == 0
+
+
+def test_aes_cbc_roundtrip_with_meta_iv(spark):
+    key = b"0123456789abcdef0123456789abcdef"  # 32-byte key, key_id 1
+    df = spark.createDataFrame(
+        [(b"secret payload A",), (b"secret payload B",)], "payload BINARY"
+    ).withColumn("iv", crypto.random_iv())
+    enc = df.select(
+        "payload",
+        "iv",
+        crypto.encrypt_payload(F.col("payload"), key, F.col("iv")).alias("ct"),
+        F.lit(crypto.encryption_type_str(1)).alias("encryption_type"),
+    )
+    # IV rides as a meta attribute and is recoverable
+    empty_meta = F.lit(None).cast("array<struct<schema_id:int,payload:binary>>")
+    with_meta = enc.withColumn(
+        "meta",
+        crypto.add_meta(empty_meta, crypto.meta_attribute(77, F.col("iv"))),
+    )
+    dec = with_meta.select(
+        "payload",
+        crypto.decrypt_payload(F.col("ct"), key, crypto.get_meta(F.col("meta"), 77)).alias("pt"),
+        crypto.parse_key_id(F.col("encryption_type")).alias("key_id"),
+        F.size(crypto.pop_meta(F.col("meta"), 77)).alias("meta_after_pop"),
+    )
+    for r in dec.collect():
+        assert bytes(r.pt) == bytes(r.payload)
+        assert r.key_id == 1
+        assert r.meta_after_pop == 0
+
+
+def test_write_rotated_gzip_with_complete_markers(spark, tmp_path):
+    out = str(tmp_path / "rotated")
+    df = spark.createDataFrame(
+        [(i, 1000 + 900 * w) for w in range(3) for i in range(5)],
+        "n INT, epoch LONG",
+    ).select("n", F.timestamp_seconds("epoch").alias("ts"))
+    completed = write_rotated(df.repartition(2), out, "ts", window_seconds=900)
+    windows = sorted(d for d in os.listdir(out) if d.startswith("window_start="))
+    assert len(windows) == 3
+    assert len(completed) == 2  # newest window stays open
+    for d in completed:
+        assert os.path.exists(os.path.join(d, "COMPLETE"))
+    # files are real gzip json
+    some = [
+        f for f in os.listdir(completed[0]) if f.endswith(".json.gz")
+    ]
+    assert some
+    with gzip.open(os.path.join(completed[0], some[0])) as fh:
+        row = json.loads(fh.readline())
+        assert "n" in row
