@@ -706,3 +706,31 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII display redaction (P10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_redacted_display",
+    """
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE '<string>' END AS text_display,
+           lang, n_chars
+    FROM documents
+    WHERE n_chars > 400
+    """,
+    doc="PII display redaction: values replaced by type placeholders "
+    "(message.py:557-585), non-PII metadata passes through.",
+    tags=("P10",),
+)
+def pii_redacted_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 400)
+    return docs.select(
+        "doc_id",
+        scalars.redact("text").alias("text_display"),
+        "lang",
+        "n_chars",
+    )

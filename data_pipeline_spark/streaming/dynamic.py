@@ -1,0 +1,126 @@
+"""Dynamic topic-set subscription (S5) and exactly-once batch sink (T5).
+
+- `DynamicSubscriptionRunner`: the reference consumer polls the registry
+  every 300 s and, when the topic set changed, stops/recommits/restarts the
+  Kafka group (consumer.py:270-294, base_consumer.py:829-947).  Spark's
+  source list is fixed per query, so the rebuild is a driver loop: resolve
+  topics via a ConsumerSource, run a (batch or availableNow-streaming) pass
+  over each, commit, re-resolve, restart on change (SURVEY §4 item 4).
+
+- `ExactlyOnceBatchSink`: at-least-once sinks + a (topic, batch_id) ledger
+  transactionally skipped on replay = effective exactly-once
+  (_producer_retry.py:120-190's watermark verification re-expressed as a
+  batch-id ledger; the foreachBatch + txn-table pattern).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.consumer import Consumer
+from data_pipeline_spark.consumer_source import ConsumerSource
+
+
+class DynamicSubscriptionRunner:
+    """Poll-resolve-run loop over a changing topic set."""
+
+    def __init__(
+        self,
+        consumer: Consumer,
+        source: ConsumerSource,
+        refresh_period_s: float = 300.0,  # config.py:106-112 default
+    ):
+        self.consumer = consumer
+        self.source = source
+        self.refresh_period_s = refresh_period_s
+        self.current_topics: list[str] = []
+
+    def resolve(self) -> tuple[list[str], bool]:
+        """(topics, changed?) — one registry poll tick
+        (_consumer_tick.py:22-36)."""
+        topics = self.source.get_topics()
+        changed = topics != self.current_topics
+        return topics, changed
+
+    def run_once(
+        self, process: Callable[[str, DataFrame], None], from_committed: bool = True
+    ) -> list[str]:
+        """One tick: re-resolve topics (restarting the 'subscription' if
+        changed), then process+commit each topic's new messages."""
+        topics, changed = self.resolve()
+        if changed:
+            self.current_topics = topics
+        processed = []
+        for topic in self.current_topics:
+            batch = self.consumer.messages(topic, from_committed=from_committed)
+            process(topic, batch)
+            if self.consumer.ledger is not None:
+                self.consumer.commit(topic, batch)
+            processed.append(topic)
+        return processed
+
+    def run(
+        self,
+        process: Callable[[str, DataFrame], None],
+        ticks: int,
+        sleep_s: float | None = None,
+    ) -> None:
+        for _ in range(ticks):
+            self.run_once(process)
+            time.sleep(self.refresh_period_s if sleep_s is None else sleep_s)
+
+
+class ExactlyOnceBatchSink:
+    """foreachBatch-style sink with a replay-skipping batch ledger.
+
+    write(df, epoch_id): if (sink_id, epoch_id) is in the ledger the batch
+    was already fully written — skip it; otherwise write, then record.  The
+    record lands only after a successful write, so a crash between write and
+    record replays the batch into an idempotent target (parquet overwrite
+    per batch partition), preserving exactly-once output.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str, ledger_path: str, sink_id: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.ledger_path = ledger_path
+        self.sink_id = sink_id
+
+    def _done(self) -> set[int]:
+        if not os.path.exists(self.ledger_path):
+            return set()
+        return {
+            r.epoch_id
+            for r in self.spark.read.parquet(self.ledger_path)
+            .filter(F.col("sink_id") == self.sink_id)
+            .collect()
+        }
+
+    def write(self, df: DataFrame, epoch_id: int) -> bool:
+        """Returns True if written, False if skipped as a replay."""
+        if epoch_id in self._done():
+            return False
+        (
+            df.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.out_dir)
+        )
+        self.spark.createDataFrame(
+            [(self.sink_id, epoch_id)], "sink_id STRING, epoch_id LONG"
+        ).write.mode("append").parquet(self.ledger_path)
+        return True
+
+    def foreach_batch(self):
+        """Adapter for `writeStream.foreachBatch(...)`."""
+
+        def fn(df: DataFrame, epoch_id: int) -> None:
+            self.write(df, epoch_id)
+
+        return fn

@@ -1,0 +1,73 @@
+"""Property-based Avro codec tests: generic/compiled equivalence and
+roundtrip over arbitrary values (hypothesis)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_spark import avro_codec as ac
+
+SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "string"}},
+        {"name": "m", "type": {"type": "map", "values": "int"}},
+    ],
+}
+
+values = st.fixed_dictionaries(
+    {
+        "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "d": st.floats(allow_nan=False),
+        "s": st.text(max_size=50),
+        "b": st.binary(max_size=50),
+        "opt": st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+        "arr": st.lists(st.text(max_size=10), max_size=8),
+        "m": st.dictionaries(
+            st.text(max_size=8), st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            max_size=6,
+        ),
+    }
+)
+
+
+@given(values)
+@settings(max_examples=200, deadline=None)
+def test_generic_roundtrip(v):
+    assert ac.decode(SCHEMA, ac.encode(SCHEMA, v)) == v
+
+
+@given(values)
+@settings(max_examples=200, deadline=None)
+def test_compiled_equals_generic(v):
+    generic = ac.encode(SCHEMA, v)
+    buf = bytearray()
+    ac.compile_encoder(SCHEMA)(
+        buf, [v[f["name"]] for f in SCHEMA["fields"]]
+    )
+    assert bytes(buf) == generic
+    tup, pos = ac.compile_decoder(SCHEMA)(memoryview(generic), 0)
+    assert pos == len(generic)
+    assert dict(zip([f["name"] for f in SCHEMA["fields"]], tup)) == v
+
+
+@given(st.floats(allow_nan=True))
+@settings(max_examples=100, deadline=None)
+def test_double_bits_preserved(x):
+    sch = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "double"}]}
+    out = ac.decode(sch, ac.encode(sch, {"x": x}))["x"]
+    if math.isnan(x):
+        assert math.isnan(out)
+    else:
+        assert out == x and math.copysign(1, out) == math.copysign(1, x)

@@ -1,0 +1,126 @@
+"""Consumer-source discovery (S4), dynamic subscription (S5), exactly-once
+sink (T5), registrar/monitoring publishers (T8/A1)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.consumer import Consumer
+from data_pipeline_spark.consumer_source import (
+    FixedSchemas,
+    FixedTopics,
+    NewTopicsOnly,
+    TopicsInNamespace,
+    TopicsInSource,
+)
+from data_pipeline_spark.io import load_table
+from data_pipeline_spark.producer import Producer
+from data_pipeline_spark.registrar import monitoring_frame, registration_frame
+from data_pipeline_spark.registry import SchemaRegistry
+from data_pipeline_spark.sources.file_topic import OffsetLedger, TopicStore
+from data_pipeline_spark.streaming.dynamic import (
+    DynamicSubscriptionRunner,
+    ExactlyOnceBatchSink,
+)
+from tests.conftest import SF_SMOKE
+
+SCHEMA_A = json.dumps(
+    {"type": "record", "name": "a", "fields": [{"name": "event_id", "type": "long"}]}
+)
+
+
+def _registry_with(n_sources: int) -> tuple[SchemaRegistry, list]:
+    reg = SchemaRegistry()
+    return reg, [
+        reg.register_schema("ns.main.db", f"src{i}", SCHEMA_A) for i in range(n_sources)
+    ]
+
+
+def test_consumer_source_variants():
+    reg, schemas = _registry_with(3)
+    reg.register_schema("other.ns.db", "x", SCHEMA_A)
+    assert FixedTopics(reg, "t1", "t2").get_topics() == ["t1", "t2"]
+    assert FixedSchemas(reg, schemas[0].schema_id).get_topics() == [schemas[0].topic]
+    assert TopicsInNamespace(reg, "ns.main.db").get_topics() == sorted(
+        s.topic for s in schemas
+    )
+    assert TopicsInSource(reg, "ns.main.db", "src1").get_topics() == [schemas[1].topic]
+
+    new_only = NewTopicsOnly(TopicsInNamespace(reg, "ns.main.db"))
+    assert new_only.get_topics() == sorted(s.topic for s in schemas)
+    assert new_only.get_topics() == []  # nothing new since last query
+    extra = reg.register_schema("ns.main.db", "src_late", SCHEMA_A)
+    assert new_only.get_topics() == [extra.topic]
+
+
+def test_dynamic_subscription_picks_up_new_topics(spark, tmp_path):
+    reg, schemas = _registry_with(1)
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    ledger = OffsetLedger(spark, str(tmp_path / "offsets"))
+    producer = Producer(store, reg)
+    consumer = Consumer(store, reg, group="dyn", ledger=ledger)
+    events = load_table(spark, SF_SMOKE, "events").select("event_id").limit(40)
+
+    producer.publish(events, schemas[0].schema_id, order_by="event_id")
+    runner = DynamicSubscriptionRunner(
+        consumer, TopicsInNamespace(reg, "ns.main.db"), refresh_period_s=0
+    )
+    seen: dict[str, int] = {}
+
+    def process(topic, df):
+        seen[topic] = seen.get(topic, 0) + df.count()
+
+    assert runner.run_once(process) == [schemas[0].topic]
+    assert seen[schemas[0].topic] == 40
+
+    # new topic appears in the registry -> next tick restarts with it
+    late = reg.register_schema("ns.main.db", "late_src", SCHEMA_A)
+    producer.publish(events.limit(10), late.schema_id, order_by="event_id")
+    processed = runner.run_once(process)
+    assert late.topic in processed
+    assert seen[late.topic] == 10
+    # committed offsets: nothing re-consumed on a further tick
+    runner.run_once(process)
+    assert seen[schemas[0].topic] == 40 and seen[late.topic] == 10
+
+
+def test_exactly_once_sink_skips_replayed_batches(spark, tmp_path):
+    sink = ExactlyOnceBatchSink(
+        spark,
+        out_dir=str(tmp_path / "out"),
+        ledger_path=str(tmp_path / "ledger"),
+        sink_id="s1",
+    )
+    df = spark.range(100).select(F.col("id"))
+    assert sink.write(df, epoch_id=1) is True
+    assert sink.write(df, epoch_id=1) is False  # replay skipped
+    assert sink.write(df, epoch_id=2) is True
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 200  # each batch exactly once
+    # crash-between-write-and-record simulation: replay overwrites in place
+    sink2 = ExactlyOnceBatchSink(
+        spark, str(tmp_path / "out"), str(tmp_path / "ledger2"), "s1"
+    )
+    assert sink2.write(df, epoch_id=2) is True  # unrecorded in ledger2 -> rewrite
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 200  # idempotent
+
+
+def test_registrar_and_monitoring_frames(spark):
+    reg_df = registration_frame(
+        spark, "team-x", "client-1", "producer", schema_ids=[1, 2]
+    )
+    rows = reg_df.collect()
+    assert len(rows) == 2
+    assert {r.schema_id for r in rows} == {1, 2}
+    assert all(r.expected_frequency_seconds == 600 for r in rows)
+
+    counts = spark.createDataFrame(
+        [("t.v1", 1700000000, 42)], "topic STRING, window_start LONG, message_count LONG"
+    )
+    mon = monitoring_frame(counts, "client-1", "producer").collect()[0]
+    assert (mon.topic, mon.message_count, mon.start_timestamp, mon.client_type) == (
+        "t.v1", 42, 1700000000, "producer",
+    )
