@@ -53,6 +53,30 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def quantized(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, qvec, norm_sq) — quantize + norm ONCE per vector.  Every
+    downstream dot reuses these instead of re-deriving them per pair/plane
+    (the dominant cost in the naive formulation)."""
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        _qvec(F.col(vec_col)).alias(f"{prefix}_q"),
+        quantized_norm_sq(F.col(vec_col)).alias(f"{prefix}_n"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Integer dot of two pre-quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cos_from_parts(dot: Column, na: Column, nb: Column) -> Column:
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
 def cosine_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -62,19 +86,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
-    The query side is broadcast (small by assumption); the base table is
-    scanned once with the cosine computed in codegen; per-query ranking is a
-    window over the (query_id) shuffle.  Ties break on neighbor id so the
+    The query side is quantized once and broadcast; the base table is
+    scanned once with vectors quantized once per row; per-query ranking is
+    a window over the (query_id) shuffle.  Ties break on neighbor id so the
     result is total-ordered.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    b = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b_vec"))
-    scored = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+    q = quantized(queries, id_col, vec_col, "query")
+    b = quantized(base, id_col, vec_col, "neighbor")
+    scored = b.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("b_vec")).alias("cos_sim"),
+        _cos_from_parts(
+            _int_dot(F.col("query_q"), F.col("neighbor_q")),
+            F.col("query_n"),
+            F.col("neighbor_n"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -97,11 +125,17 @@ def neardup_pairs(
     Correctness baseline only: O(n^2) dot products.  The scale path is
     ``lsh_neardup_pairs``; keep this for validation and small partitions.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    a = quantized(df, id_col, vec_col, "a")
+    b = quantized(df, id_col, vec_col, "b")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            _cos_from_parts(
+                _int_dot(F.col("a_q"), F.col("b_q")), F.col("a_n"), F.col("b_n")
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -132,9 +166,22 @@ def _hyperplane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
 def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
     """Random-hyperplane (SimHash-for-vectors) LSH bucket id: ``num_planes``
     sign bits packed into an int.  P(same bucket) = (1 - theta/pi)^planes."""
+    return _bucket_from_q(_qvec(vec), num_planes, dim)
+
+
+def _bucket_from_q(qvec: Column, num_planes: int, dim: int) -> Column:
+    """Bucket id from a pre-quantized vector (quantize once, 8 dots)."""
     bucket = F.lit(0)
     for s in range(num_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, s, dim)
+        signs = F.array(
+            *[F.lit(v).cast("bigint") for v in _plane_signs(s, dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(qvec, signs, lambda x, sgn: x * sgn),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket * 2 + (dot >= 0).cast("int")
     return bucket
 
 
@@ -149,15 +196,27 @@ def lsh_neardup_pairs(
     """Approximate near-dup pairs: bucket by hyperplane signature, verify
     exact cosine only within buckets.  The bucket join replaces the O(n^2)
     cross product; recall is tunable via multiple plane sets at scale."""
-    bucketed = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket")
+    q = quantized(df, id_col, vec_col, "v").withColumn(
+        "bucket", _bucket_from_q(F.col("v_q"), num_planes, dim)
     )
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    a = q.select(
+        F.col("v_id").alias("id_a"), F.col("v_q").alias("a_q"),
+        F.col("v_n").alias("a_n"), "bucket",
+    )
+    b = q.select(
+        F.col("v_id").alias("id_b"), F.col("v_q").alias("b_q"),
+        F.col("v_n").alias("b_n"), "bucket",
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            _cos_from_parts(
+                _int_dot(F.col("a_q"), F.col("b_q")), F.col("a_n"), F.col("b_n")
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
