@@ -120,6 +120,36 @@ class Consumer:
             dispatch_decode(e.schema_id, e.payload).alias("payload"),
         )
 
+    def messages_union(
+        self,
+        topics: list[str],
+        from_committed: bool = False,
+    ) -> DataFrame:
+        """Tail N topics at once (Consumer takes a topic LIST,
+        base_consumer.py:435-470): per-topic decode (schemas differ per
+        topic) unioned with a `topic` discriminator column.  Each branch
+        scans only its topic directory; the union is plan-level, no extra
+        pass."""
+        if not topics:
+            raise ValueError("at least one topic required")
+        parts = []
+        for t in topics:
+            df = self.messages(t, from_committed=from_committed)
+            parts.append(
+                df.select(
+                    F.lit(t).alias("topic"),
+                    "partition",
+                    "offset",
+                    "message_type",
+                    "timestamp",
+                    F.to_json("payload").alias("payload_json"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def commit(self, topic: str, consumed: DataFrame) -> None:
         if self.ledger is None:
             raise RuntimeError("no offset ledger configured")

@@ -1,0 +1,73 @@
+"""Catalog introspection (tools/introspector/main.py:28-49 list/info
+commands): list namespaces / sources / topics, describe a topic — all as
+DataFrames over the registry views plus live transport state (watermarks,
+message counts) from the TopicStore."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.registry import SchemaRegistry
+from data_pipeline_spark.sources.file_topic import TopicStore
+
+
+class Introspector:
+    def __init__(
+        self, spark: SparkSession, registry: SchemaRegistry, store: TopicStore | None = None
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.store = store
+
+    def _schemas(self) -> DataFrame:
+        return self.registry.schemas_df(self.spark)
+
+    def list_namespaces(self) -> DataFrame:
+        return self._schemas().select("namespace").distinct().orderBy("namespace")
+
+    def list_sources(self, namespace: str | None = None) -> DataFrame:
+        df = self._schemas()
+        if namespace:
+            df = df.filter(F.col("namespace") == namespace)
+        return (
+            df.groupBy("namespace", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_schemas"),
+                F.max("created_at").alias("last_registered_at"),
+            )
+            .orderBy("namespace", "source")
+        )
+
+    def list_topics(self, namespace: str | None = None) -> DataFrame:
+        df = self._schemas()
+        if namespace:
+            df = df.filter(F.col("namespace") == namespace)
+        return (
+            df.groupBy("topic")
+            .agg(
+                F.max("schema_id").alias("latest_schema_id"),
+                F.count(F.lit(1)).alias("n_schemas"),
+                F.max("contains_pii").alias("contains_pii"),
+            )
+            .orderBy("topic")
+        )
+
+    def topic_info(self, topic: str) -> dict:
+        latest = self.registry.latest_schema_for_topic(topic)
+        if latest is None:
+            raise KeyError(f"unknown topic {topic!r}")
+        info = {
+            "topic": topic,
+            "namespace": latest.namespace,
+            "source": latest.source,
+            "latest_schema_id": latest.schema_id,
+            "primary_keys": list(latest.primary_keys),
+            "contains_pii": latest.contains_pii,
+            "schema_json": latest.schema_json,
+        }
+        if self.store is not None and self.store.exists(topic):
+            highs = self.store.high_watermarks(topic)
+            info["high_watermarks"] = highs
+            info["message_count"] = sum(highs.values())
+        return info

@@ -102,6 +102,35 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
     return left.join(right, on=on, how="left_semi")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small side.
+
+    A hot key (one topic with 100x the traffic) sinks a plain hash join at
+    scale: one task gets the whole key.  Salting splits each key into
+    ``salt_buckets`` sub-keys — the big side gets a deterministic per-row
+    salt, the small side is replicated across all salts, and the join runs
+    on (key, salt) so the hot key spreads over ``salt_buckets`` tasks.
+    (AQE skew-join handles moderate skew automatically; explicit salting is
+    for the pathological keys you know about.)
+
+    Result equals ``big.join(small, key, how)`` for inner/left joins with a
+    unique-keyed small side.
+    """
+    salt = F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int")
+    big_salted = big.withColumn("__salt", salt)
+    small_salted = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return big_salted.join(small_salted, on=[key, "__salt"], how=how).drop("__salt")
+
+
 def prefix_rows_per_key(
     df: DataFrame,
     keys: Sequence[str],

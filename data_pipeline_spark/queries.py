@@ -734,3 +734,190 @@ def pii_redacted_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape workload queries (classic operator compositions over the
+# corpus; all money math in exact scaled longs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount*100, 0) AS BIGINT))) AS DOUBLE) / 10000.0
+             AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Shipping priority (Q3 shape): selective dim filter -> two joins -> "
+    "agg -> top-k; segment filter pushes to the customer scan.",
+    tags=("J4", "O5"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = _s2("l_extendedprice") * (F.lit(100) - _s2("l_discount"))
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    grouped = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        (F.sum(revenue).cast("double") / 10000.0).alias("revenue")
+    )
+    return ordering.top_k(
+        grouped.select("l_orderkey", "revenue", "o_orderdate"),
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+@register(
+    "q4_order_priority_check",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Order-priority check (Q4 shape): EXISTS as a left-semi join.",
+    tags=("J6", "semi"),
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+                    * CAST(ROUND(l_discount*100, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Revenue-change forecast (Q6 shape): pure scan+filter+agg — every "
+    "predicate pushes to parquet, no shuffle beyond the final reduce.",
+    tags=("P6", "A2"),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (
+            F.sum(_s2("l_extendedprice") * _s2("l_discount")).cast("double") / 10000.0
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    doc="Priority split (Q12 shape): conditional aggregation after an "
+    "equi-join.",
+    tags=("A-ext",),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                         THEN CAST(ROUND(l.l_extendedprice*100, 0) AS BIGINT)
+                              * (100 - CAST(ROUND(l.l_discount*100, 0) AS BIGINT))
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l.l_extendedprice*100, 0) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount*100, 0) AS BIGINT))) AS DOUBLE)
+             AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="Promo revenue share (Q14 shape): broadcast part join + conditional "
+    "ratio in exact integer accumulation (single double division at end).",
+    tags=("J1", "A-ext"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = _s2("l_extendedprice") * (F.lit(100) - _s2("l_discount"))
+    joined = joins.broadcast_lookup(
+        li, part, on=[li.l_partkey == part.p_partkey]
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return joined.agg(
+        (F.sum(promo).cast("double") / F.sum(revenue).cast("double")).alias(
+            "promo_share"
+        )
+    )
