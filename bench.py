@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "lsh_ann_neardup",
     "envelope_roundtrip",
+    "cdc_snapshot_apply",
+    "q3_shipping_priority",
+    "sessionize_events",
 ]
 
 

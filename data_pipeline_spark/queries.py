@@ -921,3 +921,47 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_share"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: materialized snapshot from a create/update/delete stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_snapshot_apply",
+    """
+    SELECT user_id, event_id, value
+    FROM (
+        SELECT user_id, event_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC apply (MERGE-style materialization): the event stream as CDC "
+    "ops per user ('error' = delete, else upsert); latest op decides "
+    "existence and value.  One shuffle on the key "
+    "(operators/cdc.apply_cdc).",
+    tags=("D3", "cdc"),
+)
+def cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.operators.cdc import apply_cdc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("message_type"),
+    )
+    snapshot = apply_cdc(
+        ev,
+        keys=["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        delete_types=("delete",),
+    )
+    return snapshot.select("user_id", "event_id", "value")
