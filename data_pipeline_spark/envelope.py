@@ -206,13 +206,51 @@ def _unpack_udf(blob: pd.Series) -> pd.DataFrame:
     )
 
 
+@pandas_udf(ENVELOPE_STRUCT)
+def _unpack_permissive_udf(blob: pd.Series) -> pd.DataFrame:
+    """PERMISSIVE mode: corrupt wire bytes become an all-null envelope row
+    instead of failing the task (`from_avro` mode=PERMISSIVE semantics;
+    callers filter `schema_id IS NULL` to quarantine corrupt records)."""
+    dec = _env_decoder()
+    null_row = (None,) * 7
+    rows = []
+    for b in blob:
+        try:
+            mv = memoryview(bytes(b))
+            magic = bytes(mv[:1])
+            body = mv[1:]
+            if magic == MAGIC_ASCII:
+                body = memoryview(base64.urlsafe_b64decode(bytes(body)))
+            elif magic != MAGIC_BINARY:
+                raise ValueError("bad magic")
+            (u, mt, sid, pl, prev, _m, et, ts), _ = dec(body, 0)
+            rows.append((u, mt, sid, pl, prev, et, ts))
+        except Exception:
+            rows.append(null_row)
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "uuid",
+            "message_type",
+            "schema_id",
+            "payload",
+            "previous_payload",
+            "encryption_type",
+            "timestamp",
+        ],
+    )
+
+
 def pack(envelope_struct: Column) -> Column:
     """Envelope struct column -> wire bytes (magic byte + Avro binary)."""
     return _pack_udf(envelope_struct)
 
 
-def unpack(wire: Column) -> Column:
-    """Wire bytes -> envelope struct column."""
+def unpack(wire: Column, mode: str = "FAILFAST") -> Column:
+    """Wire bytes -> envelope struct column.  mode='PERMISSIVE' turns
+    corrupt records into all-null rows instead of failing the task."""
+    if mode == "PERMISSIVE":
+        return _unpack_permissive_udf(wire)
     return _unpack_udf(wire)
 
 

@@ -41,19 +41,20 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle) pairs: word n-grams via posexplode + window lead —
-    no quadratic blowup, one shuffle on (id) for the window."""
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    sh = toks.select(
-        F.col(id_col),
-        F.concat_ws(" ", *parts).alias("shingle"),
-        *[parts[i].alias(f"__p{i}") for i in range(1, n)],
-    ).filter(F.col(f"__p{n-1}").isNotNull())
-    out = sh.select(id_col, "shingle")
+    """(id, shingle) pairs: word n-grams built with array ops INSIDE the row
+    (slice over the token array), then exploded — zero shuffle, unlike the
+    posexplode + window-lead formulation which shuffles every token on
+    (id).  Same shingle set, so oracle parity is unaffected."""
+    toks = tokens(text_col)
+    # guard short docs: sequence(1, 0) would DESCEND, not be empty
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -340,3 +340,80 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(emb, threshold=0.45, num_planes=8, dim=64)
+
+
+@register(
+    "word_frequencies",
+    """
+    SELECT w, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, w ASC
+    LIMIT 50
+    """,
+    doc="Corpus word frequencies (the classic wordcount): explode + "
+    "partial-agg count + top-k; shuffle carries (word, count) only.",
+    tags=("llm", "textstats"),
+)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textstats.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, w, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, w ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: tf groupBy + df groupBy + "
+    "broadcast of the (tiny) document-frequency table back onto tf.  "
+    "Fixed double expression (tf * ln(N/df)) => engine-reproducible.",
+    tags=("llm", "textstats"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(textstats.tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # plan-time scalar, same value the oracle computes
+    scored = tf.join(F.broadcast(dfreq), "w").select(
+        "doc_id",
+        "w",
+        # ROUND(...,6): JVM Math.log and C log differ in the last ulp —
+        # transcendental functions are the one place bitwise cross-engine
+        # parity is impossible, so the contract is 1e-6-quantized
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "w", "tfidf")
+    )

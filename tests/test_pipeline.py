@@ -245,3 +245,29 @@ def test_full_refresh_runner_and_manager(spark, registry, store):
     # equal priority: PAUSED job beats the new one
     assert heads["s1"] == paused.refresh_id
     assert mgr.allocate_throughput(["s1", "s2"]) == {"s1": 500, "s2": 500}
+
+
+def test_permissive_unpack_quarantines_corrupt(spark, registry, store):
+    """Corrupt wire bytes become null rows in PERMISSIVE mode; FAILFAST
+    raises (from_avro-style mode semantics)."""
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    producer = Producer(store, registry)
+    producer.publish(_events(spark, 10), rs.schema_id, order_by="event_id")
+
+    good = store.read(rs.topic).select("value")
+    corrupt = spark.createDataFrame(
+        [(bytearray(b"\x42not-an-envelope"),), (bytearray(b"\x00\x01"),)],
+        "value BINARY",
+    )
+    mixed = good.unionByName(corrupt)
+
+    permissive = mixed.select(env.unpack(F.col("value"), mode="PERMISSIVE").alias("e"))
+    rows = permissive.select("e.schema_id").collect()
+    assert len(rows) == 12
+    assert sum(1 for r in rows if r.schema_id is None) == 2
+    assert sum(1 for r in rows if r.schema_id is not None) == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mixed.select(env.unpack(F.col("value")).alias("e")).collect()
