@@ -220,3 +220,128 @@ def lsh_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (assignments, centroids).
+
+    Centroids are ``n_lists`` corpus vectors chosen deterministically by
+    md5(id) order — an IVF-flat baseline that any engine reproduces (a
+    production build would run ml.clustering.KMeans for better list balance;
+    the index layout and probe path are identical).  Every vector joins its
+    nearest centroid by cosine (centroids broadcast; one scan).
+    Returns (assignments(id, list_id), centroids(list_id, centroid vec)).
+    """
+    centroids = (
+        df.select(
+            F.col(id_col).alias("c_src"),
+            F.col(vec_col).alias("c_vec"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_lists)
+        .drop("h")
+    )
+    c = centroids.withColumn(
+        "list_id", F.row_number().over(Window.orderBy("c_src")) - 1
+    ).select("list_id", "c_vec")
+
+    v = quantized(df, id_col, vec_col, "v")
+    cq = c.select(
+        "list_id",
+        _qvec(F.col("c_vec")).alias("c_q"),
+        quantized_norm_sq(F.col("c_vec")).alias("c_n"),
+    )
+    scored = v.join(F.broadcast(cq)).select(
+        "v_id",
+        "list_id",
+        _cos_from_parts(
+            _int_dot(F.col("v_q"), F.col("c_q")), F.col("v_n"), F.col("c_n")
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("v_id").orderBy(F.col("c_cos").desc(), F.col("list_id").asc())
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v_id").alias(id_col), "list_id")
+    )
+    return assignments, c
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF: each query scores the centroids, probes its
+    ``n_probe`` nearest lists, and searches only those lists exactly.
+
+    At 100 TB the assignments table is written partitioned by list_id, so a
+    probe reads n_probe/n_lists of the corpus — the scan shrinks by the
+    probe ratio while recall stays tunable.
+    """
+    assignments, centroids = ivf_assign(base, id_col, vec_col, n_lists)
+    listed = quantized(base, id_col, vec_col, "neighbor").join(
+        assignments.select(
+            F.col(id_col).alias("neighbor_id"), "list_id"
+        ),
+        "neighbor_id",
+    )
+
+    q = quantized(queries, id_col, vec_col, "query")
+    cq = centroids.select(
+        "list_id",
+        _qvec(F.col("c_vec")).alias("c_q"),
+        quantized_norm_sq(F.col("c_vec")).alias("c_n"),
+    )
+    q_probe = q.join(F.broadcast(cq)).select(
+        "query_id",
+        "query_q",
+        "query_n",
+        "list_id",
+        _cos_from_parts(
+            _int_dot(F.col("query_q"), F.col("c_q")), F.col("query_n"), F.col("c_n")
+        ).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        q_probe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "query_q", "query_n", "list_id")
+    )
+
+    scored = probes.join(listed, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cos_from_parts(
+            _int_dot(F.col("query_q"), F.col("neighbor_q")),
+            F.col("query_n"),
+            F.col("neighbor_n"),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -417,3 +417,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "w", "tfidf")
     )
+
+
+@register(
+    "ivf_ann_topk",
+    None,  # approximate (probe subset): rows-only check
+    doc="IVF-flat ANN top-k: deterministic coarse quantizer, queries probe "
+    "their n_probe nearest lists — the scan shrinks by the probe ratio "
+    "(llmops/similarity.ivf_topk; partition-by-list layout at scale).",
+    tags=("llm", "similarity"),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, n_probe=4
+    )

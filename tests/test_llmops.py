@@ -61,3 +61,21 @@ def test_minhash_signature_shape(spark):
     for r in sigs:
         assert len(r.sig) == 8
         assert all(len(h) == 32 for h in r.sig)  # md5 hex
+
+
+def test_ivf_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = similarity.ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=3
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # every ANN result is a real vector pair with true cosine; recall
+    # against exact top-5 should be substantial with 3/8 lists probed
+    assert len(approx_rows) > 0
+    recall = len(approx & exact) / len(exact)
+    assert recall > 0.3, f"IVF recall too low: {recall}"

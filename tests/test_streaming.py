@@ -176,3 +176,40 @@ def test_gap_flush_idle_timeout_closes_final_window(spark, tmp_path):
         q.stop()
     # window 0 closed by the event at 800; window 600 closed by the timeout
     assert got == {("t1", 0): 1, ("t1", 600): 1}
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    """Structured Streaming session_window (30-min gap) produces the same
+    session row counts as the batch cumulative-sum sessionization
+    (queries.sessionize_events semantics)."""
+    src_dir = tmp_path / "sess_src"
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    events.write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stream_counts = sorted(
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT user_id, n_events FROM sess").collect()
+    )
+    from data_pipeline_spark.queries import QUERIES
+
+    batch_counts = sorted(
+        (r.user_id, r.n_events)
+        for r in QUERIES["sessionize_events"].spark(spark, SF_SMOKE).collect()
+    )
+    assert stream_counts == batch_counts
