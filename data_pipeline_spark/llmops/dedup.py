@@ -98,21 +98,22 @@ def minhash_signatures(
     md5(shingle || '#' || j); the signature element is the lexicographic min
     over the doc's shingles.  One explode (x num_hashes) + one groupBy."""
     sh = shingles(df, id_col, text_col, n)
-    seeded = sh.select(
+    # one column per seed instead of a num_hashes-way row explode: the
+    # groupBy then partial-aggregates num_hashes mins map-side, so the
+    # shuffle carries |docs| rows, not |shingles| x num_hashes
+    hashed = sh.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        id_col,
-        "seed",
-        F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed"))).alias("h"),
+        *[
+            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j)))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
     )
-    per_seed = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
-    return per_seed.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("seed"), F.col("minh")))),
-            lambda s: s.minh,
-        ).alias("sig")
+    per_doc = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
+    return per_doc.select(
+        id_col,
+        F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"),
     )
 
 

@@ -432,3 +432,85 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, n_probe=4
     )
+
+
+@register(
+    "pretraining_corpus_filter",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               {_hits_sql('de')} AS h_de, {_hits_sql('en')} AS h_en,
+               {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr,
+               (len(list_distinct(string_split(text,' ')))
+                  / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5
+               + (len(list_filter(string_split(text,' '), x -> x IN {_STOP_EN_SQL}))
+                  / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+               + (least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0) * 0.2
+                 AS quality_score
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text, quality_score FROM scored
+        WHERE quality_score >= 0.36
+          AND greatest(h_de,h_en,h_es,h_fr) > 0
+          AND h_en = greatest(h_de,h_en,h_es,h_fr)
+          AND NOT (h_de = greatest(h_de,h_en,h_es,h_fr))  -- lexicographic argmax = en
+    ),
+    exact_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ),
+    survivors AS (
+        SELECT k.doc_id, k.quality_score FROM kept k
+        JOIN exact_kept e ON e.doc_id = k.doc_id
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM toks
+        QUALIFY shingle IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    dup_losers AS (
+        SELECT DISTINCT b.doc_id AS loser
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+        HAVING COUNT(*) / CAST(sa.n_sh + sb.n_sh - COUNT(*) AS DOUBLE) >= 0.8
+    )
+    SELECT s.doc_id, s.quality_score
+    FROM survivors s
+    WHERE s.doc_id NOT IN (SELECT loser FROM dup_losers)
+    """,
+    doc="End-to-end pretraining corpus filter: language-ID gate (en) -> "
+    "quality threshold -> exact dedup (md5 keeper) -> near-dup removal "
+    "(jaccard>=0.8, keep lower id).  The full LLM-data-pipeline composed "
+    "from engine operators in one plan.",
+    tags=("llm", "pipeline"),
+)
+def pretraining_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.quality_features(docs).withColumn(
+        "lang_pred", textstats.lang_id("text")
+    ).withColumn("quality_score", textstats.quality_score())
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.36) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "text", "quality_score")
+
+    keepers = ld.exact_dup_groups(kept, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    survivors = kept.join(keepers, "doc_id").select("doc_id", "quality_score")
+
+    losers = (
+        ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return survivors.join(losers, "doc_id", "left_anti")
