@@ -168,6 +168,9 @@ def simhash_signatures(
     vote sum.  Explode factor is bits x tokens but all integer codegen; one
     groupBy(doc, bit) + one groupBy(doc).
     """
+    # measured: the bits-way explode with map-side combine beats a per-bit
+    # column formulation locally (~0.8s at sf0.1) and shuffles comparable
+    # bytes (|docs| x bits skinny rows vs |docs| wide rows)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).select(
         id_col, F.md5("w").alias("hw")
     )

@@ -514,3 +514,60 @@ def pretraining_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return survivors.join(losers, "doc_id", "left_anti")
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               AS INT) % 5 = 0
+    """,
+    doc="Deterministic ~20%% sample: md5(id) nibble bucket — reproducible "
+    "on any engine/cluster, no RNG state (training-set carving).",
+    tags=("llm", "sampling"),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 5
+    )
+    return docs.filter(bucket == 0).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "corpus_mix_stats",
+    """
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               SUM(len(string_split(text,' '))) AS n_tokens
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
+    SELECT per.source, per.lang, per.n_docs, per.n_tokens,
+           CAST(per.n_tokens AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE) AS token_share
+    FROM per CROSS JOIN tot
+    """,
+    doc="Training-mix statistics: per-(source, lang) docs/tokens and token "
+    "share — the numbers a data-mixing policy consumes.  Integer counts, "
+    "single double division: engine-reproducible.",
+    tags=("llm", "stats"),
+)
+def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(textstats.tokens("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "token_share"
+        ),
+    )
