@@ -151,14 +151,16 @@ def _unpack_one(blob: bytes) -> dict[str, Any]:
 def _pack_udf(env: pd.DataFrame) -> pd.Series:
     enc = _env_encoder()
     out = []
+    # .tolist() first: iterating python lists is ~2x faster than iterating
+    # pandas Series element-wise in this hot loop
     for uuid_v, mtype, sid, payload, prev, enc_type, ts in zip(
-        env["uuid"],
-        env["message_type"],
-        env["schema_id"],
-        env["payload"],
-        env["previous_payload"],
-        env["encryption_type"],
-        env["timestamp"],
+        env["uuid"].tolist(),
+        env["message_type"].tolist(),
+        env["schema_id"].tolist(),
+        env["payload"].tolist(),
+        env["previous_payload"].tolist(),
+        env["encryption_type"].tolist(),
+        env["timestamp"].tolist(),
     ):
         buf = bytearray(MAGIC_BINARY)
         enc(

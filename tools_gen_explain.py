@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Regenerate EXPLAIN.md (formatted physical plans of headline queries)."""
+from data_pipeline_spark.session import get_spark
+from data_pipeline_spark.plans.audit import formatted_plan
+from data_pipeline_spark.queries import QUERIES
+import data_pipeline_spark.queries_llm, data_pipeline_spark.queries_pipeline  # noqa
+
+PICK = [
+    ("q1_pricing_summary", "filter pushdown + column pruning + partial agg"),
+    ("broadcast_dim_enrich", "dimension broadcast (no fact shuffle)"),
+    ("shipped_within_90d", "equi+range join (hash join, range post-filter)"),
+    ("top_orders_by_price", "TakeOrderedAndProject (no global sort)"),
+    ("revenue_by_nation", "multiway: broadcast dims + shuffled fact joins"),
+    ("minhash_lsh_candidates", "banded LSH self-join (the only shuffle)"),
+]
+
+if __name__ == "__main__":
+    spark = get_spark("explain", shuffle_partitions=8)
+    out = ["# EXPLAIN — physical plans of headline queries (sf0.01, local[32])",
+           "",
+           "Generated from `.explain(\"formatted\")`; regenerate with",
+           "`python tools_gen_explain.py`. What to look for is noted per query;",
+           "`tests/test_plans.py` asserts these properties stay true.",
+           ""]
+    for name, note in PICK:
+        plan = formatted_plan(QUERIES[name].spark(spark, "/root/testdata/sf0.01"))
+        out.append(f"## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+    open("EXPLAIN.md", "w").write("\n".join(out))
+    spark.stop()
