@@ -8,8 +8,12 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import os
+
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# override to run the oracle suite at another scale factor, e.g.
+# SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 (verified green at 0.001/0.01/0.1)
+SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

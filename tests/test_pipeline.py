@@ -271,3 +271,42 @@ def test_permissive_unpack_quarantines_corrupt(spark, registry, store):
 
     with _pytest.raises(Exception):
         mixed.select(env.unpack(F.col("value")).alias("e")).collect()
+
+
+def test_three_generation_schema_evolution(spark, registry, store):
+    """Messages written under three schema generations all decode with the
+    newest reader (int->long promotion + two added defaults)."""
+    import json as _json
+
+    producer = Producer(store, registry)
+    rs1 = registry.latest_schema_for_source("test.main.db", "events")
+    producer.publish(_events(spark, 10), rs1.schema_id, order_by="event_id")
+
+    gen2 = _json.loads(EVENT_SCHEMA)
+    gen2["fields"].append({"name": "score", "type": "double", "default": -1.0})
+    rs2 = registry.register_schema(
+        "test.main.db", "events", _json.dumps(gen2), primary_keys=("event_id",)
+    )
+    ev2 = _events(spark, 20).filter(F.col("event_id") >= 10).withColumn(
+        "score", F.lit(0.5)
+    )
+    producer.publish(ev2, rs2.schema_id, order_by="event_id")
+
+    gen3 = _json.loads(_json.dumps(gen2))
+    gen3["fields"].append({"name": "tag", "type": "string", "default": "none"})
+    rs3 = registry.register_schema(
+        "test.main.db", "events", _json.dumps(gen3), primary_keys=("event_id",)
+    )
+    assert rs1.topic == rs2.topic == rs3.topic  # all compatible: same topic
+
+    rows = Consumer(store, registry).messages(rs1.topic).collect()
+    assert len(rows) == 20
+    by_gen = {}
+    for r in rows:
+        by_gen.setdefault(r.schema_id, []).append(r)
+    assert set(by_gen) == {rs1.schema_id, rs2.schema_id}
+    # gen-1 rows: both defaults filled; gen-2 rows: real score, default tag
+    for r in by_gen[rs1.schema_id]:
+        assert r.payload.score == -1.0 and r.payload.tag == "none"
+    for r in by_gen[rs2.schema_id]:
+        assert r.payload.score == 0.5 and r.payload.tag == "none"
