@@ -71,3 +71,16 @@ def test_double_bits_preserved(x):
         assert math.isnan(out)
     else:
         assert out == x and math.copysign(1, out) == math.copysign(1, x)
+
+
+@given(values, st.permutations(list(range(8))))
+@settings(max_examples=100, deadline=None)
+def test_reader_field_order_permutation(v, perm):
+    """Avro resolution matches fields by NAME: any reader field order
+    decodes the same values (the registry never guarantees field order
+    across schema generations)."""
+    reader = dict(SCHEMA, fields=[SCHEMA["fields"][i] for i in perm])
+    blob = ac.encode(SCHEMA, v)
+    tup, _ = ac.compile_decoder(SCHEMA, reader)(memoryview(blob), 0)
+    got = dict(zip([f["name"] for f in reader["fields"]], tup))
+    assert got == v

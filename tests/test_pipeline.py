@@ -310,3 +310,14 @@ def test_three_generation_schema_evolution(spark, registry, store):
         assert r.payload.score == -1.0 and r.payload.tag == "none"
     for r in by_gen[rs2.schema_id]:
         assert r.payload.score == 0.5 and r.payload.tag == "none"
+
+
+def test_compaction_eligible_topics(spark, registry):
+    """Compaction policy selection (compaction_setter.py:79-116): only
+    topics whose latest schema declares primary keys are compacted."""
+    import json as _json
+
+    no_pk = _json.loads(EVENT_SCHEMA)
+    registry.register_schema("test.main.db", "no_pk_src", _json.dumps(no_pk))
+    eligible = registry.topics_with_primary_keys()
+    assert eligible == ["test.main.db.events.v1"]
