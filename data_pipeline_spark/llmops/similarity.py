@@ -199,26 +199,32 @@ def lsh_neardup_pairs(
     q = quantized(df, id_col, vec_col, "v").withColumn(
         "bucket", _bucket_from_q(F.col("v_q"), num_planes, dim)
     )
-    a = q.select(
-        F.col("v_id").alias("id_a"), F.col("v_q").alias("a_q"),
-        F.col("v_n").alias("a_n"), "bucket",
+    # group-then-pair-in-row: a plain self-join re-evaluates the 8-plane
+    # bucket signature on BOTH sides (no exchange reuse); collecting each
+    # bucket once and generating index pairs with array lambdas computes
+    # quantization + signatures exactly once and shuffles once
+    grouped = q.groupBy("bucket").agg(
+        F.collect_list(F.struct("v_id", "v_q", "v_n")).alias("items")
     )
-    b = q.select(
-        F.col("v_id").alias("id_b"), F.col("v_q").alias("b_q"),
-        F.col("v_n").alias("b_n"), "bucket",
+    items = F.col("items")
+    pair_lists = F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + 2, F.size(items)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
     )
+    pairs = grouped.select(F.explode(F.flatten(pair_lists)).alias("p"))
+    a, b = F.col("p.a"), F.col("p.b")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
+        pairs.select(
+            F.least(a.v_id, b.v_id).alias("id_a"),
+            F.greatest(a.v_id, b.v_id).alias("id_b"),
             _cos_from_parts(
-                _int_dot(F.col("a_q"), F.col("b_q")), F.col("a_n"), F.col("b_n")
+                _int_dot(a.v_q, b.v_q), a.v_n, b.v_n
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
     )
 
 

@@ -965,3 +965,99 @@ def cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_types=("delete",),
     )
     return snapshot.select("user_id", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Large-orders HAVING join (Q18 shape), set intersection, share filter (Q11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) > 25000
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, big.total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.total_qty DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    doc="Large-volume orders (Q18 shape): HAVING over a fact aggregation, "
+    "join back to dimensions, top-k.  The HAVING prunes before the joins.",
+    tags=("A-ext", "J4"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_s2("l_quantity")).alias("q_scaled"))
+        .filter(F.col("q_scaled") > 25000)
+        .select(
+            "l_orderkey", (F.col("q_scaled").cast("double") / 100.0).alias("total_qty")
+        )
+    )
+    joined = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
+    )
+    return ordering.top_k(
+        joined.select("c_name", "o_orderkey", "o_orderdate", "total_qty"),
+        [F.col("total_qty").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
+
+
+@register(
+    "event_type_intersection",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Set intersection (D1 family complement of the EXCEPT query).",
+    tags=("D1",),
+)
+def event_type_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.intersect(buyers)
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH per_part AS (
+        SELECT l_partkey, SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS q_scaled
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(q_scaled) AS t FROM per_part)
+    SELECT p.l_partkey,
+           CAST(p.q_scaled AS DOUBLE) / 100.0 AS total_qty
+    FROM per_part p CROSS JOIN total
+    WHERE p.q_scaled * 2000 > total.t
+    """,
+    doc="Important-stock share filter (Q11 shape): scalar-subquery global "
+    "total broadcast back; threshold via integer cross-multiplication "
+    "(q*2000 > total) — no double knife-edges.",
+    tags=("A-ext",),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_s2("l_quantity")).alias("q_scaled"))
+    total = per_part.agg(F.sum("q_scaled").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("q_scaled") * 2000 > F.col("t"))
+        .select(
+            "l_partkey", (F.col("q_scaled").cast("double") / 100.0).alias("total_qty")
+        )
+    )
