@@ -148,6 +148,9 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
+    # self-join on (band, bucket): measured FASTER than group-then-pair
+    # here — band buckets are near-singletons, so collect+pair overhead
+    # exceeds the join, whose aggregated input gets exchange reuse
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
