@@ -1061,3 +1061,64 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", (F.col("q_scaled").cast("double") / 100.0).alias("total_qty")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Namespace codec (E10) and data-quality stats over the catalog tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "namespace_parse",
+    """
+    SELECT ns,
+           string_split(ns, '.')[1] AS environment,
+           string_split(ns, '.')[2] AS cluster,
+           string_split(ns, '.')[3] AS database,
+           len(string_split(ns, '.')) - 3 AS n_suffixes
+    FROM (SELECT 'prod.' || lower(r_name) || '.main.transformed' AS ns FROM region)
+    """,
+    doc="Namespace name codec (_namespace_util.py:22-173): "
+    "environment.cluster.database[.suffixes] split as column ops.",
+    tags=("E10",),
+)
+def namespace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    ns = F.concat(F.lit("prod."), F.lower("r_name"), F.lit(".main.transformed"))
+    df = region.select(ns.alias("ns"))
+    parsed = scalars.parse_namespace("ns")
+    return df.select(
+        "ns",
+        parsed.environment.alias("environment"),
+        parsed.cluster.alias("cluster"),
+        parsed.database.alias("database"),
+        (F.size(F.split("ns", r"\.")) - 3).alias("n_suffixes"),
+    )
+
+
+@register(
+    "dq_column_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS null_custkey,
+           COUNT(DISTINCT o_orderkey) AS distinct_pk,
+           CAST(COUNT(DISTINCT o_orderkey) = COUNT(*) AS INT) AS pk_unique,
+           MIN(o_totalprice) >= 0 AS prices_non_negative
+    FROM orders
+    """,
+    doc="Data-quality constraint stats in one scan: null counts, pk "
+    "uniqueness, range sanity — the checks a pipeline runs before "
+    "publishing a refresh.",
+    tags=("dq",),
+)
+def dq_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.count_distinct("o_orderkey").alias("distinct_pk"),
+        (F.count_distinct("o_orderkey") == F.count(F.lit(1)))
+        .cast("int")
+        .alias("pk_unique"),
+        (F.min("o_totalprice") >= 0).alias("prices_non_negative"),
+    )

@@ -213,3 +213,24 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
         for r in QUERIES["sessionize_events"].spark(spark, SF_SMOKE).collect()
     )
     assert stream_counts == batch_counts
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exactly-once consume semantics (D2) in-stream: duplicate message
+    uuids within the watermark are dropped by state, not by a batch
+    groupBy."""
+    src_dir = tmp_path / "dup_src"
+    rows = [("u1", 100), ("u2", 110), ("u1", 115), ("u3", 200), ("u2", 205)]
+    spark.createDataFrame(rows, "uuid STRING, epoch LONG").select(
+        "uuid", F.timestamp_seconds("epoch").alias("ts")
+    ).write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema("uuid STRING, ts TIMESTAMP").parquet(
+        str(src_dir)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["uuid"]
+    )
+    _run_available_now(deduped, tmp_path, "dedup_stream")
+    got = sorted(r.uuid for r in spark.sql("SELECT uuid FROM dedup_stream").collect())
+    assert got == ["u1", "u2", "u3"]
