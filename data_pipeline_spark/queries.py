@@ -1122,3 +1122,39 @@ def dq_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pk_unique"),
         (F.min("o_totalprice") >= 0).alias("prices_non_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end parity: same engine, spark.sql() surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_top_suppliers",
+    """
+    SELECT s.s_name, n.n_name,
+           CAST(ROUND(s.s_acctbal*100, 0) AS BIGINT) AS acctbal_cents
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal > 0
+    ORDER BY acctbal_cents DESC, s.s_name ASC
+    LIMIT 15
+    """,
+    doc="SQL front-end parity: the identical statement runs through "
+    "spark.sql() over registered views — DataFrame and SQL surfaces share "
+    "one Catalyst plan.",
+    tags=("sql-api",),
+)
+def sql_api_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name,
+               CAST(ROUND(s.s_acctbal*100, 0) AS BIGINT) AS acctbal_cents
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal > 0
+        ORDER BY acctbal_cents DESC, s.s_name ASC
+        LIMIT 15
+        """
+    )
