@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "cdc_snapshot_apply",
     "q3_shipping_priority",
     "sessionize_events",
+    "topic_transport_roundtrip",
 ]
 
 

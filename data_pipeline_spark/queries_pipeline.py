@@ -71,3 +71,43 @@ def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return decoded.select("p.event_id", "p.user_id", "p.event_type", "p.value")
+
+
+@register(
+    "topic_transport_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id < 2000
+    """,
+    doc="Full transport roundtrip through the driver gate: register schema "
+    "-> producer (payload encode, pk key, envelope, partition/offset "
+    "assignment) -> file topic on disk -> consumer (offset read, unpack, "
+    "schema-dispatched decode).  Lossless iff it matches the identity "
+    "oracle.",
+    tags=("S1", "S2", "E1", "E2", "E3", "wire"),
+)
+def topic_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_spark.consumer import Consumer
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2000
+    ).select("event_id", "user_id", "event_type", "value")
+
+    registry = SchemaRegistry()
+    rs = registry.register_schema(
+        "bench.main.db", "events", _EVENT_WIRE_SCHEMA, primary_keys=("event_id",)
+    )
+    store = TopicStore(spark, tempfile.mkdtemp(prefix="dps_transport_"))
+    Producer(store, registry).publish(
+        events, rs.schema_id, num_partitions=4, order_by="event_id"
+    )
+    msgs = Consumer(store, registry).messages(rs.topic)
+    return msgs.select(
+        "payload.event_id", "payload.user_id", "payload.event_type", "payload.value"
+    )

@@ -47,12 +47,18 @@ class TopicStore:
     def _dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
 
+    def _meta_dir(self, topic: str) -> str:
+        # sibling of the data dir so topic parquet scans never see it
+        return os.path.join(self.root, ".meta", topic)
+
     def exists(self, topic: str) -> bool:
         return os.path.isdir(self._dir(topic))
 
     def topics(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(self._dir(d))
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(self._dir(d)) and not d.startswith(".")
         )
 
     # -- producer side ------------------------------------------------------
@@ -95,13 +101,38 @@ class TopicStore:
             .select("partition", "offset", "key", "value", "publish_ts")
         )
         out.write.mode("append").partitionBy("partition").parquet(self._dir(topic))
-        return self.high_watermarks(topic, num_partitions)
+        new_highs = dict(highs)
+        for r in (
+            out.groupBy("partition").agg(F.max("offset").alias("high")).collect()
+        ):
+            new_highs[r.partition] = r.high + 1
+        # watermark sidecar: O(1) reads instead of scanning the topic
+        self.spark.createDataFrame(
+            list(new_highs.items()), "partition INT, next_offset LONG"
+        ).write.mode("append").parquet(self._meta_dir(topic))
+        return new_highs
 
     # -- metadata -----------------------------------------------------------
 
     def high_watermarks(self, topic: str, num_partitions: int = 4) -> dict[int, int]:
-        """next-offset per partition (_kafka_util.py:22-64 watermark fetch)."""
+        """next-offset per partition (_kafka_util.py:22-64 watermark fetch).
+
+        Served from the tiny watermark sidecar written at publish time —
+        O(appends) rows, not a scan of the topic (which at scale would make
+        every publish O(topic size)).  Falls back to a data scan for topics
+        written before the sidecar existed.
+        """
         highs = {p: 0 for p in range(num_partitions)}
+        if os.path.isdir(self._meta_dir(topic)):
+            rows = (
+                self.spark.read.parquet(self._meta_dir(topic))
+                .groupBy("partition")
+                .agg(F.max("next_offset").alias("high"))
+                .collect()
+            )
+            for r in rows:
+                highs[r.partition] = r.high
+            return highs
         if not self.exists(topic):
             return highs
         rows = (
