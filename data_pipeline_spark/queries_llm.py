@@ -571,3 +571,48 @@ def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_pos
+        FROM sized
+    )
+    SELECT doc_id, n_tokens, start_pos,
+           CAST(start_pos // 512 AS BIGINT) AS pack_id,
+           CAST(start_pos % 512 AS BIGINT) AS pack_offset
+    FROM cum
+    """,
+    doc="Training-sequence packing (concat-then-chunk): each doc's start "
+    "position is a running token sum in doc order; pack = position div "
+    "context_len.  Window cumsum in integers — deterministic, and the "
+    "packing a sequence-building job shards on.",
+    tags=("llm", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(textstats.tokens("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sized.withColumn(
+        "start_pos", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "start_pos",
+        # integer division: a double-division cast TRUNCATES in Spark but
+        # ROUNDS in DuckDB — `div`/`//` agree exactly
+        F.expr("start_pos div 512").alias("pack_id"),
+        (F.col("start_pos") % 512).cast("bigint").alias("pack_offset"),
+    )
