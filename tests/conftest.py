@@ -20,7 +20,10 @@ SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 def spark():
     from data_pipeline_spark.session import get_spark
 
-    s = get_spark("tests", shuffle_partitions=8)
+    # override to prove results are partitioning-independent, e.g.
+    # SPARK_GRAFT_TEST_SHUFFLE=3 (oracle suite verified at 3, 8 and 64)
+    n = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+    s = get_spark("tests", shuffle_partitions=n)
     yield s
     s.stop()
 
