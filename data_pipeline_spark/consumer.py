@@ -102,10 +102,16 @@ class Consumer:
                 sid: avro_codec.compile_decoder(wjson, reader_parsed)
                 for sid, wjson in writers.items()
             }
-            out = [
-                decoders[int(sid)](memoryview(bytes(blob)), 0)[0]
-                for sid, blob in zip(schema_id, payload)
-            ]
+            out = []
+            for sid, blob in zip(schema_id, payload):
+                dec = decoders.get(int(sid))
+                if dec is None:
+                    raise KeyError(
+                        f"message carries schema_id {int(sid)} but topic "
+                        f"{topic!r} has only {sorted(decoders)} registered — "
+                        "registry out of sync with the stream"
+                    )
+                out.append(dec(memoryview(bytes(blob)), 0)[0])
             return pd.DataFrame(out, columns=reader_names)
 
         e = F.col("envelope")

@@ -52,3 +52,37 @@ def test_multiway_join_broadcasts_dims(spark):
 def test_topk_uses_take_ordered(spark):
     plan = audit.formatted_plan(_q("top_orders_by_price", spark))
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_topic_read_prunes_partitions(spark, tmp_path):
+    """Offset-bounded topic reads prune partition directories at plan time
+    (the transport's scale guarantee: a seek never scans the whole topic)."""
+    import json
+
+    from data_pipeline_spark.io import load_table
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "ns.db.x",
+        "e",
+        json.dumps(
+            {"type": "record", "name": "e",
+             "fields": [{"name": "event_id", "type": "long"}]}
+        ),
+    )
+    store = TopicStore(spark, str(tmp_path / "t"))
+    ev = load_table(spark, SF_CORRECT, "events").select("event_id").limit(200)
+    Producer(store, reg).publish(ev, rs.schema_id, order_by="event_id")
+
+    # bounds that touch only partition 2
+    df = store.read(rs.topic, starting_offsets={2: 10}, ending_offsets={2: 20})
+    plan = audit.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    rows = df.select("partition", "offset").collect()
+    assert rows, "expected partition 2 to hold offsets 10..19"
+    assert all(r.partition == 2 and 10 <= r.offset < 20 for r in rows)
+    # offset predicate lands in PushedFilters for row-group pruning
+    assert "offset" in plan
