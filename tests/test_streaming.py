@@ -234,3 +234,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _run_available_now(deduped, tmp_path, "dedup_stream")
     got = sorted(r.uuid for r in spark.sql("SELECT uuid FROM dedup_stream").collect())
     assert got == ["u1", "u2", "u3"]
+
+
+def test_stream_throttling_via_max_files_per_trigger(spark, tmp_path):
+    """T9 throttling on the streaming side: maxFilesPerTrigger bounds each
+    micro-batch (the maxOffsetsPerTrigger analogue for file topics)."""
+    src_dir = tmp_path / "throttle_src"
+    for i in range(4):  # four separate files
+        spark.createDataFrame([(i * 10 + j,) for j in range(10)], "v LONG").coalesce(
+            1
+        ).write.mode("append").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("v LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    batch_sizes = []
+
+    def count_batch(df, epoch_id):
+        batch_sizes.append(df.count())
+
+    q = (
+        stream.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_throttle"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(batch_sizes) == 40
+    assert len(batch_sizes) >= 4  # one file per micro-batch, not one big gulp
+    assert all(b <= 10 for b in batch_sizes)
