@@ -123,8 +123,14 @@ class SchemaRegistry:
         namespace: str | None = None,
         source: str | None = None,
         created_after: int | None = None,
+        filter_func=None,
     ) -> list[str]:
-        """Topic discovery with criteria (consumer_source.py:27-265)."""
+        """Topic discovery with criteria (consumer_source.py:27-265).
+
+        ``filter_func`` is the user-defined predicate over the registered
+        schema (TopicFilter.filter_func, base_consumer.py:950-976) —
+        called with each RegisteredSchema; keep topics where any schema
+        passes."""
         seen: dict[str, int] = {}
         for rs in self._schemas.values():
             if namespace is not None and rs.namespace != namespace:
@@ -132,6 +138,8 @@ class SchemaRegistry:
             if source is not None and rs.source != source:
                 continue
             if created_after is not None and rs.created_at < created_after:
+                continue
+            if filter_func is not None and not filter_func(rs):
                 continue
             seen[rs.topic] = max(seen.get(rs.topic, 0), rs.created_at)
         return sorted(seen)

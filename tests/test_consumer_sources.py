@@ -124,3 +124,17 @@ def test_registrar_and_monitoring_frames(spark):
     assert (mon.topic, mon.message_count, mon.start_timestamp, mon.client_type) == (
         "t.v1", 42, 1700000000, "producer",
     )
+
+
+def test_topics_custom_filter_func():
+    """User-defined topic predicate (TopicFilter.filter_func,
+    base_consumer.py:950-976): arbitrary logic over the registered schema."""
+    reg, schemas = _registry_with(3)
+    pii = reg.register_schema("ns.main.db", "secrets", SCHEMA_A, contains_pii=True)
+    non_pii = reg.topics(
+        namespace="ns.main.db", filter_func=lambda rs: not rs.contains_pii
+    )
+    assert pii.topic not in non_pii
+    assert set(non_pii) == {s.topic for s in schemas}
+    only_src1 = reg.topics(filter_func=lambda rs: rs.source.endswith("1"))
+    assert only_src1 == [schemas[1].topic]
