@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import data_pipeline_spark.queries_llm  # noqa: E402,F401  (registers LLM ops)
 import data_pipeline_spark.queries_pipeline  # noqa: E402,F401  (registers wire ops)
+import data_pipeline_spark.queries_tpch  # noqa: E402,F401  (registers TPC-H shapes)
 from data_pipeline_spark.queries import QUERIES  # noqa: E402
 
 

@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import data_pipeline_spark.queries_llm  # noqa: E402,F401  (registers LLM ops)
 import data_pipeline_spark.queries_pipeline  # noqa: E402,F401  (registers wire ops)
+import data_pipeline_spark.queries_tpch  # noqa: E402,F401  (registers TPC-H shapes)
 from data_pipeline_spark.queries import QUERIES  # noqa: E402
 from data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -47,6 +48,8 @@ BENCH_QUERIES = [
     "envelope_roundtrip",
     "cdc_snapshot_apply",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q21_waiting_suppliers",
     "sessionize_events",
     "topic_transport_roundtrip",
 ]

@@ -6,6 +6,7 @@ import pytest
 
 import data_pipeline_spark.queries_llm  # noqa: F401  (registers LLM ops)
 import data_pipeline_spark.queries_pipeline  # noqa: F401  (registers wire ops)
+import data_pipeline_spark.queries_tpch  # noqa: F401  (registers TPC-H shapes)
 from data_pipeline_spark.queries import QUERIES
 from tests.conftest import SF_CORRECT
 from tests.oracle_utils import compare_query, register_duck_views

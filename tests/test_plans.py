@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 import data_pipeline_spark.queries_llm  # noqa: F401
+import data_pipeline_spark.queries_tpch  # noqa: F401
 from data_pipeline_spark.plans import audit
 from data_pipeline_spark.queries import QUERIES
 from tests.conftest import SF_CORRECT
@@ -86,3 +87,54 @@ def test_topic_read_prunes_partitions(spark, tmp_path):
     assert all(r.partition == 2 and 10 <= r.offset < 20 for r in rows)
     # offset predicate lands in PushedFilters for row-group pruning
     assert "offset" in plan
+
+
+# --- TPC-H workload pack #2 plan audits (queries_tpch) -----------------------
+
+
+def _fact_scan_count(df, table_substr):
+    return sum(1 for s in audit.scan_info(df) if table_substr in s.location)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q21_waiting_suppliers",
+    ],
+)
+def test_correlated_subquery_shapes_scan_fact_once(spark, name):
+    """Agg+join-back correlated subqueries are window formulations: the
+    fact table is read exactly once (a literal join-back reads it twice —
+    at 100 TB that is the whole corpus re-scanned)."""
+    df = _q(name, spark)
+    assert _fact_scan_count(df, "lineitem") == 1, audit.formatted_plan(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q5_local_supplier_volume", "q8_market_share", "q10_returned_items"],
+)
+def test_tpch2_multiway_joins_broadcast_dims(spark, name):
+    df = _q(name, spark)
+    audit.assert_broadcast_join(df)
+    audit.assert_no_cartesian(df)
+
+
+def test_q19_disjunctive_predicates_push_to_both_scans(spark):
+    """OR-of-ANDs splits into per-side residuals that both reach parquet
+    (Catalyst CNF extraction): the lineitem scan gets the quantity bounds,
+    the part scan gets the brand/size bounds."""
+    df = _q("q19_disjunctive_revenue", spark)
+    audit.assert_pushdown(df, "lineitem", "l_quantity")
+    audit.assert_pushdown(df, "part", "p_brand")
+
+
+def test_q7_nation_pair_filter_pushes_to_dim_scans(spark):
+    """The disjunctive nation-pair condition leaves an Or(n_name=..) filter
+    on each nation role scan, so the broadcast sides are pre-pruned."""
+    df = _q("q7_volume_shipping", spark)
+    audit.assert_pushdown(df, "nation", "n_name")
+    audit.assert_no_cartesian(df)
