@@ -124,3 +124,75 @@ class ExactlyOnceBatchSink:
             self.write(df, epoch_id)
 
         return fn
+
+
+class StreamingSubscriptionRunner:
+    """S5 with LIVE streaming queries: differential restart on topic-set
+    change.
+
+    The reference stops and restarts the whole Kafka consumer group when
+    the registry's topic set changes (base_consumer.py:829-947).  Spark
+    cannot change a running query's source list either — but because this
+    runner keeps ONE streaming query per topic, each with its own
+    checkpoint under ``checkpoint_root/<topic>``, a registry change only
+    touches the delta: queries for added topics start, queries for removed
+    topics stop, and every unchanged topic's query keeps running with its
+    state intact.  That strictly improves on the reference's
+    stop-the-world restart, and checkpoints make restarts (including whole-
+    process restarts) resume exactly where each topic left off.
+
+    ``build_sink(topic, stream_df) -> DataStreamWriter`` supplies the sink;
+    the runner owns checkpoint locations and query lifecycle.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        source: ConsumerSource,
+        checkpoint_root: str,
+        build_sink: Callable[[str, DataFrame], "object"],
+    ):
+        self.spark = spark
+        self.store = store
+        self.source = source
+        self.checkpoint_root = checkpoint_root
+        self.build_sink = build_sink
+        self.active: dict[str, object] = {}  # topic -> StreamingQuery
+
+    def _start(self, topic: str) -> None:
+        stream = self.store.read_stream(topic)
+        writer = self.build_sink(topic, stream)
+        self.active[topic] = writer.option(
+            "checkpointLocation", os.path.join(self.checkpoint_root, topic)
+        ).start()
+
+    def tick(self) -> dict[str, list[str]]:
+        """One registry poll: start/stop only the changed topics.
+
+        Topics that are registered but have never been published (no data
+        directory yet) stay pending until data exists — a streaming file
+        source needs its input path at start.
+        """
+        resolved = [t for t in self.source.get_topics() if self.store.exists(t)]
+        added = [t for t in resolved if t not in self.active]
+        removed = [t for t in self.active if t not in resolved]
+        for topic in removed:
+            self.active.pop(topic).stop()
+        for topic in added:
+            self._start(topic)
+        return {
+            "added": added,
+            "removed": removed,
+            "unchanged": [t for t in resolved if t not in added],
+        }
+
+    def process_available(self) -> None:
+        """Drain everything currently published (test/batch-parity hook)."""
+        for q in self.active.values():
+            q.processAllAvailable()
+
+    def stop_all(self) -> None:
+        for q in self.active.values():
+            q.stop()
+        self.active.clear()

@@ -265,3 +265,83 @@ def test_stream_throttling_via_max_files_per_trigger(spark, tmp_path):
     assert sum(batch_sizes) == 40
     assert len(batch_sizes) >= 4  # one file per micro-batch, not one big gulp
     assert all(b <= 10 for b in batch_sizes)
+
+
+def test_streaming_subscription_differential_restart(spark, tmp_path):
+    """S5 live: a registry change starts queries for NEW topics without
+    touching running ones, and checkpoints survive a full runner restart
+    (no duplicate or lost rows)."""
+    from data_pipeline_spark.consumer_source import TopicsInNamespace
+    from data_pipeline_spark.streaming.dynamic import StreamingSubscriptionRunner
+
+    reg = SchemaRegistry()
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    producer = Producer(store, reg)
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+
+    rs_a = reg.register_schema("dyn.main.db", "alpha", EVENT_SCHEMA)
+    producer.publish(events.limit(40), rs_a.schema_id, order_by="event_id")
+
+    out_root = tmp_path / "out"
+
+    def build_sink(topic, stream_df):
+        return (
+            stream_df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out_root / topic))
+        )
+
+    runner = StreamingSubscriptionRunner(
+        spark,
+        store,
+        TopicsInNamespace(reg, "dyn.main.db"),
+        str(tmp_path / "ckpt"),
+        build_sink,
+    )
+
+    delta = runner.tick()
+    assert delta["added"] == [rs_a.topic] and not delta["removed"]
+    runner.process_available()
+    assert spark.read.parquet(str(out_root / rs_a.topic)).count() == 40
+
+    # register a second topic mid-run: next tick starts ONLY the new query
+    rs_b = reg.register_schema("dyn.main.db", "beta", EVENT_SCHEMA)
+    producer.publish(events.limit(25), rs_b.schema_id, order_by="event_id")
+    query_a = runner.active[rs_a.topic]
+    delta = runner.tick()
+    assert delta["added"] == [rs_b.topic]
+    assert runner.active[rs_a.topic] is query_a and query_a.isActive
+    runner.process_available()
+    assert spark.read.parquet(str(out_root / rs_b.topic)).count() == 25
+
+    # new data on the old topic flows through the still-running query
+    producer.publish(
+        events.filter(F.col("event_id") > 10_000_000).limit(0).union(
+            events.limit(50).filter(F.col("event_id") >= 40)
+        ),
+        rs_a.schema_id,
+        order_by="event_id",
+    )
+    runner.process_available()
+    n_after_more = spark.read.parquet(str(out_root / rs_a.topic)).count()
+    assert n_after_more > 40
+    runner.stop_all()
+
+    # full restart: same checkpoints resume, replay nothing
+    producer.publish(
+        events.limit(70).filter(F.col("event_id") >= 60), rs_a.schema_id,
+        order_by="event_id",
+    )
+    runner2 = StreamingSubscriptionRunner(
+        spark,
+        store,
+        TopicsInNamespace(reg, "dyn.main.db"),
+        str(tmp_path / "ckpt"),
+        build_sink,
+    )
+    runner2.tick()
+    runner2.process_available()
+    total_a = spark.read.parquet(str(out_root / rs_a.topic)).count()
+    published_a = store.read(rs_a.topic).count()
+    assert total_a == published_a  # exactly the published rows: no dup, no loss
+    runner2.stop_all()
