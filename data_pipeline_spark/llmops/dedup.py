@@ -234,3 +234,55 @@ def simhash_neardup_pairs(
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint.
+
+    Returns (id_col, component) where component = the smallest node id
+    reachable — the canonical representative of each near-dup cluster.
+    Nodes with no edges are singleton components of themselves.
+
+    Scale shape: near-dup graphs are unions of small, dense clusters
+    (diameter is tiny — pairs come from banded/inverted indexes), so
+    propagation converges in a handful of rounds; each round is one
+    edge⋈label join + a min aggregation, both hash-partitioned on the
+    node id so the partitioning is reused.  ``localCheckpoint`` truncates
+    the iterative lineage (a growing plan tree is the classic iterative-
+    Spark failure mode).  For adversarial high-diameter graphs switch to
+    the large-star/small-star formulation; near-dup clustering never
+    needs it.
+    """
+    fwd = edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
+    rev = edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
+    und = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und.nbr == labels.id)
+            .groupBy(und.id.alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        proposed = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                "component",
+                F.least("component", "nbr_component").alias("new_component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = proposed.filter(
+            F.col("new_component") < F.col("component")
+        ).count()
+        labels = proposed.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "component")

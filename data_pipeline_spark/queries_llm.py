@@ -616,3 +616,61 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("start_pos div 512").alias("pack_id"),
         (F.col("start_pos") % 512).cast("bigint").alias("pack_offset"),
     )
+
+
+@register(
+    "neardup_cluster_assignment",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT c.doc_id, c.component,
+           COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+           CAST(c.doc_id = c.component AS INT) AS is_representative
+    FROM comp c
+    """,
+    doc="Near-dup cluster assignment: the pairs->clusters->representative "
+    "step a dedup pipeline needs after candidate generation.  Connected "
+    "components over the Jaccard>=0.8 pair graph by min-label propagation "
+    "(singletons are their own component); the oracle computes the same "
+    "fixpoint as a recursive CTE.  Representative = smallest doc_id in "
+    "the cluster, so survivors are deterministic.",
+    tags=("llm", "dedup", "iterative"),
+)
+def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = ld.connected_components(pairs, docs, "doc_id")
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).cast("int").alias(
+            "is_representative"
+        ),
+    )

@@ -79,3 +79,19 @@ def test_ivf_recall_against_brute_force(spark):
     assert len(approx_rows) > 0
     recall = len(approx & exact) / len(exact)
     assert recall > 0.3, f"IVF recall too low: {recall}"
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain (diameter 3) collapses to its min id — propagation
+    goes beyond one hop; untouched nodes stay singletons of themselves."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 7, 8]], "doc_id LONG"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in ld.connected_components(edges, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 7: 7, 8: 7}
