@@ -98,3 +98,18 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "content_fp"
         ),
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to constructs Java regex and RE2
+# interpret identically (no \p classes, no lookarounds): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_ish_tokens(text: str | Column) -> Column:
+    """Subword-style pre-tokenization via regexp_extract_all — the token
+    count a BPE tokenizer would start from (each pre-token splits further
+    into >=1 BPE pieces, so this lower-bounds and tracks token budget).
+    Stays in codegen: no Python in the row path."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)

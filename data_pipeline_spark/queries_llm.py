@@ -674,3 +674,34 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_representative"
         ),
     )
+
+
+_BPE_SQL_PAT = textstats.BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS expansion_ratio
+    FROM documents
+    """,
+    doc="Token budgeting: whitespace words vs GPT-2-style pre-tokenizer "
+    "pieces per document (BPE_ISH_PATTERN is restricted to constructs "
+    "Java regex and RE2 parse identically, so both engines tokenize the "
+    "same).  Pure codegen scan, no shuffle.",
+    tags=("llm", "textstats"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = textstats.token_count("text")
+    n_bpe = F.size(textstats.bpe_ish_tokens("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe / n_ws.cast("double")).alias("expansion_ratio"),
+    )

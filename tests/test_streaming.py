@@ -345,3 +345,49 @@ def test_streaming_subscription_differential_restart(spark, tmp_path):
     published_a = store.read(rs_a.topic).count()
     assert total_a == published_a  # exactly the published rows: no dup, no loss
     runner2.stop_all()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream⋈stream interval join (clicks->purchases within 1h per user)
+    produces exactly the batch join's rows; watermarks bound the state."""
+    from data_pipeline_spark.streaming.joins import stream_interval_join
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+
+    joined = stream_interval_join(
+        spark.readStream.schema(clicks.schema).parquet(cdir),
+        spark.readStream.schema(purchases.schema).parquet(pdir),
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_delay="1 HOUR",
+    )
+    _run_available_now(joined, tmp_path, "ssj")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+
+    batch = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in batch.select("click_id", "purchase_id").collect()
+    }
+    assert {(c, p) for (_, c, p) in got} == want
+    assert want, "fixture should produce at least one in-window pair"
