@@ -705,3 +705,151 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         (n_bpe / n_ws.cast("double")).alias("expansion_ratio"),
     )
+
+
+@register(
+    "temperature_mix_sampling",
+    """
+    WITH per AS (
+        SELECT source, SUM(len(string_split(text,' '))) AS n_tok,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tok) AS t FROM per),
+    w AS (
+        SELECT source, n_docs, n_tok,
+               CAST(n_tok AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share,
+               sqrt(CAST(n_tok AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS wgt
+        FROM per CROSS JOIN tot
+    ),
+    norm AS (
+        SELECT *, MAX(cum_w) OVER () AS total_w FROM (
+            SELECT *, SUM(wgt) OVER (ORDER BY source
+                                     ROWS UNBOUNDED PRECEDING) AS cum_w
+            FROM w
+        )
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               LEAST(1.0, (wgt / total_w) / share) AS rate,
+               CAST(FLOOR(LEAST(1.0, (wgt / total_w) / share)
+                          * 4294967296.0) AS BIGINT) AS keep_below
+        FROM norm
+    )
+    SELECT d.source, r.n_docs, r.rate,
+           COUNT(*) FILTER (
+               WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) < r.keep_below
+           ) AS n_sampled
+    FROM documents d JOIN rates r ON r.source = d.source
+    GROUP BY 1, 2, 3
+    """,
+    doc="Temperature-rebalanced corpus sampling (T=2): per-source rate = "
+    "min(1, target/actual) with target share ∝ sqrt(actual share).  "
+    "Deterministic across engines without an RNG: (1) sqrt and division "
+    "are IEEE-correctly-rounded so per-source weights match bitwise; (2) "
+    "the weight normalizer is a RUNNING sum over ORDER BY source — both "
+    "engines fold left-to-right, so the double total matches where a "
+    "plain SUM's partial-aggregation order would not; (3) the keep/drop "
+    "coin is an md5(doc_id) 32-bit bucket compared to floor(rate*2^32).",
+    tags=("llm", "sampling"),
+)
+def temperature_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(textstats.tokens("text"))).alias("n_tok"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = per.agg(F.sum("n_tok").alias("t"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_tok").cast("double") / F.col("t").cast("double")).alias("share"),
+        F.sqrt(F.col("n_tok").cast("double") / F.col("t").cast("double")).alias(
+            "wgt"
+        ),
+    )
+    run = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    norm = w.withColumn("cum_w", F.sum("wgt").over(run)).withColumn(
+        "total_w", F.max("cum_w").over(Window.partitionBy())
+    )
+    rate = F.least(F.lit(1.0), (F.col("wgt") / F.col("total_w")) / F.col("share"))
+    rates = norm.select(
+        "source",
+        "n_docs",
+        rate.alias("rate"),
+        F.floor(rate * F.lit(4294967296.0)).cast("bigint").alias("keep_below"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(
+            F.sum(F.when(bucket < F.col("keep_below"), 1).otherwise(0)).alias(
+                "n_sampled"
+            )
+        )
+    )
+
+
+@register(
+    "trailing_7d_user_spend",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS trailing_7d
+    FROM events
+    """,
+    doc="Event-time RANGE frame: per user, trailing 7-day sum — the frame "
+    "is bounded by time distance, not row count (ties are peers on both "
+    "engines), in exact scaled longs.  Ordered by INTEGER microseconds on "
+    "both sides: the corpus has sub-second timestamps, and a "
+    "seconds-truncating order key silently shifts frame boundaries "
+    "(caught at sf0.1).  Complements the ROWS-frame sliding_value_avg.",
+    tags=("A-ext", "window-range"),
+)
+def trailing_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    from data_pipeline_spark.operators import aggregates as agg
+
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(agg.scaled_long("value")).over(w).cast("double") / 100.0).alias(
+            "trailing_7d"
+        ),
+    )
+
+
+@register(
+    "quality_decile_binning",
+    """
+    SELECT doc_id, lang,
+           NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+    FROM documents
+    """,
+    doc="Curriculum binning: per-language size deciles via NTILE over a "
+    "TOTAL order (doc_id tie-break — without it NTILE is "
+    "non-deterministic on ties).  The bucketing a curriculum/mixing "
+    "schedule consumes.",
+    tags=("llm", "sampling", "window"),
+)
+def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select("doc_id", "lang", F.ntile(10).over(w).alias("decile"))
