@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "embedding_cosine_topk",
     "lsh_ann_neardup",
+    "neardup_cluster_assignment",
     "envelope_roundtrip",
     "cdc_snapshot_apply",
     "q3_shipping_priority",

@@ -264,17 +264,27 @@ def connected_components(
     rev = edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
     und = fwd.union(rev).distinct().localCheckpoint(eager=True)
 
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    # Only nodes that appear in an edge can ever change label: propagate
+    # over that set alone (|near-dup docs|, tiny vs |corpus|) and re-attach
+    # the untouched singletons once at the end.
+    # `node`/`component` get fresh attribute ids via alias so the per-round
+    # edge⋈label join is never an ambiguous self-join against `und`
+    labels = (
+        und.select("id")
+        .distinct()
+        .select(F.col("id").alias("node"), F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iterations):
         nbr_min = (
-            und.join(labels, und.nbr == labels.id)
-            .groupBy(und.id.alias("id"))
+            und.join(labels, und.nbr == labels.node)
+            .groupBy(und.id.alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
         proposed = (
-            labels.join(nbr_min, "id", "left")
+            labels.join(nbr_min, "node", "left")
             .select(
-                "id",
+                "node",
                 "component",
                 F.least("component", "nbr_component").alias("new_component"),
             )
@@ -282,7 +292,12 @@ def connected_components(
         changed = proposed.filter(
             F.col("new_component") < F.col("component")
         ).count()
-        labels = proposed.select("id", F.col("new_component").alias("component"))
+        labels = proposed.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), "component")
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return labels.union(singletons).select(F.col("node").alias(id_col), "component")

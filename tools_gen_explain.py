@@ -3,7 +3,7 @@
 from data_pipeline_spark.session import get_spark
 from data_pipeline_spark.plans.audit import formatted_plan
 from data_pipeline_spark.queries import QUERIES
-import data_pipeline_spark.queries_llm, data_pipeline_spark.queries_pipeline  # noqa
+import data_pipeline_spark.queries_llm, data_pipeline_spark.queries_pipeline, data_pipeline_spark.queries_tpch  # noqa
 
 PICK = [
     ("q1_pricing_summary", "filter pushdown + column pruning + partial agg"),
@@ -12,6 +12,10 @@ PICK = [
     ("top_orders_by_price", "TakeOrderedAndProject (no global sort)"),
     ("revenue_by_nation", "multiway: broadcast dims + shuffled fact joins"),
     ("minhash_lsh_candidates", "banded LSH self-join (the only shuffle)"),
+    ("q2_min_cost_supplier", "correlated MIN as window: ONE fact scan"),
+    ("q19_disjunctive_revenue", "OR-of-ANDs pushed to BOTH scans (CNF)"),
+    ("q21_waiting_suppliers", "multi-EXISTS as per-order window sets, no self-join"),
+    ("trailing_7d_user_spend", "event-time RANGE frame on integer microseconds"),
 ]
 
 if __name__ == "__main__":
