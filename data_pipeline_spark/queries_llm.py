@@ -853,3 +853,40 @@ def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     return docs.select("doc_id", "lang", F.ntile(10).over(w).alias("decile"))
+
+
+@register(
+    "approx_distinct_users_scale_path",
+    None,  # rows-only: HLL sketches differ across engines by construction
+    doc="HyperLogLog distinct counting (rsd=2%%): the scale path for "
+    "distinct_users_per_type — exact expand-distinct shuffles every "
+    "(group, user) pair, HLL ships a fixed-size sketch per group and "
+    "merges map-side.  Rows-only by necessity (DuckDB's approx sketch is "
+    "a different estimator); the unit test bounds the error vs exact.",
+    tags=("A-ext", "scale-path"),
+)
+def approx_distinct_users_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "approx_doc_length_quantiles",
+    None,  # rows-only: GK-sketch quantiles are engine-specific
+    doc="Streaming-mergeable quantiles (Greenwald-Khanna, accuracy 1e4): "
+    "p50/p90/p99 document lengths per language without a global sort — "
+    "the scale path for percentile stats over a 100 TB corpus.  "
+    "Rows-only; unit test bounds rank error vs exact quantiles.",
+    tags=("A-ext", "scale-path"),
+)
+def approx_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias(
+            "p50_p90_p99"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -95,3 +95,42 @@ def test_connected_components_chain_and_singletons(spark):
         for r in ld.connected_components(edges, nodes, "doc_id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 7: 7, 8: 7}
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL at rsd=2% stays within 5% of the exact distinct count."""
+    from data_pipeline_spark.queries import QUERIES
+
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in QUERIES["approx_distinct_users_scale_path"].spark(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, approx[k], exact[k])
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """GK quantiles land within 1% rank error of the exact order stats."""
+    from data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["approx_doc_length_quantiles"].spark(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for r in rows:
+        vals = sorted(
+            x.n_chars for x in docs.filter(F.col("lang") == r.lang).collect()
+        )
+        n = len(vals)
+        for q, got in zip((0.5, 0.9, 0.99), r.p50_p90_p99):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= got <= hi, (r.lang, q, got, lo, hi)
