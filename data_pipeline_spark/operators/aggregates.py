@@ -100,3 +100,59 @@ def rollup_counts(df: DataFrame, keys: Sequence[str], alias: str = "n") -> DataF
     """ROLLUP counts — declared engine surface beyond the reference (SURVEY
     §2.4 note): hierarchical totals in one pass via partial aggregation."""
     return df.rollup(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def hierarchical_time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    fine_seconds: int = 3600,
+    coarse_seconds: int = 86400,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: counts + exact sums at two
+    time granularities in ONE fact scan.
+
+    The coarse (day) tier is re-aggregated from the fine (hour) tier's
+    partials — never from the raw rows — which is the continuous-aggregate
+    trick: at 100 TB the raw scan happens once and the second tier costs
+    |hour buckets|, not |events|.  Integer epoch bucketing and scaled-long
+    sums keep both tiers engine-reproducible.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    fine = (
+        df.select(
+            (F.floor(epoch / fine_seconds) * fine_seconds)
+            .cast("bigint")
+            .alias("bucket_start"),
+            *keys,
+            scaled_long(value_col).alias("__v"),
+        )
+        .groupBy("bucket_start", *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("__v").alias("__sv"))
+    )
+    coarse = (
+        fine.select(
+            (F.floor(F.col("bucket_start") / coarse_seconds) * coarse_seconds)
+            .cast("bigint")
+            .alias("bucket_start"),
+            *keys,
+            "n_events",
+            "__sv",
+        )
+        .groupBy("bucket_start", *keys)
+        .agg(F.sum("n_events").alias("n_events"), F.sum("__sv").alias("__sv"))
+    )
+    out_cols = [
+        "granularity",
+        "bucket_start",
+        *keys,
+        "n_events",
+        (F.col("__sv").cast("double") / 100.0).alias("sum_value"),
+    ]
+    return (
+        fine.withColumn("granularity", F.lit("hour")).select(*out_cols)
+        .unionByName(
+            coarse.withColumn("granularity", F.lit("day")).select(*out_cols)
+        )
+    )

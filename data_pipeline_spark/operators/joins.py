@@ -146,3 +146,67 @@ def prefix_rows_per_key(
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(*keys).orderBy(*order_cols)
     return df.withColumn("__in_prefix", F.row_number().over(w) <= n_col)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts per key (inner: left rows with no prior right row
+    are dropped).
+
+    Formulated as union + ordered window fill, NOT a range join: both
+    inputs are tagged, unioned, and sorted per key by (ts, side) so a
+    running ``last(ignorenulls)`` carries each right row forward to every
+    later left row.  One shuffle on the key, state O(1) per row — a
+    range-join formulation explodes to every (left, right-before) pair
+    before picking the max, which at 100 TB is quadratic in the history
+    depth.  Ties (right_ts == left_ts) count as visible, matching
+    ASOF JOIN ... ON r.ts <= l.ts semantics.
+
+    Callers must ensure one right row per (key, right_ts) — pre-dedupe
+    with latest_per_key — otherwise "the" as-of row is ambiguous.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys]
+    # the right row travels as ONE struct: filling columns independently
+    # with last(ignorenulls) would stitch values from different right rows
+    # whenever a right column is legitimately NULL
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    tagged_r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        r_struct.alias("__r"),
+        *[F.lit(None).alias(f"__l_{c}") for c in lcols],
+    )
+    r_type = tagged_r.schema["__r"].dataType
+    tagged_l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_type).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        *keys,
+        "__side",
+        *[F.col(f"__l_{c}") for c in lcols],
+        F.last("__r", ignorenulls=True).over(w).alias("__rf"),
+    )
+    out = filled.filter((F.col("__side") == 1) & F.col("__rf").isNotNull())
+    return out.select(
+        *keys,
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[F.col("__rf")[c].alias(c) for c in right_cols],
+    )

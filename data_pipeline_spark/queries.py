@@ -1158,3 +1158,101 @@ def sql_api_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 15
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join and hypertable-style rollup (custom operators the brief's
+# operator inventory calls out; SURVEY §7 north-star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_click_attribution",
+    """
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS e, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, epoch_us(ts)
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(ts) AS e, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.e AS purchase_e,
+           c.click_id, c.e AS click_e,
+           p.e - c.e AS gap_us
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND c.e <= p.e
+    """,
+    doc="As-of join (purchase -> latest preceding click per user): "
+    "union + ordered window fill, one shuffle on the key, O(1) state per "
+    "row — never the range-join pair explosion.  Clicks pre-deduped per "
+    "(user, microsecond) so 'the' as-of row is total.  Oracle uses "
+    "DuckDB's native ASOF JOIN: two independent formulations, same rows.",
+    tags=("J-asof",),
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("e"), "event_id")
+        .groupBy("user_id", "e")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("e").alias("click_e"), "click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_e"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = joins.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_e",
+        right_ts="click_e",
+        right_cols=["click_e", "click_id"],
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "purchase_e",
+        "click_id",
+        "click_e",
+        (F.col("purchase_e") - F.col("click_e")).alias("gap_us"),
+    )
+
+
+@register(
+    "hypertable_rollup",
+    """
+    WITH fine AS (
+        SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS sv
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT 'hour' AS granularity, bucket_start, event_type, n_events,
+           CAST(sv AS DOUBLE) / 100.0 AS sum_value
+    FROM fine
+    UNION ALL
+    SELECT 'day' AS granularity,
+           CAST(FLOOR(bucket_start / 86400) * 86400 AS BIGINT) AS bucket_start,
+           event_type,
+           SUM(n_events) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) / 100.0 AS sum_value
+    FROM fine
+    GROUP BY 2, 3
+    """,
+    doc="Hypertable-style continuous aggregate: hour and day tiers in one "
+    "fact scan — the day tier re-aggregates the hour tier's scaled-long "
+    "partials (|hour buckets| rows), never the raw events.",
+    tags=("A-ext", "hypertable"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return agg.hierarchical_time_rollup(
+        ev, "ts", ["event_type"], "value", fine_seconds=3600, coarse_seconds=86400
+    )
