@@ -890,3 +890,50 @@ def approx_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "exact_doc_length_percentiles",
+    """
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
+    FROM ranked
+    GROUP BY lang
+    """,
+    doc="Exact discrete percentiles (type-1 quantile: the value at rank "
+    "ceil(q*n) under a total order) — integer rank arithmetic, no "
+    "interpolation, so both engines agree bitwise.  The exact counterpart "
+    "of approx_doc_length_quantiles: correctness anchor at test scale, "
+    "sketch at 100 TB.",
+    tags=("A-ext", "quantiles"),
+)
+def exact_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        )
+    return ranked.groupBy("lang").agg(
+        at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
+    )
