@@ -113,46 +113,34 @@ def hierarchical_time_rollup(
     """Hypertable-style continuous aggregate: counts + exact sums at two
     time granularities in ONE fact scan.
 
-    The coarse (day) tier is re-aggregated from the fine (hour) tier's
-    partials — never from the raw rows — which is the continuous-aggregate
-    trick: at 100 TB the raw scan happens once and the second tier costs
-    |hour buckets|, not |events|.  Integer epoch bucketing and scaled-long
-    sums keep both tiers engine-reproducible.
+    Formulated as GROUPING SETS ((fine, keys), (coarse, keys)) — Catalyst's
+    Expand duplicates rows in-memory ahead of map-side partial aggregation,
+    so the fact table is scanned once and the shuffle carries only
+    per-bucket partials.  (A union of tier DataFrames recomputes the whole
+    subtree per branch — Spark has no common-subplan reuse — which is two
+    full fact scans; the plan test pins one.)  At extreme tier counts the
+    materialize-fine-then-reaggregate continuous-aggregate pattern wins
+    instead; two tiers don't need it.  Integer epoch bucketing and
+    scaled-long sums keep both tiers engine-reproducible.
     """
     epoch = F.unix_timestamp(F.col(ts_col))
-    fine = (
-        df.select(
-            (F.floor(epoch / fine_seconds) * fine_seconds)
-            .cast("bigint")
-            .alias("bucket_start"),
-            *keys,
-            scaled_long(value_col).alias("__v"),
-        )
-        .groupBy("bucket_start", *keys)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("__v").alias("__sv"))
+    fine_b = (F.floor(epoch / fine_seconds) * fine_seconds).cast("bigint")
+    coarse_b = (F.floor(epoch / coarse_seconds) * coarse_seconds).cast("bigint")
+    base = df.select(
+        fine_b.alias("__fine"),
+        coarse_b.alias("__coarse"),
+        *keys,
+        scaled_long(value_col).alias("__v"),
     )
-    coarse = (
-        fine.select(
-            (F.floor(F.col("bucket_start") / coarse_seconds) * coarse_seconds)
-            .cast("bigint")
-            .alias("bucket_start"),
-            *keys,
-            "n_events",
-            "__sv",
-        )
-        .groupBy("bucket_start", *keys)
-        .agg(F.sum("n_events").alias("n_events"), F.sum("__sv").alias("__sv"))
-    )
-    out_cols = [
-        "granularity",
-        "bucket_start",
+    grouped = base.groupingSets(
+        [["__fine", *keys], ["__coarse", *keys]], "__fine", "__coarse", *keys
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("__v").alias("__sv"))
+    return grouped.select(
+        F.when(F.col("__fine").isNotNull(), "hour").otherwise("day").alias(
+            "granularity"
+        ),
+        F.coalesce("__fine", "__coarse").alias("bucket_start"),
         *keys,
         "n_events",
         (F.col("__sv").cast("double") / 100.0).alias("sum_value"),
-    ]
-    return (
-        fine.withColumn("granularity", F.lit("hour")).select(*out_cols)
-        .unionByName(
-            coarse.withColumn("granularity", F.lit("day")).select(*out_cols)
-        )
     )

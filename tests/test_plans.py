@@ -138,3 +138,19 @@ def test_q7_nation_pair_filter_pushes_to_dim_scans(spark):
     df = _q("q7_volume_shipping", spark)
     audit.assert_pushdown(df, "nation", "n_name")
     audit.assert_no_cartesian(df)
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    """The as-of formulation is union + window: no join node exists at all
+    (a range-join formulation would explode pairs before aggregating)."""
+    df = _q("asof_click_attribution", spark)
+    assert audit.join_strategies(df) == [], audit.formatted_plan(df)
+
+
+def test_hypertable_rollup_single_fact_scan(spark):
+    """Both granularity tiers come out of ONE events scan — the day tier
+    re-aggregates hour partials, it never rereads the fact table."""
+    df = _q("hypertable_rollup", spark)
+    assert (
+        sum(1 for s in audit.scan_info(df) if "events" in s.location) == 1
+    ), audit.formatted_plan(df)
