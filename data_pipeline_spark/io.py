@@ -34,6 +34,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark only reads it with
+        # the legacy nanos-as-long flag. The flag is runtime-settable, and
+        # callers (the driver harness included) arrive with vanilla sessions,
+        # so set it here rather than relying on our own session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), read as long (nanosAsLong). Convert

@@ -224,8 +224,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_id,
-           SUM(CAST(CASE WHEN v >= 0 THEN 1 ELSE 0 END AS BIGINT)
-               * (CAST(1 AS BIGINT) << CAST(31 - b AS INT))) AS simhash
+           CAST(SUM(CAST(CASE WHEN v >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               * (CAST(1 AS BIGINT) << CAST(31 - b AS INT))) AS BIGINT) AS simhash
     FROM votes
     GROUP BY doc_id
     """,
