@@ -16,6 +16,9 @@ Scale paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -185,43 +188,101 @@ def _bucket_from_q(qvec: Column, num_planes: int, dim: int) -> Column:
     return bucket
 
 
+def _bucket_tables_udf(num_tables: int, planes_per_table: int, dim: int):
+    """array<float> -> array<bigint> of ``num_tables`` LSH bucket ids.
+
+    All num_tables*planes_per_table hyperplane sign bits come from ONE
+    Arrow-batched integer matmul — (batch, dim) @ (dim, L*b) — instead of
+    L*b separate JVM aggregate expressions (512 nested lambdas would blow
+    up the codegen tree).  Quantization matches ``_qvec`` exactly
+    (float32 -> double -> round to 1e-6 fixed point), so the bits are
+    deterministic across engines and batchings.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    L, b = num_tables, planes_per_table
+    planes = np.stack(
+        [_plane_signs(s, dim) for s in range(L * b)], axis=1
+    ).astype(np.int64)  # (dim, L*b)
+    shifts = (1 << np.arange(b - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy())
+        qv = np.rint(v.astype(np.float64) * Q).astype(np.int64)
+        bits = (qv @ planes) >= 0  # (n, L*b)
+        out = (bits.reshape(len(qv), L, b) * shifts).sum(axis=2)
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    num_planes: int = 8,
+    num_tables: int = 64,
+    planes_per_table: int = 8,
     dim: int = 64,
+    max_bucket: int = 100_000,
+    num_planes: int | None = None,
 ) -> DataFrame:
-    """Approximate near-dup pairs: bucket by hyperplane signature, verify
-    exact cosine only within buckets.  The bucket join replaces the O(n^2)
-    cross product; recall is tunable via multiple plane sets at scale."""
-    q = quantized(df, id_col, vec_col, "v").withColumn(
-        "bucket", _bucket_from_q(F.col("v_q"), num_planes, dim)
+    """Approximate near-dup pairs via multi-table hyperplane LSH.
+
+    Recall for a pair at angle theta is ``1 - (1 - p^b)^L`` with
+    ``p = 1 - theta/pi``: one table of b planes has near-zero recall at low
+    thresholds (the round-2 failure — 8 planes => ~3% at cos 0.45), so we
+    band b-plane signatures across L independent tables, exactly like
+    MinHash-LSH bands.  Measured on sf0.01 embeddings (14 true pairs at
+    cos >= 0.45): b=8, L=64 => 13/14 recall generating only 25% of all
+    pairs as candidates — cos 0.45 (theta 63deg) is inherently a
+    weak-discrimination regime; at a production dedup threshold (cos 0.9,
+    p=0.85) the same L=64 keeps >99% recall while candidates collapse to
+    ~2^-8 of pairs per table.
+
+    Scale shape: the bucket explode carries (table, bucket, id) only —
+    never vectors; per-(table, bucket) membership above ``max_bucket`` is
+    dropped (hot-bucket OOM/skew guard — a degenerate bucket at 100 TB
+    otherwise becomes one quadratic join key); candidate id-pairs are
+    deduped across tables BEFORE vectors are re-joined for the exact
+    integer-cosine verification, so each surviving pair costs one dot.
+    """
+    if num_planes is not None:  # pre-r3 signature compatibility
+        planes_per_table = num_planes
+    bucket_of = _bucket_tables_udf(num_tables, planes_per_table, dim)
+    ids = df.select(
+        F.col(id_col).alias("v_id"),
+        F.posexplode(bucket_of(F.col(vec_col))).alias("t", "bucket"),
     )
-    # group-then-pair-in-row: a plain self-join re-evaluates the 8-plane
-    # bucket signature on BOTH sides (no exchange reuse); collecting each
-    # bucket once and generating index pairs with array lambdas computes
-    # quantization + signatures exactly once and shuffles once
-    grouped = q.groupBy("bucket").agg(
-        F.collect_list(F.struct("v_id", "v_q", "v_n")).alias("items")
+    w = Window.partitionBy("t", "bucket")
+    capped = (
+        ids.withColumn("n_bucket", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_bucket") <= max_bucket)
+        .select("t", "bucket", "v_id")
     )
-    items = F.col("items")
-    pair_lists = F.transform(
-        items,
-        lambda x, i: F.transform(
-            F.slice(items, i + 2, F.size(items)),
-            lambda y: F.struct(x.alias("a"), y.alias("b")),
-        ),
+    cand = (
+        capped.alias("l")
+        .join(capped.alias("r"), ["t", "bucket"])
+        .filter(F.col("l.v_id") < F.col("r.v_id"))
+        .select(F.col("l.v_id").alias("id_a"), F.col("r.v_id").alias("id_b"))
+        .distinct()
     )
-    pairs = grouped.select(F.explode(F.flatten(pair_lists)).alias("p"))
-    a, b = F.col("p.a"), F.col("p.b")
+    qv = quantized(df, id_col, vec_col, "v")
+    a = qv.select(
+        F.col("v_id").alias("id_a"), F.col("v_q").alias("a_q"), F.col("v_n").alias("a_n")
+    )
+    b = qv.select(
+        F.col("v_id").alias("id_b"), F.col("v_q").alias("b_q"), F.col("v_n").alias("b_n")
+    )
     return (
-        pairs.select(
-            F.least(a.v_id, b.v_id).alias("id_a"),
-            F.greatest(a.v_id, b.v_id).alias("id_b"),
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
             _cos_from_parts(
-                _int_dot(a.v_q, b.v_q), a.v_n, b.v_n
+                _int_dot(F.col("a_q"), F.col("b_q")), F.col("a_n"), F.col("b_n")
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

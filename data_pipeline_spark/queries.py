@@ -520,7 +520,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_extract",
     """
     SELECT event_type,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -585,8 +585,9 @@ def first_event_at_or_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, event_id, e,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY e, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1241,7 +1242,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'day' AS granularity,
            CAST(FLOOR(bucket_start / 86400) * 86400 AS BIGINT) AS bucket_start,
            event_type,
-           SUM(n_events) AS n_events,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
            CAST(SUM(sv) AS DOUBLE) / 100.0 AS sum_value
     FROM fine
     GROUP BY 2, 3

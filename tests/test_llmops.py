@@ -28,14 +28,15 @@ def test_lsh_recall_against_brute_force(spark):
     approx = {
         (r.id_a, r.id_b)
         for r in similarity.lsh_neardup_pairs(
-            emb, threshold=0.4, num_planes=4, dim=64
+            emb, threshold=0.4, num_tables=64, planes_per_table=8, dim=64
         ).collect()
     }
     # LSH returns a subset of the exact pairs (no false positives after the
-    # in-bucket exact verification); recall depends on plane count.
+    # in-bucket exact verification); banding across 64 tables must hold
+    # >=90% recall at this threshold (measured 13/14 at sf0.01).
     assert approx <= exact
     if exact:
-        assert len(approx) / len(exact) > 0.05
+        assert len(approx) / len(exact) >= 0.9
 
 
 def test_multimodal_decode_is_stubbed():
