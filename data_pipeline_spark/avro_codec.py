@@ -176,6 +176,38 @@ def _union_index(union: list, value: Any) -> int:
 # ---------------------------------------------------------------------------
 
 
+class SchemaResolutionError(ValueError):
+    """Writer/reader schema pair that Avro resolution rules cannot bridge."""
+
+
+# Avro spec promotion lattice: a writer type may be read as itself or as any
+# listed promotion target.  Anything else is a resolution ERROR — decoding
+# the writer type regardless (the pre-r5 behavior) silently hands the caller
+# wrongly-typed data instead of failing.
+_PROMOTIONS = {
+    "null": {"null"},
+    "boolean": {"boolean"},
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _check_resolution(wt: str, rt: str) -> None:
+    if wt in _PROMOTIONS:
+        if rt not in _PROMOTIONS[wt]:
+            raise SchemaResolutionError(
+                f"cannot resolve writer type {wt!r} with reader type {rt!r}"
+            )
+    elif rt != wt:  # complex types must match kind-for-kind
+        raise SchemaResolutionError(
+            f"cannot resolve writer type {wt!r} with reader type {rt!r}"
+        )
+
+
 def decode(writer: Any, data: bytes | io.BytesIO, reader: Any | None = None) -> Any:
     buf = io.BytesIO(data) if isinstance(data, (bytes, bytearray)) else data
     return _decode(writer, buf, reader if reader is not None else writer)
@@ -193,6 +225,7 @@ def _decode(writer: Any, buf: io.BytesIO, reader: Any) -> Any:
     if rt == "union" and wt != "union":
         return _decode(writer, buf, _match_union_branch(reader, writer))
 
+    _check_resolution(wt, rt)
     if wt == "null":
         return None
     if wt == "boolean":
@@ -210,7 +243,8 @@ def _decode(writer: Any, buf: io.BytesIO, reader: Any) -> Any:
     if wt == "double":
         return struct.unpack("<d", buf.read(8))[0]
     if wt == "bytes":
-        return buf.read(_read_long(buf))
+        raw = buf.read(_read_long(buf))
+        return raw.decode("utf-8") if rt == "string" else raw
     if wt == "string":
         raw = buf.read(_read_long(buf))
         return raw if rt == "bytes" else raw.decode("utf-8")
@@ -268,21 +302,14 @@ def _decode(writer: Any, buf: io.BytesIO, reader: Any) -> Any:
 def _match_union_branch(union: list, writer_branch: Any) -> Any:
     wt = schema_type(parse_schema(writer_branch))
     wname = canonical_name(parse_schema(writer_branch))
-    promotions = {
-        "int": {"int", "long", "float", "double"},
-        "long": {"long", "float", "double"},
-        "float": {"float", "double"},
-        "string": {"string", "bytes"},
-        "bytes": {"bytes", "string"},
-    }
-    allowed = promotions.get(wt, {wt})
+    allowed = _PROMOTIONS.get(wt, {wt})
     for branch in union:
         b = parse_schema(branch)
         if schema_type(b) in allowed and (
             wname is None or canonical_name(b) in (None, wname)
         ):
             return b
-    raise ValueError(f"no reader union branch for writer {wt}")
+    raise SchemaResolutionError(f"no reader union branch for writer {wt}")
 
 
 # ---------------------------------------------------------------------------
@@ -484,7 +511,20 @@ def compile_decoder(writer: Any, reader: Any | None = None):
     wt, rt = schema_type(writer), schema_type(reader)
 
     if wt == "union":
-        branch_decoders = [compile_decoder(b, reader) for b in writer]
+        # A reader that cannot resolve SOME branch is still valid as long as
+        # the data never uses that branch (Avro resolution is per-datum), so
+        # compile the mismatch into a decode-time error, not a compile-time
+        # one.
+        branch_decoders = []
+        for b in writer:
+            try:
+                branch_decoders.append(compile_decoder(b, reader))
+            except SchemaResolutionError as exc:
+
+                def dec_bad(mv, pos, _exc=exc):
+                    raise _exc
+
+                branch_decoders.append(dec_bad)
 
         def dec_union(mv, pos):
             idx, pos = _read_long_mv(mv, pos)
@@ -494,12 +534,13 @@ def compile_decoder(writer: Any, reader: Any | None = None):
     if rt == "union" and wt != "union":
         return compile_decoder(writer, _match_union_branch(reader, writer))
 
+    _check_resolution(wt, rt)
     if wt == "null":
         return lambda mv, pos: (None, pos)
     if wt == "boolean":
         return lambda mv, pos: (mv[pos] == 1, pos + 1)
     if wt in ("int", "long"):
-        if rt == "double":
+        if rt in ("float", "double"):
             def dec_long_d(mv, pos):
                 v, pos = _read_long_mv(mv, pos)
                 return float(v), pos
@@ -512,10 +553,12 @@ def compile_decoder(writer: Any, reader: Any | None = None):
         unpack_d = struct.Struct("<d").unpack_from
         return lambda mv, pos: (unpack_d(mv, pos)[0], pos + 8)
     if wt == "bytes":
+        as_str = rt == "string"
 
         def dec_bytes(mv, pos):
             n, pos = _read_long_mv(mv, pos)
-            return bytes(mv[pos : pos + n]), pos + n
+            raw = bytes(mv[pos : pos + n])
+            return (raw.decode("utf-8") if as_str else raw), pos + n
 
         return dec_bytes
     if wt == "string":

@@ -80,6 +80,17 @@ ENVELOPE_SCHEMA: dict[str, Any] = {
 MAGIC_BINARY = b"\x00"
 MAGIC_ASCII = b"a"
 
+# MetaAttribute array as a Spark type (E4's IV, D5's meta ops ride here)
+META_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("schema_id", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+)
+META_TYPE_DDL = "array<struct<schema_id:int,payload:binary>>"
+
 # Spark-side envelope struct (pre-pack / post-unpack representation)
 ENVELOPE_STRUCT = T.StructType(
     [
@@ -88,6 +99,7 @@ ENVELOPE_STRUCT = T.StructType(
         T.StructField("schema_id", T.IntegerType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("previous_payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
         T.StructField("encryption_type", T.StringType()),
         T.StructField("timestamp", T.IntegerType()),
     ]
@@ -147,18 +159,37 @@ def _unpack_one(blob: bytes) -> dict[str, Any]:
     return dict(zip(names, values))
 
 
+def _meta_to_tuples(meta) -> list | None:
+    """Arrow struct rows (dicts) -> positional tuples for the compiled
+    encoder; None passes through (encoded as the null union branch)."""
+    if meta is None:
+        return None
+    out = []
+    for m in meta:
+        if isinstance(m, dict):
+            out.append((int(m["schema_id"]), bytes(m["payload"])))
+        else:  # already positional (Row/tuple)
+            out.append((int(m[0]), bytes(m[1])))
+    return out
+
+
 @pandas_udf(T.BinaryType())
 def _pack_udf(env: pd.DataFrame) -> pd.Series:
     enc = _env_encoder()
     out = []
+    # meta is optional in caller-built structs (pre-r5 producers omit it)
+    metas = (
+        env["meta"].tolist() if "meta" in env.columns else [None] * len(env)
+    )
     # .tolist() first: iterating python lists is ~2x faster than iterating
     # pandas Series element-wise in this hot loop
-    for uuid_v, mtype, sid, payload, prev, enc_type, ts in zip(
+    for uuid_v, mtype, sid, payload, prev, meta, enc_type, ts in zip(
         env["uuid"].tolist(),
         env["message_type"].tolist(),
         env["schema_id"].tolist(),
         env["payload"].tolist(),
         env["previous_payload"].tolist(),
+        metas,
         env["encryption_type"].tolist(),
         env["timestamp"].tolist(),
     ):
@@ -171,7 +202,7 @@ def _pack_udf(env: pd.DataFrame) -> pd.Series:
                 int(sid),
                 bytes(payload),
                 None if prev is None else bytes(prev),
-                None,  # meta
+                _meta_to_tuples(meta),
                 enc_type,
                 int(ts),
             ),
@@ -192,8 +223,10 @@ def _unpack_udf(blob: pd.Series) -> pd.DataFrame:
             body = memoryview(base64.urlsafe_b64decode(bytes(body)))
         elif magic != MAGIC_BINARY:
             raise ValueError(f"unknown envelope magic byte {magic!r}")
-        (uuid_v, mtype, sid, payload, prev, _meta, enc_type, ts), _ = dec(body, 0)
-        rows.append((uuid_v, mtype, sid, payload, prev, enc_type, ts))
+        (uuid_v, mtype, sid, payload, prev, meta, enc_type, ts), _ = dec(body, 0)
+        rows.append(
+            (uuid_v, mtype, sid, payload, prev, _meta_to_dicts(meta), enc_type, ts)
+        )
     return pd.DataFrame(
         rows,
         columns=[
@@ -202,10 +235,19 @@ def _unpack_udf(blob: pd.Series) -> pd.DataFrame:
             "schema_id",
             "payload",
             "previous_payload",
+            "meta",
             "encryption_type",
             "timestamp",
         ],
     )
+
+
+def _meta_to_dicts(meta) -> list | None:
+    """Decoded positional MetaAttribute tuples -> dicts for Arrow's
+    struct conversion on the pandas-UDF return path."""
+    if meta is None:
+        return None
+    return [{"schema_id": m[0], "payload": m[1]} for m in meta]
 
 
 @pandas_udf(ENVELOPE_STRUCT)
@@ -214,7 +256,7 @@ def _unpack_permissive_udf(blob: pd.Series) -> pd.DataFrame:
     instead of failing the task (`from_avro` mode=PERMISSIVE semantics;
     callers filter `schema_id IS NULL` to quarantine corrupt records)."""
     dec = _env_decoder()
-    null_row = (None,) * 7
+    null_row = (None,) * 8
     rows = []
     for b in blob:
         try:
@@ -225,8 +267,8 @@ def _unpack_permissive_udf(blob: pd.Series) -> pd.DataFrame:
                 body = memoryview(base64.urlsafe_b64decode(bytes(body)))
             elif magic != MAGIC_BINARY:
                 raise ValueError("bad magic")
-            (u, mt, sid, pl, prev, _m, et, ts), _ = dec(body, 0)
-            rows.append((u, mt, sid, pl, prev, et, ts))
+            (u, mt, sid, pl, prev, m, et, ts), _ = dec(body, 0)
+            rows.append((u, mt, sid, pl, prev, _meta_to_dicts(m), et, ts))
         except Exception:
             rows.append(null_row)
     return pd.DataFrame(
@@ -237,6 +279,7 @@ def _unpack_permissive_udf(blob: pd.Series) -> pd.DataFrame:
             "schema_id",
             "payload",
             "previous_payload",
+            "meta",
             "encryption_type",
             "timestamp",
         ],

@@ -34,21 +34,44 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark only reads it with
-        # the legacy nanos-as-long flag. The flag is runtime-settable, and
-        # callers (the driver harness included) arrive with vanilla sessions,
-        # so set it here rather than relying on our own session factory.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), read as long (nanosAsLong). Convert
-        # to microsecond TimestampType with exact integer division (a double
-        # division would lose precision above 2^53 ns). Truncation matches
-        # DuckDB's ns->us Python conversion.
-        from pyspark.sql import functions as F
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
 
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events, normalising `ts` to session-tz TimestampType.
+
+    The physical encoding of `ts` has varied across testdata generations:
+    parquet TIMESTAMP(NANOS) (readable only as long via the legacy
+    nanosAsLong flag) and plain timestamp[us] (read as TIMESTAMP_NTZ).
+    A loader hard-coded to one encoding breaks the moment the data is
+    regenerated, so branch on the dtype Spark actually loaded.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) files fail schema conversion without the legacy
+        # flag. The flag is runtime-settable and only affects NANOS fields,
+        # so set it and retry rather than requiring our session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        # nanos-as-long: exact integer division to micros (double division
+        # would lose precision above 2^53 ns); truncation matches DuckDB.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type.startswith("timestamp_ntz"):
+        # timestamp[us] reads as TIMESTAMP_NTZ; downstream code (and the
+        # reference semantics) want epoch-convertible TimestampType. Cast
+        # interprets the wall time in the session tz — pin UTC so the
+        # mapping is deterministic for vanilla caller sessions too.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -16,6 +16,8 @@ Scale paths:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -217,13 +219,33 @@ def _bucket_tables_udf(num_tables: int, planes_per_table: int, dim: int):
     return buckets
 
 
+def lsh_planes_for_recall(
+    threshold: float, num_tables: int = 64, target_recall: float = 0.95
+) -> int:
+    """Largest banding depth b with expected recall >= target at the boundary.
+
+    Per-pair recall at angle theta is ``1 - (1 - p^b)^L`` with
+    ``p = 1 - theta/pi`` (SimHash collision probability).  Recall decreases
+    monotonically in b and pairs exactly AT the threshold are the worst
+    case, so pick the deepest banding (fewest candidates) that still clears
+    the target there.  E.g. cos 0.4, L=64 => b=6 (expected 0.985); a
+    hand-pinned b=8 tops out ~0.80 — the round-3/4 red recall test.
+    """
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p = 1.0 - theta / math.pi
+    for b in range(16, 0, -1):
+        if 1.0 - (1.0 - p**b) ** num_tables >= target_recall:
+            return b
+    return 1
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
     num_tables: int = 64,
-    planes_per_table: int = 8,
+    planes_per_table: int | None = None,
     dim: int = 64,
     max_bucket: int = 100_000,
     num_planes: int | None = None,
@@ -234,12 +256,12 @@ def lsh_neardup_pairs(
     ``p = 1 - theta/pi``: one table of b planes has near-zero recall at low
     thresholds (the round-2 failure — 8 planes => ~3% at cos 0.45), so we
     band b-plane signatures across L independent tables, exactly like
-    MinHash-LSH bands.  Measured on sf0.01 embeddings (14 true pairs at
-    cos >= 0.45): b=8, L=64 => 13/14 recall generating only 25% of all
-    pairs as candidates — cos 0.45 (theta 63deg) is inherently a
-    weak-discrimination regime; at a production dedup threshold (cos 0.9,
-    p=0.85) the same L=64 keeps >99% recall while candidates collapse to
-    ~2^-8 of pairs per table.
+    MinHash-LSH bands.  By default b is derived from the threshold via
+    ``lsh_planes_for_recall`` (>=95% expected recall at the boundary):
+    cos 0.4-0.45 with L=64 => b=6 (expected ~0.985).  Banding depth must
+    track the threshold — at a production dedup threshold (cos 0.9,
+    p=0.85) the derivation picks a much deeper b, collapsing candidates
+    to a tiny fraction of pairs per table while keeping >=95% recall.
 
     Scale shape: the bucket explode carries (table, bucket, id) only —
     never vectors; per-(table, bucket) membership above ``max_bucket`` is
@@ -250,6 +272,8 @@ def lsh_neardup_pairs(
     """
     if num_planes is not None:  # pre-r3 signature compatibility
         planes_per_table = num_planes
+    if planes_per_table is None:
+        planes_per_table = lsh_planes_for_recall(threshold, num_tables)
     bucket_of = _bucket_tables_udf(num_tables, planes_per_table, dim)
     ids = df.select(
         F.col(id_col).alias("v_id"),

@@ -54,6 +54,7 @@ class Producer:
         previous: Column | None = None,
         timestamp_col: str | None = None,
         order_by: str | None = None,
+        meta: Column | None = None,
     ) -> DataFrame:
         """Rows -> (key, value) wire records for the schema's topic.
 
@@ -100,6 +101,9 @@ class Producer:
             (previous if previous is not None else F.lit(None).cast("binary")).alias(
                 "previous_payload"
             ),
+            (
+                meta if meta is not None else F.lit(None).cast(env.META_TYPE_DDL)
+            ).alias("meta"),
             F.lit(None).cast("string").alias("encryption_type"),
             ts.alias("timestamp"),
         )

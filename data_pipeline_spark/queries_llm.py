@@ -349,7 +349,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(
-        emb, threshold=0.45, num_tables=64, planes_per_table=8, dim=64
+        emb, threshold=0.45, num_tables=64, dim=64
     )
 
 
@@ -896,10 +896,13 @@ def approx_distinct_users_scale_path(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def approx_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    q = F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000)
+    # Scalar columns, not one array column: the driver canon hashes pandas
+    # values, and a list-valued cell is unhashable.
     return docs.groupBy("lang").agg(
-        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias(
-            "p50_p90_p99"
-        ),
+        F.element_at(q, 1).alias("p50_approx"),
+        F.element_at(q, 2).alias("p90_approx"),
+        F.element_at(q, 3).alias("p99_approx"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 

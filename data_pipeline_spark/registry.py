@@ -76,9 +76,16 @@ class SchemaRegistry:
 
         key = (namespace, source)
         version = self._topic_versions.get(key, 1)
-        latest = self.latest_schema_for_source(namespace, source)
-        if latest is not None and not avro_codec.fully_compatible(
-            latest.schema_json, canonical
+        # FULL_TRANSITIVE gate: a topic's consumers may hold ANY schema ever
+        # registered on it as their reader schema, so the newcomer must be
+        # fully compatible with every schema on the current topic — checking
+        # only the latest admits A->B->C chains where each hop passes but
+        # A<->C cannot resolve, and an A-reader then gets garbage from
+        # C-written messages.
+        topic = f"{namespace}.{source}.v{version}"
+        peers = [rs for rs in self._schemas.values() if rs.topic == topic]
+        if peers and not all(
+            avro_codec.fully_compatible(rs.schema_json, canonical) for rs in peers
         ):
             version += 1  # breaking change => new topic
             self._topic_versions[key] = version

@@ -100,12 +100,24 @@ class TopicStore:
             .withColumn("publish_ts", F.unix_timestamp(F.current_timestamp()))
             .select("partition", "offset", "key", "value", "publish_ts")
         )
-        out.write.mode("append").partitionBy("partition").parquet(self._dir(topic))
-        new_highs = dict(highs)
-        for r in (
-            out.groupBy("partition").agg(F.max("offset").alias("high")).collect()
-        ):
-            new_highs[r.partition] = r.high + 1
+        # Persist before the write so the watermark aggregation below reads
+        # the SAME materialisation that went to disk.  Recomputing the lazy
+        # plan would re-evaluate monotonically_increasing_id / the shuffle,
+        # which is not deterministic across executions — a sidecar computed
+        # from a second run can desync from the files and reuse
+        # (partition, offset) pairs on the next publish.
+        out = out.persist()
+        try:
+            out.write.mode("append").partitionBy("partition").parquet(
+                self._dir(topic)
+            )
+            new_highs = dict(highs)
+            for r in (
+                out.groupBy("partition").agg(F.max("offset").alias("high")).collect()
+            ):
+                new_highs[r.partition] = r.high + 1
+        finally:
+            out.unpersist()
         # watermark sidecar: O(1) reads instead of scanning the topic
         self.spark.createDataFrame(
             list(new_highs.items()), "partition INT, next_offset LONG"
@@ -160,7 +172,14 @@ class TopicStore:
             raise KeyError(f"unknown topic {topic!r}; known: {self.topics()}")
         df = self.spark.read.schema(TOPIC_SCHEMA).parquet(self._dir(topic))
         if starting_offsets:
-            cond = F.lit(False)
+            # Kafka semantics: a partition absent from the committed map
+            # starts at the reset position (earliest here), it is NOT
+            # skipped.  Starting from lit(False) and OR-ing only the known
+            # partitions silently drops any partition that was empty when
+            # offsets were first committed — permanent data loss once new
+            # records land there.
+            known = list(starting_offsets)
+            cond = ~F.col("partition").isin(known)
             for p, off in starting_offsets.items():
                 cond = cond | ((F.col("partition") == p) & (F.col("offset") >= off))
             df = df.filter(cond)

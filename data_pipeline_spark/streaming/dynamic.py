@@ -90,20 +90,29 @@ class ExactlyOnceBatchSink:
         self.out_dir = out_dir
         self.ledger_path = ledger_path
         self.sink_id = sink_id
+        self._last_epoch: int | None = None
 
-    def _done(self) -> set[int]:
-        if not os.path.exists(self.ledger_path):
-            return set()
-        return {
-            r.epoch_id
-            for r in self.spark.read.parquet(self.ledger_path)
-            .filter(F.col("sink_id") == self.sink_id)
-            .collect()
-        }
+    def _last_committed(self) -> int:
+        # One max() per process start, O(1) per batch after — epoch ids are
+        # strictly increasing per checkpoint and replays re-deliver the
+        # last epoch, so the high watermark is a complete replay filter
+        # (collecting the whole ledger per batch was O(stream lifetime)).
+        if self._last_epoch is None:
+            if os.path.exists(self.ledger_path):
+                top = (
+                    self.spark.read.parquet(self.ledger_path)
+                    .filter(F.col("sink_id") == self.sink_id)
+                    .agg(F.max("epoch_id"))
+                    .first()[0]
+                )
+                self._last_epoch = -1 if top is None else top
+            else:
+                self._last_epoch = -1
+        return self._last_epoch
 
     def write(self, df: DataFrame, epoch_id: int) -> bool:
         """Returns True if written, False if skipped as a replay."""
-        if epoch_id in self._done():
+        if epoch_id <= self._last_committed():
             return False
         (
             df.withColumn("__epoch_id", F.lit(epoch_id))
@@ -115,6 +124,7 @@ class ExactlyOnceBatchSink:
         self.spark.createDataFrame(
             [(self.sink_id, epoch_id)], "sink_id STRING, epoch_id LONG"
         ).write.mode("append").parquet(self.ledger_path)
+        self._last_epoch = epoch_id
         return True
 
     def foreach_batch(self):

@@ -36,15 +36,29 @@ class StreamingPublisher:
         self.message_type = message_type
         self.num_partitions = num_partitions
         self.order_by = order_by
+        # max committed epoch, lazily seeded from the ledger.  Structured
+        # Streaming epoch ids are strictly increasing per checkpoint and a
+        # replay re-delivers the LAST epoch, so one high watermark is a
+        # complete replay filter — collecting the full ledger every batch
+        # (the pre-r5 shape) was O(stream lifetime) driver work per trigger.
+        self._last_epoch: int | None = None
 
-    def _done(self, spark: SparkSession) -> set[int]:
-        if not os.path.exists(self.ledger_path):
-            return set()
-        return {r.epoch_id for r in spark.read.parquet(self.ledger_path).collect()}
+    def _last_committed(self, spark: SparkSession) -> int:
+        if self._last_epoch is None:
+            if os.path.exists(self.ledger_path):
+                top = (
+                    spark.read.parquet(self.ledger_path)
+                    .agg(F.max("epoch_id"))
+                    .first()[0]
+                )
+                self._last_epoch = -1 if top is None else top
+            else:
+                self._last_epoch = -1
+        return self._last_epoch
 
     def publish_batch(self, batch: DataFrame, epoch_id: int) -> bool:
         spark = batch.sparkSession
-        if epoch_id in self._done(spark):
+        if epoch_id <= self._last_committed(spark):
             return False  # replayed micro-batch: already appended
         self.producer.publish(
             batch,
@@ -56,6 +70,7 @@ class StreamingPublisher:
         spark.createDataFrame([(epoch_id,)], "epoch_id LONG").write.mode(
             "append"
         ).parquet(self.ledger_path)
+        self._last_epoch = epoch_id
         return True
 
     def foreach_batch(self):

@@ -137,3 +137,41 @@ def test_spark_type_mapping():
 def test_fixed_size_mismatch_raises():
     with pytest.raises(ValueError):
         ac.encode(RECORD, dict(VALUE, fx=b"\x00"))
+
+
+def test_unsupported_promotion_raises_not_silently_decodes():
+    """writer long + reader string is NOT an Avro promotion: both decoders
+    must raise SchemaResolutionError instead of handing back a long (the
+    pre-r5 silent-promotion hazard — wrong data instead of an error)."""
+    w = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    r = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "string"}]}
+    blob = ac.encode(w, {"x": 7})
+    with pytest.raises(ac.SchemaResolutionError):
+        ac.decode(w, blob, r)
+    with pytest.raises(ac.SchemaResolutionError):
+        ac.compile_decoder(w, r)(memoryview(blob), 0)
+
+
+def test_bytes_promotes_to_string_both_decoders():
+    w = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "bytes"}]}
+    r = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "string"}]}
+    blob = ac.encode(w, {"x": b"hi"})
+    assert ac.decode(w, blob, r)["x"] == "hi"
+    assert ac.compile_decoder(w, r)(memoryview(blob), 0)[0] == ("hi",)
+
+
+def test_union_bad_branch_errors_only_when_hit():
+    """A reader that cannot resolve SOME union branch stays usable for data
+    on the resolvable branches (Avro resolution is per-datum)."""
+    w = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": ["null", "long", "string"]}],
+    }
+    r = {"type": "record", "name": "r", "fields": [{"name": "x", "type": ["null", "long"]}]}
+    dec = ac.compile_decoder(w, r)
+    ok = ac.encode(w, {"x": 5})
+    assert dec(memoryview(ok), 0)[0] == (5,)
+    bad = ac.encode(w, {"x": "s"})
+    with pytest.raises(ac.SchemaResolutionError):
+        dec(memoryview(bad), 0)

@@ -321,3 +321,53 @@ def test_compaction_eligible_topics(spark, registry):
     registry.register_schema("test.main.db", "no_pk_src", _json.dumps(no_pk))
     eligible = registry.topics_with_primary_keys()
     assert eligible == ["test.main.db.events.v1"]
+
+
+def test_registry_compat_gate_is_transitive():
+    """FULL_TRANSITIVE: A->B and B->C each pass full compat, but an A-reader
+    cannot resolve C (A.x has no default), so C must roll the topic — the
+    latest-only gate (pre-r5) kept all three on v1."""
+    import json as _json
+
+    def rec(fields):
+        return _json.dumps({"type": "record", "name": "e", "fields": fields})
+
+    a = rec([{"name": "x", "type": "int"}])
+    b = rec([
+        {"name": "x", "type": "int", "default": 0},
+        {"name": "y", "type": "int", "default": 0},
+    ])
+    c = rec([{"name": "y", "type": "int", "default": 0}])
+
+    reg = SchemaRegistry()
+    ra = reg.register_schema("ns.db.t", "src", a)
+    rb = reg.register_schema("ns.db.t", "src", b)
+    rc = reg.register_schema("ns.db.t", "src", c)
+    assert ra.topic == rb.topic  # A<->B fully compatible
+    assert rc.topic != ra.topic  # A<->C is not: new topic version
+
+
+def test_envelope_meta_rides_distributed_pack(spark, registry, store):
+    """E4/D5: the MetaAttribute array (e.g. the AES IV) round-trips through
+    the Arrow-batched pack/unpack UDFs, not just the driver-side codec."""
+    from data_pipeline_spark.functions import crypto
+
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    iv_attr = crypto.meta_attribute(
+        999, F.encode(F.concat(F.lit("iv-"), F.col("event_id")), "utf-8")
+    )
+    prod = Producer(store, registry)
+    wire = prod.prepare(
+        _events(spark, 20), rs.schema_id, meta=F.array(iv_attr)
+    )
+    unpacked = wire.select(env.unpack(F.col("value")).alias("e")).select("e.*")
+    rows = unpacked.select("schema_id", "meta").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.meta is not None and len(r.meta) == 1
+        assert r.meta[0].schema_id == 999
+        assert bytes(r.meta[0].payload).startswith(b"iv-")
+    # meta-less prepare still packs/unpacks as null meta
+    plain = prod.prepare(_events(spark, 5), rs.schema_id)
+    for r in plain.select(env.unpack(F.col("value")).alias("e")).select("e.meta").collect():
+        assert r.meta is None

@@ -78,8 +78,15 @@ def test_topic_read_prunes_partitions(spark, tmp_path):
     ev = load_table(spark, SF_CORRECT, "events").select("event_id").limit(200)
     Producer(store, reg).publish(ev, rs.schema_id, order_by="event_id")
 
-    # bounds that touch only partition 2
-    df = store.read(rs.topic, starting_offsets={2: 10}, ending_offsets={2: 20})
+    # bounds that touch only partition 2: Kafka semantics say partitions
+    # absent from starting_offsets begin at EARLIEST (they are not skipped),
+    # so excluding them takes explicit ending bounds.
+    all_parts = {p: 0 for p in range(4)}
+    df = store.read(
+        rs.topic,
+        starting_offsets={**all_parts, 2: 10},
+        ending_offsets={**all_parts, 2: 20},
+    )
     plan = audit.formatted_plan(df)
     assert "PartitionFilters" in plan
     rows = df.select("partition", "offset").collect()
@@ -87,6 +94,16 @@ def test_topic_read_prunes_partitions(spark, tmp_path):
     assert all(r.partition == 2 and 10 <= r.offset < 20 for r in rows)
     # offset predicate lands in PushedFilters for row-group pruning
     assert "offset" in plan
+
+    # regression (4-round data-loss bug): a partition missing from the
+    # committed map is read from the reset position, not silently dropped
+    partial = store.read(rs.topic, starting_offsets={2: 10})
+    seen = {r.partition for r in partial.select("partition").distinct().collect()}
+    full = {
+        r.partition
+        for r in store.read(rs.topic).select("partition").distinct().collect()
+    }
+    assert seen == full, "partitions absent from starting_offsets must be read"
 
 
 # --- TPC-H workload pack #2 plan audits (queries_tpch) -----------------------
