@@ -6,8 +6,11 @@ ConsumerSource variants that decide WHICH topics a consumer tails:
 - FixedTopics: explicit list
 - FixedSchemas: topics of explicit schema ids
 - TopicInNamespace / TopicsInSource: registry criteria
+- TopicInDataTarget: destination-driven discovery through the registry's
+  consumer-group / data-target catalog (consumer_source.py:150-165)
 - NewTopicsOnly variants: keep a last-query watermark and return only
-  topics created since (consumer_source.py:167-265)
+  topics created since (consumer_source.py:167-265) — wraps any of the
+  above, covering the three New* reference variants
 
 Against a real Kafka source these resolve to a `subscribe` list that the
 driver refreshes periodically (S5, streaming/dynamic.py); the registry
@@ -74,6 +77,22 @@ class TopicsInSource(ConsumerSource):
 
     def get_topics(self) -> list[str]:
         return self.registry.topics(namespace=self.namespace, source=self.source)
+
+
+class TopicInDataTarget(ConsumerSource):
+    """Tail the topics feeding a data target — the destination-driven
+    discovery a warehouse connector uses (consumer_source.py:150-165):
+    data target -> its consumer groups -> their data sources (namespaces /
+    sources) -> topics."""
+
+    def __init__(self, registry: SchemaRegistry, data_target_id: int):
+        super().__init__(registry)
+        if not data_target_id:
+            raise ValueError("data_target_id must be specified")
+        self.data_target_id = data_target_id
+
+    def get_topics(self) -> list[str]:
+        return self.registry.get_topics_by_data_target_id(self.data_target_id)
 
 
 class NewTopicsOnly(ConsumerSource):

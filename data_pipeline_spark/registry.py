@@ -47,12 +47,54 @@ class RegisteredSchema:
 
 
 @dataclass
+class DataTarget:
+    """A destination data(messages) are eventually sent to, e.g. a warehouse
+    cluster (models/data_target.py:25-37)."""
+
+    data_target_id: int
+    name: str
+    target_type: str
+    destination: str
+
+
+@dataclass
+class ConsumerGroup:
+    """A group of consumers sending all messages to one data target
+    (models/consumer_group.py:25-38)."""
+
+    consumer_group_id: int
+    group_name: str
+    data_target_id: int
+
+
+@dataclass
+class ConsumerGroupDataSource:
+    """Mapping between a consumer group and a data source — a namespace or
+    a (namespace, source) pair (models/consumer_group_data_source.py:25-42;
+    the reference keys sources by int id, this catalog keys them by name)."""
+
+    consumer_group_data_source_id: int
+    consumer_group_id: int
+    data_source_type: str  # "NAMESPACE" | "SOURCE"
+    namespace: str
+    source: str | None = None  # required when data_source_type == "SOURCE"
+
+
+@dataclass
 class SchemaRegistry:
     """In-engine schema registry with reference-parity registration rules."""
 
     _schemas: dict[int, RegisteredSchema] = field(default_factory=dict)
     _topic_versions: dict[tuple[str, str], int] = field(default_factory=dict)
     _next_id: int = 1
+    _data_targets: dict[int, DataTarget] = field(default_factory=dict)
+    _consumer_groups: dict[int, ConsumerGroup] = field(default_factory=dict)
+    _cg_data_sources: dict[int, ConsumerGroupDataSource] = field(
+        default_factory=dict
+    )
+    _next_dt_id: int = 1
+    _next_cg_id: int = 1
+    _next_cgds_id: int = 1
 
     # -- registration -------------------------------------------------------
 
@@ -161,6 +203,112 @@ class SchemaRegistry:
                 out.append(topic)
         return out
 
+    # -- data targets / consumer groups (schematizer.py:861-1190) -----------
+
+    def create_data_target(
+        self, name: str, target_type: str, destination: str
+    ) -> DataTarget:
+        """Idempotent by name (schematizer.py:861-880 create_data_target)."""
+        for dt in self._data_targets.values():
+            if dt.name == name:
+                if (dt.target_type, dt.destination) != (target_type, destination):
+                    raise ValueError(
+                        f"data target {name!r} exists with different attributes"
+                    )
+                return dt
+        dt = DataTarget(self._next_dt_id, name, target_type, destination)
+        self._data_targets[dt.data_target_id] = dt
+        self._next_dt_id += 1
+        return dt
+
+    def get_data_target_by_id(self, data_target_id: int) -> DataTarget:
+        return self._data_targets[data_target_id]
+
+    def get_data_target_by_name(self, name: str) -> DataTarget:
+        for dt in self._data_targets.values():
+            if dt.name == name:
+                return dt
+        raise KeyError(f"unknown data target {name!r}")
+
+    def create_consumer_group(
+        self, group_name: str, data_target_id: int
+    ) -> ConsumerGroup:
+        if data_target_id not in self._data_targets:
+            raise KeyError(f"unknown data target id {data_target_id}")
+        for cg in self._consumer_groups.values():
+            if cg.group_name == group_name:
+                if cg.data_target_id != data_target_id:
+                    raise ValueError(
+                        f"consumer group {group_name!r} exists on another target"
+                    )
+                return cg
+        cg = ConsumerGroup(self._next_cg_id, group_name, data_target_id)
+        self._consumer_groups[cg.consumer_group_id] = cg
+        self._next_cg_id += 1
+        return cg
+
+    def get_consumer_group_by_id(self, consumer_group_id: int) -> ConsumerGroup:
+        return self._consumer_groups[consumer_group_id]
+
+    def create_consumer_group_data_source(
+        self,
+        consumer_group_id: int,
+        data_source_type: str,
+        namespace: str,
+        source: str | None = None,
+    ) -> ConsumerGroupDataSource:
+        """Attach a namespace or source to a group (schematizer.py:1157-1190)."""
+        if consumer_group_id not in self._consumer_groups:
+            raise KeyError(f"unknown consumer group id {consumer_group_id}")
+        if data_source_type not in ("NAMESPACE", "SOURCE"):
+            raise ValueError(f"invalid data_source_type {data_source_type!r}")
+        if data_source_type == "SOURCE" and source is None:
+            raise ValueError("SOURCE data source requires a source name")
+        for ds in self._cg_data_sources.values():
+            if (
+                ds.consumer_group_id == consumer_group_id
+                and ds.data_source_type == data_source_type
+                and ds.namespace == namespace
+                and ds.source == source
+            ):
+                return ds
+        ds = ConsumerGroupDataSource(
+            self._next_cgds_id,
+            consumer_group_id,
+            data_source_type,
+            namespace,
+            source,
+        )
+        self._cg_data_sources[ds.consumer_group_data_source_id] = ds
+        self._next_cgds_id += 1
+        return ds
+
+    def get_topics_by_data_target_id(
+        self, data_target_id: int, created_after: int | None = None
+    ) -> list[str]:
+        """Union of topics under every data source of every consumer group
+        attached to the target (schematizer.py:960-979) — the discovery a
+        warehouse destination uses to decide what to tail."""
+        if data_target_id not in self._data_targets:
+            raise KeyError(f"unknown data target id {data_target_id}")
+        groups = [
+            cg.consumer_group_id
+            for cg in self._consumer_groups.values()
+            if cg.data_target_id == data_target_id
+        ]
+        out: set[str] = set()
+        for ds in self._cg_data_sources.values():
+            if ds.consumer_group_id not in groups:
+                continue
+            out.update(
+                self.topics(
+                    namespace=ds.namespace,
+                    source=ds.source,  # None for NAMESPACE-wide sources
+                    created_after=created_after,
+                )
+            )
+        return sorted(out)
+
     # -- DataFrame views (broadcastable catalog dimensions) -----------------
 
     SCHEMA_VIEW_TYPE = T.StructType(
@@ -196,6 +344,15 @@ class SchemaRegistry:
 
     def save(self, spark: SparkSession, path: str) -> None:
         self.schemas_df(spark).coalesce(1).write.mode("overwrite").parquet(path)
+        # data-target/consumer-group catalog: a handful of driver-side rows,
+        # so a JSON sidecar beats three more parquet datasets
+        catalog = {
+            "data_targets": [vars(dt) for dt in self._data_targets.values()],
+            "consumer_groups": [vars(cg) for cg in self._consumer_groups.values()],
+            "cg_data_sources": [vars(ds) for ds in self._cg_data_sources.values()],
+        }
+        with open(path.rstrip("/") + "__catalog.json", "w") as f:
+            json.dump(catalog, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SchemaRegistry":
@@ -220,4 +377,22 @@ class SchemaRegistry:
             reg._topic_versions[ns_src] = max(
                 reg._topic_versions.get(ns_src, 1), ver
             )
+        sidecar = path.rstrip("/") + "__catalog.json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                catalog = json.load(f)
+            for d in catalog.get("data_targets", ()):
+                dt = DataTarget(**d)
+                reg._data_targets[dt.data_target_id] = dt
+                reg._next_dt_id = max(reg._next_dt_id, dt.data_target_id + 1)
+            for d in catalog.get("consumer_groups", ()):
+                cg = ConsumerGroup(**d)
+                reg._consumer_groups[cg.consumer_group_id] = cg
+                reg._next_cg_id = max(reg._next_cg_id, cg.consumer_group_id + 1)
+            for d in catalog.get("cg_data_sources", ()):
+                ds = ConsumerGroupDataSource(**d)
+                reg._cg_data_sources[ds.consumer_group_data_source_id] = ds
+                reg._next_cgds_id = max(
+                    reg._next_cgds_id, ds.consumer_group_data_source_id + 1
+                )
         return reg

@@ -138,3 +138,49 @@ def test_topics_custom_filter_func():
     assert set(non_pii) == {s.topic for s in schemas}
     only_src1 = reg.topics(filter_func=lambda rs: rs.source.endswith("1"))
     assert only_src1 == [schemas[1].topic]
+
+
+def test_topic_in_data_target_discovery(spark, tmp_path):
+    """S4 TopicInDataTarget: data target -> consumer groups -> data sources
+    -> topics; plus catalog persistence round-trip."""
+    from data_pipeline_spark.consumer_source import TopicInDataTarget
+
+    reg, schemas = _registry_with(3)
+    other = reg.register_schema("ns.other.db", "ext", SCHEMA_A)
+
+    dt = reg.create_data_target("warehouse", "redshift", "wh://cluster-1")
+    assert reg.create_data_target("warehouse", "redshift", "wh://cluster-1") is dt
+    cg = reg.create_consumer_group("wh-loaders", dt.data_target_id)
+    # one SOURCE-scoped mapping + one NAMESPACE-wide mapping
+    reg.create_consumer_group_data_source(
+        cg.consumer_group_id, "SOURCE", "ns.main.db", "src0"
+    )
+    reg.create_consumer_group_data_source(
+        cg.consumer_group_id, "NAMESPACE", "ns.other.db"
+    )
+
+    topics = TopicInDataTarget(reg, dt.data_target_id).get_topics()
+    assert schemas[0].topic in topics
+    assert other.topic in topics
+    assert schemas[1].topic not in topics  # src1 not attached to the target
+
+    # NewTopicsOnly wrapper composes with data-target discovery
+    src = NewTopicsOnly(TopicInDataTarget(reg, dt.data_target_id))
+    assert src.get_topics() == sorted({schemas[0].topic, other.topic})
+    assert src.get_topics() == []  # nothing new since last query
+    late = reg.register_schema("ns.other.db", "late", SCHEMA_A)
+    assert src.get_topics() == [late.topic]
+
+    # persistence: catalog entities survive save/load
+    path = str(tmp_path / "reg")
+    reg.save(spark, path)
+    back = SchemaRegistry.load(spark, path)
+    assert back.get_data_target_by_name("warehouse").destination == "wh://cluster-1"
+    assert back.get_topics_by_data_target_id(dt.data_target_id) == sorted(
+        {schemas[0].topic, other.topic, late.topic}
+    )
+
+    with pytest.raises(KeyError):
+        reg.get_topics_by_data_target_id(99)
+    with pytest.raises(ValueError):
+        reg.create_consumer_group_data_source(cg.consumer_group_id, "SOURCE", "ns.x")

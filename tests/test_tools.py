@@ -162,3 +162,110 @@ def test_write_rotated_gzip_with_complete_markers(spark, tmp_path):
     with gzip.open(os.path.join(completed[0], some[0])) as fh:
         row = json.loads(fh.readline())
         assert "n" in row
+
+
+def test_ddl_alter_table_ops():
+    from data_pipeline_spark.functions.ddl import apply_alter_table
+
+    base = compile_create_table(
+        "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(64), n INT)"
+    )
+    # add + drop in one statement, clauses applied in order
+    out = apply_alter_table(
+        base, "ALTER TABLE t ADD COLUMN score DOUBLE, DROP COLUMN n"
+    )
+    names = [f["name"] for f in out["fields"]]
+    assert names == ["id", "name", "score"]
+    assert out["fields"][2]["type"] == ["null", "double"]
+
+    out = apply_alter_table(base, "ALTER TABLE t MODIFY COLUMN n BIGINT NOT NULL")
+    assert next(f for f in out["fields"] if f["name"] == "n")["type"] == "long"
+
+    out = apply_alter_table(base, "ALTER TABLE t RENAME COLUMN n TO cnt")
+    assert [f["name"] for f in out["fields"]] == ["id", "name", "cnt"]
+    # rename preserves the column's compiled type
+    assert next(f for f in out["fields"] if f["name"] == "cnt")["type"] == ["null", "int"]
+
+    out = apply_alter_table(base, "ALTER TABLE t CHANGE COLUMN n cnt BIGINT")
+    assert next(f for f in out["fields"] if f["name"] == "cnt")["type"] == ["null", "long"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_alter_table(base, "ALTER TABLE t DROP COLUMN missing")
+    with _pytest.raises(ValueError):
+        apply_alter_table(base, "ALTER TABLE t ADD COLUMN id INT")
+
+
+def test_register_schema_from_sql_stmts_validates_alter_chain():
+    from data_pipeline_spark.functions.ddl import register_schema_from_sql_stmts
+    from data_pipeline_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    old = "CREATE TABLE biz (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(64))"
+    new = (
+        "CREATE TABLE biz (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(64), "
+        "rating DOUBLE)"
+    )
+    rs1 = register_schema_from_sql_stmts(reg, "ns.db", "biz", old)
+    assert rs1.primary_keys == ("id",)
+    rs2 = register_schema_from_sql_stmts(
+        reg,
+        "ns.db",
+        "biz",
+        new,
+        old_create_table_stmt=old,
+        alter_table_stmt="ALTER TABLE biz ADD COLUMN rating DOUBLE",
+    )
+    # nullable add with default null is fully compatible: same topic
+    assert rs2.topic == rs1.topic and rs2.schema_id != rs1.schema_id
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not produce"):
+        register_schema_from_sql_stmts(
+            reg,
+            "ns.db",
+            "biz",
+            new,
+            old_create_table_stmt=old,
+            alter_table_stmt="ALTER TABLE biz ADD COLUMN rating REAL",
+        )
+
+
+def test_schema_migration_plans_roundtrip():
+    from data_pipeline_spark.functions.ddl import (
+        compile_create_table,
+        get_schema_migration,
+    )
+
+    old_sql = (
+        "CREATE TABLE biz (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(64), "
+        "rating DOUBLE, opened DATE)"
+    )
+    old = compile_create_table(old_sql)
+
+    # fresh-create plan round-trips through the forward compiler
+    (create_stmt,) = get_schema_migration(old)
+    assert compile_create_table(create_stmt) == old
+
+    # additive change: pure ALTER plan
+    new = compile_create_table(
+        old_sql.replace("opened DATE", "opened DATE, n_reviews INT")
+    )
+    plan = get_schema_migration(new, old_schema=old)
+    assert plan == ["ALTER TABLE biz ADD COLUMN n_reviews INTEGER;"]
+
+    # dropped column: ALTER DROP
+    smaller = {**old, "fields": [f for f in old["fields"] if f["name"] != "rating"]}
+    plan = get_schema_migration(smaller, old_schema=old)
+    assert plan == ["ALTER TABLE biz DROP COLUMN rating;"]
+
+    # retyped column: rebuild plan with staging swap
+    retyped = compile_create_table(old_sql.replace("VARCHAR(64)", "VARCHAR(128)"))
+    plan = get_schema_migration(retyped, old_schema=old)
+    assert len(plan) == 4
+    assert plan[0].startswith("CREATE TABLE biz__migration_new")
+    assert "INSERT INTO biz__migration_new" in plan[1]
+    assert plan[2] == "DROP TABLE biz;"
+    assert plan[3] == "ALTER TABLE biz__migration_new RENAME TO biz;"
