@@ -59,22 +59,57 @@ def shingles(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram shingle-set Jaccard >= threshold.
 
-    Inverted-index self-join on shingle -> intersection counts; set sizes
-    joined back; jaccard = inter / (|A| + |B| - inter).  Integer counts =>
-    the double division is reproducible bit-for-bit.
+    Similarity is computed over the DF-FILTERED shingle space: shingles
+    appearing in more than ``max_df`` documents are excluded from both the
+    intersection and the set sizes (the shingle analogue of IR stopword
+    removal — a boilerplate shingle carries no near-dup signal).  Wherever
+    no shingle exceeds the cap this is bit-identical to plain Jaccard (the
+    oracle regime); integer counts => the double division is reproducible
+    bit-for-bit.
+
+    Scale shape: posting lists come from ONE map-side-combined groupBy and
+    pairs are expanded IN-ROW with higher-order functions — there is no
+    shingle self-join, so no single join key ever goes quadratic.  A
+    shingle in k docs costs k^2/2 in-row pairs, bounded by max_df^2/2;
+    uncapped (the pre-r5 shape), one "terms of service" shingle shared by
+    a million docs is half a trillion rows.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh = shingles(df, id_col, text_col, n)
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") <= max_df)
+        .cache()
+    )
+    sizes = (
+        posting.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        posting.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import data_pipeline_spark.queries_llm  # noqa: F401  (populates QUERIES)
 from data_pipeline_spark.io import load_table
 from data_pipeline_spark.llmops import dedup as ld
 from data_pipeline_spark.llmops import multimodal, similarity
@@ -137,3 +138,41 @@ def test_approx_quantiles_rank_error_bound(spark):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= got <= hi, (r.lang, q, got, lo, hi)
+
+
+def test_jaccard_df_cap_bounds_candidates_but_verifies_exactly(spark):
+    """The document-frequency cap excludes boilerplate shingles from the
+    similarity space; pairs whose shingles are all under the cap get
+    bit-identical jaccard to the uncapped run (the oracle regime)."""
+    rows = [
+        # a/b: near-identical, share rare + common shingles
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        # c/d/e: share ONLY the boilerplate prefix (common, df=5 > cap)
+        (3, "common prefix words here tail three"),
+        (4, "common prefix words here tail four4 x"),
+        (5, "common prefix words here tail five5 y"),
+        (6, "common prefix words here tail six66 z"),
+        (7, "common prefix words here tail seven s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = ld.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=2
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    # boilerplate-only pairs: their shared shingles all exceed max_df, so
+    # they never become candidates (documented recall contract)
+    assert all(a == 1 and b == 2 for (a, b) in pairs)
+
+    # uncapped run at the same threshold finds the boilerplate pairs too —
+    # and for every pair BOTH runs emit, the jaccard values are identical
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ld.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_df=10**9
+        ).collect()
+    }
+    assert (3, 4) in full
+    for k, v in pairs.items():
+        assert full[k] == v
