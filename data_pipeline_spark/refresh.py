@@ -47,6 +47,7 @@ class RefreshJob:
     status: str = "NOT_STARTED"
     offset: int = 0  # resume position (pk batches completed)
     created_at: int = field(default_factory=lambda: int(time.time()))
+    last_heartbeat: int | None = None  # worker liveness (T11)
 
 
 def plan_ranges(df: DataFrame, pk: str, batch_size: int) -> list[tuple[int, int]]:
@@ -169,5 +170,38 @@ class FullRefreshManager:
             raise ValueError(status)
         job = self.jobs[refresh_id]
         job.status = status
+        if status == "IN_PROGRESS":
+            job.last_heartbeat = int(time.time())
         if offset is not None:
             job.offset = offset
+
+    def heartbeat(self, refresh_id: int, now: int | None = None) -> None:
+        """Worker liveness ping; workers call this per completed batch."""
+        self.jobs[refresh_id].last_heartbeat = (
+            int(time.time()) if now is None else now
+        )
+
+    def set_zombie_refreshes_to_fail(
+        self, lease_seconds: int = 60, now: int | None = None
+    ) -> list[int]:
+        """Fail IN_PROGRESS jobs whose worker lease expired (T11).
+
+        The reference polls worker PIDs for STATUS_ZOMBIE
+        (refresh_manager.py:273-304); on a cluster there is no local PID
+        to poll, so liveness is a heartbeat lease — the same contract ZK
+        ephemeral sessions give the reference's coordination.  A job whose
+        worker stopped heartbeating for ``lease_seconds`` is marked FAILED
+        (manual update, exactly like the reference's 'must update manually,
+        the process may not handle the signal') so the priority queue can
+        reschedule its source.  Returns the failed refresh ids.
+        """
+        now = int(time.time()) if now is None else now
+        failed = []
+        for job in self.jobs.values():
+            if job.status != "IN_PROGRESS":
+                continue
+            last = job.last_heartbeat if job.last_heartbeat is not None else 0
+            if now - last > lease_seconds:
+                job.status = "FAILED"
+                failed.append(job.refresh_id)
+        return failed

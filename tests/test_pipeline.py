@@ -371,3 +371,50 @@ def test_envelope_meta_rides_distributed_pack(spark, registry, store):
     plain = prod.prepare(_events(spark, 5), rs.schema_id)
     for r in plain.select(env.unpack(F.col("value")).alias("e")).select("e.meta").collect():
         assert r.meta is None
+
+
+def test_zombie_refresh_detection(spark):
+    """T11: an IN_PROGRESS refresh whose worker stopped heartbeating past
+    the lease is failed so its source can be rescheduled."""
+    mgr = FullRefreshManager(spark)
+    j1 = mgr.request(source="a", namespace="ns", schema_id=1)
+    j2 = mgr.request(source="b", namespace="ns", schema_id=1)
+    now = 1_000_000
+    mgr.set_status(j1.refresh_id, "IN_PROGRESS")
+    mgr.set_status(j2.refresh_id, "IN_PROGRESS")
+    mgr.heartbeat(j1.refresh_id, now=now)
+    mgr.heartbeat(j2.refresh_id, now=now - 120)  # stale worker
+
+    failed = mgr.set_zombie_refreshes_to_fail(lease_seconds=60, now=now)
+    assert failed == [j2.refresh_id]
+    assert mgr.jobs[j2.refresh_id].status == "FAILED"
+    assert mgr.jobs[j1.refresh_id].status == "IN_PROGRESS"
+    # PAUSED/finished jobs are never zombie-failed
+    mgr.set_status(j1.refresh_id, "PAUSED")
+    assert mgr.set_zombie_refreshes_to_fail(lease_seconds=60, now=now + 10**6) == []
+
+
+def test_lease_lock_single_instance(tmp_path):
+    """T12: second instance times out while the lease is live; a crashed
+    holder's expired lease is broken; release is owner-checked."""
+    from data_pipeline_spark.coordination import LeaseLock, LockTimeout
+
+    root = str(tmp_path / "locks")
+    with LeaseLock("refresh", "ns.db", root, lease_seconds=60, timeout=1) as lock:
+        dup = LeaseLock("refresh", "ns.db", root, timeout=0, owner="other")
+        with pytest.raises(LockTimeout):
+            dup.acquire()
+        # a different (name, namespace) is independent
+        with LeaseLock("refresh", "ns.other", root, timeout=0):
+            pass
+        lock.renew()
+    # released: immediate re-acquire succeeds
+    with LeaseLock("refresh", "ns.db", root, timeout=0):
+        pass
+
+    # crashed holder: lease already expired -> breakable without waiting
+    dead = LeaseLock("refresh", "ns.db", root, lease_seconds=-1, timeout=0)
+    dead.acquire()
+    dead.acquired = False  # simulate crash: never released
+    with LeaseLock("refresh", "ns.db", root, timeout=0) as lock2:
+        assert lock2.acquired
