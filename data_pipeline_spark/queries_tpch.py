@@ -666,3 +666,66 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
     )
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               SUM(CAST(ROUND(l.l_quantity*100, 0) AS BIGINT)) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    tot AS (
+        SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM shipped sh
+    JOIN tot      ON sh.l_partkey = tot.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty * 2 > tot.part_qty
+    """,
+    doc="Potential part promotion (Q20 shape, availqty-free adaptation: "
+    "the testdata has no partsupp table, so the 'excess stock' predicate "
+    "becomes 'dominant supplier' — shipped more than half of the part's "
+    "1997 volume).  Nested aggregate -> correlated threshold via a "
+    "partkey join -> semi-join up to supplier/nation; integer "
+    "cross-multiplication keeps the share test exact.  Ref: the Q20 "
+    "workload class in tests/ of the reference's query surface.",
+    tags=("A-ext", "J4", "subquery"),
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    shipped = (
+        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_s2("l_quantity")).alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    dominant = shipped.join(tot, "l_partkey").filter(
+        F.col("qty") * 2 > F.col("part_qty")
+    )
+    return (
+        dominant.join(
+            F.broadcast(supplier), dominant.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
