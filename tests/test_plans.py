@@ -171,3 +171,45 @@ def test_hypertable_rollup_single_fact_scan(spark):
     assert (
         sum(1 for s in audit.scan_info(df) if "events" in s.location) == 1
     ), audit.formatted_plan(df)
+
+
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
+    """The r4 regression: testdata regeneration switched events.ts from
+    TIMESTAMP(NANOS)-as-long to timestamp[us].  The loader must normalise
+    BOTH physical encodings to the same TimestampType values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.io import load_table
+
+    base = [1_700_000_000_000_000, 1_700_000_123_456_789]  # microseconds
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+
+    us_dir = tmp_path / "us" / "events.parquet"
+    ns_dir = tmp_path / "ns" / "events.parquet"
+    us_dir.parent.mkdir(parents=True)
+    ns_dir.parent.mkdir(parents=True)
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(base, pa.timestamp("us"))}), str(us_dir)
+    )
+    pq.write_table(
+        pa.table(
+            {**cols, "ts": pa.array([v * 1000 for v in base], pa.timestamp("ns"))}
+        ),
+        str(ns_dir),
+    )
+
+    got_us = load_table(spark, str(tmp_path / "us"), "events")
+    got_ns = load_table(spark, str(tmp_path / "ns"), "events")
+    assert dict(got_us.dtypes)["ts"] == "timestamp"
+    assert dict(got_ns.dtypes)["ts"] == "timestamp"
+    rows_us = {r.event_id: r.ts for r in got_us.collect()}
+    rows_ns = {r.event_id: r.ts for r in got_ns.collect()}
+    assert rows_us == rows_ns
+    assert rows_us[2].microsecond == 456789
