@@ -213,3 +213,25 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
     rows_ns = {r.event_id: r.ts for r in got_ns.collect()}
     assert rows_us == rows_ns
     assert rows_us[2].microsecond == 456789
+
+
+def test_jaccard_has_no_shingle_self_join(spark):
+    """Pair generation is in-row off posting lists: the only joins in the
+    plan are the two size lookups on document id.  A shingle self-join
+    (the pre-r5 shape) is the operator that goes quadratic on one hot
+    shingle at corpus scale."""
+    df = _q("jaccard_neardup_pairs", spark)
+    strategies = audit.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        audit.formatted_plan(df)
+    )
+    # the join keys are document ids, never the shingle string
+    plan = audit.formatted_plan(df)
+    assert "shingle" not in [
+        seg
+        for line in plan.splitlines()
+        if "Join" in line and "condition" not in line
+        for seg in line.split()
+    ]
+    # one documents scan feeds shingles (cached posting lists reused)
+    assert _fact_scan_count(df, "documents") <= 2
