@@ -12,6 +12,7 @@ PICK = [
     ("top_orders_by_price", "TakeOrderedAndProject (no global sort)"),
     ("revenue_by_nation", "multiway: broadcast dims + shuffled fact joins"),
     ("minhash_lsh_candidates", "banded LSH self-join (the only shuffle)"),
+    ("jaccard_neardup_pairs", "DF-capped posting lists, in-row pair expansion — no shingle self-join"),
     ("q2_min_cost_supplier", "correlated MIN as window: ONE fact scan"),
     ("q19_disjunctive_revenue", "OR-of-ANDs pushed to BOTH scans (CNF)"),
     ("q21_waiting_suppliers", "multi-EXISTS as per-order window sets, no self-join"),
