@@ -126,6 +126,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Training-eval contamination flags: train docs sharing any word
+    n-gram with the (small) eval set, with the count of distinct shared
+    shingles — the decontamination primitive of a pretraining pipeline.
+
+    Scale shape: the eval side is a benchmark (thousands of docs), so its
+    distinct shingle set broadcasts; the corpus-side shingle stream is
+    filtered map-side — no shuffle of the 100 TB side at all, and the
+    per-doc aggregation is a partial-agg groupBy on (id).
+    """
+    t_sh = shingles(train, id_col, text_col, n)
+    e_sh = shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
+    return (
+        t_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:

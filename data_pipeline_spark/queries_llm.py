@@ -180,6 +180,42 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_decontamination",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM toks
+        QUALIFY shingle IS NOT NULL
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    doc="Training-eval decontamination: train docs sharing any word 4-gram "
+    "with the eval split (here doc_id %% 97 == 0 stands in for a benchmark "
+    "set), plus the count of distinct shared shingles.  The eval shingle "
+    "set broadcasts; the corpus side is filtered map-side — no shuffle of "
+    "the big side.",
+    tags=("llm", "dedup", "decontamination"),
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ld.decontaminate(train, eval_df, "doc_id", "text", n=4)
+
+
+@register(
     "minhash_lsh_candidates",
     f"""
     WITH {_SHINGLES_SQL},
