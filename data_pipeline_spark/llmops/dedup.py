@@ -19,7 +19,7 @@ Every hash is md5-based so a SQL oracle reproduces results exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_spark.llmops.textstats import tokens

@@ -269,3 +269,47 @@ def test_schema_migration_plans_roundtrip():
     assert "INSERT INTO biz__migration_new" in plan[1]
     assert plan[2] == "DROP TABLE biz;"
     assert plan[3] == "ALTER TABLE biz__migration_new RENAME TO biz;"
+
+
+def test_ddl_property_roundtrip_and_alter_inverse():
+    """Property: (1) the reverse compiler's CREATE re-compiles to the same
+    Avro schema for any supported column mix; (2) ADD then DROP of a fresh
+    column is an identity on the schema."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_spark.functions.ddl import (
+        apply_alter_table,
+        compile_create_table,
+        get_schema_migration,
+    )
+
+    sql_types = st.sampled_from(
+        [
+            "SMALLINT", "INTEGER", "BIGINT", "REAL", "DOUBLE PRECISION",
+            "DECIMAL(12,3)", "CHAR(8)", "VARCHAR(40)", "BOOLEAN", "DATE",
+            "TIMESTAMP",
+        ]
+    )
+    col = st.tuples(sql_types, st.booleans())  # (type, not_null)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(col, min_size=1, max_size=8), col)
+    def check(cols, extra):
+        defs = ", ".join(
+            f"c{i} {t}{' NOT NULL' if nn else ''}" for i, (t, nn) in enumerate(cols)
+        )
+        base = compile_create_table(f"CREATE TABLE t ({defs})")
+
+        (create_stmt,) = get_schema_migration(base)
+        assert compile_create_table(create_stmt) == base
+
+        t, nn = extra
+        altered = apply_alter_table(
+            base, f"ALTER TABLE t ADD COLUMN zz {t}{' NOT NULL' if nn else ''}"
+        )
+        assert [f["name"] for f in altered["fields"]][-1] == "zz"
+        back = apply_alter_table(altered, "ALTER TABLE t DROP COLUMN zz")
+        assert back == base
+
+    check()
