@@ -106,3 +106,97 @@ def extract_features(media: DataFrame, buckets: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel: deterministic truncate-or-cycle of the blob to
+    width*height bytes.  A real image resize (PIL.Image.resize on the
+    cluster image) drops in here; the Spark-side contract — bounded output
+    size per row, 1:1 batch shape — is what this preserves."""
+    target = width * height
+    if not content:
+        return bytes(target)
+    reps = (target // len(content)) + 1
+    return (content * reps)[:target]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """1:1 Arrow-batched media resize via mapInPandas.
+
+    Scale note: output rows have a FIXED byte budget (width*height), so
+    downstream partition sizing becomes deterministic — the usual reason a
+    pipeline resizes before shuffling media at all.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["content"].map(
+                lambda c: _fake_resize(bytes(c), width, height)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": resized,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": resized.map(len),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1:N frame sampling via mapInPandas (one video row -> n_frames rows).
+
+    STUB frame extraction: the blob is split into n_frames contiguous
+    chunks (a real ffmpeg keyframe sampler drops in per-row).  The Spark
+    shape is the important part: mapInPandas may emit more rows than it
+    consumes, so frame explosion happens WITHOUT a join or explode over
+    re-encoded arrays — blobs never round-trip through an array column.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                step = max(1, len(blob) // n_frames)
+                for k in range(n_frames):
+                    chunk = blob[k * step : (k + 1) * step]
+                    if not chunk:
+                        break
+                    ids.append(mid)
+                    idxs.append(k)
+                    chunks.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": idxs,
+                    "content": chunks,
+                    "n_bytes": [len(c) for c in chunks],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -375,6 +375,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_pipeline",
+    None,  # mapInPandas path: rows-only check (no SQL equivalent)
+    doc="resize -> frame-sample pipeline over binary media: 1:1 resize to "
+    "a fixed byte budget, then 1:N frame explosion inside mapInPandas "
+    "(no join, blobs never transit an array column), then per-frame "
+    "fingerprints.  Kernels are deterministic stubs; the batch shapes are "
+    "the real contract.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").limit(500)
+    media = multimodal.attach_media(docs, "doc_id", "text")
+    resized = multimodal.resize_media(media, width=16, height=16)
+    frames = multimodal.sample_frames(resized, n_frames=4)
+    return frames.select(
+        "media_id", "frame_index", "n_bytes", F.md5("content").alias("frame_md5")
+    )
+
+
+@register(
     "lsh_ann_neardup",
     None,  # approximate (bucketed recall): rows-only check
     doc="Multi-table hyperplane-LSH bucketed near-dup search — the 100 TB "

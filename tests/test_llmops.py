@@ -176,3 +176,30 @@ def test_jaccard_df_cap_bounds_candidates_but_verifies_exactly(spark):
     assert (3, 4) in full
     for k, v in pairs.items():
         assert full[k] == v
+
+
+def test_multimodal_resize_and_frame_sample_shapes(spark):
+    """resize is 1:1 with a fixed byte budget; frame sampling is 1:N inside
+    mapInPandas; both deterministic."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = multimodal.attach_media(docs, "doc_id", "text")
+    resized = multimodal.resize_media(media, width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_bytes == 64 and len(bytes(r.content)) == 64
+
+    frames = multimodal.sample_frames(resized, n_frames=4).collect()
+    assert len(frames) == 40  # 1:N explosion
+    by_media = {}
+    for fr in frames:
+        by_media.setdefault(fr.media_id, []).append(fr)
+        assert fr.n_bytes == len(bytes(fr.content)) > 0
+    assert all(
+        sorted(f.frame_index for f in v) == [0, 1, 2, 3] for v in by_media.values()
+    )
+    # determinism across runs
+    again = multimodal.sample_frames(resized, n_frames=4).collect()
+    assert {(f.media_id, f.frame_index, bytes(f.content)) for f in frames} == {
+        (f.media_id, f.frame_index, bytes(f.content)) for f in again
+    }
