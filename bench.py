@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "sessionize_events",
     "topic_transport_roundtrip",
+    "eval_decontamination",
+    "multimodal_frame_pipeline",
 ]
 
 
