@@ -184,3 +184,36 @@ def test_topic_in_data_target_discovery(spark, tmp_path):
         reg.get_topics_by_data_target_id(99)
     with pytest.raises(ValueError):
         reg.create_consumer_group_data_source(cg.consumer_group_id, "SOURCE", "ns.x")
+
+
+def test_warehouse_destination_end_to_end(spark, tmp_path):
+    """The switch-over story for a warehouse user: register sources, attach
+    them to a data target through a consumer group, publish, then tail
+    EVERYTHING feeding the destination via TopicInDataTarget + the
+    multi-topic consumer."""
+    from data_pipeline_spark.consumer_source import TopicInDataTarget
+
+    reg = SchemaRegistry()
+    rs_a = reg.register_schema("wh.src.db", "users", SCHEMA_A)
+    rs_b = reg.register_schema("wh.src.db", "orders", SCHEMA_A)
+    reg.register_schema("wh.src.db", "ignored", SCHEMA_A)  # not attached
+
+    dt = reg.create_data_target("wh", "redshift", "wh://c1")
+    cg = reg.create_consumer_group("wh-load", dt.data_target_id)
+    for src in ("users", "orders"):
+        reg.create_consumer_group_data_source(
+            cg.consumer_group_id, "SOURCE", "wh.src.db", src
+        )
+
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    prod = Producer(store, reg)
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id").limit(30)
+    prod.publish(ev.limit(20), rs_a.schema_id, order_by="event_id")
+    prod.publish(ev.limit(10), rs_b.schema_id, order_by="event_id")
+
+    topics = TopicInDataTarget(reg, dt.data_target_id).get_topics()
+    assert sorted(topics) == sorted([rs_a.topic, rs_b.topic])
+    out = Consumer(store, reg).messages_union(topics)
+    counts = {r.topic: r.n for r in out.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {rs_a.topic: 20, rs_b.topic: 10}
