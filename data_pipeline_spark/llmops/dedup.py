@@ -79,9 +79,11 @@ def ngram_jaccard_pairs(
     Scale shape: posting lists come from ONE map-side-combined groupBy and
     pairs are expanded IN-ROW with higher-order functions — there is no
     shingle self-join, so no single join key ever goes quadratic.  A
-    shingle in k docs costs k^2/2 in-row pairs, bounded by max_df^2/2;
-    uncapped (the pre-r5 shape), one "terms of service" shingle shared by
-    a million docs is half a trillion rows.
+    shingle in k docs costs k^2/2 in-row pairs, bounded by max_df^2/2
+    (~8 MB peak per row at the default 1000 — the cap is also the
+    expansion's memory guard, keep it in the low thousands); uncapped
+    (the pre-r5 shape), one "terms of service" shingle shared by a
+    million docs is half a trillion rows.
     """
     sh = shingles(df, id_col, text_col, n)
     posting = (

@@ -247,7 +247,7 @@ def lsh_neardup_pairs(
     num_tables: int = 64,
     planes_per_table: int | None = None,
     dim: int = 64,
-    max_bucket: int = 100_000,
+    max_bucket: int = 1000,
     num_planes: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via multi-table hyperplane LSH.
@@ -265,8 +265,11 @@ def lsh_neardup_pairs(
 
     Scale shape: the bucket explode carries (table, bucket, id) only —
     never vectors; per-(table, bucket) membership above ``max_bucket`` is
-    dropped (hot-bucket OOM/skew guard — a degenerate bucket at 100 TB
-    otherwise becomes one quadratic join key); candidate id-pairs are
+    dropped BEFORE pair expansion (hot-bucket guard — a degenerate bucket
+    at 100 TB is otherwise one quadratic key), which also bounds the
+    in-row pair array to max_bucket^2/2 structs (~8 MB at the default
+    1000) — the cap is a memory guard for the expansion, not just a skew
+    guard, so keep it in the low thousands; candidate id-pairs are
     deduped across tables BEFORE vectors are re-joined for the exact
     integer-cosine verification, so each surviving pair costs one dot.
     """
