@@ -235,3 +235,13 @@ def test_jaccard_has_no_shingle_self_join(spark):
     ]
     # one documents scan feeds shingles (cached posting lists reused)
     assert _fact_scan_count(df, "documents") <= 2
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast — shuffling the corpus side on
+    shingle would move the 100 TB table for a benchmark-sized probe."""
+    df = _q("eval_decontamination", spark)
+    strategies = audit.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        audit.formatted_plan(df)
+    )
