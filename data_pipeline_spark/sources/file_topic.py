@@ -157,6 +157,29 @@ class TopicStore:
             highs[r.partition] = r.high + 1
         return highs
 
+    def compact_meta(self, topic: str) -> None:
+        """Rewrite the watermark sidecar to one row per partition.
+
+        The sidecar appends one row per partition per publish, so a
+        long-lived topic accumulates O(publishes) rows; reads already
+        aggregate max(next_offset), so compaction is purely a size bound.
+        The snapshot is collected (tiny: one row per partition) before the
+        overwrite so the read never races the rewrite.
+        """
+        meta = self._meta_dir(topic)
+        if not os.path.isdir(meta):
+            return
+        rows = (
+            self.spark.read.parquet(meta)
+            .groupBy("partition")
+            .agg(F.max("next_offset").alias("next_offset"))
+            .collect()
+        )
+        self.spark.createDataFrame(
+            [(r.partition, r.next_offset) for r in rows],
+            "partition INT, next_offset LONG",
+        ).write.mode("overwrite").parquet(meta)
+
     # -- consumer side ------------------------------------------------------
 
     def read(
@@ -215,6 +238,24 @@ class OffsetLedger:
             .collect()
         )
         return {r.partition: r.next_offset for r in rows}
+
+    def compact(self) -> None:
+        """Rewrite the ledger to one row per (group, topic, partition) —
+        commits append, so an always-on consumer group accumulates
+        O(commits) rows; `committed` already aggregates, compaction just
+        bounds the file."""
+        if not os.path.exists(self.path):
+            return
+        rows = (
+            self.spark.read.parquet(self.path)
+            .groupBy("group", "topic", "partition")
+            .agg(F.max("next_offset").alias("next_offset"))
+            .collect()
+        )
+        self.spark.createDataFrame(
+            [(r.group, r.topic, r.partition, r.next_offset) for r in rows],
+            "group STRING, topic STRING, partition INT, next_offset LONG",
+        ).write.mode("overwrite").parquet(self.path)
 
     def commit_messages(self, group: str, topic: str, consumed: DataFrame) -> None:
         """Commit max(offset)+1 per partition of the consumed batch."""

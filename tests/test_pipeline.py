@@ -418,3 +418,31 @@ def test_lease_lock_single_instance(tmp_path):
     dead.acquired = False  # simulate crash: never released
     with LeaseLock("refresh", "ns.db", root, timeout=0) as lock2:
         assert lock2.acquired
+
+
+def test_ledger_and_sidecar_compaction(spark, registry, store, tmp_path):
+    """Compaction bounds the append-only metadata files without changing
+    any read result."""
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    prod = Producer(store, registry)
+    for i in range(3):  # three publishes -> three sidecar appends
+        prod.publish(_events(spark, 30 + i * 10), rs.schema_id, order_by="event_id")
+    before = store.high_watermarks(rs.topic)
+    n_files_before = len(spark.read.parquet(store._meta_dir(rs.topic)).collect())
+    store.compact_meta(rs.topic)
+    assert store.high_watermarks(rs.topic) == before
+    assert len(spark.read.parquet(store._meta_dir(rs.topic)).collect()) == 4  # one/partition
+    assert n_files_before > 4
+
+    ledger = OffsetLedger(spark, str(tmp_path / "ledger"))
+    consumer = Consumer(store, registry, group="g", ledger=ledger)
+    for _ in range(3):
+        batch = consumer.messages(rs.topic, from_committed=True)
+        ledger.commit_messages("g", rs.topic, batch.select("partition", "offset"))
+    before_c = ledger.committed("g", rs.topic)
+    ledger.compact()
+    assert ledger.committed("g", rs.topic) == before_c
+    assert (
+        spark.read.parquet(str(tmp_path / "ledger")).count()
+        == len(before_c)
+    )
