@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -84,3 +85,47 @@ def test_reader_field_order_permutation(v, perm):
     tup, _ = ac.compile_decoder(SCHEMA, reader)(memoryview(blob), 0)
     got = dict(zip([f["name"] for f in reader["fields"]], tup))
     assert got == v
+
+
+_PRIMITIVE_SAMPLES = {
+    "boolean": True,
+    "int": 7,
+    "long": 1 << 40,
+    "float": 1.5,
+    "double": 2.25,
+    "string": "abc",
+    "bytes": b"abc",
+}
+
+
+@given(
+    st.sampled_from(sorted(_PRIMITIVE_SAMPLES)),
+    st.sampled_from(sorted(_PRIMITIVE_SAMPLES)),
+)
+@settings(max_examples=60, deadline=None)
+def test_resolution_matrix_matches_avro_promotion_lattice(wt, rt):
+    """Both decoders accept (writer, reader) primitive pairs exactly when
+    the Avro promotion lattice allows them — never silently decoding the
+    writer type for an unsupported pair — and the promoted value is
+    numerically/textually faithful."""
+    w = {"type": "record", "name": "r", "fields": [{"name": "x", "type": wt}]}
+    r = {"type": "record", "name": "r", "fields": [{"name": "x", "type": rt}]}
+    blob = ac.encode(w, {"x": _PRIMITIVE_SAMPLES[wt]})
+    allowed = rt in ac._PROMOTIONS[wt]
+    if allowed:
+        generic = ac.decode(w, blob, r)["x"]
+        (compiled,), _ = ac.compile_decoder(w, r)(memoryview(blob), 0)
+        for got in (generic, compiled):
+            if rt in ("float", "double") and wt in ("int", "long", "float"):
+                assert float(got) == float(_PRIMITIVE_SAMPLES[wt])
+            elif (wt, rt) == ("string", "bytes"):
+                assert got == b"abc"
+            elif (wt, rt) == ("bytes", "string"):
+                assert got == "abc"
+            else:
+                assert got == _PRIMITIVE_SAMPLES[wt]
+    else:
+        with pytest.raises(ac.SchemaResolutionError):
+            ac.decode(w, blob, r)
+        with pytest.raises(ac.SchemaResolutionError):
+            ac.compile_decoder(w, r)(memoryview(blob), 0)
