@@ -391,3 +391,27 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert {(c, p) for (_, c, p) in got} == want
     assert want, "fixture should produce at least one in-window pair"
+
+
+def test_streaming_dedup_bounded_state_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup (D2/D4 streaming side): the
+    streamed result carries no duplicate event_ids and matches the batch
+    distinct over the same files."""
+    from data_pipeline_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dup_src"
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type"
+    ).limit(200)
+    # duplicate every row (same event-time: a replay inside the horizon)
+    events.union(events).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, event_type STRING"
+    ).parquet(str(src))
+    deduped = dedup_stream(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    _run_available_now(deduped, tmp_path, "dedup_out")
+
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
+    assert len(got) == len(set(got)) == 200
+    assert sorted(got) == sorted(r.event_id for r in events.collect())
