@@ -660,8 +660,10 @@ def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Training-sequence packing (concat-then-chunk): each doc's start "
     "position is a running token sum in doc order; pack = position div "
-    "context_len.  Window cumsum in integers — deterministic, and the "
-    "packing a sequence-building job shards on.",
+    "context_len.  The cumsum is TWO-PHASE (per-bucket window + broadcast "
+    "bucket-prefix): a naive global-order window is a single-partition "
+    "bottleneck at corpus scale, this shape scans once and shuffles only "
+    "the tiny bucket-totals frame.  Integer arithmetic — deterministic.",
     tags=("llm", "packing"),
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,10 +672,24 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", F.size(textstats.tokens("text")).alias("n_tokens")
+    ).withColumn("bucket", F.expr("doc_id div 8192"))
+    # phase 1: cumsum WITHIN each doc_id-range bucket (parallel windows)
+    bw = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = sized.withColumn(
-        "start_pos", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    local = sized.withColumn("local_cum", F.sum("n_tokens").over(bw))
+    # phase 2: exclusive prefix over bucket totals — a frame with one row
+    # per bucket, so the global-order window here is trivially small
+    totals = sized.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    pw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "bucket", F.coalesce(F.sum("btot").over(pw), F.lit(0)).alias("prefix")
+    )
+    cum = local.join(F.broadcast(prefix), "bucket").withColumn(
+        "start_pos",
+        (F.col("prefix") + F.col("local_cum") - F.col("n_tokens")).cast("bigint"),
     )
     return cum.select(
         "doc_id",

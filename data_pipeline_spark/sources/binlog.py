@@ -25,23 +25,32 @@ STMT_RE = r"^### (INSERT INTO|UPDATE|DELETE FROM) `([^`]+)`\.`([^`]+)`"
 STATEMENT_TYPES = {"INSERT INTO": "insert", "UPDATE": "update", "DELETE FROM": "delete"}
 
 
-def parse_binlog_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+def parse_binlog_lines(
+    lines: DataFrame, line_col: str = "value", file_col: str | None = None
+) -> DataFrame:
     """Text lines (with an ordering column ``line_no``) -> statement rows.
 
     Output: (ts LONG, statement_type STRING, db STRING, table STRING).
     The running SET TIMESTAMP fill is a last-non-null window over line
-    order — one narrow shuffle on the (single) file partition at scale the
-    source is split per file, preserving per-file order.
+    order.  Pass ``file_col`` when the frame carries MULTIPLE binlog files
+    (e.g. ``F.input_file_name()`` from a directory read): the fill then
+    partitions per file — both for scale (parallel windows instead of one
+    global order) and for correctness (a timestamp must never carry across
+    file boundaries).
     """
     c = F.col(line_col)
-    parsed = lines.select(
+    cols = [
         F.col("line_no"),
         F.regexp_extract(c, TS_RE, 1).alias("ts_raw"),
         F.regexp_extract(c, STMT_RE, 1).alias("stmt_raw"),
         F.regexp_extract(c, STMT_RE, 2).alias("db"),
         F.regexp_extract(c, STMT_RE, 3).alias("table"),
-    )
-    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    ]
+    if file_col is not None:
+        cols.insert(0, F.col(file_col).alias("__file"))
+    parsed = lines.select(*cols)
+    base = Window.partitionBy("__file") if file_col is not None else Window
+    w = base.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
     filled = parsed.withColumn(
         "ts",
         F.last(

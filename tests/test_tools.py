@@ -313,3 +313,24 @@ def test_ddl_property_roundtrip_and_alter_inverse():
         assert back == base
 
     check()
+
+
+def test_binlog_multi_file_timestamps_do_not_leak(spark):
+    """With file_col set, the SET TIMESTAMP running fill is per file: a
+    statement before any timestamp in its own file gets NULL, never the
+    previous file's value."""
+    rows = [
+        ("a.log", 0, "SET TIMESTAMP=1500000000/*!*/;"),
+        ("a.log", 1, "### INSERT INTO `main`.`users`"),
+        ("b.log", 0, "### DELETE FROM `main`.`orders`"),  # no ts yet in b
+        ("b.log", 1, "SET TIMESTAMP=1600000000/*!*/;"),
+        ("b.log", 2, "### UPDATE `main`.`users`"),
+    ]
+    lines = spark.createDataFrame(rows, "fname STRING, line_no INT, value STRING")
+    got = {
+        (r.table, r.statement_type): r.ts
+        for r in parse_binlog_lines(lines, file_col="fname").collect()
+    }
+    assert got[("users", "insert")] == 1500000000
+    assert got[("orders", "delete")] is None  # not 1500000000
+    assert got[("users", "update")] == 1600000000
