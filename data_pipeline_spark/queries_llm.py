@@ -245,10 +245,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "simhash_signatures",
-    """
-    WITH toks AS (
+# shared by the signature + pairs oracles (DuckDB CTE body)
+_SIMHASH_SQL = """
+    toks AS (
         SELECT doc_id, md5(unnest(string_split(text,' '))) AS hw FROM documents
     ),
     votes AS (
@@ -258,13 +257,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                         >> (3 - (t.b % 4)) & 1) - 1) AS v
         FROM toks CROSS JOIN range(0, 32) t(b)
         GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(CASE WHEN v >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                   * (CAST(1 AS BIGINT) << CAST(31 - b AS INT))) AS BIGINT) AS simhash
+        FROM votes
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CAST(CASE WHEN v >= 0 THEN 1 ELSE 0 END AS BIGINT)
-               * (CAST(1 AS BIGINT) << CAST(31 - b AS INT))) AS BIGINT) AS simhash
-    FROM votes
-    GROUP BY doc_id
-    """,
+"""
+
+
+@register(
+    "simhash_signatures",
+    f"WITH {_SIMHASH_SQL} SELECT doc_id, simhash FROM sig",
     doc="32-bit SimHash signatures from md5-nibble bit votes; integer "
     "codegen end-to-end.",
     tags=("llm", "dedup"),
@@ -272,6 +278,30 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ld.simhash_signatures(docs, "doc_id", "text", bits=32)
+
+
+@register(
+    "simhash_neardup_pairs",
+    f"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs at Hamming <= 3.  The Spark side blocks on "
+    "4 bit-prefix bands — EXACT here by pigeonhole (distance <= 3 over 4 "
+    "bands forces one identical band), so the banded join is oracle-"
+    "comparable against the O(n^2) SQL formulation while scanning only "
+    "band-bucket collisions at scale.",
+    tags=("llm", "dedup"),
+)
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ld.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 _QDOT = (
