@@ -28,15 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the first 50 registrations only, so order the catalog
-# by evidence need: queries that have never received a driver verdict (TPC-H
-# pack #2, wire roundtrips, training-mix/sketch ops) and queries whose code
-# or oracle changed this round come first; a representative spread of the
-# already-green set fills the remaining window; the rest (green in r2,
-# unchanged) follow.
+# by evidence need (re-ranked each round): queries that have never received a
+# driver verdict come first, queries whose code or oracle changed this round
+# second, and a representative spread of the long-green set fills the
+# remaining window; the rest follow.
 _PRIORITY = [
-    # never driver-verified (r1+r2 positions 50-78)
+    # never driver-verified (round-5 additions that landed outside r5's window)
+    "eval_decontamination",
+    "simhash_neardup_pairs",
+    "multimodal_frame_pipeline",
+    "q20_part_promotion_suppliers",
+    # changed this round (de-skewed binning, re-measured LSH formulations,
+    # real multimodal codec, JVM-probe wire path)
+    "quality_decile_binning",
+    "minhash_lsh_candidates",
+    "lsh_ann_neardup",
+    "multimodal_features",
     "envelope_roundtrip",
     "topic_transport_roundtrip",
+    # representative green coverage (driver-verified in r2/r5, unchanged)
     "neardup_cluster_assignment",
     "tfidf_top_terms",
     "ivf_ann_topk",
@@ -47,10 +57,10 @@ _PRIORITY = [
     "bpe_token_stats",
     "temperature_mix_sampling",
     "trailing_7d_user_spend",
-    "quality_decile_binning",
     "approx_distinct_users_scale_path",
     "approx_doc_length_quantiles",
     "exact_doc_length_percentiles",
+    "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -64,15 +74,10 @@ _PRIORITY = [
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
-    # changed this round (oracle casts / canon fix / new implementation)
     "props_json_extract",
     "sessionize_events",
     "hypertable_rollup",
-    "multimodal_features",
-    "lsh_ann_neardup",
     "jaccard_neardup_pairs",
-    # representative green coverage (r2-verified, unchanged)
-    "q1_pricing_summary",
     "monitor_window_counts",
     "refresh_range_batches",
     "compaction_latest_per_key",
@@ -82,11 +87,6 @@ _PRIORITY = [
     "revenue_by_nation",
     "asof_click_attribution",
     "doc_exact_dedup",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "embedding_cosine_topk",
-    "embedding_neardup_pairs",
-    "word_frequencies",
 ]
 
 
