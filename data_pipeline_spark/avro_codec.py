@@ -540,7 +540,18 @@ def compile_decoder(writer: Any, reader: Any | None = None):
     if wt == "boolean":
         return lambda mv, pos: (mv[pos] == 1, pos + 1)
     if wt in ("int", "long"):
-        if rt in ("float", "double"):
+        if rt == "float":
+            # float32 precision, matching the interpreted _decode path:
+            # ints above 2^24 must round identically on both decoders
+            pack_f = struct.Struct("<f").pack
+            unpack_f = struct.Struct("<f").unpack
+
+            def dec_long_f(mv, pos):
+                v, pos = _read_long_mv(mv, pos)
+                return unpack_f(pack_f(v))[0], pos
+
+            return dec_long_f
+        if rt == "double":
             def dec_long_d(mv, pos):
                 v, pos = _read_long_mv(mv, pos)
                 return float(v), pos

@@ -15,6 +15,8 @@ if-none-match); only `_try_create` changes.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import time
@@ -52,6 +54,27 @@ class LeaseLock:
 
     # -- protocol -----------------------------------------------------------
 
+    @contextlib.contextmanager
+    def _guard(self):
+        """Serialize read-verify-mutate sequences on the lock file.
+
+        Plain O_EXCL create is atomic on its own, but breaking a stale
+        lease (read → observe expired → remove) and rewriting on renew/
+        release are multi-step: without mutual exclusion two contenders can
+        both observe the same stale lease, and the slower remove() deletes
+        the faster contender's FRESH lock — two live holders.  The guard is
+        an flock-ed sidecar held across every such sequence (the atomicity
+        ZK provides server-side).  It is advisory between LeaseLock
+        instances only, which is the contract: all contenders run this
+        protocol.
+        """
+        fd = os.open(self.path + ".guard", os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # closing drops the flock
+
     def _try_create(self) -> bool:
         try:
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -77,15 +100,21 @@ class LeaseLock:
             if self._try_create():
                 self.acquired = True
                 return
-            cur = self._read()
-            if cur is not None and cur["expires_at"] < time.time():
-                # stale lease: holder died without releasing — break it
-                # (ephemeral-node-expiry analogue) and race to re-create
-                try:
-                    os.remove(self.path)
-                except FileNotFoundError:
-                    pass
-                continue
+            with self._guard():
+                cur = self._read()
+                if cur is not None and cur["expires_at"] < time.time():
+                    # stale lease: holder died without releasing — break it
+                    # (ephemeral-node-expiry analogue).  Remove + re-create
+                    # under the guard so no other contender can break the
+                    # lock we are about to create.
+                    try:
+                        os.remove(self.path)
+                    except FileNotFoundError:
+                        pass
+                    if self._try_create():
+                        self.acquired = True
+                        return
+                    continue
             if time.time() >= deadline:
                 holder = cur["owner"] if cur else "unknown"
                 raise LockTimeout(
@@ -97,21 +126,38 @@ class LeaseLock:
     def renew(self) -> None:
         if not self.acquired:
             raise RuntimeError("cannot renew a lock that is not held")
-        with open(self.path, "w") as f:
-            json.dump(
-                {"owner": self.owner, "expires_at": time.time() + self.lease_seconds},
-                f,
-            )
+        with self._guard():
+            cur = self._read()
+            if cur is None or cur.get("owner") != self.owner:
+                # lease expired and was taken over while we ran: we are no
+                # longer the holder and must NOT clobber the usurper's lock
+                self.acquired = False
+                holder = cur.get("owner") if cur else "unknown"
+                raise LockTimeout(
+                    f"lease on {self.path} was taken over by {holder!r}; "
+                    "this instance lost the lock"
+                )
+            tmp = f"{self.path}.{self.owner}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "owner": self.owner,
+                        "expires_at": time.time() + self.lease_seconds,
+                    },
+                    f,
+                )
+            os.replace(tmp, self.path)
 
     def release(self) -> None:
         if not self.acquired:
             return
-        cur = self._read()
-        if cur is not None and cur.get("owner") == self.owner:
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+        with self._guard():
+            cur = self._read()
+            if cur is not None and cur.get("owner") == self.owner:
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
         self.acquired = False
 
     # -- context manager (ZKLock usage shape) -------------------------------

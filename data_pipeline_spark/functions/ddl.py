@@ -31,7 +31,8 @@ _COL_RE = re.compile(
     r"(?P<rest>.*)$",
     re.DOTALL | re.IGNORECASE,
 )
-_DEFAULT_RE = re.compile(r"DEFAULT\s+(?P<val>'[^']*'|[\w.+-]+)", re.IGNORECASE)
+# string literals may contain '' (SQL-escaped single quote)
+_DEFAULT_RE = re.compile(r"DEFAULT\s+(?P<val>'(?:[^']|'')*'|[\w.+-]+)", re.IGNORECASE)
 
 # SQL type family -> (avro type, metadata builder)
 _INT_TYPES = {"SMALLINT": "int", "INT2": "int", "INT": "int", "INTEGER": "int",
@@ -41,18 +42,24 @@ _FLOAT_TYPES = {"REAL": "float", "FLOAT4": "float", "FLOAT": "double",
 
 
 def _split_columns(body: str) -> list[str]:
-    """Split on top-level commas (respecting parens in DECIMAL(10,2))."""
+    """Split on top-level commas (respecting parens in DECIMAL(10,2) and
+    quoted string literals in DEFAULT 'a,b')."""
     parts, depth, cur = [], 0, []
+    in_str = False
     for ch in body:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
+        if ch == "'":
+            # a doubled '' inside a literal toggles twice — net no change
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
     if cur:
         parts.append("".join(cur).strip())
     return [p for p in parts if p]
@@ -66,7 +73,7 @@ def _parse_default(rest: str, avro_type: str) -> Any:
     if raw.upper() == "NULL":
         return None
     if raw.startswith("'"):
-        return raw.strip("'")
+        return raw[1:-1].replace("''", "'")
     if avro_type in ("int", "long"):
         return int(raw)
     if avro_type in ("float", "double"):
@@ -347,7 +354,12 @@ def _avro_field_to_sql(field: dict[str, Any]) -> str:
         out += " NOT NULL"
     default = field.get("default")
     if default is not None:
-        out += f" DEFAULT '{default}'" if isinstance(default, str) else f" DEFAULT {default}"
+        if isinstance(default, str):
+            # SQL string literal: double embedded quotes, else a default
+            # containing ' yields invalid (or injectable) generated DDL
+            out += " DEFAULT '{}'".format(default.replace("'", "''"))
+        else:
+            out += f" DEFAULT {default}"
     return out
 
 

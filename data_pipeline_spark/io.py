@@ -55,8 +55,10 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
     except Exception:
         # TIMESTAMP(NANOS) files fail schema conversion without the legacy
-        # flag. The flag is runtime-settable and only affects NANOS fields,
-        # so set it and retry rather than requiring our session factory.
+        # flag. The flag is runtime-settable, additive (it only changes
+        # behavior for NANOS fields, which otherwise error), and must stay
+        # set for the lifetime of the lazy scan — so it is intentionally
+        # not restored after the read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
 
@@ -67,11 +69,18 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type.startswith("timestamp_ntz"):
         # timestamp[us] reads as TIMESTAMP_NTZ; downstream code (and the
-        # reference semantics) want epoch-convertible TimestampType. Cast
-        # interprets the wall time in the session tz — pin UTC so the
-        # mapping is deterministic for vanilla caller sessions too.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # reference semantics) want epoch-convertible TimestampType, with
+        # the stored wall time read as a UTC instant. Shift the NTZ wall
+        # time from UTC into the caller's session tz before the cast (which
+        # interprets NTZ in session tz), so the instant is identical for
+        # ANY session timezone — no session-conf mutation as a load side
+        # effect.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+            ),
+        )
     return df
 
 

@@ -93,6 +93,27 @@ def test_resolution_int_promotes_to_long_and_double():
         assert out["a"] == expect
 
 
+def test_long_to_float_promotion_rounds_identically_on_both_decoders():
+    """Avro float is IEEE float32: a long above 2^24 loses precision when
+    promoted, and the interpreted and compiled decoders must round to the
+    SAME float32 value (they previously disagreed — compiled kept double
+    precision)."""
+    import struct
+
+    w = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    r = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "float"}]}
+    for v in (2**24 + 1, 2**53 - 1, -(2**31 + 7)):
+        blob = ac.encode(w, {"a": v})
+        interp = ac.decode(w, blob, r)["a"]
+        compiled = ac.compile_decoder(w, r)(memoryview(blob), 0)[0][0]
+        expect = struct.unpack("<f", struct.pack("<f", v))[0]
+        assert interp == compiled == expect
+        # and double promotion stays full-precision on both paths
+        r_d = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "double"}]}
+        assert ac.decode(w, blob, r_d)["a"] == float(v)
+        assert ac.compile_decoder(w, r_d)(memoryview(blob), 0)[0][0] == float(v)
+
+
 def test_compat_rules():
     base = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "int"}]}
     add_default = {

@@ -420,6 +420,68 @@ def test_lease_lock_single_instance(tmp_path):
         assert lock2.acquired
 
 
+def test_lease_lock_usurped_holder_cannot_clobber(tmp_path):
+    """A holder whose lease expired and was taken over must not delete or
+    rewrite the new holder's lock (renew raises, release is a no-op)."""
+    from data_pipeline_spark.coordination import LeaseLock, LockTimeout
+
+    root = str(tmp_path / "locks")
+    old = LeaseLock("refresh", "ns.db", root, lease_seconds=-1, timeout=0, owner="old")
+    old.acquire()
+    # lease already expired -> a second instance takes over
+    new = LeaseLock("refresh", "ns.db", root, lease_seconds=60, timeout=0, owner="new")
+    new.acquire()
+    # the usurped holder's renew must fail (not silently steal the lock back)
+    with pytest.raises(LockTimeout):
+        old.renew()
+    assert not old.acquired
+    # and its release must not remove the new holder's lock
+    old.acquired = True
+    old.release()
+    assert new._read()["owner"] == "new"
+    # the live holder renews and releases normally
+    new.renew()
+    new.release()
+    assert new._read() is None
+
+
+def test_lease_lock_concurrent_stale_break_single_winner(tmp_path):
+    """Many contenders racing to break the same stale lease: exactly one
+    acquires; the loser must not delete the winner's fresh lock."""
+    import threading
+
+    from data_pipeline_spark.coordination import LeaseLock, LockTimeout
+
+    root = str(tmp_path / "locks")
+    dead = LeaseLock("refresh", "ns.db", root, lease_seconds=-1, timeout=0, owner="dead")
+    dead.acquire()  # expired immediately
+
+    winners: list[str] = []
+    lock_mu = threading.Lock()
+
+    def contend(owner: str):
+        lk = LeaseLock(
+            "refresh", "ns.db", root, lease_seconds=60, timeout=0.5, owner=owner
+        )
+        try:
+            lk.acquire()
+        except LockTimeout:
+            return
+        with lock_mu:
+            winners.append(owner)
+
+    threads = [threading.Thread(target=contend, args=(f"c{i}",)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(winners) == 1
+    # the winner's lock file survived every loser's break attempt
+    holder = LeaseLock("refresh", "ns.db", root, timeout=0)._read()
+    assert holder is not None and holder["owner"] == winners[0]
+    assert holder["expires_at"] > __import__("time").time()
+
+
 def test_ledger_and_sidecar_compaction(spark, registry, store, tmp_path):
     """Compaction bounds the append-only metadata files without changing
     any read result."""

@@ -214,6 +214,25 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
     assert rows_us == rows_ns
     assert rows_us[2].microsecond == 456789
 
+    # loading must not mutate session timezone as a side effect, and the
+    # NTZ->instant mapping must be identical under ANY session timezone
+    from pyspark.sql import functions as F
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        got_tokyo = load_table(spark, str(tmp_path / "us"), "events")
+        micros = {
+            r.event_id: r.m
+            for r in got_tokyo.select(
+                "event_id", F.unix_micros("ts").alias("m")
+            ).collect()
+        }
+        assert micros == {1: base[0], 2: base[1]}
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
 
 def test_jaccard_has_no_shingle_self_join(spark):
     """Pair generation is in-row off posting lists: the only joins in the

@@ -271,6 +271,26 @@ def test_schema_migration_plans_roundtrip():
     assert plan[3] == "ALTER TABLE biz__migration_new RENAME TO biz;"
 
 
+def test_ddl_string_default_with_quotes_and_commas_roundtrips():
+    """A DEFAULT literal containing ' or , must survive CREATE -> Avro ->
+    CREATE: the generated DDL escapes quotes ('' per SQL) and the parser
+    unescapes them and does not split columns inside the literal."""
+    from data_pipeline_spark.functions.ddl import (
+        compile_create_table,
+        get_schema_migration,
+    )
+
+    sql = (
+        "CREATE TABLE t (a VARCHAR(20) DEFAULT 'it''s, ok', b INTEGER NOT NULL)"
+    )
+    schema = compile_create_table(sql)
+    assert schema["fields"][0]["default"] == "it's, ok"
+    assert [f["name"] for f in schema["fields"]] == ["a", "b"]
+    (create_stmt,) = get_schema_migration(schema)
+    assert "''" in create_stmt  # escaped, not raw
+    assert compile_create_table(create_stmt) == schema
+
+
 def test_ddl_property_roundtrip_and_alter_inverse():
     """Property: (1) the reverse compiler's CREATE re-compiles to the same
     Avro schema for any supported column mix; (2) ADD then DROP of a fresh
