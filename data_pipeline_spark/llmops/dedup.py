@@ -159,7 +159,12 @@ def minhash_signatures(
     """MinHash signature per doc: seed j's hash of a shingle is
     md5(shingle || '#' || j); the signature element is the lexicographic min
     over the doc's shingles.  One explode (x num_hashes) + one groupBy."""
-    sh = shingles(df, id_col, text_col, n)
+    # distinct=False: min() is duplicate-insensitive, and the distinct would
+    # be a SECOND full shuffle of the (id, shingle) stream — dropping it
+    # leaves the map-side-combined groupBy(id) as the only shuffle, which
+    # carries |docs| rows (r6 measurement: parity-identical signatures,
+    # equal local time within noise, one fewer 100TB-scale shuffle)
+    sh = shingles(df, id_col, text_col, n, distinct=False)
     # one column per seed instead of a num_hashes-way row explode: the
     # groupBy then partial-aggregates num_hashes mins map-side, so the
     # shuffle carries |docs| rows, not |shingles| x num_hashes
@@ -186,13 +191,28 @@ def minhash_lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     num_hashes/bands rows; band key = md5 of the band's concatenated minhash
     values; candidate pairs share at least one band bucket.
 
-    Returns (id_a, id_b, n_shared_bands).  The band-bucket join is the only
-    shuffle; bucket keys are md5-uniform so no salting needed.
+    Returns (id_a, id_b, n_shared_bands).  Pairs are expanded IN-ROW off
+    (band, bucket) posting lists — the same shape as ``ngram_jaccard_pairs``
+    and the LSH-ANN path — so no join key can go quadratic: a bucket of k
+    docs costs k^2/2 in-row pairs, hard-capped by ``max_bucket`` (a bucket
+    larger than that is an identical-doc flood, which exact dedup owns; at
+    the oracle SFs every bucket is far below the cap, so the SQL pairing
+    remains bit-identical).
+
+    r6 re-measurement vs the pre-r6 (band,bucket) self-join at sf0.1
+    (4 reps, identical 269 output pairs): self-join 3.50-4.05s,
+    posting-list 3.51-4.16s — a wash locally; the r3->r5 "regression"
+    (2.73->4.29s) reproduces under neither formulation's steady state and
+    was environmental.  ~3.4s of either total is the shared
+    signature+banding prefix, not pairing.  The posting-list shape wins on
+    the 100TB axis (bounded expansion, one consistent pattern across the
+    dedup family), so it is the keeper.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -210,15 +230,25 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
-    # self-join on (band, bucket): measured FASTER than group-then-pair
-    # here — band buckets are near-singletons, so collect+pair overhead
-    # exceeds the join, whose aggregated input gets exchange reuse
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    posting = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        posting.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 

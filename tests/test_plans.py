@@ -256,6 +256,14 @@ def test_jaccard_has_no_shingle_self_join(spark):
     assert _fact_scan_count(df, "documents") <= 2
 
 
+def test_minhash_candidates_have_no_bucket_self_join(spark):
+    """MinHash candidate pairs come from in-row posting-list expansion:
+    there must be NO join in the plan at all (the pre-r6 (band,bucket)
+    self-join is quadratic in bucket size with no cap)."""
+    df = _q("minhash_lsh_candidates", spark)
+    assert audit.join_strategies(df) == [], audit.formatted_plan(df)
+
+
 def test_decontamination_broadcasts_eval_side(spark):
     """The eval shingle set must broadcast — shuffling the corpus side on
     shingle would move the 100 TB table for a benchmark-sized probe."""
