@@ -955,18 +955,57 @@ def trailing_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
     FROM documents
     """,
-    doc="Curriculum binning: per-language size deciles via NTILE over a "
-    "TOTAL order (doc_id tie-break — without it NTILE is "
+    doc="Curriculum binning: per-language size deciles, bit-identical to "
+    "NTILE over a total order (doc_id tie-break — without it NTILE is "
     "non-deterministic on ties).  The bucketing a curriculum/mixing "
     "schedule consumes.",
     tags=("llm", "sampling", "window"),
 )
 def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact NTILE (the ``sequence_packing`` pattern).
+
+    A naive ``NTILE(10) OVER (PARTITION BY lang ORDER BY ...)`` sorts each
+    language's ENTIRE corpus in one task — with English ~half a 100 TB
+    corpus that is a single-task sort.  Instead: rank within (lang,
+    size-bucket) in parallel windows, reconstruct the global per-lang rank
+    from an exclusive prefix over per-bucket counts (one row per bucket —
+    dimension cardinality, broadcast back), and convert (rank, count) to
+    the decile with NTILE's closed-form tile split.  Bit-identical to the
+    oracle's NTILE, no per-language total-order sort in the plan
+    (asserted in test_plans.py).
+    """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    return docs.select("doc_id", "lang", F.ntile(10).over(w).alias("decile"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # bucket by the leading order key: bucket order == (n_chars, doc_id)
+    # order across buckets, so per-bucket ranks + bucket prefix = global rank
+    sized = docs.withColumn("bucket", F.expr("n_chars div 256"))
+    bw = Window.partitionBy("lang", "bucket").orderBy("n_chars", "doc_id")
+    local = sized.withColumn("local_rank", F.row_number().over(bw))
+    totals = sized.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+    pw = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bn").over(pw), F.lit(0)).alias("prefix"),
+        F.sum("bn").over(Window.partitionBy("lang")).alias("c"),
+    )
+    ranked = (
+        local.join(F.broadcast(prefix), ["lang", "bucket"])
+        .withColumn("r", (F.col("prefix") + F.col("local_rank")).cast("bigint"))
+        .withColumn("q", F.expr("c div 10"))
+        .withColumn("rem", F.col("c") % 10)
+    )
+    # NTILE(10): the first `rem` tiles have q+1 rows, the rest q rows
+    decile = F.expr(
+        "CASE WHEN r <= (q + 1) * rem THEN (r + q) div (q + 1) "
+        "ELSE rem + ((r - (q + 1) * rem + q - 1) div q) END"
+    ).cast("int")
+    return ranked.select("doc_id", "lang", decile.alias("decile"))
 
 
 @register(

@@ -7,6 +7,8 @@ broadcast, range joins never degrade to cartesian products.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import data_pipeline_spark.queries_llm  # noqa: F401
@@ -262,6 +264,21 @@ def test_minhash_candidates_have_no_bucket_self_join(spark):
     self-join is quadratic in bucket size with no cap)."""
     df = _q("minhash_lsh_candidates", spark)
     assert audit.join_strategies(df) == [], audit.formatted_plan(df)
+
+
+def test_decile_binning_has_no_per_language_total_sort(spark):
+    """The document-stream window must partition by (lang, bucket), never
+    lang alone: a per-language total order is a single-task sort of half
+    the corpus at 100 TB.  The decile comes from the closed-form tile
+    split, so no ntile executes over the full table either."""
+    df = _q("quality_decile_binning", spark)
+    plan = audit.formatted_plan(df)
+    assert "ntile" not in plan.lower(), plan
+    # the full-table exchange ahead of the rank window carries the bucket key
+    assert re.search(r"hashpartitioning\(lang#\d+, bucket#\d+", plan), plan
+    # remaining windows (bucket prefix, per-lang totals) run over the
+    # aggregated one-row-per-bucket frame, which joins back as a broadcast
+    assert "BroadcastHashJoin" in audit.join_strategies(df), plan
 
 
 def test_decontamination_broadcasts_eval_side(spark):
