@@ -40,9 +40,65 @@ def test_lsh_recall_against_brute_force(spark):
         assert len(approx) / len(exact) >= 0.9
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_stub_retained_for_compressed_formats():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x89PNG")
+        multimodal.decode_media(b"\x89PNG", "png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG")  # unknown format
+
+
+def test_bmp_ppm_codec_roundtrip():
+    """decode(encode(x)) == x for both real codecs, including BMP row
+    padding (w=3 -> 9-byte rows padded to 12)."""
+    w, h = 3, 2
+    rgb = bytes(range(10, 10 + 3 * w * h))
+    for fmt in ("bmp", "ppm"):
+        blob = multimodal._CODECS[fmt][1](w, h, rgb)
+        assert multimodal.decode_media(blob, fmt) == (w, h, rgb)
+
+
+def test_extract_features_computes_real_pixel_stats(spark):
+    """A 2x2 image with two black and two white pixels must yield a
+    luminance histogram with exactly 0.5 in the first and last buckets —
+    actual decoded-pixel statistics, not byte counting."""
+    rgb = bytes([0, 0, 0, 255, 255, 255, 0, 0, 0, 255, 255, 255])
+    rows = [
+        (1, multimodal._encode_bmp(2, 2, rgb), "image", "bmp", 0),
+        (2, multimodal._encode_ppm(2, 2, rgb), "image", "ppm", 0),
+        (3, b"\x00\xff\x00\xff", "image", "raw", 4),  # fallback path
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r.features for r in
+             multimodal.extract_features(media, buckets=16).collect()}
+    for mid in (1, 2):
+        hist = feats[mid]
+        assert hist[0] == pytest.approx(0.5) and hist[15] == pytest.approx(0.5)
+        assert sum(hist[1:15]) == 0.0
+    # non-decodable rows still produce a same-width normalized histogram
+    assert len(feats[3]) == 16 and sum(feats[3]) == pytest.approx(1.0)
+
+
+def test_resize_media_real_nearest_neighbor(spark):
+    """4x4 quadrant-colored BMP resized to 2x2: each output pixel must be
+    the top-left sample of its quadrant, re-encoded as a valid BMP."""
+    quad = {(0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+            (1, 0): (0, 0, 255), (1, 1): (255, 255, 0)}
+    rgb = bytearray()
+    for y in range(4):
+        for x in range(4):
+            rgb += bytes(quad[(y // 2, x // 2)])
+    blob = multimodal._encode_bmp(4, 4, bytes(rgb))
+    media = spark.createDataFrame(
+        [(1, blob, "image", "bmp", len(blob))], schema=multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.resize_media(media, width=2, height=2).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    w, h, small = multimodal.decode_media(bytes(out.content), "bmp")
+    assert (w, h) == (2, 2)
+    expect = bytes(
+        b for y in range(2) for x in range(2) for b in quad[(y, x)]
+    )
+    assert small == expect
 
 
 def test_multimodal_features_batch_shape(spark):
