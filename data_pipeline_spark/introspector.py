@@ -65,6 +65,20 @@ class Introspector:
             "primary_keys": list(latest.primary_keys),
             "contains_pii": latest.contains_pii,
             "schema_json": latest.schema_json,
+            # per-field schema elements with docs/notes
+            # (models/avro_schema_element.py:41)
+            "elements": [
+                {
+                    "name": e.element_name,
+                    "type": e.element_type,
+                    "doc": e.doc,
+                    "note": e.note,
+                }
+                for e in self.registry.get_schema_elements_by_schema_id(
+                    latest.schema_id
+                )
+                if e.element_name is not None
+            ],
         }
         if self.store is not None and self.store.exists(topic):
             highs = self.store.high_watermarks(topic)

@@ -47,6 +47,24 @@ class RegisteredSchema:
 
 
 @dataclass
+class AvroSchemaElement:
+    """Per-field schema element with docs/notes
+    (models/avro_schema_element.py:41-46): one element for the record
+    itself plus one per field, keyed ``record|field`` like the reference.
+    ``doc`` comes from the Avro schema's own "doc" attributes; ``note`` is
+    user-attached post-registration (models/note.py analogue)."""
+
+    element_id: int
+    schema_id: int
+    element_type: str  # "record" for the record element, else the field type
+    element_name: str | None
+    key: str
+    doc: str | None
+    note: str | None
+    created_at: int
+
+
+@dataclass
 class DataTarget:
     """A destination data(messages) are eventually sent to, e.g. a warehouse
     cluster (models/data_target.py:25-37)."""
@@ -95,6 +113,9 @@ class SchemaRegistry:
     _next_dt_id: int = 1
     _next_cg_id: int = 1
     _next_cgds_id: int = 1
+    # (schema_id, element key) -> user note; elements themselves are derived
+    # from the schema JSON, so only the mutable notes need storage
+    _element_notes: dict[tuple[int, str], str] = field(default_factory=dict)
 
     # -- registration -------------------------------------------------------
 
@@ -309,6 +330,71 @@ class SchemaRegistry:
             )
         return sorted(out)
 
+    # -- schema elements (schematizer.py:141-163; per-field docs/notes) -----
+
+    @staticmethod
+    def _element_type_str(t: object) -> str:
+        if isinstance(t, str):
+            return t
+        if isinstance(t, list):  # union
+            return "union[" + ",".join(
+                SchemaRegistry._element_type_str(b) for b in t
+            ) + "]"
+        if isinstance(t, dict):
+            return str(t.get("type"))
+        return str(t)
+
+    def get_schema_elements_by_schema_id(
+        self, schema_id: int
+    ) -> list[AvroSchemaElement]:
+        """One element for the record plus one per field, with the Avro
+        "doc" strings and any user notes attached via
+        ``register_schema_element_note``."""
+        rs = self.get_schema_by_id(schema_id)
+        schema = json.loads(rs.schema_json)
+        record = schema.get("name", "record")
+        elements = [
+            AvroSchemaElement(
+                element_id=schema_id * 1000,
+                schema_id=schema_id,
+                element_type="record",
+                element_name=None,
+                key=record,
+                doc=schema.get("doc"),
+                note=self._element_notes.get((schema_id, record)),
+                created_at=rs.created_at,
+            )
+        ]
+        for i, f in enumerate(schema.get("fields", ()), start=1):
+            key = f"{record}|{f['name']}"
+            elements.append(
+                AvroSchemaElement(
+                    element_id=schema_id * 1000 + i,
+                    schema_id=schema_id,
+                    element_type=self._element_type_str(f.get("type")),
+                    element_name=f["name"],
+                    key=key,
+                    doc=f.get("doc"),
+                    note=self._element_notes.get((schema_id, key)),
+                    created_at=rs.created_at,
+                )
+            )
+        return elements
+
+    def register_schema_element_note(
+        self, schema_id: int, element_name: str | None, note: str
+    ) -> None:
+        """Attach/replace a user note on an element (None = the record)."""
+        rs = self.get_schema_by_id(schema_id)
+        record = json.loads(rs.schema_json).get("name", "record")
+        key = record if element_name is None else f"{record}|{element_name}"
+        known = {e.key for e in self.get_schema_elements_by_schema_id(schema_id)}
+        if key not in known:
+            raise KeyError(
+                f"schema {schema_id} has no element {element_name!r}"
+            )
+        self._element_notes[(schema_id, key)] = note
+
     # -- DataFrame views (broadcastable catalog dimensions) -----------------
 
     SCHEMA_VIEW_TYPE = T.StructType(
@@ -350,6 +436,10 @@ class SchemaRegistry:
             "data_targets": [vars(dt) for dt in self._data_targets.values()],
             "consumer_groups": [vars(cg) for cg in self._consumer_groups.values()],
             "cg_data_sources": [vars(ds) for ds in self._cg_data_sources.values()],
+            "element_notes": [
+                {"schema_id": sid, "key": key, "note": note}
+                for (sid, key), note in self._element_notes.items()
+            ],
         }
         with open(path.rstrip("/") + "__catalog.json", "w") as f:
             json.dump(catalog, f)
@@ -395,4 +485,6 @@ class SchemaRegistry:
                 reg._next_cgds_id = max(
                     reg._next_cgds_id, ds.consumer_group_data_source_id + 1
                 )
+            for d in catalog.get("element_notes", ()):
+                reg._element_notes[(d["schema_id"], d["key"])] = d["note"]
         return reg

@@ -59,3 +59,56 @@ def test_multi_topic_consume_and_introspection(spark, tmp_path):
     assert info["primary_keys"] == ["event_id"]
     assert info["message_count"] == 30
     assert sum(info["high_watermarks"].values()) == 30
+
+
+def test_schema_elements_docs_and_notes_roundtrip(spark, tmp_path):
+    """AvroSchemaElement analogue (models/avro_schema_element.py:41):
+    register a schema with field docs, attach a user note, and see both
+    surfaced by the introspector — including after save/load."""
+    reg = SchemaRegistry()
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "biz",
+            "doc": "a business row",
+            "fields": [
+                {"name": "id", "type": "long", "doc": "surrogate key"},
+                {"name": "name", "type": ["null", "string"], "default": None},
+            ],
+        }
+    )
+    rs = reg.register_schema("ns.main.db", "biz", schema)
+
+    elements = reg.get_schema_elements_by_schema_id(rs.schema_id)
+    by_key = {e.key: e for e in elements}
+    assert by_key["biz"].element_type == "record"
+    assert by_key["biz"].doc == "a business row"
+    assert by_key["biz|id"].doc == "surrogate key"
+    assert by_key["biz|id"].element_type == "long"
+    assert by_key["biz|name"].element_type == "union[null,string]"
+    assert by_key["biz|name"].doc is None
+
+    reg.register_schema_element_note(rs.schema_id, "id", "do not reuse ids")
+    try:
+        reg.register_schema_element_note(rs.schema_id, "nope", "x")
+        raise AssertionError("unknown element must raise")
+    except KeyError:
+        pass
+
+    # notes survive registry persistence
+    path = str(tmp_path / "registry.parquet")
+    reg.save(spark, path)
+    reloaded = SchemaRegistry.load(spark, path)
+    els = {
+        e.element_name: e
+        for e in reloaded.get_schema_elements_by_schema_id(rs.schema_id)
+    }
+    assert els["id"].note == "do not reuse ids"
+    assert els["id"].doc == "surrogate key"
+
+    # introspector surfaces the per-field elements
+    info = Introspector(spark, reloaded).topic_info(rs.topic)
+    fields = {f["name"]: f for f in info["elements"]}
+    assert fields["id"]["note"] == "do not reuse ids"
+    assert fields["id"]["doc"] == "surrogate key"
+    assert fields["name"]["type"] == "union[null,string]"
