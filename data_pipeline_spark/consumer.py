@@ -56,7 +56,9 @@ class Consumer:
         if from_committed and self.ledger is not None and starting_offsets is None:
             starting_offsets = self.ledger.committed(self.group, topic)
         wire = self.store.read(topic, starting_offsets=starting_offsets)
-        return wire.withColumn("envelope", env.unpack(F.col("value")))
+        return wire.withColumn(
+            "envelope", env.unpack(F.col("value"), spark=self.store.spark)
+        )
 
     # -- decoded tail -------------------------------------------------------
 

@@ -15,6 +15,7 @@ wire boundary.  Everything before pack / after unpack is columnar.
 from __future__ import annotations
 
 import base64
+import json
 import uuid as uuidlib
 from typing import Any
 
@@ -286,14 +287,77 @@ def _unpack_permissive_udf(blob: pd.Series) -> pd.DataFrame:
     )
 
 
-def pack(envelope_struct: Column) -> Column:
-    """Envelope struct column -> wire bytes (magic byte + Avro binary)."""
+# ---------------------------------------------------------------------------
+# Wire-codec backend dispatch: spark-avro's JVM from_avro/to_avro when the
+# module is on the classpath (cluster deployments: --packages
+# org.apache.spark:spark-avro), else the Arrow-batched pandas codec (this
+# sandbox has no spark-avro jar).  Both speak the SAME wire format — the
+# envelope schema's fixed/enum/union encodings are what spark-avro's
+# serializer produces for binary/string columns under a user-provided
+# jsonFormatSchema — so mixed fleets interoperate.
+# ---------------------------------------------------------------------------
+
+_WIRE_BACKEND: str | None = None
+_SUBSTR_MAX = 2_147_483_647
+
+
+def _jvm_wire_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def wire_codec_backend(spark) -> str:
+    """'jvm' when spark-avro is loadable in this session's JVM, else
+    'python'.  Probed once per process (the decision cannot change within
+    a JVM's lifetime)."""
+    global _WIRE_BACKEND
+    if _WIRE_BACKEND is None:
+        _WIRE_BACKEND = "jvm" if _jvm_wire_available(spark) else "python"
+    return _WIRE_BACKEND
+
+
+def _jvm_pack(envelope_struct: Column) -> Column:
+    from pyspark.sql.avro.functions import to_avro
+
+    return F.concat(
+        F.lit(MAGIC_BINARY), to_avro(envelope_struct, json.dumps(ENVELOPE_SCHEMA))
+    )
+
+
+def _jvm_unpack(wire: Column, mode: str) -> Column:
+    from pyspark.sql.avro.functions import from_avro
+
+    magic = F.substring(wire, 1, 1)
+    rest = F.substring(wire, 2, _SUBSTR_MAX)
+    body = F.when(
+        magic == F.lit(MAGIC_ASCII),
+        # urlsafe-base64 -> standard alphabet for the builtin unbase64
+        F.unbase64(F.translate(rest.cast("string"), "-_", "+/")),
+    ).otherwise(rest)
+    return from_avro(body, json.dumps(ENVELOPE_SCHEMA), {"mode": mode})
+
+
+def pack(envelope_struct: Column, spark=None) -> Column:
+    """Envelope struct column -> wire bytes (magic byte + Avro binary).
+
+    Pass the session to enable the JVM fast path where spark-avro is
+    present; without it (or without the jar) the pandas codec runs."""
+    if spark is not None and wire_codec_backend(spark) == "jvm":
+        return _jvm_pack(envelope_struct)
     return _pack_udf(envelope_struct)
 
 
-def unpack(wire: Column, mode: str = "FAILFAST") -> Column:
+def unpack(wire: Column, mode: str = "FAILFAST", spark=None) -> Column:
     """Wire bytes -> envelope struct column.  mode='PERMISSIVE' turns
-    corrupt records into all-null rows instead of failing the task."""
+    corrupt records into all-null rows instead of failing the task.
+    Pass the session to enable the JVM fast path (see ``pack``)."""
+    if spark is not None and wire_codec_backend(spark) == "jvm":
+        return _jvm_unpack(wire, mode)
     if mode == "PERMISSIVE":
         return _unpack_permissive_udf(wire)
     return _unpack_udf(wire)

@@ -107,7 +107,12 @@ class Producer:
             F.lit(None).cast("string").alias("encryption_type"),
             ts.alias("timestamp"),
         )
-        cols = [key.alias("key"), env.pack(envelope_struct).alias("value")]
+        # spark passed through so the wire codec can take the JVM
+        # from_avro/to_avro path when spark-avro is on the classpath
+        cols = [
+            key.alias("key"),
+            env.pack(envelope_struct, spark=self.store.spark).alias("value"),
+        ]
         if order_by:
             cols.append(F.col(order_by).alias("__order"))
         return rows.select(*cols)
