@@ -148,6 +148,51 @@ def counts_with_gap_flush(
     )
 
 
+def monitoring_sink_builder(
+    out_root: str,
+    window_seconds: int = MONITOR_WINDOW_SECONDS,
+    idle_timeout_ms: int | None = None,
+):
+    """``build_sink`` factory for ``StreamingSubscriptionRunner``: every
+    subscribed topic — including ones added dynamically by a registry tick —
+    automatically gets a monitoring pipeline (wire envelope -> event-time ->
+    gap-flush window counts -> parquet under ``out_root/<topic>``).
+
+    Event time is the envelope's own ``timestamp`` field (envelope_v1.avsc:
+    88-92), so the monitor needs no per-topic payload schema — exactly the
+    reference's client-side monitor, which counts envelopes, not payloads
+    (client.py:303-324).  Parity with the batch tumbling-window query is
+    asserted in tests/test_monitor_loop.py.
+    """
+    import os
+
+    from data_pipeline_spark import envelope as env
+
+    def build_sink(topic: str, stream: DataFrame):
+        decoded = stream.select(
+            F.lit(topic).alias("topic"),
+            F.timestamp_seconds(
+                env.unpack(F.col("value")).timestamp
+            ).alias("ts"),
+        )
+        flushed = counts_with_gap_flush(
+            decoded,
+            "ts",
+            "topic",
+            window_seconds=window_seconds,
+            idle_timeout_ms=idle_timeout_ms,
+        )
+        # no explicit trigger: the runner owns query lifecycle (continuous
+        # micro-batches; tests drain with processAllAvailable)
+        return (
+            flushed.writeStream.format("parquet")
+            .option("path", os.path.join(out_root, topic))
+            .outputMode("append")
+        )
+
+    return build_sink
+
+
 def heartbeat_frame(spark, topics: list[str], period_seconds: int = 600) -> DataFrame:
     """Synthetic heartbeat messages for idle-topic liveness (T3,
     envelope_v1.avsc heartbeat enum): unioned into a monitored stream so

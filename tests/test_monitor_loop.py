@@ -82,3 +82,81 @@ def test_monitoring_loop_end_to_end(spark, tmp_path):
     for r in Consumer(store, reg).messages(mon_rs.topic).collect():
         assert r.payload.client_name == "consumer-1"
         assert r.payload.topic == data_rs.topic
+
+
+def test_dynamic_subscription_gets_monitoring_automatically(spark, tmp_path):
+    """T8 stretch: `monitoring_sink_builder` plugged into
+    `StreamingSubscriptionRunner` — every topic the registry tick discovers
+    (including one registered mid-run) automatically gets gap-flush window
+    counts, and the closed windows match the batch tumbling-window monitor
+    exactly (zeros included for gaps)."""
+    from data_pipeline_spark.consumer_source import TopicsInNamespace
+    from data_pipeline_spark.operators import aggregates as agg
+    from data_pipeline_spark.streaming.dynamic import StreamingSubscriptionRunner
+    from data_pipeline_spark.streaming.monitor import monitoring_sink_builder
+
+    reg = SchemaRegistry()
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    producer = Producer(store, reg)
+    out_root = str(tmp_path / "monitor_out")
+
+    def publish(source, epochs):
+        rs = reg.register_schema("mon.main.db", source, EVENT_SCHEMA)
+        rows = spark.createDataFrame(
+            [(i, e) for i, e in enumerate(epochs)], "event_id LONG, epoch LONG"
+        )
+        # envelope event time = the payload's epoch column
+        producer.publish(rows, rs.schema_id, order_by="event_id",
+                         timestamp_col="epoch")
+        return rs
+
+    # alpha: 5 events in [0,600), 2 in [600,1200), gap, closer at 1900
+    rs_a = publish("alpha", [10, 20, 30, 40, 50, 700, 800, 1900])
+
+    runner = StreamingSubscriptionRunner(
+        spark,
+        store,
+        TopicsInNamespace(reg, "mon.main.db"),
+        str(tmp_path / "ckpt"),
+        monitoring_sink_builder(out_root, window_seconds=600,
+                                idle_timeout_ms=None),
+    )
+    assert runner.tick()["added"] == [rs_a.topic]
+    runner.process_available()
+
+    # beta registered mid-run: the next tick wires its monitor with no
+    # other configuration
+    rs_b = publish("beta", [5, 15, 25, 650, 1250])
+    assert runner.tick()["added"] == [rs_b.topic]
+    runner.process_available()
+    runner.stop_all()
+
+    for rs in (rs_a, rs_b):
+        got = {
+            (r.window_start, r.message_count)
+            for r in spark.read.parquet(f"{out_root}/{rs.topic}").collect()
+        }
+        # batch monitor over the same wire envelopes (consumer-side view)
+        wire = store.read(rs.topic).select(
+            F.lit(rs.topic).alias("topic"),
+            F.timestamp_seconds(
+                env.unpack(F.col("value")).timestamp
+            ).alias("ts"),
+        )
+        batch = {
+            (r.window_start, r.message_count)
+            for r in agg.tumbling_window_counts(wire, "ts", 600, ["topic"])
+            .select("window_start", "message_count")
+            .collect()
+        }
+        last_open = max(w for w, _ in batch)  # still open in the stream state
+        closed_batch = {(w, c) for w, c in batch if w < last_open}
+        assert {(w, c) for w, c in got if c > 0} == closed_batch
+        # gap windows appear as explicit zero records (batch emits no row)
+        zero_windows = {w for w, c in got if c == 0}
+        expected_gaps = {
+            w
+            for w in range(0, last_open, 600)
+            if w not in {bw for bw, _ in batch}
+        }
+        assert zero_windows == expected_gaps
