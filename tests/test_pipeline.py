@@ -557,3 +557,28 @@ def test_wire_codec_backend_dispatch(spark, monkeypatch):
     # without a session the dispatcher must not touch the JVM path
     env.pack(F.lit(None).cast(env.ENVELOPE_STRUCT))
     assert len(calls) == 2
+
+
+def test_refresh_requester_validates_before_enqueue(spark, registry):
+    """Public requester API (tools/refresh_requester.py:116-186): bad
+    options and unknown sources fail at request time; a valid request lands
+    in the manager queue with the source's latest schema id."""
+    from data_pipeline_spark.refresh import FullRefreshRequester
+
+    mgr = FullRefreshManager(spark)
+    req = FullRefreshRequester(mgr, registry)
+
+    with pytest.raises(ValueError, match="batch_size"):
+        req.request("test.main.db", "events", batch_size=0)
+    with pytest.raises(ValueError, match="rows_per_second"):
+        req.request("test.main.db", "events", avg_rows_per_second_cap=-1)
+    with pytest.raises(ValueError, match="no sources"):
+        req.request("test.main.db", "nope")
+    assert not mgr.jobs  # nothing enqueued by failed validation
+
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    job = req.request("test.main.db", "events", priority=80,
+                      filter_condition="event_id > 10")
+    assert mgr.jobs[job.refresh_id] is job
+    assert job.schema_id == rs.schema_id
+    assert job.status == "NOT_STARTED" and job.priority == 80
