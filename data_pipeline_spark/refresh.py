@@ -119,49 +119,6 @@ class FullRefreshManager:
         self._next_id += 1
         return job
 
-
-class FullRefreshRequester:
-    """Public request API with pre-enqueue validation
-    (tools/refresh_requester.py:116-186): option bounds are checked and the
-    (namespace, source) pair must resolve to a registered source BEFORE a
-    Refresh row is created — a typo'd source fails at request time, not as
-    a dead job in the queue."""
-
-    def __init__(self, manager: FullRefreshManager, registry):
-        self.manager = manager
-        self.registry = registry
-
-    def request(
-        self,
-        namespace: str,
-        source: str,
-        batch_size: int = 500,
-        priority: int = 50,
-        filter_condition: str | None = None,
-        avg_rows_per_second_cap: int | None = None,
-        offset: int = 0,
-    ) -> RefreshJob:
-        if batch_size <= 0:
-            raise ValueError("batch_size must be greater than 0")
-        if avg_rows_per_second_cap is not None and avg_rows_per_second_cap <= 0:
-            raise ValueError("avg_rows_per_second_cap must be greater than 0")
-        rs = self.registry.latest_schema_for_source(namespace, source)
-        if rs is None:
-            raise ValueError(
-                f"found no sources with namespace {namespace!r} and "
-                f"source {source!r}"
-            )
-        return self.manager.request(
-            namespace=namespace,
-            source=source,
-            schema_id=rs.schema_id,
-            batch_size=batch_size,
-            priority=priority,
-            filter_condition=filter_condition,
-            avg_rows_per_second_cap=avg_rows_per_second_cap,
-            offset=offset,
-        )
-
     def jobs_df(self) -> DataFrame:
         rows = [
             (
@@ -248,3 +205,46 @@ class FullRefreshRequester:
                 job.status = "FAILED"
                 failed.append(job.refresh_id)
         return failed
+
+
+class FullRefreshRequester:
+    """Public request API with pre-enqueue validation
+    (tools/refresh_requester.py:116-186): option bounds are checked and the
+    (namespace, source) pair must resolve to a registered source BEFORE a
+    Refresh row is created — a typo'd source fails at request time, not as
+    a dead job in the queue."""
+
+    def __init__(self, manager: FullRefreshManager, registry):
+        self.manager = manager
+        self.registry = registry
+
+    def request(
+        self,
+        namespace: str,
+        source: str,
+        batch_size: int = 500,
+        priority: int = 50,
+        filter_condition: str | None = None,
+        avg_rows_per_second_cap: int | None = None,
+        offset: int = 0,
+    ) -> RefreshJob:
+        if batch_size <= 0:
+            raise ValueError("batch_size must be greater than 0")
+        if avg_rows_per_second_cap is not None and avg_rows_per_second_cap <= 0:
+            raise ValueError("avg_rows_per_second_cap must be greater than 0")
+        rs = self.registry.latest_schema_for_source(namespace, source)
+        if rs is None:
+            raise ValueError(
+                f"found no sources with namespace {namespace!r} and "
+                f"source {source!r}"
+            )
+        return self.manager.request(
+            namespace=namespace,
+            source=source,
+            schema_id=rs.schema_id,
+            batch_size=batch_size,
+            priority=priority,
+            filter_condition=filter_condition,
+            avg_rows_per_second_cap=avg_rows_per_second_cap,
+            offset=offset,
+        )
