@@ -162,6 +162,9 @@ class StreamingSubscriptionRunner:
         source: ConsumerSource,
         checkpoint_root: str,
         build_sink: Callable[[str, DataFrame], "object"],
+        pre_rebalance_callback: Callable[[dict[str, list[int]]], None] | None = None,
+        post_rebalance_callback: Callable[[dict[str, list[int]]], None] | None = None,
+        pre_topic_refresh_callback: Callable[[set[str], set[str]], None] | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -169,6 +172,17 @@ class StreamingSubscriptionRunner:
         self.checkpoint_root = checkpoint_root
         self.build_sink = build_sink
         self.active: dict[str, object] = {}  # topic -> StreamingQuery
+        # T7 re-expressed Spark-first: the reference's Kafka-group rebalance
+        # hooks (base_consumer.py:134-164) fire when the partition
+        # assignment changes; here assignment changes exactly when the
+        # subscription's topic set changes, so the hooks wrap tick()'s
+        # stop/start delta with the same contract — pre gets the revoked
+        # {topic: partitions}, post gets the acquired map, no messages are
+        # consumed between them, and both must be idempotent (a tick can
+        # re-fire them).
+        self.pre_rebalance_callback = pre_rebalance_callback
+        self.post_rebalance_callback = post_rebalance_callback
+        self.pre_topic_refresh_callback = pre_topic_refresh_callback
 
     def _start(self, topic: str) -> None:
         stream = self.store.read_stream(topic)
@@ -176,6 +190,11 @@ class StreamingSubscriptionRunner:
         self.active[topic] = writer.option(
             "checkpointLocation", os.path.join(self.checkpoint_root, topic)
         ).start()
+
+    def _partition_map(self, topics: list[str]) -> dict[str, list[int]]:
+        return {
+            t: sorted(self.store.high_watermarks(t)) for t in topics
+        }
 
     def tick(self) -> dict[str, list[str]]:
         """One registry poll: start/stop only the changed topics.
@@ -185,12 +204,18 @@ class StreamingSubscriptionRunner:
         source needs its input path at start.
         """
         resolved = [t for t in self.source.get_topics() if self.store.exists(t)]
+        if self.pre_topic_refresh_callback is not None:
+            self.pre_topic_refresh_callback(set(self.active), set(resolved))
         added = [t for t in resolved if t not in self.active]
         removed = [t for t in self.active if t not in resolved]
+        if removed and self.pre_rebalance_callback is not None:
+            self.pre_rebalance_callback(self._partition_map(removed))
         for topic in removed:
             self.active.pop(topic).stop()
         for topic in added:
             self._start(topic)
+        if added and self.post_rebalance_callback is not None:
+            self.post_rebalance_callback(self._partition_map(added))
         return {
             "added": added,
             "removed": removed,

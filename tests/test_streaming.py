@@ -415,3 +415,66 @@ def test_streaming_dedup_bounded_state_matches_batch(spark, tmp_path):
     got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
     assert len(got) == len(set(got)) == 200
     assert sorted(got) == sorted(r.event_id for r in events.collect())
+
+
+def test_subscription_rebalance_callbacks(spark, tmp_path):
+    """T7 re-expressed: pre/post rebalance hooks fire around the
+    subscription delta with {topic: [partitions]} maps, and the topic
+    refresh hook sees (current, refreshed) sets — the reference's Kafka
+    group-rebalance callback contract (base_consumer.py:134-164) on
+    Spark's query-per-topic model."""
+    from data_pipeline_spark.consumer_source import TopicsInNamespace
+    from data_pipeline_spark.streaming.dynamic import StreamingSubscriptionRunner
+
+    reg = SchemaRegistry()
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    producer = Producer(store, reg)
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+
+    rs_a = reg.register_schema("rb.main.db", "alpha", EVENT_SCHEMA)
+    producer.publish(
+        events.limit(20), rs_a.schema_id, num_partitions=2, order_by="event_id"
+    )
+
+    calls: list[tuple[str, object]] = []
+    runner = StreamingSubscriptionRunner(
+        spark,
+        store,
+        TopicsInNamespace(reg, "rb.main.db"),
+        str(tmp_path / "ckpt"),
+        lambda topic, df: (
+            df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out" / topic))
+        ),
+        pre_rebalance_callback=lambda m: calls.append(("pre", m)),
+        post_rebalance_callback=lambda m: calls.append(("post", m)),
+        pre_topic_refresh_callback=lambda cur, new: calls.append(
+            ("refresh", (cur, new))
+        ),
+    )
+
+    runner.tick()  # alpha acquired
+    assert calls[0] == ("refresh", (set(), {rs_a.topic}))
+    assert calls[1] == ("post", {rs_a.topic: sorted(store.high_watermarks(rs_a.topic))})
+
+    calls.clear()
+    runner.tick()  # no change: refresh hook only, no rebalance hooks
+    assert [c[0] for c in calls] == ["refresh"]
+
+    # register beta, then deregister nothing: only post fires for the delta
+    rs_b = reg.register_schema("rb.main.db", "beta", EVENT_SCHEMA)
+    producer.publish(events.limit(5), rs_b.schema_id, order_by="event_id")
+    calls.clear()
+    runner.tick()
+    assert ("post", {rs_b.topic: sorted(store.high_watermarks(rs_b.topic))}) in calls
+    assert not [c for c in calls if c[0] == "pre"]
+
+    # simulate revocation: resolve to alpha only via a narrower source
+    from data_pipeline_spark.consumer_source import TopicsInSource
+    runner.source = TopicsInSource(reg, "rb.main.db", "alpha")
+    calls.clear()
+    runner.tick()
+    pre = [c for c in calls if c[0] == "pre"]
+    assert pre == [("pre", {rs_b.topic: sorted(store.high_watermarks(rs_b.topic))})]  # revoked map
+    runner.stop_all()
