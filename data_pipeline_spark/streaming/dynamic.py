@@ -34,11 +34,19 @@ class DynamicSubscriptionRunner:
         consumer: Consumer,
         source: ConsumerSource,
         refresh_period_s: float = 300.0,  # config.py:106-112 default
+        fetch_offsets_for_topics=None,
     ):
         self.consumer = consumer
         self.source = source
         self.refresh_period_s = refresh_period_s
         self.current_topics: list[str] = []
+        # base_consumer.py:146-157: called per tick with the topic list;
+        # returns {topic: {partition: offset} | None} — None means "use the
+        # default" (the committed-ledger position).  The hook exists so
+        # topic positions can live in a transactional store OUTSIDE the
+        # ledger (the reference's 'writing data from Kafka into a
+        # transactional store' case).
+        self.fetch_offsets_for_topics = fetch_offsets_for_topics
 
     def resolve(self) -> tuple[list[str], bool]:
         """(topics, changed?) — one registry poll tick
@@ -55,9 +63,18 @@ class DynamicSubscriptionRunner:
         topics, changed = self.resolve()
         if changed:
             self.current_topics = topics
+        overrides = (
+            self.fetch_offsets_for_topics(list(self.current_topics))
+            if self.fetch_offsets_for_topics is not None
+            else {}
+        )
         processed = []
         for topic in self.current_topics:
-            batch = self.consumer.messages(topic, from_committed=from_committed)
+            override = overrides.get(topic)
+            if override is not None:
+                batch = self.consumer.messages(topic, starting_offsets=override)
+            else:
+                batch = self.consumer.messages(topic, from_committed=from_committed)
             process(topic, batch)
             if self.consumer.ledger is not None:
                 self.consumer.commit(topic, batch)

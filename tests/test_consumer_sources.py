@@ -217,3 +217,43 @@ def test_warehouse_destination_end_to_end(spark, tmp_path):
     counts = {r.topic: r.n for r in out.groupBy("topic").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {rs_a.topic: 20, rs_b.topic: 10}
+
+
+def test_fetch_offsets_for_topics_overrides_committed(spark, tmp_path):
+    """§2.9 extension point (base_consumer.py:146-157): when the callback
+    supplies a {partition: offset} map for a topic, consumption starts
+    there instead of the committed-ledger position (positions stored in a
+    transactional sink outside the ledger); None falls back to default."""
+    reg, schemas = _registry_with(1)
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    ledger = OffsetLedger(spark, str(tmp_path / "offsets"))
+    producer = Producer(store, reg)
+    consumer = Consumer(store, reg, group="ovr", ledger=ledger)
+    events = load_table(spark, SF_SMOKE, "events").select("event_id").limit(40)
+    producer.publish(
+        events, schemas[0].schema_id, num_partitions=1, order_by="event_id"
+    )
+    topic = schemas[0].topic
+
+    # commit everything: the default resume position is the tail
+    consumer.commit(topic, consumer.messages(topic))
+
+    seen: dict[str, int] = {}
+
+    def process(t, df):
+        seen[t] = df.count()
+
+    # override rewinds partition 0 to offset 30 -> 10 messages re-read
+    runner = DynamicSubscriptionRunner(
+        consumer,
+        TopicsInNamespace(reg, "ns.main.db"),
+        refresh_period_s=0,
+        fetch_offsets_for_topics=lambda topics: {t: {0: 30} for t in topics},
+    )
+    runner.run_once(process)
+    assert seen[topic] == 10
+
+    # None from the callback -> default committed behavior (tail: nothing)
+    runner.fetch_offsets_for_topics = lambda topics: {t: None for t in topics}
+    runner.run_once(process)
+    assert seen[topic] == 0
