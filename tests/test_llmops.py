@@ -259,3 +259,26 @@ def test_multimodal_resize_and_frame_sample_shapes(spark):
     assert {(f.media_id, f.frame_index, bytes(f.content)) for f in frames} == {
         (f.media_id, f.frame_index, bytes(f.content)) for f in again
     }
+
+
+def test_image_codec_property_roundtrip():
+    """Property: decode(encode(w, h, rgb)) is the identity for arbitrary
+    dimensions (including stride-padding widths) and pixel bytes, for both
+    real codecs; resize to the same size is also the identity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.randoms(use_true_random=False),
+    )
+    def check(w, h, rnd):
+        rgb = bytes(rnd.randrange(256) for _ in range(3 * w * h))
+        for fmt in ("bmp", "ppm"):
+            blob = multimodal._CODECS[fmt][1](w, h, rgb)
+            assert multimodal.decode_media(blob, fmt) == (w, h, rgb)
+            assert multimodal._nn_resize(w, h, rgb, w, h) == rgb
+
+    check()
