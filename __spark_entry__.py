@@ -46,6 +46,7 @@ _PRIORITY = [
     "multimodal_features",
     "envelope_roundtrip",
     "topic_transport_roundtrip",
+    "ngram_repetition_filter",
     # representative green coverage (driver-verified in r2/r5, unchanged)
     "neardup_cluster_assignment",
     "tfidf_top_terms",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "cdc_update_diff",
     "revenue_by_nation",
     "asof_click_attribution",
-    "doc_exact_dedup",
 ]
 
 

@@ -104,6 +104,72 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_repetition_filter",
+    """
+    WITH g AS (
+        SELECT doc_id, string_split(text,' ') AS toks FROM documents
+    ), n AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                 list_transform(generate_series(1, len(toks)-1),
+                                i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS g2,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks)-2),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END AS g3
+        FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+           END AS rep_2gram,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+           END AS rep_3gram,
+           CAST((CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END) > 0.18
+             OR (CASE WHEN len(g3) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END) > 0.16
+             AS INT) AS is_repetitive
+    FROM n
+    """,
+    doc="Gopher/MassiveText-style repetition gate: per-document duplicate "
+    "2-/3-gram fraction (1 - distinct/total over word n-grams) plus the "
+    "boolean gate at the published thresholds.  All in-row array ops on "
+    "one codegen scan — no explode, no shuffle, so it composes with the "
+    "other cheap quality filters at any corpus size.  Integer counts => "
+    "the double division reproduces bitwise across engines.",
+    tags=("llm", "textstats", "quality"),
+)
+def ngram_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokens("text")
+
+    def grams(n: int):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def rep(g):
+        return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g).cast("double")
+        )
+
+    r2, r3 = rep(grams(2)), rep(grams(3))
+    return docs.select(
+        "doc_id",
+        r2.alias("rep_2gram"),
+        r3.alias("rep_3gram"),
+        ((r2 > 0.18) | (r3 > 0.16)).cast("int").alias("is_repetitive"),
+    )
+
+
+@register(
     "doc_fingerprints",
     """
     SELECT doc_id,
