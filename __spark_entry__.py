@@ -47,6 +47,7 @@ _PRIORITY = [
     "envelope_roundtrip",
     "topic_transport_roundtrip",
     "ngram_repetition_filter",
+    "unigram_logprob_score",
     # representative green coverage (driver-verified in r2/r5, unchanged)
     "neardup_cluster_assignment",
     "tfidf_top_terms",
@@ -86,7 +87,6 @@ _PRIORITY = [
     "shipped_within_90d",
     "cdc_update_diff",
     "revenue_by_nation",
-    "asof_click_attribution",
 ]
 
 

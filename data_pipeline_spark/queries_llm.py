@@ -583,6 +583,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_logprob_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-ln(CAST(wf.c AS DOUBLE) / tot.n) * 1000000, 0)
+                    AS BIGINT) AS s
+        FROM toks t JOIN wf ON t.w = wf.w CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_surprisal,
+           COUNT(*) AS n_tokens
+    FROM scored
+    GROUP BY doc_id
+    """,
+    doc="Unigram LM quality score (the CCNet-perplexity proxy): per-doc "
+    "mean token surprisal -ln p(w) under the corpus unigram model.  "
+    "Scale shape: vocabulary frequencies are a tiny broadcast dimension; "
+    "the only big-side shuffle is the per-doc partial-agg groupBy.  "
+    "Per-token surprisals are 1e-6-quantized to scaled longs before "
+    "summing (transcendental-fn contract, same as tfidf) so the mean is "
+    "order-independent and engine-reproducible.",
+    tags=("llm", "textstats", "quality"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(textstats.tokens("text")).alias("w"))
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()  # plan-time scalar, same value the oracle computes
+    scored = toks.join(F.broadcast(wf), "w").select(
+        "doc_id",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.lit(total)) * 1_000_000, 0
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    return scored.groupBy("doc_id").agg(
+        (
+            F.sum("s").cast("double") / F.count(F.lit(1)) / 1_000_000.0
+        ).alias("avg_surprisal"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+@register(
     "ivf_ann_topk",
     None,  # approximate (probe subset): rows-only check
     doc="IVF-flat ANN top-k: deterministic coarse quantizer, queries probe "
