@@ -281,6 +281,27 @@ def test_decile_binning_has_no_per_language_total_sort(spark):
     assert "BroadcastHashJoin" in audit.join_strategies(df), plan
 
 
+def test_unigram_score_broadcasts_vocabulary(spark):
+    """The vocabulary-frequency dimension must broadcast back onto the
+    token stream — shuffling the 100 TB token stream on the word would
+    move the corpus for a dictionary-sized probe."""
+    df = _q("unigram_logprob_score", spark)
+    strategies = audit.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        audit.formatted_plan(df)
+    )
+
+
+def test_repetition_filter_is_single_scan_no_shuffle(spark):
+    """The repetition gate is in-row array math: one documents scan, no
+    join, no exchange before the final result."""
+    df = _q("ngram_repetition_filter", spark)
+    assert audit.join_strategies(df) == []
+    plan = audit.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert _fact_scan_count(df, "documents") == 1
+
+
 def test_decontamination_broadcasts_eval_side(spark):
     """The eval shingle set must broadcast — shuffling the corpus side on
     shingle would move the 100 TB table for a benchmark-sized probe."""
