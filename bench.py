@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "topic_transport_roundtrip",
     "eval_decontamination",
     "multimodal_frame_pipeline",
+    "ngram_repetition_filter",
+    "unigram_logprob_score",
 ]
 
 

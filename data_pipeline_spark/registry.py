@@ -410,6 +410,38 @@ class SchemaRegistry:
         ]
     )
 
+    ELEMENT_VIEW_TYPE = T.StructType(
+        [
+            T.StructField("element_id", T.LongType()),
+            T.StructField("schema_id", T.IntegerType()),
+            T.StructField("element_type", T.StringType()),
+            T.StructField("element_name", T.StringType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("doc", T.StringType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("created_at", T.LongType()),
+        ]
+    )
+
+    def schema_elements_df(self, spark: SparkSession) -> DataFrame:
+        """Per-field schema elements as a broadcastable catalog dimension
+        (join streams on schema_id to surface field docs/notes)."""
+        rows = [
+            (
+                e.element_id,
+                e.schema_id,
+                e.element_type,
+                e.element_name,
+                e.key,
+                e.doc,
+                e.note,
+                e.created_at,
+            )
+            for sid in self._schemas
+            for e in self.get_schema_elements_by_schema_id(sid)
+        ]
+        return spark.createDataFrame(rows, self.ELEMENT_VIEW_TYPE)
+
     def schemas_df(self, spark: SparkSession) -> DataFrame:
         rows = [
             (

@@ -112,3 +112,18 @@ def test_schema_elements_docs_and_notes_roundtrip(spark, tmp_path):
     assert fields["id"]["note"] == "do not reuse ids"
     assert fields["id"]["doc"] == "surrogate key"
     assert fields["name"]["type"] == "union[null,string]"
+
+
+def test_schema_elements_df_view(spark):
+    """Elements surface as a broadcastable catalog dimension too."""
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "v.main.db", "t",
+        json.dumps({"type": "record", "name": "t",
+                    "fields": [{"name": "a", "type": "long", "doc": "fa"}]}),
+    )
+    reg.register_schema_element_note(rs.schema_id, "a", "careful")
+    rows = {r.key: r for r in reg.schema_elements_df(spark).collect()}
+    assert rows["t"].element_type == "record"
+    assert rows["t|a"].doc == "fa" and rows["t|a"].note == "careful"
+    assert rows["t|a"].schema_id == rs.schema_id
