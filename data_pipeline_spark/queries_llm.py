@@ -1094,7 +1094,11 @@ def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     # bucket by the leading order key: bucket order == (n_chars, doc_id)
-    # order across buckets, so per-bucket ranks + bucket prefix = global rank
+    # order across buckets, so per-bucket ranks + bucket prefix = global
+    # rank.  Residual skew only under a DEGENERATE length distribution
+    # (most docs sharing one 256-char band); remedy there is a second
+    # bucketing level on (n_chars, doc_id div D) — order-respecting because
+    # doc_id is the tie-break within equal n_chars.
     sized = docs.withColumn("bucket", F.expr("n_chars div 256"))
     bw = Window.partitionBy("lang", "bucket").orderBy("n_chars", "doc_id")
     local = sized.withColumn("local_rank", F.row_number().over(bw))

@@ -282,3 +282,42 @@ def test_image_codec_property_roundtrip():
             assert multimodal._nn_resize(w, h, rgb, w, h) == rgb
 
     check()
+
+
+def test_decile_binning_degenerate_constant_length(spark, tmp_path):
+    """All docs in one 256-char bucket (constant n_chars): the two-phase
+    closed-form NTILE must still reproduce exact NTILE semantics — the
+    first (n mod 10) tiles get the extra row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.queries import QUERIES
+
+    n = 25
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["w" * 40] * n),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array([40] * n, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: r.decile
+        for r in QUERIES["quality_decile_binning"].spark(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # NTILE(10) over 25 rows ordered by doc_id: tiles 1-5 have 3 rows,
+    # tiles 6-10 have 2
+    expect, rank = {}, 0
+    for tile in range(1, 11):
+        size = 3 if tile <= 5 else 2
+        for _ in range(size):
+            expect[rank] = tile
+            rank += 1
+    assert got == expect
