@@ -160,3 +160,50 @@ def test_dynamic_subscription_gets_monitoring_automatically(spark, tmp_path):
             if w not in {bw for bw, _ in batch}
         }
         assert zero_windows == expected_gaps
+
+
+def test_gap_flush_late_event_counts_into_open_window(spark, tmp_path):
+    """Reference parity (client.py:303-324): a message older than the open
+    window does NOT rewind — record_message increments the CURRENT window
+    after flushing up to the newest timestamp.  Cross-micro-batch late
+    events must do the same here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: window 0 (3 events) then window 600 opens (1 event)
+    pq.write_table(
+        pa.table({"topic": ["t"] * 4, "epoch": pa.array([10, 20, 30, 700], pa.int64())}),
+        str(src / "a.parquet"),
+    )
+    # batch 2: one LATE event (epoch 50 < open window 600) + closer at 1300
+    pq.write_table(
+        pa.table({"topic": ["t"] * 2, "epoch": pa.array([50, 1300], pa.int64())}),
+        str(src / "b.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema("topic STRING, epoch LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    ).select("topic", F.timestamp_seconds(F.col("epoch")).alias("ts"))
+    q = (
+        counts_with_gap_flush(stream, "ts", "topic", window_seconds=600,
+                              idle_timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("lateflush")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.message_count)
+        for r in spark.sql("SELECT * FROM lateflush").collect()
+    }
+    # window 0 closed with 3 on-time events; the late epoch-50 event counts
+    # into the open 600 window (reference semantics), flushed by the 1300
+    # closer: 1 (epoch 700) + 1 (late) = 2
+    assert got == {(0, 3), (600, 2)}
