@@ -263,9 +263,26 @@ def simhash_signatures(
     vote sum.  Explode factor is bits x tokens but all integer codegen; one
     groupBy(doc, bit) + one groupBy(doc).
     """
-    # measured: the bits-way explode with map-side combine beats a per-bit
-    # column formulation locally (~0.8s at sf0.1) and shuffles comparable
-    # bytes (|docs| x bits skinny rows vs |docs| wide rows)
+    # measured r1 AND re-measured r6: the bits-way explode with map-side
+    # combine beats a per-bit column formulation locally (0.5-0.9 s vs
+    # ~1.1 s at sf0.1, identical signatures) and shuffles comparable bytes
+    # (|docs| x bits skinny rows vs |docs| wide rows)
+    votes = _simhash_votes(df, id_col, text_col, bits)
+    sig_bit = F.when(F.col("v") >= 0, 1).otherwise(0)
+    weight = F.pow(F.lit(2.0), (bits - 1) - F.col("b")).cast("bigint")  # exact <= 2^31
+    return votes.select(
+        id_col,
+        (sig_bit.cast("bigint") * weight).alias("contrib"),
+    ).groupBy(id_col).agg(F.sum("contrib").alias("simhash"))
+
+
+def _simhash_votes(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """(id, bit index b, vote sum v): the shared core of the 32- and 64-bit
+    signatures.  Bit b of a token comes from md5 hex nibble b//4 (bit
+    3 - b%4 within the nibble), so a 32-bit signature is exactly the first
+    8 nibbles of the 64-bit one's space."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).select(
         id_col, F.md5("w").alias("hw")
     )
@@ -279,15 +296,84 @@ def simhash_signatures(
     # (val >> (3-b%4)) & 1 — shiftright needs a literal count, so use exact
     # power-of-two division (val<=15, divisor in {1,2,4,8}: exact in double)
     bit = F.floor(val / F.pow(F.lit(2.0), 3 - (F.col("b") % 4))).cast("int") % 2
-    votes = exploded.select(
+    return exploded.select(
         id_col, "b", (bit * 2 - 1).alias("vote")
     ).groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
-    sig_bit = F.when(F.col("v") >= 0, 1).otherwise(0)
-    weight = F.pow(F.lit(2.0), (bits - 1) - F.col("b")).cast("bigint")  # exact <= 2^31
-    return votes.select(
+
+
+def simhash64_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash as two signed 32-bit halves (id, sh_hi, sh_lo).
+
+    The scale path for banded near-dup search: 32-bit signatures band into
+    only 2^8 buckets per band (simhash_neardup_pairs), which goes
+    quadratic on bucket floods at billions of documents; 64 bits give
+    2^16-bucket bands.  Two bigint halves instead of one 64-bit value
+    because the top-bit weight of a packed u64 overflows signed bigint.
+    ``sh_hi`` is bit-identical to the 32-bit ``simhash`` (same nibble
+    definition) — asserted in tests."""
+    votes = _simhash_votes(df, id_col, text_col, 64)
+    sig_bit = F.when(F.col("v") >= 0, 1).otherwise(0).cast("bigint")
+    hi_w = F.pow(F.lit(2.0), 31 - F.col("b")).cast("bigint")
+    lo_w = F.pow(F.lit(2.0), 63 - F.col("b")).cast("bigint")
+    return votes.groupBy(id_col).agg(
+        F.sum(F.when(F.col("b") < 32, sig_bit * hi_w).otherwise(0)).alias("sh_hi"),
+        F.sum(F.when(F.col("b") >= 32, sig_bit * lo_w).otherwise(0)).alias("sh_lo"),
+    )
+
+
+def simhash64_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with 64-bit SimHash Hamming <= max_hamming (<= 3 for
+    the pigeonhole guarantee over 4 bands of 16 bits).
+
+    Same exact-banding construction as the 32-bit path but with 65536
+    buckets per band — the band-bucket join stays near-linear at corpus
+    scales where 256 buckets flood."""
+    sigs = simhash64_signatures(df, id_col, text_col).cache()
+    banded = sigs.select(
         id_col,
-        (sig_bit.cast("bigint") * weight).alias("contrib"),
-    ).groupBy(id_col).agg(F.sum("contrib").alias("simhash"))
+        "sh_hi",
+        "sh_lo",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.floor(
+            F.when(F.col("band") < 2, F.col("sh_hi")).otherwise(F.col("sh_lo"))
+            / F.when(F.col("band") % 2 == 0, F.lit(65536.0)).otherwise(F.lit(1.0))
+        ).cast("bigint")
+        % 65536,
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_hi").alias("hi_a"),
+        F.col("sh_lo").alias("lo_a"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_hi").alias("hi_b"),
+        F.col("sh_lo").alias("lo_b"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
 
 
 def simhash_neardup_pairs(

@@ -321,3 +321,36 @@ def test_decile_binning_degenerate_constant_length(spark, tmp_path):
             expect[rank] = tile
             rank += 1
     assert got == expect
+
+
+def test_simhash64_halves_and_exact_banding(spark):
+    """64-bit scale path: (1) sh_hi is bit-identical to the 32-bit
+    signature (shared nibble definition); (2) the 16-bit-band blocked
+    pairs equal the brute-force O(n^2) Hamming<=3 set exactly
+    (pigeonhole over 4 disjoint bands)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig32 = {r.doc_id: r.simhash for r in
+             ld.simhash_signatures(docs, "doc_id", "text").collect()}
+    sig64 = {r.doc_id: (r.sh_hi, r.sh_lo) for r in
+             ld.simhash64_signatures(docs, "doc_id", "text").collect()}
+    assert set(sig32) == set(sig64)
+    for d, s in sig32.items():
+        assert sig64[d][0] == s
+        assert 0 <= sig64[d][1] < 2**32
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in ld.simhash64_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    ids = sorted(sig64)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sig64[a][0] ^ sig64[b][0]).count("1") + bin(
+                sig64[a][1] ^ sig64[b][1]
+            ).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    assert got == brute
