@@ -381,9 +381,13 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Scale path: block on bit-prefix bands (pigeonhole: distance<=3 over 4
-    bands guarantees one exact band match), so the join is banded, not
-    all-pairs.
+    Blocks on bit-prefix bands (pigeonhole: distance<=3 over 4 bands
+    guarantees one exact band match), so the join is banded, not
+    all-pairs.  The 32-bit bands hold only 2^8 buckets each — at
+    billion-document scale those flood and the band join goes quadratic;
+    ``simhash64_neardup_pairs`` (2^16-bucket bands, same exact-banding
+    guarantee) is the declared scale path, with this 32-bit form kept as
+    the oracle anchor.
     """
     sigs = simhash_signatures(df, id_col, text_col).cache()
     bands = 4
