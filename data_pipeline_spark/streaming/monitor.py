@@ -172,7 +172,7 @@ def monitoring_sink_builder(
         decoded = stream.select(
             F.lit(topic).alias("topic"),
             F.timestamp_seconds(
-                env.unpack(F.col("value")).timestamp
+                env.unpack(F.col("value"), spark=stream.sparkSession).timestamp
             ).alias("ts"),
         )
         flushed = counts_with_gap_flush(
