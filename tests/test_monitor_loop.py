@@ -182,6 +182,11 @@ def test_gap_flush_late_event_counts_into_open_window(spark, tmp_path):
         pa.table({"topic": ["t"] * 2, "epoch": pa.array([50, 1300], pa.int64())}),
         str(src / "b.parquet"),
     )
+    # the file source orders micro-batches by modification time: pin it so
+    # the late-event file is deterministically the SECOND batch
+    import os as _os
+    _os.utime(src / "a.parquet", (1_000_000_000, 1_000_000_000))
+    _os.utime(src / "b.parquet", (1_000_000_100, 1_000_000_100))
 
     stream = (
         spark.readStream.schema("topic STRING, epoch LONG")
