@@ -48,6 +48,7 @@ _PRIORITY = [
     "topic_transport_roundtrip",
     "ngram_repetition_filter",
     "unigram_logprob_score",
+    "multimodal_real_decode",
     # representative green coverage (driver-verified in r2/r5, unchanged)
     "neardup_cluster_assignment",
     "tfidf_top_terms",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "refresh_range_batches",
     "compaction_latest_per_key",
     "broadcast_dim_enrich",
-    "shipped_within_90d",
     "cdc_update_diff",
     "revenue_by_nation",
 ]

@@ -450,6 +450,28 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_real_decode",
+    None,  # pandas-UDF real-codec path: rows-only check
+    doc="REAL image decode at query level: synthesize a valid 24-bit BMP "
+    "per document (pixels = text bytes), decode it in the mapInPandas "
+    "feature kernel, and emit actual luminance-histogram statistics — the "
+    "decode->stats path a production pipeline runs with PIL, exercised "
+    "end-to-end with the stdlib codec.  Exploded to scalar rows for the "
+    "driver canon.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_bmp_media(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("features").alias("feat_idx", "value"),
+    )
+
+
+@register(
     "multimodal_features",
     None,  # pandas-UDF path: rows-only check (no SQL equivalent)
     doc="Arrow-batched fake feature extraction over binary media via "

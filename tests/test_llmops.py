@@ -354,3 +354,24 @@ def test_simhash64_halves_and_exact_banding(spark):
             if h <= 3:
                 brute.add((a, b, h))
     assert got == brute
+
+
+def test_multimodal_real_decode_query_runs_real_codec(spark):
+    """The catalog query's features must equal the luminance histogram of
+    the synthesized BMP computed directly — proving the distributed path
+    decodes real pixels, not the byte-count fallback."""
+    from data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["multimodal_real_decode"].spark(spark, SF_SMOKE).collect()
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, {})[r.feat_idx] = r.value
+    docs = {r.doc_id: r.text for r in
+            load_table(spark, SF_SMOKE, "documents").limit(3).collect()}
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8")
+        rgb = (raw * (48 // len(raw) + 1))[:48]
+        blob = multimodal._encode_bmp(4, 4, rgb)
+        expect = multimodal._luminance_histogram(blob, "bmp", 16)
+        got = [by_doc[doc_id][i] for i in range(16)]
+        assert got == expect
