@@ -370,6 +370,20 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simhash64_neardup_pairs",
+    None,  # rows-only: scale-path variant; exactness unit-verified vs brute force
+    doc="64-bit SimHash near-dup pairs — the banding scale path: 4 bands "
+    "x 16 bits = 65536 buckets/band (vs 256 for 32-bit), same Hamming<=3 "
+    "pigeonhole exactness; pairs verified equal to the O(n^2) brute force "
+    "in unit tests (llmops/dedup.simhash64_neardup_pairs).",
+    tags=("llm", "dedup", "scale-path"),
+)
+def simhash64_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.simhash64_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 _QDOT = (
     "list_sum(list_transform({a}, (x,i) -> "
     "CAST(ROUND(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT) "
