@@ -248,3 +248,66 @@ class FullRefreshRequester:
             avg_rows_per_second_cap=avg_rows_per_second_cap,
             offset=offset,
         )
+
+
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    pk: str,
+    min_pk: int,
+    max_pk: int,
+    batch_size: int,
+    filter_condition: str | None = None,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """Options for ``spark.read.format("jdbc")`` — the deploy-time seam of
+    the full refresh (S6): the reference's serial ``WHERE pk > lo AND
+    pk <= hi ORDER BY pk`` batch loop (copy_table_to_blackhole_table.py:
+    237-257,462-481) becomes Spark's partitioned JDBC scan, where every
+    pk-range batch is a partition read in parallel and the WHERE filter
+    (P6) pushes into the source dbtable.
+
+    ``numPartitions`` is derived from the same (min, max, batch_size)
+    range plan the parquet-backed runner uses, so a deploy swaps only the
+    source, not the planning.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be greater than 0")
+    if max_pk < min_pk:
+        raise ValueError(f"empty pk range [{min_pk}, {max_pk}]")
+    n_rows_span = max_pk - min_pk + 1
+    num_partitions = max(1, -(-n_rows_span // batch_size))  # ceil div
+    dbtable = (
+        f"(SELECT * FROM {table} WHERE {filter_condition}) AS t"
+        if filter_condition
+        else table
+    )
+    return {
+        "url": url,
+        "dbtable": dbtable,
+        "partitionColumn": pk,
+        "lowerBound": str(min_pk),
+        "upperBound": str(max_pk),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetch_size),
+    }
+
+
+def jdbc_scan_options_for_table(
+    df: DataFrame, url: str, table: str, pk: str, job: RefreshJob
+) -> dict[str, str]:
+    """Resolve the pk range from the table itself (one MIN/MAX scan — the
+    reference's range planning, :414-439) and build the JDBC options for
+    the given refresh job."""
+    stats = scan_stats(df, pk).collect()[0]
+    if stats.row_count == 0:
+        raise ValueError(f"table {table} is empty; nothing to refresh")
+    return jdbc_scan_options(
+        url,
+        table,
+        pk,
+        int(stats.min_pk),
+        int(stats.max_pk),
+        job.batch_size,
+        filter_condition=job.filter_condition,
+    )

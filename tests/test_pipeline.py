@@ -582,3 +582,41 @@ def test_refresh_requester_validates_before_enqueue(spark, registry):
     assert mgr.jobs[job.refresh_id] is job
     assert job.schema_id == rs.schema_id
     assert job.status == "NOT_STARTED" and job.priority == 80
+
+
+def test_jdbc_scan_options_mirror_range_plan(spark, registry):
+    """S6 deploy seam: the JDBC partitioned-scan options reproduce the
+    reference's pk-range batch plan (partition count = ceil(span/batch)),
+    push the WHERE filter into dbtable, and validate inputs."""
+    from data_pipeline_spark.refresh import (
+        jdbc_scan_options,
+        jdbc_scan_options_for_table,
+    )
+
+    opts = jdbc_scan_options(
+        "jdbc:mysql://db:3306/main", "users", "id", 1, 1000, 100,
+        filter_condition="country = 'CA'",
+    )
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("1", "1000")
+    assert opts["numPartitions"] == "10"
+    assert opts["dbtable"] == "(SELECT * FROM users WHERE country = 'CA') AS t"
+
+    assert jdbc_scan_options("u", "t", "id", 0, 0, 500)["numPartitions"] == "1"
+    with pytest.raises(ValueError, match="batch_size"):
+        jdbc_scan_options("u", "t", "id", 1, 10, 0)
+    with pytest.raises(ValueError, match="empty pk range"):
+        jdbc_scan_options("u", "t", "id", 10, 1, 5)
+
+    # range resolved from the table matches the parquet runner's plan
+    ev = _events(spark, 200)
+    mgr = FullRefreshManager(spark)
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    job = mgr.request(namespace="test.main.db", source="events",
+                      schema_id=rs.schema_id, batch_size=50)
+    got = jdbc_scan_options_for_table(ev, "jdbc:mysql://db/main", "events",
+                                      "event_id", job)
+    lo, hi = int(got["lowerBound"]), int(got["upperBound"])
+    assert lo == ev.agg(F.min("event_id")).first()[0]
+    assert hi == ev.agg(F.max("event_id")).first()[0]
+    assert int(got["numPartitions"]) == -(-(hi - lo + 1) // 50)
