@@ -46,6 +46,7 @@ _PRIORITY = [
     "multimodal_features",
     "envelope_roundtrip",
     "topic_transport_roundtrip",
+    "encrypted_transport_roundtrip",
     "ngram_repetition_filter",
     "unigram_logprob_score",
     "multimodal_real_decode",
@@ -70,7 +71,6 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q13_order_count_distribution",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",

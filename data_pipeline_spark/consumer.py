@@ -68,12 +68,18 @@ class Consumer:
         starting_offsets: dict[int, int] | None = None,
         reader_schema_id: int | None = None,
         from_committed: bool = False,
+        crypto_keys: dict[int, bytes] | None = None,
     ) -> DataFrame:
         """Envelope metadata + payload decoded to typed columns.
 
         Reader schema defaults to the topic's latest (schema-id dispatch via
         registry map broadcast into the decode UDF); ``reader_schema_id``
-        overrides it (consumer.py:226-233).
+        overrides it (consumer.py:226-233).  ``crypto_keys`` maps key_id ->
+        AES key; encrypted payloads (envelope ``encryption_type``) are
+        decrypted JVM-side before decode, with the IV taken from the meta
+        attribute the producer attached (E4; message.py:817-935 decrypt-if-
+        needed step).  An encrypted message whose key_id is not provided
+        raises at execution.
         """
         raw = self.raw(topic, starting_offsets, from_committed)
         if reader_schema_id is not None:
@@ -117,6 +123,26 @@ class Consumer:
             return pd.DataFrame(out, columns=reader_names)
 
         e = F.col("envelope")
+        payload_col = e.payload
+        if crypto_keys:
+            from data_pipeline_spark.functions import crypto
+
+            iv = crypto.get_meta(e.meta, crypto.IV_META_SCHEMA_ID)
+            key_id = crypto.parse_key_id(e.encryption_type)
+            decrypted = F.when(e.encryption_type.isNull(), e.payload)
+            for kid, key_bytes in crypto_keys.items():
+                decrypted = decrypted.when(
+                    key_id == kid,
+                    crypto.decrypt_payload(e.payload, key_bytes, iv),
+                )
+            payload_col = decrypted.otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("no key provided for encryption_type "),
+                        e.encryption_type,
+                    )
+                )
+            )
         return raw.select(
             "partition",
             "offset",
@@ -125,7 +151,7 @@ class Consumer:
             e.message_type.alias("message_type"),
             e.schema_id.alias("schema_id"),
             e.timestamp.alias("timestamp"),
-            dispatch_decode(e.schema_id, e.payload).alias("payload"),
+            dispatch_decode(e.schema_id, payload_col).alias("payload"),
         )
 
     def messages_union(

@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 ENCRYPTION_TYPE_PREFIX = "AES_MODE_CBC"
 
+# Meta-attribute schema id under which the per-message IV rides
+# (initialization_vector.py:26-33 registers an IV avsc in the Schematizer;
+# this engine reserves a well-known id — swap for the registered id when a
+# deployment manages meta-attribute schemas in the registry).
+IV_META_SCHEMA_ID = 1_000_000
+
 
 def encryption_type_str(key_id: int) -> str:
     return f"{ENCRYPTION_TYPE_PREFIX}-{key_id}"

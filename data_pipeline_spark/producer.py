@@ -55,13 +55,18 @@ class Producer:
         timestamp_col: str | None = None,
         order_by: str | None = None,
         meta: Column | None = None,
+        encrypt_key: tuple[int, bytes] | None = None,
     ) -> DataFrame:
         """Rows -> (key, value) wire records for the schema's topic.
 
         - payload: Avro-encoded with the registered schema (E2);
         - key: Avro-encoded primary-key projection (E3, message.py:340-384)
           so partition assignment groups by pk;
-        - envelope: uuid + message_type + schema_id + timestamp (E1).
+        - envelope: uuid + message_type + schema_id + timestamp (E1);
+        - ``encrypt_key`` = (key_id, 16/24/32-byte key): AES-CBC encrypt the
+          payload (E4, _encryption_helper.py:108-204) with a fresh per-row
+          IV riding as a meta attribute and
+          ``encryption_type='AES_MODE_CBC-<key_id>'`` on the envelope.
         """
         if message_type not in VALID_MESSAGE_TYPES:
             raise ValueError(f"invalid public message type {message_type!r}")
@@ -93,6 +98,23 @@ class Producer:
             else F.unix_timestamp(F.current_timestamp())
         ).cast("int")
 
+        meta_col = meta if meta is not None else F.lit(None).cast(env.META_TYPE_DDL)
+        enc_type_col = F.lit(None).cast("string")
+        if encrypt_key is not None:
+            from data_pipeline_spark.functions import crypto
+
+            key_id, key_bytes = encrypt_key
+            # materialize the IV as a column FIRST: random_iv() is
+            # nondeterministic, and referencing the raw expression from both
+            # the ciphertext and the meta attribute would draw two IVs
+            rows = rows.withColumn("__iv", crypto.random_iv())
+            payload = crypto.encrypt_payload(payload, key_bytes, F.col("__iv"))
+            meta_col = crypto.add_meta(
+                meta_col,
+                crypto.meta_attribute(crypto.IV_META_SCHEMA_ID, F.col("__iv")),
+            )
+            enc_type_col = F.lit(crypto.encryption_type_str(key_id))
+
         envelope_struct = F.struct(
             env.generate_uuid().alias("uuid"),
             F.lit(message_type).alias("message_type"),
@@ -101,10 +123,8 @@ class Producer:
             (previous if previous is not None else F.lit(None).cast("binary")).alias(
                 "previous_payload"
             ),
-            (
-                meta if meta is not None else F.lit(None).cast(env.META_TYPE_DDL)
-            ).alias("meta"),
-            F.lit(None).cast("string").alias("encryption_type"),
+            meta_col.alias("meta"),
+            enc_type_col.alias("encryption_type"),
             ts.alias("timestamp"),
         )
         # spark passed through so the wire codec can take the JVM
@@ -126,18 +146,25 @@ class Producer:
         timestamp_col: str | None = None,
         order_by: str | None = None,
         skip_pii: bool = False,
+        encrypt_key: tuple[int, bytes] | None = None,
     ) -> PublishStats:
         """Encode + append to the schema's topic; returns position data.
 
         ``skip_pii`` mirrors the producer's PII guard
         (_kafka_producer.py:107-121): refuse (skip) PII topics when the
-        transport isn't cleared for them.
+        transport isn't cleared for them.  ``encrypt_key`` (key_id, key)
+        AES-CBC encrypts payloads on the wire (E4); see ``prepare``.
         """
         rs = self.registry.get_schema_by_id(schema_id)
         if rs.contains_pii and skip_pii:
             return PublishStats(rs.topic, self.store.high_watermarks(rs.topic), 0)
         wire = self.prepare(
-            rows, schema_id, message_type, timestamp_col=timestamp_col, order_by=order_by
+            rows,
+            schema_id,
+            message_type,
+            timestamp_col=timestamp_col,
+            order_by=order_by,
+            encrypt_key=encrypt_key,
         )
         n = wire.count()
         highs = self.store.publish(

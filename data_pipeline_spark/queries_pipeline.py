@@ -111,3 +111,52 @@ def topic_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msgs.select(
         "payload.event_id", "payload.user_id", "payload.event_type", "payload.value"
     )
+
+
+@register(
+    "encrypted_transport_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id < 1000
+    """,
+    doc="E4 on the wire through the driver gate: publish with AES-CBC "
+    "payload encryption (per-row IV as a meta attribute, "
+    "encryption_type on the envelope), consume with the key ring, "
+    "decrypt JVM-side, decode.  Lossless iff it matches the identity "
+    "oracle — ciphertext and random IVs never reach the compared output.",
+    tags=("E4", "E1", "E2", "wire", "crypto"),
+)
+def encrypted_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_pipeline_spark.consumer import Consumer
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    key = b"0123456789abcdef0123456789abcdef"
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 1000
+    ).select("event_id", "user_id", "event_type", "value")
+
+    registry = SchemaRegistry()
+    rs = registry.register_schema(
+        "bench.main.db",
+        "events_pii",
+        _EVENT_WIRE_SCHEMA,
+        primary_keys=("event_id",),
+        contains_pii=True,
+    )
+    store = TopicStore(spark, tempfile.mkdtemp(prefix="dps_enc_transport_"))
+    Producer(store, registry).publish(
+        events,
+        rs.schema_id,
+        num_partitions=4,
+        order_by="event_id",
+        encrypt_key=(1, key),
+    )
+    msgs = Consumer(store, registry).messages(rs.topic, crypto_keys={1: key})
+    return msgs.select(
+        "payload.event_id", "payload.user_id", "payload.event_type", "payload.value"
+    )

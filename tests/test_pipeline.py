@@ -620,3 +620,41 @@ def test_jdbc_scan_options_mirror_range_plan(spark, registry):
     assert lo == ev.agg(F.min("event_id")).first()[0]
     assert hi == ev.agg(F.max("event_id")).first()[0]
     assert int(got["numPartitions"]) == -(-(hi - lo + 1) // 50)
+
+
+def test_encrypted_publish_consume_roundtrip(spark, registry, store):
+    """E4 end-to-end on the wire: publish with AES-CBC, ciphertext + IV
+    meta + encryption_type ride the envelope, consume with the key ring
+    decrypts losslessly; consuming without the key raises."""
+    from data_pipeline_spark.functions import crypto
+
+    key = b"0123456789abcdef0123456789abcdef"
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    Producer(store, registry).publish(
+        _events(spark, 40), rs.schema_id, order_by="event_id",
+        encrypt_key=(1, key),
+    )
+    consumer = Consumer(store, registry)
+
+    # wire carries ciphertext, the encryption type, and exactly one IV meta
+    raw = consumer.raw(rs.topic).select("envelope.*").collect()
+    for r in raw:
+        assert r.encryption_type == "AES_MODE_CBC-1"
+        ivs = [m for m in r.meta if m.schema_id == crypto.IV_META_SCHEMA_ID]
+        assert len(ivs) == 1 and len(bytes(ivs[0].payload)) == 16
+
+    got = sorted(
+        (r.payload.event_id, r.payload.event_type, r.payload.value)
+        for r in consumer.messages(rs.topic, crypto_keys={1: key}).collect()
+    )
+    want = sorted(
+        (r.event_id, r.event_type, r.value) for r in _events(spark, 40).collect()
+    )
+    assert got == want
+
+    # no key ring -> the Avro decode sees ciphertext and fails loudly;
+    # wrong key id -> the raise_error branch names the encryption type
+    with pytest.raises(Exception):
+        consumer.messages(rs.topic).collect()
+    with pytest.raises(Exception, match="no key provided"):
+        consumer.messages(rs.topic, crypto_keys={2: key}).collect()
