@@ -47,6 +47,7 @@ _PRIORITY = [
     "envelope_roundtrip",
     "topic_transport_roundtrip",
     "encrypted_transport_roundtrip",
+    "wire_key_roundtrip",
     "ngram_repetition_filter",
     "unigram_logprob_score",
     "multimodal_real_decode",
@@ -79,7 +80,6 @@ _PRIORITY = [
     "q22_sales_opportunity",
     "props_json_extract",
     "sessionize_events",
-    "hypertable_rollup",
     "jaccard_neardup_pairs",
     "monitor_window_counts",
     "refresh_range_batches",

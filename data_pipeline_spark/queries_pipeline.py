@@ -114,6 +114,52 @@ def topic_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wire_key_roundtrip",
+    """
+    SELECT event_id FROM events WHERE event_id < 2000
+    """,
+    doc="E3 through the driver gate: the Kafka message KEY (Avro-encoded "
+    "primary-key projection, message.py:340-384) survives "
+    "publish->disk->consume and decodes back to the pk values — the "
+    "column log compaction and partition assignment key on.",
+    tags=("E3", "wire"),
+)
+def wire_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+
+    from data_pipeline_spark import envelope as env
+    from data_pipeline_spark.consumer import Consumer
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2000
+    ).select("event_id", "user_id", "event_type", "value")
+
+    registry = SchemaRegistry()
+    rs = registry.register_schema(
+        "bench.main.db", "events_keys", _EVENT_WIRE_SCHEMA, primary_keys=("event_id",)
+    )
+    store = TopicStore(spark, tempfile.mkdtemp(prefix="dps_key_transport_"))
+    Producer(store, registry).publish(
+        events, rs.schema_id, num_partitions=4, order_by="event_id"
+    )
+    pk_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "pk",
+            "fields": [{"name": "event_id", "type": "long"}],
+        }
+    )
+    raw = Consumer(store, registry).raw(rs.topic)
+    return raw.select(
+        env.decode_payload_udf(pk_schema)(F.col("key")).alias("k")
+    ).select(F.col("k.event_id").alias("event_id"))
+
+
+@register(
     "encrypted_transport_roundtrip",
     """
     SELECT event_id, user_id, event_type, value
