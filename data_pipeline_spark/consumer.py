@@ -206,8 +206,11 @@ class Tailer:
         limit: int | None = None,
         iso_time: bool = False,
         starting_offsets: dict[int, int] | None = None,
+        crypto_keys: dict[int, bytes] | None = None,
     ) -> DataFrame:
-        msgs = self.consumer.messages(topic, starting_offsets=starting_offsets)
+        msgs = self.consumer.messages(
+            topic, starting_offsets=starting_offsets, crypto_keys=crypto_keys
+        )
         if start_ts is not None:
             msgs = msgs.filter(F.col("timestamp") >= start_ts)  # P3
         if end_ts is not None:

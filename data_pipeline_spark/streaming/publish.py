@@ -29,6 +29,7 @@ class StreamingPublisher:
         message_type: str = "create",
         num_partitions: int = 4,
         order_by: str | None = None,
+        encrypt_key: tuple[int, bytes] | None = None,
     ):
         self.producer = producer
         self.schema_id = schema_id
@@ -36,6 +37,9 @@ class StreamingPublisher:
         self.message_type = message_type
         self.num_partitions = num_partitions
         self.order_by = order_by
+        # (key_id, key): AES-CBC encrypt payloads on the wire (E4) —
+        # passed straight through to Producer.publish per micro-batch
+        self.encrypt_key = encrypt_key
         # max committed epoch, lazily seeded from the ledger.  Structured
         # Streaming epoch ids are strictly increasing per checkpoint and a
         # replay re-delivers the LAST epoch, so one high watermark is a
@@ -66,6 +70,7 @@ class StreamingPublisher:
             message_type=self.message_type,
             num_partitions=self.num_partitions,
             order_by=self.order_by,
+            encrypt_key=self.encrypt_key,
         )
         spark.createDataFrame([(epoch_id,)], "epoch_id LONG").write.mode(
             "append"

@@ -478,3 +478,51 @@ def test_subscription_rebalance_callbacks(spark, tmp_path):
     pre = [c for c in calls if c[0] == "pre"]
     assert pre == [("pre", {rs_b.topic: sorted(store.high_watermarks(rs_b.topic))})]  # revoked map
     runner.stop_all()
+
+
+def test_streaming_publisher_with_encryption(spark, tmp_path):
+    """Streaming publish with AES-CBC: encrypted envelopes on disk per
+    micro-batch; a keyed tailer decrypts to the exact input rows."""
+    from data_pipeline_spark.consumer import Consumer, Tailer
+    from data_pipeline_spark.streaming.publish import StreamingPublisher
+
+    key = b"ffffffff0123456789abcdef01234567"
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "enc.main.db", "events", EVENT_SCHEMA, contains_pii=True
+    )
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    pub = StreamingPublisher(
+        Producer(store, reg),
+        rs.schema_id,
+        str(tmp_path / "ledger"),
+        order_by="event_id",
+        encrypt_key=(7, key),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    events.limit(30).write.mode("overwrite").parquet(str(src / "batch"))
+    stream = spark.readStream.schema("event_id LONG, event_type STRING").parquet(
+        str(src / "batch")
+    )
+    q = (
+        stream.writeStream.foreachBatch(pub.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cons = Consumer(store, reg)
+    enc_types = {r.encryption_type for r in
+                 cons.raw(rs.topic).select("envelope.*").collect()}
+    assert enc_types == {"AES_MODE_CBC-7"}
+    rows = Tailer(cons).tail(
+        rs.topic, fields=["event_id", "event_type"], crypto_keys={7: key}
+    ).collect()
+    got = sorted((r.event_id, r.event_type) for r in rows)
+    want = sorted(
+        (r.event_id, r.event_type) for r in events.limit(30).collect()
+    )
+    assert got == want
