@@ -262,42 +262,62 @@ def simhash_signatures(
     vote sum.  Explode factor is bits x tokens but all integer codegen; one
     groupBy(doc, bit) + one groupBy(doc).
     """
-    # measured r1 AND re-measured r6: the bits-way explode with map-side
-    # combine beats a per-bit column formulation locally (0.5-0.9 s vs
-    # ~1.1 s at sf0.1, identical signatures) and shuffles comparable bytes
-    # (|docs| x bits skinny rows vs |docs| wide rows)
-    votes = _simhash_votes(df, id_col, text_col, bits)
-    sig_bit = F.when(F.col("v") >= 0, 1).otherwise(0)
-    weight = F.pow(F.lit(2.0), (bits - 1) - F.col("b")).cast("bigint")  # exact <= 2^31
-    return votes.select(
-        id_col,
-        (sig_bit.cast("bigint") * weight).alias("contrib"),
-    ).groupBy(id_col).agg(F.sum("contrib").alias("simhash"))
+    # r6 re-measurement under collect() (count() silently PRUNES the vote
+    # aggregation, which had made the bit-explode look 0.5 s — comparing
+    # pruned plans): per-NIBBLE explode (x8 rows, 4 vote columns per row,
+    # map-side combine) 1.0 s vs bit-explode (x32 rows) 2.6 s vs per-bit
+    # columns 2.5 s at sf0.1 — identical signatures, 4x fewer exploded
+    # rows and one md5-nibble extraction per 4 bits
+    votes = _simhash_nibble_votes(df, id_col, text_col, bits // 4)
+    contrib = _nibble_contrib(31 if bits == 32 else None)
+    return (
+        votes.select(id_col, contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("simhash"))
+    )
 
 
-def _simhash_votes(
-    df: DataFrame, id_col: str, text_col: str, bits: int
+def _nibble_contrib(top_bit: int | None):
+    """Signature contribution of one (id, nibble) vote row: the 4 sign
+    bits weighted into their 32-bit positions (nibble n holds bits
+    4n..4n+3 counted from the top).  ``top_bit`` fixed at 31 for the
+    32-bit signature; None uses n % 8 (the per-half layout of the 64-bit
+    signature)."""
+    n_in_word = F.col("n") if top_bit is not None else (F.col("n") % 8)
+    return sum(
+        [
+            F.when(F.col(f"s{k}") >= 0, 1).otherwise(0).cast("bigint")
+            * F.pow(F.lit(2.0), 31 - (n_in_word * 4 + k)).cast("bigint")
+            for k in range(4)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+
+
+def _simhash_nibble_votes(
+    df: DataFrame, id_col: str, text_col: str, nibbles: int
 ) -> DataFrame:
-    """(id, bit index b, vote sum v): the shared core of the 32- and 64-bit
-    signatures.  Bit b of a token comes from md5 hex nibble b//4 (bit
-    3 - b%4 within the nibble), so a 32-bit signature is exactly the first
-    8 nibbles of the 64-bit one's space."""
+    """(id, nibble index n, vote sums s0..s3): the shared core of the 32-
+    and 64-bit signatures.  Bit b of a token comes from md5 hex nibble
+    b//4 (bit 3 - b%4 within the nibble), so a 32-bit signature is exactly
+    the first 8 nibbles of the 64-bit one's space."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).select(
         id_col, F.md5("w").alias("hw")
     )
-    exploded = toks.select(
+    ex = toks.select(
         id_col,
         "hw",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(nibbles - 1))).alias("n"),
     )
-    nibble = F.substring(F.col("hw"), (F.col("b") / 4).cast("int") + 1, 1)
-    val = F.conv(nibble, 16, 10).cast("int")  # oracle: strpos(hex_digits, ch)-1
-    # (val >> (3-b%4)) & 1 — shiftright needs a literal count, so use exact
-    # power-of-two division (val<=15, divisor in {1,2,4,8}: exact in double)
-    bit = F.floor(val / F.pow(F.lit(2.0), 3 - (F.col("b") % 4))).cast("int") % 2
-    return exploded.select(
-        id_col, "b", (bit * 2 - 1).alias("vote")
-    ).groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    val = F.conv(F.substring("hw", F.col("n") + 1, 1), 16, 10).cast("int")
+    votes = [
+        ((F.shiftright(val, 3 - k) % 2) * 2 - 1).alias(f"v{k}") for k in range(4)
+    ]
+    return (
+        ex.select(id_col, "n", *votes)
+        .groupBy(id_col, "n")
+        .agg(*[F.sum(f"v{k}").alias(f"s{k}") for k in range(4)])
+    )
 
 
 def simhash64_signatures(
@@ -312,13 +332,11 @@ def simhash64_signatures(
     because the top-bit weight of a packed u64 overflows signed bigint.
     ``sh_hi`` is bit-identical to the 32-bit ``simhash`` (same nibble
     definition) — asserted in tests."""
-    votes = _simhash_votes(df, id_col, text_col, 64)
-    sig_bit = F.when(F.col("v") >= 0, 1).otherwise(0).cast("bigint")
-    hi_w = F.pow(F.lit(2.0), 31 - F.col("b")).cast("bigint")
-    lo_w = F.pow(F.lit(2.0), 63 - F.col("b")).cast("bigint")
-    return votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("b") < 32, sig_bit * hi_w).otherwise(0)).alias("sh_hi"),
-        F.sum(F.when(F.col("b") >= 32, sig_bit * lo_w).otherwise(0)).alias("sh_lo"),
+    votes = _simhash_nibble_votes(df, id_col, text_col, 16)
+    c = _nibble_contrib(None)
+    return votes.select(id_col, "n", c.alias("c")).groupBy(id_col).agg(
+        F.sum(F.when(F.col("n") < 8, F.col("c")).otherwise(0)).alias("sh_hi"),
+        F.sum(F.when(F.col("n") >= 8, F.col("c")).otherwise(0)).alias("sh_lo"),
     )
 
 
