@@ -51,6 +51,7 @@ _PRIORITY = [
     "ngram_repetition_filter",
     "unigram_logprob_score",
     "multimodal_real_decode",
+    "neardup_quality_survivors",
     # representative green coverage (driver-verified in r2/r5, unchanged)
     "neardup_cluster_assignment",
     "tfidf_top_terms",
@@ -79,7 +80,6 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
     "props_json_extract",
-    "sessionize_events",
     "jaccard_neardup_pairs",
     "monitor_window_counts",
     "refresh_range_batches",

@@ -947,6 +947,80 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_quality_survivors",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    q AS (
+        SELECT doc_id,
+               (len(list_distinct(string_split(text,' ')))
+                  / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5
+               + (len(list_filter(string_split(text,' '), x -> x IN {{stops}}))
+                  / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+               + (least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0) * 0.2
+                 AS quality_score
+        FROM documents
+    )
+    SELECT component, doc_id AS survivor_id, quality_score
+    FROM (
+        SELECT c.component, c.doc_id, q.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    WHERE rn = 1
+    """.replace("{stops}", _STOP_EN_SQL),
+    doc="The KEEP decision of a fuzzy-dedup pipeline: per near-dup cluster "
+    "keep the highest-QUALITY copy (not the smallest id) — clusters from "
+    "the Jaccard>=0.8 connected components, quality from the composite "
+    "score, doc_id tie-break for determinism.  One window over "
+    "cluster-sized groups.",
+    tags=("llm", "dedup", "quality"),
+)
+def neardup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.operators.ordering import top_k_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = ld.connected_components(pairs, docs, "doc_id")
+    quality = textstats.quality_features(docs).select(
+        "doc_id", textstats.quality_score().alias("quality_score")
+    )
+    best = top_k_per_key(
+        comp.join(quality, "doc_id"),
+        keys=["component"],
+        order_by=[F.col("quality_score").desc(), F.col("doc_id").asc()],
+        k=1,
+    )
+    return best.select(
+        "component", F.col("doc_id").alias("survivor_id"), "quality_score"
+    )
+
+
 _BPE_SQL_PAT = textstats.BPE_ISH_PATTERN.replace("'", "''")
 
 
