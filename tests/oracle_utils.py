@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 TABLES = (
     "region",
@@ -54,14 +54,38 @@ def normalize(rows, colnames):
     return sorted(c for c in colnames), out
 
 
+def _oracle_dt_to_host_local(v):
+    """DuckDB returns naive UTC wall times (the engine's timestamp
+    contract), while Spark's collect() renders TimestampType INSTANTS as
+    naive HOST-LOCAL datetimes — identical only on a UTC host.  Convert
+    the oracle side of instant columns to host-local so the comparison is
+    host-timezone-proof (verified under TZ=America/New_York and
+    Asia/Tokyo).  TIMESTAMP_NTZ columns collect as their wall time on any
+    host and must NOT be shifted."""
+    if isinstance(v, datetime) and v.tzinfo is None:
+        return v.replace(tzinfo=timezone.utc).astimezone().replace(tzinfo=None)
+    return v
+
+
 def compare_query(spark, con, spec, sf_dir: str):
     """Return (ok, detail) comparing spec.spark vs spec.oracle."""
+    from pyspark.sql import types as T
+
     sdf = spec.spark(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
+    instant_cols = {
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, T.TimestampType)
+    }
     res = con.execute(spec.oracle)
     ocols = [d[0] for d in res.description]
-    orows = [tuple(r) for r in res.fetchall()]
+    orows = [
+        tuple(
+            _oracle_dt_to_host_local(v) if c in instant_cols else v
+            for c, v in zip(ocols, r)
+        )
+        for r in res.fetchall()
+    ]
     scols_n, srows_n = normalize(srows, scols)
     ocols_n, orows_n = normalize(orows, ocols)
     if scols_n != ocols_n:
