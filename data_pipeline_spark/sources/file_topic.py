@@ -37,12 +37,39 @@ TOPIC_SCHEMA = T.StructType(
 
 
 class TopicStore:
-    """Root directory holding one parquet dir per topic."""
+    """Root directory holding one parquet dir per topic.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``serialize_publishes=True`` guards each publish's read-assign-append
+    sequence with a per-topic ``LeaseLock``: a real Kafka broker serializes
+    appends per partition, but two CONCURRENT TopicStore producers would
+    read the same high watermark and assign duplicate (partition, offset)
+    pairs.  Off by default (single-writer deployments, and every test's
+    assumption); turn on whenever more than one producer process/thread
+    can publish to the same root.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, serialize_publishes: bool = False
+    ):
         self.spark = spark
         self.root = root
+        self.serialize_publishes = serialize_publishes
         os.makedirs(root, exist_ok=True)
+
+    def _publish_guard(self, topic: str):
+        if not self.serialize_publishes:
+            import contextlib
+
+            return contextlib.nullcontext()
+        from data_pipeline_spark.coordination import LeaseLock
+
+        return LeaseLock(
+            "publish",
+            topic,
+            os.path.join(self.root, ".locks"),
+            lease_seconds=300,
+            timeout=60,
+        )
 
     def _dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
@@ -77,6 +104,16 @@ class TopicStore:
         Offsets continue from the current high watermark per partition —
         assignment is a per-partition row_number, a single narrow shuffle.
         """
+        with self._publish_guard(topic):
+            return self._publish_locked(df, topic, num_partitions, order_by)
+
+    def _publish_locked(
+        self,
+        df: DataFrame,
+        topic: str,
+        num_partitions: int,
+        order_by: Column | str | None,
+    ) -> dict[int, int]:
         highs = self.high_watermarks(topic, num_partitions)
         key_or_value = F.coalesce(F.col("key"), F.col("value"))
         part = F.pmod(F.xxhash64(key_or_value), F.lit(num_partitions)).cast("int")

@@ -658,3 +658,38 @@ def test_encrypted_publish_consume_roundtrip(spark, registry, store):
         consumer.messages(rs.topic).collect()
     with pytest.raises(Exception, match="no key provided"):
         consumer.messages(rs.topic, crypto_keys={2: key}).collect()
+
+
+def test_concurrent_publishes_serialized_unique_offsets(spark, registry, tmp_path):
+    """With serialize_publishes, racing producer threads never duplicate a
+    (partition, offset) pair — the Kafka broker-side append serialization
+    TopicStore otherwise lacks."""
+    import threading
+
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    store = TopicStore(
+        spark, str(tmp_path / "topics"), serialize_publishes=True
+    )
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    errs = []
+
+    def worker(lo):
+        try:
+            rows = _events(spark, 200).filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < lo + 25)
+            )
+            Producer(store, registry).publish(rows, rs.schema_id, order_by="event_id")
+        except Exception as exc:  # surface in the main thread
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(lo,)) for lo in range(0, 100, 25)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    wire = store.read(rs.topic)
+    assert wire.count() == 100
+    assert wire.select("partition", "offset").distinct().count() == 100
+    assert sum(store.high_watermarks(rs.topic).values()) == 100
