@@ -145,20 +145,27 @@ class TopicStore:
         # (partition, offset) pairs on the next publish.
         out = out.persist()
         try:
-            out.write.mode("append").partitionBy("partition").parquet(
-                self._dir(topic)
-            )
             new_highs = dict(highs)
             for r in (
                 out.groupBy("partition").agg(F.max("offset").alias("high")).collect()
             ):
                 new_highs[r.partition] = r.high + 1
+            # RESERVE the range in the watermark sidecar BEFORE the data
+            # append: a crash between the two leaves an offset GAP (safe —
+            # reads are range-filtered and resume positions tolerate
+            # skips), whereas the old data-then-sidecar order could leave
+            # the sidecar BEHIND the data and hand the same offsets to the
+            # next publish — duplicate (partition, offset) pairs, the one
+            # unrecoverable corruption.  The sidecar stays the O(1)
+            # watermark read either way.
+            self.spark.createDataFrame(
+                list(new_highs.items()), "partition INT, next_offset LONG"
+            ).write.mode("append").parquet(self._meta_dir(topic))
+            out.write.mode("append").partitionBy("partition").parquet(
+                self._dir(topic)
+            )
         finally:
             out.unpersist()
-        # watermark sidecar: O(1) reads instead of scanning the topic
-        self.spark.createDataFrame(
-            list(new_highs.items()), "partition INT, next_offset LONG"
-        ).write.mode("append").parquet(self._meta_dir(topic))
         return new_highs
 
     # -- metadata -----------------------------------------------------------

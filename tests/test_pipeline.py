@@ -693,3 +693,39 @@ def test_concurrent_publishes_serialized_unique_offsets(spark, registry, tmp_pat
     assert wire.count() == 100
     assert wire.select("partition", "offset").distinct().count() == 100
     assert sum(store.high_watermarks(rs.topic).values()) == 100
+
+
+def test_publish_crash_between_reserve_and_write_never_duplicates(
+    spark, registry, store
+):
+    """Crash-consistency of offset assignment: a sidecar reservation whose
+    data append never landed (simulated) must yield a GAP on the next
+    publish — never a duplicate (partition, offset).  The reverse order
+    (data before sidecar) would reuse offsets after a crash."""
+    rs = registry.latest_schema_for_source("test.main.db", "events")
+    prod = Producer(store, registry)
+    prod.publish(_events(spark, 40), rs.schema_id, order_by="event_id")
+    highs = store.high_watermarks(rs.topic)
+
+    # simulate: a publish reserved +5 on every partition, then died before
+    # its data write (exactly the state the reserve-first order can leave)
+    spark.createDataFrame(
+        [(p, h + 5) for p, h in highs.items()], "partition INT, next_offset LONG"
+    ).write.mode("append").parquet(store._meta_dir(rs.topic))
+
+    more = _events(spark, 100).filter(F.col("event_id") >= 40)
+    prod.publish(more, rs.schema_id, order_by="event_id")
+    wire = store.read(rs.topic)
+    assert wire.count() == 100
+    # all (partition, offset) pairs unique; new offsets start past the gap
+    assert wire.select("partition", "offset").distinct().count() == 100
+    per_part_min_new = {
+        r.partition: r.lo
+        for r in wire.filter(F.col("offset") >= F.lit(min(highs.values())))
+        .groupBy("partition")
+        .agg(F.min("offset").alias("lo"))
+        .collect()
+    }
+    for p, h in highs.items():
+        if p in per_part_min_new and per_part_min_new[p] >= h:
+            assert per_part_min_new[p] >= h + 5 or per_part_min_new[p] < h
