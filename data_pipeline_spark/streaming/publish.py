@@ -19,7 +19,24 @@ from data_pipeline_spark.producer import Producer
 
 
 class StreamingPublisher:
-    """foreachBatch adapter around Producer.publish with replay skipping."""
+    """foreachBatch adapter around Producer.publish with replay skipping.
+
+    Exactly-once across EVERY crash window via a two-phase ledger — the
+    reference's watermark-verified retry (_producer_retry.py:120-190)
+    re-expressed:
+
+    1. append an INTENT row (epoch, pre-publish high watermarks);
+    2. publish the batch (one atomic Spark job commit);
+    3. append a COMMIT row.
+
+    A replay of an epoch with an intent but no commit consults the topic's
+    CURRENT watermarks: advanced past the intent's snapshot means the
+    publish landed before the crash — record the commit and skip;
+    unchanged means it never landed — publish normally.  The old
+    single-row ledger had a duplicate window (crash after publish, before
+    the ledger append).  Rows without a ``phase`` column (pre-r6 ledgers)
+    are treated as commits.
+    """
 
     def __init__(
         self,
@@ -47,23 +64,76 @@ class StreamingPublisher:
         # (the pre-r5 shape) was O(stream lifetime) driver work per trigger.
         self._last_epoch: int | None = None
 
+    _LEDGER_SCHEMA = "epoch_id LONG, phase STRING, pre_highs STRING"
+
+    def _append_ledger(
+        self, spark: SparkSession, epoch_id: int, phase: str, pre_highs: str | None
+    ) -> None:
+        spark.createDataFrame(
+            [(epoch_id, phase, pre_highs)], self._LEDGER_SCHEMA
+        ).write.mode("append").parquet(self.ledger_path)
+
+    def _seed(self, spark: SparkSession) -> None:
+        """One ledger read per process start: last committed epoch + any
+        dangling intent (at most one — epochs are sequential)."""
+        if self._last_epoch is not None:
+            return
+        self._pending: tuple[int, dict[int, int]] | None = None
+        if not os.path.exists(self.ledger_path):
+            self._last_epoch = -1
+            return
+        import json as _json
+
+        rows = spark.read.parquet(self.ledger_path).collect()
+        # pre-r6 ledgers have no phase column: treat those rows as commits
+        commits = [
+            r.epoch_id
+            for r in rows
+            if getattr(r, "phase", None) in (None, "commit")
+        ]
+        self._last_epoch = max(commits, default=-1)
+        intents = [
+            r
+            for r in rows
+            if getattr(r, "phase", None) == "intent"
+            and r.epoch_id > self._last_epoch
+        ]
+        if intents:
+            top = max(intents, key=lambda r: r.epoch_id)
+            self._pending = (
+                top.epoch_id,
+                {int(k): v for k, v in _json.loads(top.pre_highs).items()},
+            )
+
     def _last_committed(self, spark: SparkSession) -> int:
-        if self._last_epoch is None:
-            if os.path.exists(self.ledger_path):
-                top = (
-                    spark.read.parquet(self.ledger_path)
-                    .agg(F.max("epoch_id"))
-                    .first()[0]
-                )
-                self._last_epoch = -1 if top is None else top
-            else:
-                self._last_epoch = -1
+        self._seed(spark)
         return self._last_epoch
 
     def publish_batch(self, batch: DataFrame, epoch_id: int) -> bool:
+        import json as _json
+
         spark = batch.sparkSession
         if epoch_id <= self._last_committed(spark):
             return False  # replayed micro-batch: already appended
+        store = self.producer.store
+        topic = self.producer.registry.get_schema_by_id(self.schema_id).topic
+        if self._pending is not None and self._pending[0] == epoch_id:
+            # replay of a crashed epoch: watermark verification
+            # (_producer_retry.py:120-190).  The data append is one atomic
+            # job commit, so the watermarks either all advanced (published,
+            # record the commit and skip) or none did (publish normally).
+            pre = self._pending[1]
+            cur = store.high_watermarks(topic, self.num_partitions)
+            self._pending = None
+            if any(cur.get(p, 0) > h for p, h in pre.items()) or any(
+                p not in pre and h > 0 for p, h in cur.items()
+            ):
+                self._append_ledger(spark, epoch_id, "commit", None)
+                self._last_epoch = epoch_id
+                return False
+        else:
+            pre = store.high_watermarks(topic, self.num_partitions)
+            self._append_ledger(spark, epoch_id, "intent", _json.dumps(pre))
         self.producer.publish(
             batch,
             self.schema_id,
@@ -72,9 +142,8 @@ class StreamingPublisher:
             order_by=self.order_by,
             encrypt_key=self.encrypt_key,
         )
-        spark.createDataFrame([(epoch_id,)], "epoch_id LONG").write.mode(
-            "append"
-        ).parquet(self.ledger_path)
+        self._append_ledger(spark, epoch_id, "commit", None)
+        self._pending = None
         self._last_epoch = epoch_id
         return True
 

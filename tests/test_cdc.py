@@ -122,3 +122,60 @@ def test_streaming_publisher_exactly_once(spark, tmp_path):
     # replaying the same epoch appends nothing
     assert publisher.publish_batch(events, epoch_id=0) is False
     assert Consumer(store, reg).messages(rs.topic).count() == 50
+
+
+def test_streaming_publisher_watermark_verified_replay(spark, tmp_path):
+    """The two crash windows of the two-phase publish ledger
+    (_producer_retry.py:120-190 semantics):
+
+    - intent written, publish LANDED, commit lost -> replay must verify
+      watermarks, record the commit, and NOT re-append (no duplicates);
+    - intent written, publish NEVER landed -> replay must publish (no loss).
+    """
+    import json
+
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+    from data_pipeline_spark.streaming.publish import StreamingPublisher
+
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "xo.main.db", "events",
+        json.dumps({"type": "record", "name": "e",
+                    "fields": [{"name": "event_id", "type": "long"}]}),
+    )
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    ledger = str(tmp_path / "ledger")
+    producer = Producer(store, reg)
+
+    def batch(lo, n):
+        return spark.createDataFrame([(lo + i,) for i in range(n)], "event_id LONG")
+
+    pub1 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub1.publish_batch(batch(0, 10), 0) is True
+
+    # window 1: epoch 1's intent + data landed, commit row lost (crash)
+    pre = store.high_watermarks(rs.topic)
+    spark.createDataFrame(
+        [(1, "intent", json.dumps(pre))], StreamingPublisher._LEDGER_SCHEMA
+    ).write.mode("append").parquet(ledger)
+    producer.publish(batch(10, 10), rs.schema_id, order_by="event_id")
+    pub2 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub2.publish_batch(batch(10, 10), 1) is False  # verified: skip
+    assert store.read(rs.topic).count() == 20  # no duplicate append
+    assert pub2.publish_batch(batch(10, 10), 1) is False  # now committed
+
+    # window 2: epoch 2's intent written, data never landed (crash earlier)
+    pre2 = store.high_watermarks(rs.topic)
+    spark.createDataFrame(
+        [(2, "intent", json.dumps(pre2))], StreamingPublisher._LEDGER_SCHEMA
+    ).write.mode("append").parquet(ledger)
+    pub3 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub3.publish_batch(batch(20, 5), 2) is True  # re-publish: no loss
+    assert store.read(rs.topic).count() == 25
+    ids = sorted(
+        r.offset for r in store.read(rs.topic).select("offset").collect()
+    )
+    assert len(set((r.partition, r.offset) for r in
+                   store.read(rs.topic).collect())) == 25
