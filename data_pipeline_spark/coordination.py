@@ -20,6 +20,7 @@ import fcntl
 import json
 import os
 import time
+import uuid
 
 
 class LockTimeout(TimeoutError):
@@ -48,7 +49,11 @@ class LeaseLock:
         self.path = os.path.join(root, f"{name}-{namespace}.lock")
         self.lease_seconds = lease_seconds
         self.timeout = timeout
-        self.owner = owner or f"pid-{os.getpid()}"
+        # unique per INSTANCE, not just per process: two locks in one
+        # process (e.g. two publisher threads with serialize_publishes)
+        # sharing a pid-only owner would pass each other's ownership
+        # checks after a stale break and release() the wrong live lock
+        self.owner = owner or f"pid-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         self.acquired = False
         os.makedirs(root, exist_ok=True)
 

@@ -34,20 +34,38 @@ def parse_key_id(encryption_type: Column) -> Column:
     return F.split(encryption_type, "-").getItem(1).cast("int")
 
 
-def random_iv() -> Column:
-    """16 random bytes per row (initialization_vector.py:26-33)."""
-    return F.unhex(F.regexp_replace(F.expr("uuid()"), "-", ""))
+def encrypt_payload(payload: Column, key: bytes, iv: Column | None = None) -> Column:
+    """AES-CBC/PKCS encrypt; emits iv||ciphertext.
+
+    With ``iv`` omitted (the default and the secure path) the JVM draws a
+    fresh 16-byte IV per row from SecureRandom — a CSPRNG.  Deriving IVs
+    from `uuid()` (the pre-r7 shape) is NOT safe: Spark's uuid() is backed
+    by a non-cryptographic XORShift PRNG seeded once per partition, and
+    UUIDv4 fixes 6 version/variant bits, so those IVs were biased and
+    predictable — with CBC that enables chosen-plaintext attacks on the
+    encrypted PII payloads (E4).  The per-message IV meta attribute is
+    read back off the ciphertext's 16-byte prefix (`iv_of`).
+
+    An explicit ``iv`` column is still accepted for tests / interop with
+    externally-supplied IVs.
+    """
+    args = [payload, F.lit(key), F.lit("CBC"), F.lit("PKCS")]
+    if iv is not None:
+        args.append(iv)
+    return F.aes_encrypt(*args)
 
 
-def encrypt_payload(payload: Column, key: bytes, iv: Column) -> Column:
-    """AES-CBC/PKCS encrypt with explicit IV (so the IV can ride in meta)."""
-    return F.aes_encrypt(payload, F.lit(key), F.lit("CBC"), F.lit("PKCS"), iv)
+def iv_of(ciphertext: Column) -> Column:
+    """The IV actually used for a ciphertext: its 16-byte prefix (Spark's
+    CBC layout is iv||ct).  Source of the IV meta attribute."""
+    return F.substring(ciphertext, 1, 16)
 
 
-def decrypt_payload(ciphertext: Column, key: bytes, iv: Column) -> Column:
+def decrypt_payload(ciphertext: Column, key: bytes, iv: Column | None = None) -> Column:
     """AES-CBC/PKCS decrypt.  Spark's aes_decrypt expects the IV prepended
     to the ciphertext in CBC mode; aes_encrypt already emits iv||ct, so
-    decrypt is direct."""
+    decrypt is direct — ``iv`` is accepted for signature parity with the
+    reference's decrypt-with-meta-IV shape but unused."""
     return F.aes_decrypt(ciphertext, F.lit(key), F.lit("CBC"), F.lit("PKCS"))
 
 

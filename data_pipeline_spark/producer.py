@@ -104,14 +104,20 @@ class Producer:
             from data_pipeline_spark.functions import crypto
 
             key_id, key_bytes = encrypt_key
-            # materialize the IV as a column FIRST: random_iv() is
-            # nondeterministic, and referencing the raw expression from both
-            # the ciphertext and the meta attribute would draw two IVs
-            rows = rows.withColumn("__iv", crypto.random_iv())
-            payload = crypto.encrypt_payload(payload, key_bytes, F.col("__iv"))
+            # no explicit IV: the JVM draws one per row from SecureRandom
+            # (CSPRNG — predictable uuid()-derived IVs break CBC).  The
+            # ciphertext is materialized as a column ONCE and both the
+            # wire payload and the IV meta attribute read from it, so the
+            # meta IV is by construction the prefix of the bytes shipped.
+            rows = rows.withColumn(
+                "__ct", crypto.encrypt_payload(payload, key_bytes)
+            )
+            payload = F.col("__ct")
             meta_col = crypto.add_meta(
                 meta_col,
-                crypto.meta_attribute(crypto.IV_META_SCHEMA_ID, F.col("__iv")),
+                crypto.meta_attribute(
+                    crypto.IV_META_SCHEMA_ID, crypto.iv_of(F.col("__ct"))
+                ),
             )
             enc_type_col = F.lit(crypto.encryption_type_str(key_id))
 
@@ -147,6 +153,7 @@ class Producer:
         order_by: str | None = None,
         skip_pii: bool = False,
         encrypt_key: tuple[int, bytes] | None = None,
+        publish_id: str | None = None,
     ) -> PublishStats:
         """Encode + append to the schema's topic; returns position data.
 
@@ -154,6 +161,8 @@ class Producer:
         (_kafka_producer.py:107-121): refuse (skip) PII topics when the
         transport isn't cleared for them.  ``encrypt_key`` (key_id, key)
         AES-CBC encrypts payloads on the wire (E4); see ``prepare``.
+        ``publish_id`` tags the topic-side offset reservation for
+        exactly-once replay verification (TopicStore.find_publish).
         """
         rs = self.registry.get_schema_by_id(schema_id)
         if rs.contains_pii and skip_pii:
@@ -172,6 +181,7 @@ class Producer:
             rs.topic,
             num_partitions=num_partitions,
             order_by="__order" if order_by else None,
+            publish_id=publish_id,
         )
         return PublishStats(rs.topic, highs, n)
 

@@ -19,7 +19,9 @@ source over the same layout.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -48,28 +50,58 @@ class TopicStore:
     can publish to the same root.
     """
 
+    # sidecar row shape: one row per partition per publish.  publish_id +
+    # base_offset (nullable; null for untagged publishes and pre-r7 files —
+    # the explicit read schema fills them in) tag the RESERVED offset range
+    # [base_offset, next_offset) so a crashed publisher can later verify,
+    # against rows actually on disk, whether its data append landed
+    # (find_publish / StreamingPublisher.publish_batch).
+    _META_SCHEMA = (
+        "partition INT, next_offset LONG, publish_id STRING, base_offset LONG"
+    )
+
     def __init__(
         self, spark: SparkSession, root: str, serialize_publishes: bool = False
     ):
         self.spark = spark
         self.root = root
         self.serialize_publishes = serialize_publishes
+        self._leases = threading.local()
         os.makedirs(root, exist_ok=True)
 
-    def _publish_guard(self, topic: str):
-        if not self.serialize_publishes:
-            import contextlib
+    def _held_topics(self) -> set[str]:
+        held = getattr(self._leases, "topics", None)
+        if held is None:
+            held = self._leases.topics = set()
+        return held
 
-            return contextlib.nullcontext()
+    @contextlib.contextmanager
+    def publish_lease(self, topic: str):
+        """Hold the per-topic publish lease across a multi-step sequence.
+
+        Re-entrant within a thread: `publish()` takes this same lease, so a
+        caller that needs the lease to span intent -> publish -> commit
+        (StreamingPublisher) wraps the whole sequence and the inner
+        `publish()` becomes a no-op acquire.  No-op when
+        ``serialize_publishes`` is off (single-writer deployments)."""
+        if not self.serialize_publishes or topic in self._held_topics():
+            yield
+            return
         from data_pipeline_spark.coordination import LeaseLock
 
-        return LeaseLock(
+        lock = LeaseLock(
             "publish",
             topic,
             os.path.join(self.root, ".locks"),
             lease_seconds=300,
             timeout=60,
         )
+        with lock:
+            self._held_topics().add(topic)
+            try:
+                yield
+            finally:
+                self._held_topics().discard(topic)
 
     def _dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
@@ -96,6 +128,7 @@ class TopicStore:
         topic: str,
         num_partitions: int = 4,
         order_by: Column | str | None = None,
+        publish_id: str | None = None,
     ) -> dict[int, int]:
         """Append (key, value) rows to the topic; returns new high watermarks.
 
@@ -103,9 +136,15 @@ class TopicStore:
         compaction + FIFO-per-key guarantee); keyless rows hash the value.
         Offsets continue from the current high watermark per partition —
         assignment is a per-partition row_number, a single narrow shuffle.
+
+        ``publish_id`` tags this publish's sidecar reservation so a crashed
+        caller can later resolve, via ``find_publish`` + rows actually on
+        disk, whether the data append landed (exactly-once replay).
         """
-        with self._publish_guard(topic):
-            return self._publish_locked(df, topic, num_partitions, order_by)
+        with self.publish_lease(topic):
+            return self._publish_locked(
+                df, topic, num_partitions, order_by, publish_id
+            )
 
     def _publish_locked(
         self,
@@ -113,6 +152,7 @@ class TopicStore:
         topic: str,
         num_partitions: int,
         order_by: Column | str | None,
+        publish_id: str | None = None,
     ) -> dict[int, int]:
         highs = self.high_watermarks(topic, num_partitions)
         key_or_value = F.coalesce(F.col("key"), F.col("value"))
@@ -157,9 +197,18 @@ class TopicStore:
             # the sidecar BEHIND the data and hand the same offsets to the
             # next publish — duplicate (partition, offset) pairs, the one
             # unrecoverable corruption.  The sidecar stays the O(1)
-            # watermark read either way.
+            # watermark read either way.  Watermark advancement is a
+            # RESERVATION, not proof the data landed — replay verification
+            # must check rows on disk within [base_offset, next_offset)
+            # (find_publish), which is unambiguous because competing
+            # publishes always reserve first and so can never occupy a
+            # range that was already reserved.
             self.spark.createDataFrame(
-                list(new_highs.items()), "partition INT, next_offset LONG"
+                [
+                    (p, n, publish_id, highs.get(p, 0))
+                    for p, n in new_highs.items()
+                ],
+                self._META_SCHEMA,
             ).write.mode("append").parquet(self._meta_dir(topic))
             out.write.mode("append").partitionBy("partition").parquet(
                 self._dir(topic)
@@ -181,7 +230,7 @@ class TopicStore:
         highs = {p: 0 for p in range(num_partitions)}
         if os.path.isdir(self._meta_dir(topic)):
             rows = (
-                self.spark.read.parquet(self._meta_dir(topic))
+                self._read_meta(topic)
                 .groupBy("partition")
                 .agg(F.max("next_offset").alias("high"))
                 .collect()
@@ -201,6 +250,14 @@ class TopicStore:
             highs[r.partition] = r.high + 1
         return highs
 
+    def _read_meta(self, topic: str) -> DataFrame:
+        # explicit schema: pre-r7 sidecar files lack publish_id/base_offset
+        # and parquet fills the missing columns with null; without it a
+        # mixed directory resolves to whichever file's schema is sampled.
+        return self.spark.read.schema(self._META_SCHEMA).parquet(
+            self._meta_dir(topic)
+        )
+
     def compact_meta(self, topic: str) -> None:
         """Rewrite the watermark sidecar to one row per partition.
 
@@ -208,21 +265,59 @@ class TopicStore:
         long-lived topic accumulates O(publishes) rows; reads already
         aggregate max(next_offset), so compaction is purely a size bound.
         The snapshot is collected (tiny: one row per partition) before the
-        overwrite so the read never races the rewrite.
+        overwrite so the read never races the rewrite.  The surviving row
+        per partition is the max-next_offset one WITH its publish tag:
+        epochs are sequential so at most the LATEST reservation can be
+        dangling, and that is exactly the row compaction keeps — replay
+        verification stays possible across a compact.
         """
         meta = self._meta_dir(topic)
         if not os.path.isdir(meta):
             return
         rows = (
-            self.spark.read.parquet(meta)
+            self._read_meta(topic)
             .groupBy("partition")
-            .agg(F.max("next_offset").alias("next_offset"))
+            .agg(
+                F.max_by(
+                    F.struct("next_offset", "publish_id", "base_offset"),
+                    "next_offset",
+                ).alias("top")
+            )
+            .select("partition", "top.*")
             .collect()
         )
         self.spark.createDataFrame(
-            [(r.partition, r.next_offset) for r in rows],
-            "partition INT, next_offset LONG",
+            [(r.partition, r.next_offset, r.publish_id, r.base_offset) for r in rows],
+            self._META_SCHEMA,
         ).write.mode("overwrite").parquet(meta)
+
+    def find_publish(
+        self, topic: str, publish_id: str
+    ) -> dict[int, tuple[int, int]] | None:
+        """Reserved offset ranges of a tagged publish: {partition: (base,
+        next)}, or None if no reservation with this id exists.
+
+        When the same id was reserved more than once (a replay re-attempt
+        after verifying the previous reservation's range was an empty gap),
+        the LATEST attempt per partition (max base_offset) is the live one —
+        earlier ranges were verified data-free before the re-attempt, and a
+        crashed append can never complete later (the job died with its
+        driver)."""
+        if not os.path.isdir(self._meta_dir(topic)):
+            return None
+        rows = (
+            self._read_meta(topic)
+            .filter(F.col("publish_id") == publish_id)
+            .groupBy("partition")
+            .agg(
+                F.max("base_offset").alias("base"),
+                F.max_by("next_offset", "base_offset").alias("next"),
+            )
+            .collect()
+        )
+        if not rows:
+            return None
+        return {r.partition: (r.base, r.next) for r in rows}
 
     # -- consumer side ------------------------------------------------------
 

@@ -103,8 +103,15 @@ def writer_options(
 ) -> dict[str, str]:
     """Options for ``df.write.format("kafka")`` matching the reference
     producer: acks=-1 (config.py:322-329), 0.1 s flush / 5000-message
-    buffers (config.py:350-367) as linger/batch bounds, and idempotence for
-    the exactly-once publish guarantee (T5)."""
+    buffers (config.py:350-367) as linger/batch bounds.
+
+    ``exactly_once`` enables broker-level idempotence, which dedups
+    BROKER-RETRY duplicates within one producer session only.  Spark's
+    batch / foreachBatch Kafka sink remains at-least-once end to end —
+    Spark task retries and micro-batch replays still duplicate records —
+    so the full T5 exactly-once guarantee additionally requires the
+    ledger-verified replay pattern of ``StreamingPublisher`` (or Kafka
+    transactions, which the Spark sink does not expose)."""
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "topic": topic,

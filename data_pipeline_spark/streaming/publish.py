@@ -10,6 +10,7 @@ per-batch ledger gives exactly-once topic appends across restarts
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,21 +22,40 @@ from data_pipeline_spark.producer import Producer
 class StreamingPublisher:
     """foreachBatch adapter around Producer.publish with replay skipping.
 
-    Exactly-once across EVERY crash window via a two-phase ledger — the
-    reference's watermark-verified retry (_producer_retry.py:120-190)
-    re-expressed:
+    Exactly-once across every crash window via a two-phase ledger plus
+    DATA-verified replay — the reference's exact published-count retry
+    check (_producer_retry.py:120-190) re-expressed:
 
-    1. append an INTENT row (epoch, pre-publish high watermarks);
-    2. publish the batch (one atomic Spark job commit);
+    1. append an INTENT row for the epoch;
+    2. publish the batch tagged with a deterministic publish id — the
+       TopicStore records the reserved offset range [base, next) per
+       partition in its watermark sidecar, then appends the data as one
+       atomic Spark job commit;
     3. append a COMMIT row.
 
-    A replay of an epoch with an intent but no commit consults the topic's
-    CURRENT watermarks: advanced past the intent's snapshot means the
-    publish landed before the crash — record the commit and skip;
-    unchanged means it never landed — publish normally.  The old
-    single-row ledger had a duplicate window (crash after publish, before
-    the ledger append).  Rows without a ``phase`` column (pre-r6 ledgers)
-    are treated as commits.
+    A replay of an epoch with an intent but no commit looks up its
+    reservation (`TopicStore.find_publish`) and counts the rows ACTUALLY
+    on disk inside the reserved range:
+
+    - full count present  -> the data append landed before the crash:
+      record the commit and skip (no duplicates);
+    - no reservation, or a reserved range with zero rows (crash between
+      the sidecar reservation and the data append) -> the publish never
+      landed: publish normally (no loss — the empty range stays a gap,
+      which offset-range readers tolerate);
+    - a partial count would mean the atomic job commit was violated and
+      raises rather than guessing.
+
+    This is exact even with OTHER writers on the topic: every publish
+    reserves its range in the sidecar before writing data, so no later
+    writer can ever place rows inside a range that was already reserved —
+    watermark advancement by someone else can't masquerade as our publish
+    (the flaw of verifying "any watermark advancement").  When the store
+    runs with ``serialize_publishes`` the per-topic lease is additionally
+    held across the whole intent -> publish -> commit sequence.
+
+    Rows without a ``phase`` column (pre-r6 ledgers) are treated as
+    commits.
     """
 
     def __init__(
@@ -66,6 +86,14 @@ class StreamingPublisher:
 
     _LEDGER_SCHEMA = "epoch_id LONG, phase STRING, pre_highs STRING"
 
+    def _publish_id(self, epoch_id: int) -> str:
+        """Deterministic per (checkpoint, epoch): stable across restarts so
+        a replay finds the crashed attempt's reservation."""
+        stable = hashlib.sha1(
+            os.path.abspath(self.ledger_path).encode()
+        ).hexdigest()[:12]
+        return f"{stable}:{epoch_id}"
+
     def _append_ledger(
         self, spark: SparkSession, epoch_id: int, phase: str, pre_highs: str | None
     ) -> None:
@@ -78,12 +106,10 @@ class StreamingPublisher:
         dangling intent (at most one — epochs are sequential)."""
         if self._last_epoch is not None:
             return
-        self._pending: tuple[int, dict[int, int]] | None = None
+        self._pending: int | None = None
         if not os.path.exists(self.ledger_path):
             self._last_epoch = -1
             return
-        import json as _json
-
         rows = spark.read.parquet(self.ledger_path).collect()
         # pre-r6 ledgers have no phase column: treat those rows as commits
         commits = [
@@ -93,59 +119,79 @@ class StreamingPublisher:
         ]
         self._last_epoch = max(commits, default=-1)
         intents = [
-            r
+            r.epoch_id
             for r in rows
             if getattr(r, "phase", None) == "intent"
             and r.epoch_id > self._last_epoch
         ]
         if intents:
-            top = max(intents, key=lambda r: r.epoch_id)
-            self._pending = (
-                top.epoch_id,
-                {int(k): v for k, v in _json.loads(top.pre_highs).items()},
-            )
+            self._pending = max(intents)
 
     def _last_committed(self, spark: SparkSession) -> int:
         self._seed(spark)
         return self._last_epoch
 
-    def publish_batch(self, batch: DataFrame, epoch_id: int) -> bool:
-        import json as _json
+    def _landed(self, epoch_id: int) -> bool:
+        """Did the crashed attempt's data append land?  Count rows on disk
+        within the reserved range (the reference's exact published-count
+        verification, _producer_retry.py:120-190)."""
+        store = self.producer.store
+        topic = self.producer.registry.get_schema_by_id(self.schema_id).topic
+        rng = store.find_publish(topic, self._publish_id(epoch_id))
+        if rng is None:
+            return False  # crashed before the reservation: nothing landed
+        spans = {p: (b, n) for p, (b, n) in rng.items() if n > b}
+        expected = sum(n - b for b, n in spans.values())
+        if expected == 0:
+            return True  # empty batch: the (empty) publish is complete
+        cond = F.lit(False)
+        for p, (b, n) in spans.items():
+            cond = cond | (
+                (F.col("partition") == p)
+                & (F.col("offset") >= b)
+                & (F.col("offset") < n)
+            )
+        present = store.read(topic).filter(cond).count()
+        if present == expected:
+            return True
+        if present == 0:
+            return False  # reservation is a gap: crash before data append
+        raise RuntimeError(
+            f"topic {topic!r} epoch {epoch_id}: {present}/{expected} rows in "
+            "the reserved range — partial append should be impossible (the "
+            "data write is one atomic job commit)"
+        )
 
+    def publish_batch(self, batch: DataFrame, epoch_id: int) -> bool:
         spark = batch.sparkSession
         if epoch_id <= self._last_committed(spark):
             return False  # replayed micro-batch: already appended
         store = self.producer.store
         topic = self.producer.registry.get_schema_by_id(self.schema_id).topic
-        if self._pending is not None and self._pending[0] == epoch_id:
-            # replay of a crashed epoch: watermark verification
-            # (_producer_retry.py:120-190).  The data append is one atomic
-            # job commit, so the watermarks either all advanced (published,
-            # record the commit and skip) or none did (publish normally).
-            pre = self._pending[1]
-            cur = store.high_watermarks(topic, self.num_partitions)
+        with store.publish_lease(topic):
+            if self._pending == epoch_id:
+                # replay of a crashed epoch: data-verified resolution
+                self._pending = None
+                if self._landed(epoch_id):
+                    self._append_ledger(spark, epoch_id, "commit", None)
+                    self._last_epoch = epoch_id
+                    return False
+                # intent already on the ledger; fall through to publish
+            else:
+                self._append_ledger(spark, epoch_id, "intent", None)
+            self.producer.publish(
+                batch,
+                self.schema_id,
+                message_type=self.message_type,
+                num_partitions=self.num_partitions,
+                order_by=self.order_by,
+                encrypt_key=self.encrypt_key,
+                publish_id=self._publish_id(epoch_id),
+            )
+            self._append_ledger(spark, epoch_id, "commit", None)
             self._pending = None
-            if any(cur.get(p, 0) > h for p, h in pre.items()) or any(
-                p not in pre and h > 0 for p, h in cur.items()
-            ):
-                self._append_ledger(spark, epoch_id, "commit", None)
-                self._last_epoch = epoch_id
-                return False
-        else:
-            pre = store.high_watermarks(topic, self.num_partitions)
-            self._append_ledger(spark, epoch_id, "intent", _json.dumps(pre))
-        self.producer.publish(
-            batch,
-            self.schema_id,
-            message_type=self.message_type,
-            num_partitions=self.num_partitions,
-            order_by=self.order_by,
-            encrypt_key=self.encrypt_key,
-        )
-        self._append_ledger(spark, epoch_id, "commit", None)
-        self._pending = None
-        self._last_epoch = epoch_id
-        return True
+            self._last_epoch = epoch_id
+            return True
 
     def foreach_batch(self):
         def fn(batch: DataFrame, epoch_id: int) -> None:

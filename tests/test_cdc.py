@@ -124,20 +124,12 @@ def test_streaming_publisher_exactly_once(spark, tmp_path):
     assert Consumer(store, reg).messages(rs.topic).count() == 50
 
 
-def test_streaming_publisher_watermark_verified_replay(spark, tmp_path):
-    """The two crash windows of the two-phase publish ledger
-    (_producer_retry.py:120-190 semantics):
-
-    - intent written, publish LANDED, commit lost -> replay must verify
-      watermarks, record the commit, and NOT re-append (no duplicates);
-    - intent written, publish NEVER landed -> replay must publish (no loss).
-    """
+def _pub_fixture(spark, tmp_path):
     import json
 
     from data_pipeline_spark.producer import Producer
     from data_pipeline_spark.registry import SchemaRegistry
     from data_pipeline_spark.sources.file_topic import TopicStore
-    from data_pipeline_spark.streaming.publish import StreamingPublisher
 
     reg = SchemaRegistry()
     rs = reg.register_schema(
@@ -146,36 +138,105 @@ def test_streaming_publisher_watermark_verified_replay(spark, tmp_path):
                     "fields": [{"name": "event_id", "type": "long"}]}),
     )
     store = TopicStore(spark, str(tmp_path / "topics"))
-    ledger = str(tmp_path / "ledger")
     producer = Producer(store, reg)
 
     def batch(lo, n):
         return spark.createDataFrame([(lo + i,) for i in range(n)], "event_id LONG")
 
+    return rs, store, producer, batch, str(tmp_path / "ledger")
+
+
+def _write_intent(spark, ledger, epoch):
+    spark.createDataFrame(
+        [(epoch, "intent", None)], StreamingPublisher._LEDGER_SCHEMA
+    ).write.mode("append").parquet(ledger)
+
+
+def test_streaming_publisher_data_verified_replay(spark, tmp_path):
+    """The classic two crash windows of the two-phase publish ledger
+    (_producer_retry.py:120-190 semantics):
+
+    - intent written, publish LANDED, commit lost -> replay must verify
+      the reserved range's rows, record the commit, and NOT re-append;
+    - intent written, publish NEVER started -> replay must publish.
+    """
+    rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
+
     pub1 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
     assert pub1.publish_batch(batch(0, 10), 0) is True
 
-    # window 1: epoch 1's intent + data landed, commit row lost (crash)
-    pre = store.high_watermarks(rs.topic)
-    spark.createDataFrame(
-        [(1, "intent", json.dumps(pre))], StreamingPublisher._LEDGER_SCHEMA
-    ).write.mode("append").parquet(ledger)
-    producer.publish(batch(10, 10), rs.schema_id, order_by="event_id")
+    # window 1: epoch 1's intent + tagged data landed, commit row lost
+    _write_intent(spark, ledger, 1)
+    producer.publish(
+        batch(10, 10), rs.schema_id, order_by="event_id",
+        publish_id=pub1._publish_id(1),
+    )
     pub2 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
     assert pub2.publish_batch(batch(10, 10), 1) is False  # verified: skip
     assert store.read(rs.topic).count() == 20  # no duplicate append
     assert pub2.publish_batch(batch(10, 10), 1) is False  # now committed
 
-    # window 2: epoch 2's intent written, data never landed (crash earlier)
-    pre2 = store.high_watermarks(rs.topic)
-    spark.createDataFrame(
-        [(2, "intent", json.dumps(pre2))], StreamingPublisher._LEDGER_SCHEMA
-    ).write.mode("append").parquet(ledger)
+    # window 2: epoch 2's intent written, publish never started
+    _write_intent(spark, ledger, 2)
     pub3 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
     assert pub3.publish_batch(batch(20, 5), 2) is True  # re-publish: no loss
     assert store.read(rs.topic).count() == 25
-    ids = sorted(
-        r.offset for r in store.read(rs.topic).select("offset").collect()
-    )
     assert len(set((r.partition, r.offset) for r in
                    store.read(rs.topic).collect())) == 25
+
+
+def test_streaming_publisher_reservation_without_data_republishes(spark, tmp_path):
+    """Crash BETWEEN the sidecar reservation and the data append: the
+    watermarks advanced but no rows landed.  Watermark-advancement-as-proof
+    would record a commit here and lose the batch permanently; data-verified
+    replay must see the reserved range is empty and publish."""
+    rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
+    pub1 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub1.publish_batch(batch(0, 10), 0) is True
+
+    # simulate the crash: intent + sidecar reservation only, no data
+    _write_intent(spark, ledger, 1)
+    pid = pub1._publish_id(1)
+    pre = store.high_watermarks(rs.topic)
+    fake_new = {p: h + 3 for p, h in pre.items()}
+    spark.createDataFrame(
+        [(p, n, pid, pre[p]) for p, n in fake_new.items()],
+        TopicStore._META_SCHEMA,
+    ).write.mode("append").parquet(store._meta_dir(rs.topic))
+    assert store.high_watermarks(rs.topic) == fake_new  # watermarks DID move
+
+    pub2 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub2.publish_batch(batch(10, 10), 1) is True  # republished: no loss
+    got = sorted(
+        r.event_id
+        for r in Consumer(store, producer.registry)
+        .messages(rs.topic).select("payload.event_id").collect()
+    )
+    assert got == list(range(20))
+    # the abandoned reservation stays a gap; offsets never collide
+    assert len(set((r.partition, r.offset) for r in
+                   store.read(rs.topic).collect())) == 20
+
+
+def test_streaming_publisher_foreign_writer_does_not_mask_loss(spark, tmp_path):
+    """A DIFFERENT writer advancing the topic's watermarks between our
+    intent and our replay must not make our never-landed batch look
+    committed (the 'any advancement' flaw).  Data-verified replay keys on
+    OUR reservation id, which the foreign publish doesn't carry."""
+    rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
+    pub1 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub1.publish_batch(batch(0, 10), 0) is True
+
+    # our epoch 1 crashed right after the intent; then a foreign writer
+    # (no publish_id) appends 10 rows, advancing every watermark
+    _write_intent(spark, ledger, 1)
+    producer.publish(batch(100, 10), rs.schema_id, order_by="event_id")
+
+    pub2 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub2.publish_batch(batch(10, 10), 1) is True  # ours still publishes
+    got = sorted(
+        r.event_id
+        for r in Consumer(store, producer.registry)
+        .messages(rs.topic).select("payload.event_id").collect()
+    )
+    assert got == list(range(20)) + list(range(100, 110))

@@ -117,11 +117,11 @@ def test_aes_cbc_roundtrip_with_meta_iv(spark):
     key = b"0123456789abcdef0123456789abcdef"  # 32-byte key, key_id 1
     df = spark.createDataFrame(
         [(b"secret payload A",), (b"secret payload B",)], "payload BINARY"
-    ).withColumn("iv", crypto.random_iv())
+    ).withColumn("ct", crypto.encrypt_payload(F.col("payload"), key))
     enc = df.select(
         "payload",
-        "iv",
-        crypto.encrypt_payload(F.col("payload"), key, F.col("iv")).alias("ct"),
+        crypto.iv_of(F.col("ct")).alias("iv"),
+        "ct",
         F.lit(crypto.encryption_type_str(1)).alias("encryption_type"),
     )
     # IV rides as a meta attribute and is recoverable
@@ -140,6 +140,54 @@ def test_aes_cbc_roundtrip_with_meta_iv(spark):
         assert bytes(r.pt) == bytes(r.payload)
         assert r.key_id == 1
         assert r.meta_after_pop == 0
+
+
+def test_producer_iv_is_csprng_drawn_and_meta_matches_wire(spark, tmp_path):
+    """The per-row IV comes from the JVM's SecureRandom (no uuid()-derived
+    bias) and the IV meta attribute must be exactly the 16-byte prefix of
+    the ciphertext that shipped — i.e. the nondeterministic encrypt was
+    evaluated ONCE, not duplicated between payload and meta."""
+    import json
+
+    from data_pipeline_spark.consumer import Consumer
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "sec.db.x", "pii_events",
+        json.dumps({"type": "record", "name": "e",
+                    "fields": [{"name": "event_id", "type": "long"}]}),
+        contains_pii=True,
+    )
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    key = b"0123456789abcdef0123456789abcdef"
+    rows = spark.createDataFrame([(i,) for i in range(64)], "event_id LONG")
+    Producer(store, reg).publish(
+        rows, rs.schema_id, order_by="event_id", encrypt_key=(1, key)
+    )
+
+    raw = Consumer(store, reg).raw(rs.topic)
+    e = F.col("envelope")
+    got = raw.select(
+        crypto.get_meta(e.meta, crypto.IV_META_SCHEMA_ID).alias("meta_iv"),
+        crypto.iv_of(e.payload).alias("wire_iv"),
+        e.encryption_type.alias("et"),
+    ).collect()
+    assert len(got) == 64
+    ivs = set()
+    for r in got:
+        assert bytes(r.meta_iv) == bytes(r.wire_iv)
+        assert len(bytes(r.meta_iv)) == 16
+        assert r.et == "AES_MODE_CBC-1"
+        ivs.add(bytes(r.meta_iv))
+    assert len(ivs) == 64  # fresh IV per row
+
+    # and the payloads decrypt+decode back to the inputs
+    dec = Consumer(store, reg).messages(rs.topic, crypto_keys={1: key})
+    assert sorted(r.event_id for r in dec.select("payload.event_id").collect()) \
+        == list(range(64))
 
 
 def test_write_rotated_gzip_with_complete_markers(spark, tmp_path):
