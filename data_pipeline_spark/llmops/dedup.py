@@ -9,10 +9,12 @@ Scale design (the whole point of these operators):
   sum over shingles of |docs|^2 *within a shingle bucket* — linear-ish for
   natural corpora.
 - MinHash-LSH: k md5-derived hash functions -> per-band bucket keys -> pairs
-  only within identical buckets.  At 100 TB the band-bucket join is the only
-  shuffle and its keys are uniformly distributed by construction.
+  only within identical buckets.  At 100 TB the posting-list groupBy is the
+  only shuffle and its keys are uniformly distributed by construction.
 - SimHash: 32-bit signature per doc from token-hash bit votes; one scan +
-  one groupBy(doc), then near-dup = signatures within Hamming distance k.
+  one groupBy(doc), then near-dup = signatures within Hamming distance k,
+  candidates from the same capped posting-list expansion as the rest of
+  the family (`_capped_bucket_pairs` — no bucket self-join anywhere).
 
 Every hash is md5-based so a SQL oracle reproduces results exactly.
 """
@@ -340,49 +342,94 @@ def simhash64_signatures(
     )
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame, fields: list[str], max_bucket: int
+) -> DataFrame:
+    """Unordered within-bucket pairs off (band, bucket) posting lists,
+    expanded IN-ROW — the one pairing pattern the whole dedup family uses
+    (ngram_jaccard_pairs, minhash_lsh_candidate_pairs, LSH-ANN).
+
+    ``banded`` carries (band, bucket, *fields); ``fields[0]`` must be the
+    document id (orders each pair so <f>_a holds the smaller id).  Output:
+    one distinct row per pair with <f>_a / <f>_b for every field.
+
+    No bucket self-join means no join key can go quadratic: a bucket of k
+    docs costs k^2/2 in-row pairs, hard-capped by ``max_bucket`` (which is
+    also the expansion's per-row memory guard).  A bucket larger than the
+    cap is an identical/boilerplate flood that exact dedup owns; at the
+    oracle SFs every bucket sits far below the cap, so the capped output
+    is bit-identical to the uncapped formulation there.
+    """
+    id_f = fields[0]
+    doc = F.struct(*[F.col(f).alias(f) for f in fields])
+    posting = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(doc).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+    )
+
+    def ordered_pair(x, y):
+        fwd = F.struct(
+            *[x[f].alias(f"{f}_a") for f in fields],
+            *[y[f].alias(f"{f}_b") for f in fields],
+        )
+        rev = F.struct(
+            *[y[f].alias(f"{f}_a") for f in fields],
+            *[x[f].alias(f"{f}_b") for f in fields],
+        )
+        return F.when(x[id_f] < y[id_f], fwd).otherwise(rev)
+
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: ordered_pair(x, y),
+            ),
+        )
+    )
+    cols = [f"{f}_a" for f in fields] + [f"{f}_b" for f in fields]
+    return (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(*[F.col(f"p.{c}").alias(c) for c in cols])
+        .distinct()
+    )
+
+
 def simhash64_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with 64-bit SimHash Hamming <= max_hamming (<= 3 for
     the pigeonhole guarantee over 4 bands of 16 bits).
 
     Same exact-banding construction as the 32-bit path but with 65536
-    buckets per band — the band-bucket join stays near-linear at corpus
-    scales where 256 buckets flood."""
+    buckets per band — bucket occupancy stays near-linear at corpus scales
+    where 256 buckets flood.  Pairs expand in-row off capped posting lists
+    (``_capped_bucket_pairs``): even a genuine boilerplate flood sharing
+    all four bands (the case more buckets can't fix) stays bounded per
+    key instead of going quadratic in one join."""
     sigs = simhash64_signatures(df, id_col, text_col).cache()
-    banded = sigs.select(
-        id_col,
-        "sh_hi",
-        "sh_lo",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn(
-        "bucket",
-        F.floor(
-            F.when(F.col("band") < 2, F.col("sh_hi")).otherwise(F.col("sh_lo"))
-            / F.when(F.col("band") % 2 == 0, F.lit(65536.0)).otherwise(F.lit(1.0))
-        ).cast("bigint")
-        % 65536,
+    banded = (
+        sigs.select(
+            F.col(id_col).alias("id"),
+            F.col("sh_hi").alias("hi"),
+            F.col("sh_lo").alias("lo"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        )
+        .withColumn(
+            "bucket",
+            F.floor(
+                F.when(F.col("band") < 2, F.col("hi")).otherwise(F.col("lo"))
+                / F.when(F.col("band") % 2 == 0, F.lit(65536.0)).otherwise(F.lit(1.0))
+            ).cast("bigint")
+            % 65536,
+        )
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sh_hi").alias("hi_a"),
-        F.col("sh_lo").alias("lo_a"),
-        "band",
-        "bucket",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("sh_hi").alias("hi_b"),
-        F.col("sh_lo").alias("lo_b"),
-        "band",
-        "bucket",
-    )
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
-    )
+    pairs = _capped_bucket_pairs(banded, ["id", "hi", "lo"], max_bucket)
     hamming = F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
@@ -394,14 +441,20 @@ def simhash64_neardup_pairs(
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
     Blocks on bit-prefix bands (pigeonhole: distance<=3 over 4 bands
-    guarantees one exact band match), so the join is banded, not
-    all-pairs.  The 32-bit bands hold only 2^8 buckets each — at
-    billion-document scale those flood and the band join goes quadratic;
+    guarantees one exact band match), so candidates are banded, not
+    all-pairs, and pairs expand in-row off capped posting lists
+    (``_capped_bucket_pairs``) — no (band, bucket) join key exists to go
+    quadratic under a flood.  The 32-bit bands hold only 2^8 buckets each,
+    so at billion-document scale average occupancy itself explodes;
     ``simhash64_neardup_pairs`` (2^16-bucket bands, same exact-banding
     guarantee) is the declared scale path, with this 32-bit form kept as
     the oracle anchor.
@@ -409,26 +462,22 @@ def simhash_neardup_pairs(
     sigs = simhash_signatures(df, id_col, text_col).cache()
     bands = 4
     band_width = 8  # 32 bits / 4 bands
-    banded = sigs.select(
-        id_col,
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).withColumn(
-        "bucket",
-        # simhash >> shift, shift varies per band: exact pow-2 division
-        F.floor(
-            F.col("simhash") / F.pow(F.lit(2.0), (bands - 1 - F.col("band")) * band_width)
-        ).cast("bigint")
-        % (1 << band_width),
+    banded = (
+        sigs.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash").alias("sh"),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        )
+        .withColumn(
+            "bucket",
+            # simhash >> shift, shift varies per band: exact pow-2 division
+            F.floor(
+                F.col("sh") / F.pow(F.lit(2.0), (bands - 1 - F.col("band")) * band_width)
+            ).cast("bigint")
+            % (1 << band_width),
+        )
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    pairs = _capped_bucket_pairs(banded, ["id", "sh"], max_bucket)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming

@@ -266,6 +266,16 @@ def test_minhash_candidates_have_no_bucket_self_join(spark):
     assert audit.join_strategies(df) == [], audit.formatted_plan(df)
 
 
+def test_simhash_pairs_have_no_bucket_self_join(spark):
+    """Both SimHash pair stages use the capped posting-list in-row pairing
+    (the r6 flag: they were the last uncapped (band,bucket) self-joins in
+    the dedup family) — there must be NO join in either plan."""
+    df32 = _q("simhash_neardup_pairs", spark)
+    assert audit.join_strategies(df32) == [], audit.formatted_plan(df32)
+    df64 = _q("simhash64_neardup_pairs", spark)
+    assert audit.join_strategies(df64) == [], audit.formatted_plan(df64)
+
+
 def test_decile_binning_has_no_per_language_total_sort(spark):
     """The document-stream window must partition by (lang, bucket), never
     lang alone: a per-language total order is a single-task sort of half

@@ -52,3 +52,89 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql(f"SET spark.sql.autoBroadcastJoinThreshold={64*1024*1024}")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# -- boilerplate-flood fixture for the near-dup family -----------------------
+#
+# One million-doc-equivalent boilerplate cluster (at test scale: 300 docs of
+# IDENTICAL text / identical embeddings) floods every band of every path —
+# the adversarial case where sharding into more buckets cannot help.  Each
+# path must (a) complete with bounded per-key work: the flood bucket exceeds
+# the cap and is dropped before pair expansion (identical-doc floods are
+# exact dedup's job), and (b) keep full output for small buckets: a 5-doc
+# mini-cluster below the cap yields all C(5,2)=10 pairs, and floods never
+# leak pairs past the cap.
+
+FLOOD_N, MINI_N, CAP = 300, 5, 50
+_BOILER = (
+    "terms of service apply to all users of this website please read "
+    "carefully before continuing to browse the content provided here"
+)
+_MINI = (
+    "the quick brown fox jumps over the lazy dog while the sleepy cat "
+    "watches quietly from the warm stone wall near the garden"
+)
+
+
+def _flood_docs(spark):
+    rows = [(f"f{i:04d}", _BOILER) for i in range(FLOOD_N)]
+    rows += [(f"m{i:04d}", _MINI) for i in range(MINI_N)]
+    rows += [
+        (f"u{i:04d}", f"unique document number {i} about topic {i * 7} "
+                      f"with its own content body {i * 13} and nothing shared")
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id STRING, text STRING").repartition(8)
+
+
+def _assert_flood_capped(pairs):
+    """No pair touches the flood cluster; the mini cluster is complete."""
+    flood = [p for p in pairs if p[0].startswith("f") or p[1].startswith("f")]
+    assert flood == [], f"flood pairs leaked past the cap: {flood[:5]}"
+    mini = {p for p in pairs if p[0].startswith("m") and p[1].startswith("m")}
+    assert len(mini) == MINI_N * (MINI_N - 1) // 2
+
+
+@pytest.mark.parametrize("path", ["jaccard", "minhash", "simhash32", "simhash64"])
+def test_neardup_paths_bound_boilerplate_floods(spark, path):
+    from data_pipeline_spark.llmops import dedup as ld
+
+    docs = _flood_docs(spark)
+    if path == "jaccard":
+        out = ld.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_df=CAP
+        )
+    elif path == "minhash":
+        out = ld.minhash_lsh_candidate_pairs(
+            docs, "doc_id", "text", max_bucket=CAP
+        )
+    elif path == "simhash32":
+        out = ld.simhash_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_bucket=CAP
+        )
+    else:
+        out = ld.simhash64_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_bucket=CAP
+        )
+    _assert_flood_capped([(r.id_a, r.id_b) for r in out.collect()])
+
+
+def test_lsh_ann_bounds_embedding_floods(spark):
+    from data_pipeline_spark.llmops import similarity
+
+    dim = 64
+
+    def vec(seed):
+        # deterministic direction per seed; identical within a cluster
+        return [float((seed * 31 + i * 7) % 13 - 6) for i in range(dim)]
+
+    rows = [(f"f{i:04d}", vec(1)) for i in range(FLOOD_N)]
+    rows += [(f"m{i:04d}", vec(2)) for i in range(MINI_N)]
+    rows += [(f"u{i:04d}", vec(100 + i)) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id STRING, embedding ARRAY<DOUBLE>"
+    ).repartition(8)
+    out = similarity.lsh_neardup_pairs(
+        emb, threshold=0.99, num_tables=8, dim=dim, max_bucket=CAP
+    )
+    _assert_flood_capped([(r.id_a, r.id_b) for r in out.collect()])
