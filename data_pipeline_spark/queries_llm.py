@@ -471,17 +471,19 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_real_decode",
     None,  # pandas-UDF real-codec path: rows-only check
-    doc="REAL image decode at query level: synthesize a valid 24-bit BMP "
-    "per document (pixels = text bytes), decode it in the mapInPandas "
-    "feature kernel, and emit actual luminance-histogram statistics — the "
-    "decode->stats path a production pipeline runs with PIL, exercised "
-    "end-to-end with the stdlib codec.  Exploded to scalar rows for the "
-    "driver canon.",
+    doc="REAL media decode at query level: synthesize a valid bmp / ppm / "
+    "png image or 16-bit PCM wav per document (media_id % 4; pixels and "
+    "samples = text bytes), decode each in the mapInPandas feature kernel "
+    "— PNG runs a real zlib inflate + unfilter, WAV a real PCM parse — "
+    "and emit actual luminance/amplitude-histogram statistics: the "
+    "decode->stats path a production pipeline runs with PIL/soundfile, "
+    "exercised end-to-end with the stdlib codecs.  Exploded to scalar "
+    "rows for the driver canon.",
     tags=("llm", "multimodal"),
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synthesize_bmp_media(docs, "doc_id", "text")
+    media = multimodal.synthesize_multiformat_media(docs, "doc_id", "text")
     feats = multimodal.extract_features(media)
     return feats.select(
         "media_id",
