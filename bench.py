@@ -4,8 +4,14 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is collected (driver-side materialization included) after a warmup
-run of the flagship to amortize JVM/session startup out of per-query numbers.
+Timing policy (r7): each query gets one UNTIMED warmup execution (Python-UDF
+worker spinup, codegen, parquet footer caches, shuffle-service init), then
+``SPARK_GRAFT_BENCH_REPS`` (default 2) timed executions of which the MIN is
+reported — the reproducible steady-state cost, comparable to the baseline's
+sustained-throughput figures.  The r6 drift study measured ±19% on
+single-shot figures with most of it first-run codegen/UDF cost
+(lsh_ann_neardup: 4.2 s cold vs ~3.0 s steady); warming per-query removes
+that term from the number entirely instead of hoping min-of-2 absorbs it.
 """
 
 from __future__ import annotations
@@ -61,18 +67,18 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark = get_spark("bench")
-    # warmup: JIT/codegen + parquet footer caches
-    QUERIES["q1_pricing_summary"].spark(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
-        # min of two runs: single-run numbers on a shared box swing with
-        # transient load; the min is the reproducible cost
+        # one untimed warmup (codegen, UDF worker spinup, footer caches),
+        # then min of `reps` timed runs: the reproducible steady-state cost
+        QUERIES[name].spark(spark, SF_DIR).collect()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             QUERIES[name].spark(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
@@ -85,6 +91,7 @@ def main() -> None:
                 "metric": "headline_query_wall_seconds",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
+                "policy": f"per-query warmup + min of {reps} timed runs",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
