@@ -33,60 +33,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # second, and a representative spread of the long-green set fills the
 # remaining window; the rest follow.
 _PRIORITY = [
-    # never driver-verified (round-5 additions that landed outside r5's window)
-    "eval_decontamination",
+    # -- r7 evidence targets -------------------------------------------------
+    # never driver-verified (registered r6 outside the window) + changed r7
+    # (capped posting-list pairing)
+    "simhash64_neardup_pairs",
     "simhash_neardup_pairs",
-    "multimodal_frame_pipeline",
-    "q20_part_promotion_suppliers",
-    # changed this round (de-skewed binning, re-measured LSH formulations,
-    # real multimodal codec, JVM-probe wire path)
-    "quality_decile_binning",
-    "minhash_lsh_candidates",
-    "lsh_ann_neardup",
+    # r7-changed paths: 4-format codec fixture + vectorized kernels
+    # (multimodal), SecureRandom IVs + ciphertext-prefix meta (encrypted
+    # wire), publish-id-tagged sidecar reservations (every publish path)
+    "multimodal_real_decode",
     "multimodal_features",
-    "envelope_roundtrip",
-    "topic_transport_roundtrip",
+    "multimodal_frame_pipeline",
     "encrypted_transport_roundtrip",
     "wire_key_roundtrip",
-    "ngram_repetition_filter",
-    "unigram_logprob_score",
-    "multimodal_real_decode",
-    "neardup_quality_survivors",
-    # representative green coverage (driver-verified in r2/r5, unchanged)
-    "neardup_cluster_assignment",
-    "tfidf_top_terms",
-    "ivf_ann_topk",
-    "pretraining_corpus_filter",
-    "deterministic_sample",
-    "corpus_mix_stats",
-    "sequence_packing",
-    "bpe_token_stats",
-    "temperature_mix_sampling",
-    "trailing_7d_user_spend",
-    "approx_distinct_users_scale_path",
-    "approx_doc_length_quantiles",
-    "exact_doc_length_percentiles",
+    "topic_transport_roundtrip",
+    "envelope_roundtrip",
+    # -- longest-unverified tail: last driver verdict was ROUND 2 ------------
+    "tailer_projection",
+    "refresh_scan_stats",
+    "customers_without_orders",
+    "priority_queue_head",
+    "top_orders_by_price",
+    "topic_set_difference",
+    "rollup_event_counts",
+    "first_event_at_or_after",
+    "sliding_value_avg",
+    "cube_lineitem_counts",
+    "distinct_users_per_type",
+    "pii_redacted_display",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q6_revenue_forecast",
+    "q12_shipmode_priority",
+    "q14_promo_revenue_share",
+    "cdc_snapshot_apply",
+    "q18_large_orders",
+    "event_type_intersection",
+    "q11_important_parts",
+    "namespace_parse",
+    "dq_column_stats",
+    "sql_api_top_suppliers",
+    "doc_text_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "multimodal_meta",
+    # -- last driver verdict was round 5 (missed r6's window) ----------------
+    "shipped_within_90d",
+    "sessionize_events",
+    "asof_click_attribution",
+    "hypertable_rollup",
+    "doc_exact_dedup",
+    "simhash_signatures",
+    "embedding_cosine_topk",
+    "embedding_neardup_pairs",
+    "word_frequencies",
+    "q13_order_count_distribution",
+    # -- flagship + high-value continuity ------------------------------------
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "props_json_extract",
-    "jaccard_neardup_pairs",
-    "monitor_window_counts",
-    "refresh_range_batches",
-    "compaction_latest_per_key",
-    "broadcast_dim_enrich",
-    "cdc_update_diff",
-    "revenue_by_nation",
+    "quality_decile_binning",
 ]
 
 
