@@ -82,6 +82,32 @@ class Consumer:
         raises at execution.
         """
         raw = self.raw(topic, starting_offsets, from_committed)
+        return self._decode_enveloped(raw, topic, reader_schema_id, crypto_keys)
+
+    def messages_stream(
+        self,
+        topic: str,
+        reader_schema_id: int | None = None,
+        crypto_keys: dict[int, bytes] | None = None,
+    ) -> DataFrame:
+        """Streaming ``messages``: the same unpack -> decrypt -> decode
+        column pipeline applied to ``store.read_stream`` — decryption and
+        schema-dispatched decode are pure column expressions, so batch and
+        streaming plans are IDENTICAL above the source (parity-tested in
+        test_streaming.py).  Commit/seek is the stream's checkpoint, not
+        the offset ledger."""
+        raw = self.store.read_stream(topic).withColumn(
+            "envelope", env.unpack(F.col("value"), spark=self.store.spark)
+        )
+        return self._decode_enveloped(raw, topic, reader_schema_id, crypto_keys)
+
+    def _decode_enveloped(
+        self,
+        raw: DataFrame,
+        topic: str,
+        reader_schema_id: int | None,
+        crypto_keys: dict[int, bytes] | None,
+    ) -> DataFrame:
         if reader_schema_id is not None:
             reader = self.registry.get_schema_by_id(reader_schema_id).schema_json
         else:

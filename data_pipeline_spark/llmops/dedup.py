@@ -549,3 +549,96 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
     return labels.union(singletons).select(F.col("node").alias(id_col), "component")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the documented escape hatch for HIGH-DIAMETER graphs, same signature
+    and output as ``connected_components``.
+
+    Min-label propagation needs O(diameter) rounds (a 1M-node path graph
+    is 1M rounds); star contraction converges in O(log n) rounds on any
+    graph.  Per round:
+
+    - large-star: every node links its strictly-larger neighbors to the
+      minimum of its neighborhood (including itself);
+    - small-star: orienting each edge large->small, every node links its
+      smaller neighbors AND itself to the minimum of those.
+
+    Both preserve connectivity; the fixpoint is a star per component
+    rooted at the component's minimum id.  Near-dup graphs (tiny dense
+    clusters) never need this — ``connected_components`` does fewer
+    passes there — but adversarial chain topologies (e.g. overlapping
+    shingle chains across a scraped mirror farm) do.
+    """
+    pairs = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("l"),
+        )
+        .filter(F.col("s") != F.col("l"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = pairs  # invariant: edges as (s, l) canonical pairs, s < l
+    for _ in range(max_rounds):
+        # -- large-star: (v, min(N(u) u {u})) for every neighbor v > u
+        adj = cur.select(F.col("s").alias("u"), F.col("l").alias("v")).union(
+            cur.select(F.col("l").alias("u"), F.col("s").alias("v"))
+        )
+        mn = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        ls = (
+            adj.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(m.alias("s"), F.col("v").alias("l"))  # m < u < v
+            .filter(F.col("s") != F.col("l"))
+            .distinct()
+        )
+        # -- small-star: orient large->small; every node links its smaller
+        # neighborhood and itself to that neighborhood's min
+        sn = ls.groupBy("l").agg(F.min("s").alias("m"))
+        joined = ls.join(sn, "l")
+        nxt = (
+            joined.select(F.col("m").alias("s"), F.col("l"))
+            .union(
+                joined.select(F.col("m").alias("s"), F.col("s").alias("l"))
+            )
+            .filter(F.col("s") != F.col("l"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    # fixpoint is a star per component: every edge is (root, member)
+    labels = cur.select(F.col("l").alias("node"), F.col("s").alias("component"))
+    roots = cur.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(
+            labels.select("node").union(roots.select("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.col("node").alias("component"))
+    )
+    return (
+        labels.union(roots)
+        .union(singletons)
+        .select(F.col("node").alias(id_col), "component")
+    )

@@ -261,6 +261,44 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 7: 7, 8: 7}
 
 
+def test_star_components_high_diameter_and_parity(spark):
+    """Large-star/small-star CC: a 31-node path graph (diameter 30, where
+    min-label propagation needs O(diameter) rounds and would NOT converge
+    within its default budget) collapses to one component in O(log n)
+    rounds; on a near-dup-shaped clustered graph the result is identical
+    to the min-label implementation."""
+    # path graph 0-1-2-...-30
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a LONG, id_b LONG"
+    )
+    path_nodes = spark.createDataFrame([(i,) for i in range(32)], "doc_id LONG")
+    got = {
+        r.doc_id: r.component
+        for r in ld.connected_components_star(
+            path_edges, path_nodes, "doc_id", max_rounds=8
+        ).collect()
+    }
+    assert got == {**{i: 0 for i in range(31)}, 31: 31}
+
+    # near-dup-shaped graph: small dense clusters + chain + singleton
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8), (10, 11), (11, 12), (10, 12)],
+        "id_a LONG, id_b LONG",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 7, 8, 10, 11, 12]], "doc_id LONG"
+    )
+    star = {
+        r.doc_id: r.component
+        for r in ld.connected_components_star(edges, nodes, "doc_id").collect()
+    }
+    minlabel = {
+        r.doc_id: r.component
+        for r in ld.connected_components(edges, nodes, "doc_id").collect()
+    }
+    assert star == minlabel
+
+
 def test_approx_distinct_error_bound(spark):
     """HLL at rsd=2% stays within 5% of the exact distinct count."""
     from data_pipeline_spark.queries import QUERIES

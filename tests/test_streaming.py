@@ -526,3 +526,89 @@ def test_streaming_publisher_with_encryption(spark, tmp_path):
         (r.event_id, r.event_type) for r in events.limit(30).collect()
     )
     assert got == want
+
+
+def test_streaming_encrypted_consume_matches_batch_decrypt(spark, tmp_path):
+    """Stream-side keyed consume (E4 over S2-streaming): a subscription
+    runner whose sink decodes WITH crypto_keys must emit exactly the rows
+    the batch consumer decrypts — same unpack -> decrypt -> decode columns
+    over readStream instead of read."""
+    from data_pipeline_spark.consumer import Consumer
+    from data_pipeline_spark.consumer_source import TopicsInNamespace
+    from data_pipeline_spark.streaming.dynamic import StreamingSubscriptionRunner
+    from data_pipeline_spark.streaming.publish import StreamingPublisher
+
+    key = b"0123456789abcdef0123456789abcdef"
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "senc.main.db", "events", EVENT_SCHEMA, contains_pii=True
+    )
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    pub = StreamingPublisher(
+        Producer(store, reg),
+        rs.schema_id,
+        str(tmp_path / "pub_ledger"),
+        order_by="event_id",
+        encrypt_key=(9, key),
+    )
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    src = tmp_path / "src"
+    events.limit(40).write.parquet(str(src))
+    stream = spark.readStream.schema("event_id LONG, event_type STRING").parquet(
+        str(src)
+    )
+    q = pub.start(stream, checkpoint_dir=str(tmp_path / "pub_ckpt"))
+    q.awaitTermination(120)
+
+    cons = Consumer(store, reg)
+    out_root = tmp_path / "out"
+
+    def build_sink(topic, stream_df):
+        decoded = cons._decode_enveloped(
+            stream_df.withColumn("envelope", env.unpack(F.col("value"))),
+            topic,
+            None,
+            {9: key},
+        ).select("partition", "offset", "payload.event_id", "payload.event_type")
+        return (
+            decoded.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out_root / topic))
+            .trigger(availableNow=True)
+        )
+
+    runner = StreamingSubscriptionRunner(
+        spark,
+        store,
+        TopicsInNamespace(reg, "senc.main.db"),
+        str(tmp_path / "sub_ckpt"),
+        build_sink,
+    )
+    assert runner.tick()["added"] == [rs.topic]
+    for query in runner.active.values():
+        query.awaitTermination(120)
+    runner.stop_all()
+
+    got = sorted(
+        (r.event_id, r.event_type)
+        for r in spark.read.parquet(str(out_root / rs.topic)).collect()
+    )
+    want = sorted(
+        (r.payload.event_id, r.payload.event_type)
+        for r in cons.messages(rs.topic, crypto_keys={9: key}).collect()
+    )
+    assert got == want and len(got) == 40
+
+    # messages_stream is the packaged form of the same pipeline
+    mem = _run_available_now(
+        cons.messages_stream(rs.topic, crypto_keys={9: key}).select(
+            "payload.event_id", "payload.event_type"
+        ),
+        tmp_path,
+        "enc_stream_tail",
+    )
+    tailed = sorted(
+        (r.event_id, r.event_type)
+        for r in spark.sql("select * from enc_stream_tail").collect()
+    )
+    assert tailed == got
