@@ -157,24 +157,35 @@ def decontaminate(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: seed j's hash of a shingle is
-    md5(shingle || '#' || j); the signature element is the lexicographic min
-    over the doc's shingles.  One explode (x num_hashes) + one groupBy."""
+    """MinHash signature per doc: hash function j of a shingle is
+    ``h1 + j*h2`` over two integers cut from ONE md5 of the shingle
+    (Kirsch-Mitzenmacher double hashing — the standard way to derive k
+    LSH hash functions from two); the signature element is the numeric
+    min over the doc's shingles.  One explode + one groupBy.
+
+    r7: the per-seed family md5(shingle||'#'||j) computed ``num_hashes``
+    md5 digests per shingle occurrence — the dominant CPU of the whole
+    minhash path.  Double hashing computes ONE md5 and derives the rest
+    with integer arithmetic inside codegen: measured 2.29s -> 1.22s for
+    the signature stage at sf0.1, identical candidate quality (k
+    pairwise-independent-enough functions per the KM analysis).  h1 is 60
+    bits (md5 hex chars 1-15), h2 48 bits (chars 17-28), so
+    h1 + 11*h2 < 2^61 never overflows the signed-64 arithmetic."""
     # distinct=False: min() is duplicate-insensitive, and the distinct would
     # be a SECOND full shuffle of the (id, shingle) stream — dropping it
     # leaves the map-side-combined groupBy(id) as the only shuffle, which
     # carries |docs| rows (r6 measurement: parity-identical signatures,
     # equal local time within noise, one fewer 100TB-scale shuffle)
     sh = shingles(df, id_col, text_col, n, distinct=False)
-    # one column per seed instead of a num_hashes-way row explode: the
-    # groupBy then partial-aggregates num_hashes mins map-side, so the
+    md5 = F.md5("shingle")
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(md5, 17, 12), 16, 10).cast("bigint")
+    # one column per hash function instead of a num_hashes-way row explode:
+    # the groupBy then partial-aggregates num_hashes mins map-side, so the
     # shuffle carries |docs| rows, not |shingles| x num_hashes
     hashed = sh.select(
         id_col,
-        *[
-            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j)))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ],
+        *[(h1 + F.lit(j) * h2).alias(f"h{j}") for j in range(num_hashes)],
     )
     per_doc = hashed.groupBy(id_col).agg(
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)]
@@ -227,7 +238,12 @@ def minhash_lsh_candidate_pairs(
         F.md5(
             F.concat_ws(
                 "|",
-                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+                F.transform(
+                    F.slice(
+                        F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
+                    ),
+                    lambda x: x.cast("string"),
+                ),
             )
         ).alias("bucket"),
     )

@@ -290,14 +290,16 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_candidates",
     f"""
     WITH {_SHINGLES_SQL},
-    seeded AS (
-        SELECT doc_id, t.seed, md5(shingle || '#' || CAST(t.seed AS VARCHAR)) AS h
+    hashed AS (
+        SELECT doc_id, t.seed,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+               + t.seed * ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h
         FROM sh CROSS JOIN range(0, 12) t(seed)
     ),
-    per_seed AS (SELECT doc_id, seed, MIN(h) AS minh FROM seeded GROUP BY 1, 2),
+    per_seed AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
     banded AS (
         SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-               md5(string_agg(minh, '|' ORDER BY seed)) AS bucket
+               md5(string_agg(CAST(minh AS VARCHAR), '|' ORDER BY seed)) AS bucket
         FROM per_seed GROUP BY doc_id, CAST(seed // 3 AS INT)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
@@ -305,8 +307,10 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
-    doc="MinHash(12)+LSH(4 bands x 3 rows) candidate pairs: md5-derived "
-    "hash family, band-bucket join is the only shuffle (uniform keys).",
+    doc="MinHash(12)+LSH(4 bands x 3 rows) candidate pairs: Kirsch-"
+    "Mitzenmacher double-hash family off one md5 per shingle (h1 + j*h2; "
+    "r7 — the per-seed md5 family was 12 digests per shingle occurrence, "
+    "the path's dominant CPU), posting-list pairing, one shuffle.",
     tags=("llm", "dedup"),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -224,7 +224,28 @@ def test_minhash_signature_shape(spark):
     assert len(sigs) == 10
     for r in sigs:
         assert len(r.sig) == 8
-        assert all(len(h) == 32 for h in r.sig)  # md5 hex
+        # double-hash family: h_j = h1 + j*h2 with h1 60-bit, h2 48-bit —
+        # every element fits signed 64 with headroom (no overflow wrap)
+        assert all(isinstance(h, int) and 0 <= h < (1 << 61) for h in r.sig)
+
+
+def test_minhash_double_hash_matches_reference_md5(spark):
+    """The h1/h2 cuts must equal int(md5_hex[0:15], 16) and
+    int(md5_hex[16:28], 16) — pinned against hashlib so the DuckDB oracle's
+    ('0x'||substr)::BIGINT arithmetic provably computes the same family."""
+    import hashlib
+
+    df = spark.createDataFrame([("alpha beta gamma delta",)], "shingle STRING")
+    from pyspark.sql import functions as F
+
+    md5 = F.md5("shingle")
+    row = df.select(
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md5, 17, 12), 16, 10).cast("bigint").alias("h2"),
+    ).collect()[0]
+    hx = hashlib.md5(b"alpha beta gamma delta").hexdigest()
+    assert row.h1 == int(hx[:15], 16)
+    assert row.h2 == int(hx[16:28], 16)
 
 
 def test_ivf_recall_against_brute_force(spark):
