@@ -623,7 +623,7 @@ def connected_components_star(
         # neighborhood and itself to that neighborhood's min
         sn = ls.groupBy("l").agg(F.min("s").alias("m"))
         joined = ls.join(sn, "l")
-        nxt = (
+        cur = (
             joined.select(F.col("m").alias("s"), F.col("l"))
             .union(
                 joined.select(F.col("m").alias("s"), F.col("s").alias("l"))
@@ -632,13 +632,18 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if (
-            nxt.exceptAll(cur).limit(1).count() == 0
-            and cur.exceptAll(nxt).limit(1).count() == 0
-        ):
-            cur = nxt
+        # fixpoints of the alternation are exactly unions of stars, and a
+        # canonical edge set is a star set iff no node is both a root (s)
+        # and a member (l) — one semi-join probe per round, far cheaper
+        # than the two exceptAll set-equality shuffles it replaces
+        chained = (
+            cur.select("l")
+            .join(cur.select(F.col("s").alias("l")), "l", "leftsemi")
+            .limit(1)
+            .count()
+        )
+        if chained == 0:
             break
-        cur = nxt
     # fixpoint is a star per component: every edge is (root, member)
     labels = cur.select(F.col("l").alias("node"), F.col("s").alias("component"))
     roots = cur.select(F.col("s").alias("node")).distinct().select(

@@ -954,6 +954,64 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_cluster_assignment_star",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT c.doc_id, c.component,
+           COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+           CAST(c.doc_id = c.component AS INT) AS is_representative
+    FROM comp c
+    """,
+    doc="Cluster assignment via the large-star/small-star contraction "
+    "(O(log n) rounds on ANY topology — the scale path for high-diameter "
+    "pair graphs, where min-label propagation needs O(diameter) rounds). "
+    "Same oracle as neardup_cluster_assignment: both algorithms compute "
+    "the identical component fixpoint, so the driver verifies the star "
+    "variant against the same recursive CTE.",
+    tags=("llm", "dedup", "iterative"),
+)
+def neardup_cluster_assignment_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = ld.connected_components_star(pairs, docs, "doc_id")
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).cast("int").alias(
+            "is_representative"
+        ),
+    )
+
+
+@register(
     "neardup_quality_survivors",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},

@@ -11,7 +11,8 @@ PICK = [
     ("shipped_within_90d", "equi+range join (hash join, range post-filter)"),
     ("top_orders_by_price", "TakeOrderedAndProject (no global sort)"),
     ("revenue_by_nation", "multiway: broadcast dims + shuffled fact joins"),
-    ("minhash_lsh_candidates", "banded LSH posting lists, in-row capped pair expansion — no bucket self-join"),
+    ("minhash_lsh_candidates", "banded LSH posting lists, double-hash family (1 md5/shingle), in-row capped pair expansion — no bucket self-join"),
+    ("simhash_neardup_pairs", "bit-prefix bands, capped posting-list pairing — join-free plan"),
     ("quality_decile_binning", "two-phase exact NTILE: (lang,bucket) windows + broadcast prefix, no per-language total sort"),
     ("jaccard_neardup_pairs", "DF-capped posting lists, in-row pair expansion — no shingle self-join"),
     ("q2_min_cost_supplier", "correlated MIN as window: ONE fact scan"),
