@@ -154,6 +154,53 @@ def decontaminate(
     )
 
 
+def segment_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level duplication per document — the line-dedup
+    primitive of CCNet/RefinedWeb-style pipelines (boilerplate detection:
+    navigation bars, license headers, templated paragraphs repeat across
+    documents even when whole docs don't).
+
+    Documents split into non-overlapping ``seg_len``-token segments; a
+    segment is duplicated if its hash occurs in more than one place in the
+    corpus.  Returns (id, n_segments, n_dup_segments, dup_ratio).
+
+    Scale shape: the shuffle key is the segment HASH (uniform by
+    construction; the md5 moves, never the segment text), counted with a
+    hash-partitioned window, then one map-side-combined groupBy(doc).
+    """
+    toks = tokens(text_col)
+    n_full = (F.size(toks) / seg_len).cast("int")
+    segs = F.when(
+        F.size(toks) >= seg_len,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * seg_len + 1, seg_len)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg_rows = df.select(F.col(id_col), F.explode(segs).alias("seg")).select(
+        id_col, F.md5("seg").alias("h")
+    )
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        seg_rows.withColumn("cnt", cnt)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_segments") / F.col("n_segments").cast("double"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:

@@ -1392,3 +1392,131 @@ def exact_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("lang").agg(
         at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
     )
+
+
+@register(
+    "hashed_classifier_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('w#' || CAST(
+                     ('0x' || substr(md5(w), 1, 15))::BIGINT % 4096
+                   AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000 AS v
+        FROM toks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(v) AS BIGINT) AS vote_sum,
+           CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) * 1000 AS DOUBLE) AS score,
+           CAST(SUM(v) >= 0 AS INT) AS keep
+    FROM votes GROUP BY doc_id
+    """,
+    doc="fasttext/CCNet-style quality-classifier inference: every token "
+    "hashes into one of 4096 weight buckets (one md5 per token, same "
+    "double-hash cut as minhash), the doc score is the mean bucket weight. "
+    "Weights are md5-derived stand-ins so the oracle reproduces scores "
+    "bit-for-bit; a trained vector drops into the same plan as a literal "
+    "map or broadcast dimension.  Integer vote sums keep the aggregation "
+    "order-independent; the single final division is IEEE-exact.  Plan: "
+    "in-row math + ONE map-side-combined groupBy — no weight-table join.",
+    tags=("llm", "quality", "classifier"),
+)
+def hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.llmops import classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classify.hashed_linear_score(docs, "doc_id", "text", buckets=4096)
+
+
+@register(
+    "doc_pii_scrub",
+    """
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-123-4567'
+                    ELSE '' END AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(txt, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM seeded
+    """,
+    doc="Document-content PII scrub (the corpus-side counterpart of the "
+    "P10 field redaction): regex-redact emails/phones with typed tags and "
+    "count matches.  The synthetic corpus carries no organic PII, so a "
+    "deterministic injection (docs with doc_id%5==0 gain an email+phone "
+    "suffix, built identically on both sides) exercises real matches; the "
+    "md5 of the scrubbed text rides instead of the body so nothing "
+    "downstream shuffles document text.  All JVM regexp ops, zero Python.",
+    tags=("llm", "pii"),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.llmops import classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return classify.pii_scrub(seeded, "doc_id", "text")
+
+
+@register(
+    "segment_dedup_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST((i - 1) // 8 AS INT) AS si,
+               md5(string_agg(w, ' ' ORDER BY i)) AS h
+        FROM toks GROUP BY doc_id, CAST((i - 1) // 8 AS INT)
+        HAVING COUNT(*) = 8
+    ),
+    counted AS (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CAST(cnt > 1 AS BIGINT)) AS BIGINT) AS n_dup_segments,
+           CAST(SUM(CAST(cnt > 1 AS BIGINT)) AS BIGINT)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+    FROM counted GROUP BY doc_id
+    """,
+    doc="CCNet/RefinedWeb-style LINE-level dedup statistics: documents "
+    "split into non-overlapping 8-token segments; a segment is boilerplate "
+    "if its hash occurs more than once in the corpus.  Per-doc duplicated-"
+    "segment ratio drives paragraph-level filtering where whole-document "
+    "dedup misses templated content.  Shuffle carries (doc_id, md5) — the "
+    "segment text never moves; window over the uniform hash key, then one "
+    "map-side-combined groupBy(doc).",
+    tags=("llm", "dedup"),
+)
+def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.segment_dup_stats(docs, "doc_id", "text", seg_len=8)

@@ -540,3 +540,53 @@ def test_multimodal_real_decode_query_runs_real_codec(spark):
         expect = multimodal._luminance_histogram(blob, "bmp", 16)
         got = [by_doc[doc_id][i] for i in range(16)]
         assert got == expect
+
+
+def test_segment_dup_stats_flags_cross_doc_boilerplate(spark):
+    """A shared 8-token boilerplate prefix is duplicated in both docs;
+    unique tails are not.  Short docs (<8 tokens) contribute nothing."""
+    boiler = "all rights reserved contact the site admin today"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one two three four five six"),
+            (2, boiler + " other ending seven eight nine ten eleven twelve"),
+            (3, "too short"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup_segments)
+        for r in ld.segment_dup_stats(docs, "doc_id", "text", seg_len=8).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1)}  # doc 3 has no full segment
+
+
+def test_hashed_classifier_score_deterministic_and_bounded(spark):
+    from data_pipeline_spark.llmops import classify
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    a = {r.doc_id: (r.vote_sum, r.score, r.keep)
+         for r in classify.hashed_linear_score(docs, "doc_id", "text").collect()}
+    b = {r.doc_id: (r.vote_sum, r.score, r.keep)
+         for r in classify.hashed_linear_score(
+             docs.repartition(7), "doc_id", "text").collect()}
+    assert a == b  # order/partitioning independent (integer vote sums)
+    for vote_sum, score, keep in a.values():
+        assert -1.0 <= score <= 1.0
+        assert keep == int(vote_sum >= 0)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from data_pipeline_spark.llmops import classify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at alice@example.com or bob.smith@mail.co today"),
+            (2, "call 555-123-4567 and 999-888-7777 now"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.n_emails, r.n_phones)
+           for r in classify.pii_scrub(docs, "doc_id", "text").collect()}
+    assert got == {1: (2, 0), 2: (0, 2), 3: (0, 0)}
