@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "multimodal_frame_pipeline",
     "ngram_repetition_filter",
     "unigram_logprob_score",
+    "hashed_classifier_score",
+    "segment_dedup_stats",
 ]
 
 
