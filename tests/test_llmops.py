@@ -590,3 +590,29 @@ def test_pii_scrub_counts_and_redacts(spark):
     got = {r.doc_id: (r.n_emails, r.n_phones)
            for r in classify.pii_scrub(docs, "doc_id", "text").collect()}
     assert got == {1: (2, 0), 2: (0, 2), 3: (0, 0)}
+
+
+def test_wav_codec_property_roundtrip():
+    """Property: decode(encode(ch, rate, pcm)) is the identity for
+    arbitrary channel counts, rates, and 16-bit sample data; resampling to
+    the same frame count is also the identity."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=4),       # channels
+        st.sampled_from([8000, 16000, 44100]),       # rate
+        st.integers(min_value=1, max_value=50),      # frames
+        st.randoms(use_true_random=False),
+    )
+    def check(ch, rate, n_frames, rnd):
+        pcm = np.array(
+            [rnd.randrange(-32768, 32768) for _ in range(n_frames * ch)], "<i2"
+        ).tobytes()
+        blob = multimodal._encode_wav(ch, rate, pcm)
+        assert multimodal.decode_audio(blob, "wav") == (ch, rate, pcm)
+        assert multimodal._real_audio_resample(blob, "wav", n_frames) == blob
+
+    check()

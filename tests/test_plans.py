@@ -320,3 +320,39 @@ def test_decontamination_broadcasts_eval_side(spark):
     assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
         audit.formatted_plan(df)
     )
+
+
+def test_classifier_score_has_no_weight_join(spark):
+    """The hashed linear classifier derives bucket weights in-row (md5
+    expression), so the plan must contain NO join — a weight-table shuffle
+    would move the 100 TB token stream for a 4096-entry dimension."""
+    df = _q("hashed_classifier_score", spark)
+    assert audit.join_strategies(df) == [], audit.formatted_plan(df)
+    assert _fact_scan_count(df, "documents") == 1
+
+
+def test_pii_scrub_is_single_scan_no_shuffle(spark):
+    """Document scrubbing is pure row-local regexp work: one scan, no
+    exchange, whole-stage codegen."""
+    df = _q("doc_pii_scrub", spark)
+    plan = audit.formatted_plan(df)
+    assert audit.join_strategies(df) == []
+    assert "Exchange" not in plan, plan
+    assert audit.has_whole_stage_codegen(df)
+
+
+def test_segment_dedup_shuffles_hashes_not_text(spark):
+    """The corpus-wide segment-count window must partition on the segment
+    HASH; the exchange before it must not carry the segment text."""
+    df = _q("segment_dedup_stats", spark)
+    plan = audit.formatted_plan(df)
+    assert re.search(r"hashpartitioning\(h#\d+", plan), plan
+    # the md5 projection happens BELOW the exchange: every Exchange block's
+    # input schema carries the hash column, never the 'seg' text attribute
+    exchange_blocks = re.findall(
+        r"\(\d+\) Exchange\n(?:.+\n)*?Arguments:.*", plan
+    )
+    assert exchange_blocks, plan
+    for block in exchange_blocks:
+        assert not re.search(r"\bseg#\d+", block), block
+    assert audit.join_strategies(df) == []
