@@ -381,11 +381,42 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash64_neardup_pairs",
-    None,  # rows-only: scale-path variant; exactness unit-verified vs brute force
+    """
+    WITH toks AS (
+        SELECT doc_id, md5(unnest(string_split(text,' '))) AS hw FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, t.b,
+               SUM(2 * ((strpos('0123456789abcdef',
+                                substr(hw, CAST(t.b // 4 AS INT) + 1, 1)) - 1)
+                        >> (3 - (t.b % 4)) & 1) - 1) AS v
+        FROM toks CROSS JOIN range(0, 64) t(b)
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN b < 32 THEN
+                   CAST(CASE WHEN v >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                   * (CAST(1 AS BIGINT) << CAST(31 - b AS INT))
+                 ELSE 0 END) AS BIGINT) AS sh_hi,
+               CAST(SUM(CASE WHEN b >= 32 THEN
+                   CAST(CASE WHEN v >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                   * (CAST(1 AS BIGINT) << CAST(63 - b AS INT))
+                 ELSE 0 END) AS BIGINT) AS sh_lo
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+                + bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh_hi, b.sh_hi))
+          + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3
+    """,
     doc="64-bit SimHash near-dup pairs — the banding scale path: 4 bands "
     "x 16 bits = 65536 buckets/band (vs 256 for 32-bit), same Hamming<=3 "
-    "pigeonhole exactness; pairs verified equal to the O(n^2) brute force "
-    "in unit tests (llmops/dedup.simhash64_neardup_pairs).",
+    "pigeonhole exactness, so the banded capped-posting-list Spark plan "
+    "verifies against the O(n^2) SQL formulation (upgraded from rows-only "
+    "in r7; previously brute-force-verified in unit tests only).",
     tags=("llm", "dedup", "scale-path"),
 )
 def simhash64_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
