@@ -78,17 +78,18 @@ _PRIORITY = [
     "doc_lang_id",
     "doc_fingerprints",
     "multimodal_meta",
+    # -- new in r7, never driver-verified ------------------------------------
+    "neardup_cluster_assignment_star",
+    "hashed_classifier_score",
+    "doc_pii_scrub",
+    "segment_dedup_stats",
     # -- last driver verdict was round 5 (missed r6's window) ----------------
     "shipped_within_90d",
     "sessionize_events",
     "asof_click_attribution",
     "hypertable_rollup",
-    "doc_exact_dedup",
     "simhash_signatures",
     "embedding_cosine_topk",
-    "embedding_neardup_pairs",
-    "word_frequencies",
-    "q13_order_count_distribution",
     # -- flagship + high-value continuity ------------------------------------
     "q1_pricing_summary",
     "quality_decile_binning",
