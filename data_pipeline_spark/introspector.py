@@ -83,5 +83,12 @@ class Introspector:
         if self.store is not None and self.store.exists(topic):
             highs = self.store.high_watermarks(topic)
             info["high_watermarks"] = highs
-            info["message_count"] = sum(highs.values())
+            # watermark positions are RESERVATIONS: a publisher that crashed
+            # between its sidecar reservation and the data append leaves an
+            # offset gap, so the reserved count can exceed rows on disk.
+            # Surface both — a persistent nonzero gap under live publishers
+            # is normal crash debris; a growing one is a stuck producer.
+            info["reserved_count"] = sum(highs.values())
+            info["message_count"] = self.store.read(topic).count()
+            info["reserved_gap"] = info["reserved_count"] - info["message_count"]
         return info

@@ -58,6 +58,7 @@ def test_multi_topic_consume_and_introspection(spark, tmp_path):
     info = intro.topic_info(a.topic)
     assert info["primary_keys"] == ["event_id"]
     assert info["message_count"] == 30
+    assert info["reserved_count"] == 30 and info["reserved_gap"] == 0
     assert sum(info["high_watermarks"].values()) == 30
 
 
@@ -127,3 +128,36 @@ def test_schema_elements_df_view(spark):
     assert rows["t"].element_type == "record"
     assert rows["t|a"].doc == "fa" and rows["t|a"].note == "careful"
     assert rows["t|a"].schema_id == rs.schema_id
+
+
+def test_topic_info_surfaces_reservation_gap(spark, tmp_path):
+    """A crashed publish that reserved offsets but never appended data
+    shows up as reserved_gap > 0 with message_count = rows actually on
+    disk (watermark-derived counts would silently overcount)."""
+    import json
+
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "gap.main.db", "events",
+        json.dumps({"type": "record", "name": "e",
+                    "fields": [{"name": "event_id", "type": "long"}]}),
+    )
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    rows = spark.createDataFrame([(i,) for i in range(20)], "event_id LONG")
+    Producer(store, reg).publish(rows, rs.schema_id, order_by="event_id")
+
+    # simulate the crash window: reservation only, no data
+    highs = store.high_watermarks(rs.topic)
+    spark.createDataFrame(
+        [(p, h + 3, "crashed:1", h) for p, h in highs.items()],
+        TopicStore._META_SCHEMA,
+    ).write.mode("append").parquet(store._meta_dir(rs.topic))
+
+    info = Introspector(spark, reg, store).topic_info(rs.topic)
+    assert info["message_count"] == 20
+    assert info["reserved_count"] == 20 + 3 * len(highs)
+    assert info["reserved_gap"] == 3 * len(highs)
