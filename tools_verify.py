@@ -137,7 +137,14 @@ def main(argv: list[str]) -> int:
         print(f"{flag} {name:40s} {row['sec']:6.2f}s {row.get('err','')[:100]}")
         if row["status"] == "MISMATCH":
             print("   ", {k: v for k, v in row.items() if k not in ("sec", "status")})
-    Path("VERIFY_LOCAL.json").write_text(json.dumps(report, indent=1, default=str))
+    # partial runs (explicit query names) MERGE into the scoreboard so a
+    # targeted re-check never clobbers the full-catalog evidence
+    out = Path("VERIFY_LOCAL.json")
+    if argv and out.exists():
+        merged = json.loads(out.read_text())
+        merged.update(report)
+        report = merged
+    out.write_text(json.dumps(report, indent=1, default=str))
     print(f"\n{n_ok} ok / {n_weak} rows-only / {n_bad} bad of {len(names)}")
     spark.stop()
     return 1 if n_bad else 0
