@@ -419,9 +419,12 @@ def _capped_bucket_pairs(
     No bucket self-join means no join key can go quadratic: a bucket of k
     docs costs k^2/2 in-row pairs, hard-capped by ``max_bucket`` (which is
     also the expansion's per-row memory guard).  A bucket larger than the
-    cap is an identical/boilerplate flood that exact dedup owns; at the
-    oracle SFs every bucket sits far below the cap, so the capped output
-    is bit-identical to the uncapped formulation there.
+    cap is an identical/boilerplate flood that exact dedup owns.  NOTE:
+    whether a cap engages at a given corpus size depends on the bucket
+    space — 32-bit SimHash's 2^8-bucket bands flood linearly with corpus
+    size (sf0.1 already peaks ~1.1k docs/bucket), so oracle-anchored
+    callers must size the cap above their SF envelope (the catalog query
+    passes max_bucket=10_000) while production uses the tight default.
     """
     id_f = fields[0]
     doc = F.struct(*[F.col(f).alias(f) for f in fields])

@@ -373,7 +373,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ld.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    # this query is the ORACLE ANCHOR, so its cap sits above the catalog-SF
+    # bucket envelope (sf0.1 peaks at ~1.1k docs/bucket — the 2^8-bucket
+    # bands flood linearly with corpus size, which is exactly why
+    # simhash64_neardup_pairs with 2^16-bucket bands is the scale path;
+    # the library default max_bucket=1000 stays the production guard)
+    pairs = ld.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3, max_bucket=10_000
+    )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
