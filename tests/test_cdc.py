@@ -240,3 +240,76 @@ def test_streaming_publisher_foreign_writer_does_not_mask_loss(spark, tmp_path):
         .messages(rs.topic).select("payload.event_id").collect()
     )
     assert got == list(range(20)) + list(range(100, 110))
+
+
+def test_replay_verification_survives_meta_compaction(spark, tmp_path):
+    """compact_meta keeps the max-offset row per partition WITH its publish
+    tag, so a dangling epoch can still be resolved after a compaction runs
+    between the crash and the replay."""
+    rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
+    pub1 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub1.publish_batch(batch(0, 10), 0) is True
+
+    # epoch 1: intent + tagged publish landed, commit lost, then compaction
+    _write_intent(spark, ledger, 1)
+    producer.publish(
+        batch(10, 10), rs.schema_id, order_by="event_id",
+        publish_id=pub1._publish_id(1),
+    )
+    store.compact_meta(rs.topic)
+
+    pub2 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub2.publish_batch(batch(10, 10), 1) is False  # verified, skipped
+    assert store.read(rs.topic).count() == 20  # no duplicates
+
+
+def test_concurrent_streaming_publishers_with_lease(spark, tmp_path):
+    """Two StreamingPublisher instances on the SAME topic with
+    serialize_publishes: the re-entrant lease serializes whole
+    intent->publish->commit sequences — all offsets unique, no rows lost."""
+    import threading
+
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+    from data_pipeline_spark.sources.file_topic import TopicStore
+
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "conc.main.db", "events",
+        json.dumps({"type": "record", "name": "e",
+                    "fields": [{"name": "event_id", "type": "long"}]}),
+    )
+    store = TopicStore(spark, str(tmp_path / "topics"), serialize_publishes=True)
+    producer = Producer(store, reg)
+
+    def run(tag, lo):
+        pub = StreamingPublisher(
+            producer, rs.schema_id, str(tmp_path / f"ledger_{tag}"),
+            order_by="event_id",
+        )
+        for epoch in range(2):
+            rows = spark.createDataFrame(
+                [(lo + epoch * 25 + i,) for i in range(25)], "event_id LONG"
+            )
+            pub.publish_batch(rows, epoch)
+
+    errs = []
+
+    def worker(tag, lo):
+        try:
+            run(tag, lo)
+        except Exception as exc:  # surface in main thread
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(t, lo))
+        for t, lo in (("a", 0), ("b", 1000))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    wire = store.read(rs.topic)
+    assert wire.count() == 100
+    assert wire.select("partition", "offset").distinct().count() == 100
