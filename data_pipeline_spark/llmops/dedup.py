@@ -201,6 +201,84 @@ def segment_dup_stats(
     )
 
 
+def strip_duplicated_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 8, max_df: int = 1
+) -> DataFrame:
+    """Remove corpus-duplicated segments from every document — the
+    TRANSFORM counterpart of ``segment_dup_stats`` (RefinedWeb/CCNet line
+    dedup: templated lines are stripped from the text that ships to
+    training, not just counted).
+
+    A segment survives iff its corpus-wide occurrence count is <=
+    ``max_df``; the sub-segment tail (final ``len % seg_len`` tokens) is
+    always kept.  Returns (id, clean_md5, n_kept_segments,
+    n_dropped_segments): the cleaned text ships as an md5 so document
+    bodies never ride the shuffle — callers that need the text re-derive
+    it map-side with the same expression.
+
+    Scale shape: segment counting shuffles (doc, segment-hash) pairs
+    under a hash-partitioned window; the rebuild is one groupBy(doc) +
+    one equi-join back to the corpus for the tail — both on the doc id.
+    """
+    toks = tokens(text_col)
+    n_full = (F.size(toks) / seg_len).cast("int")
+    segs = F.when(
+        F.size(toks) >= seg_len,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg_rows = df.select(
+        F.col(id_col), F.posexplode(segs).alias("si", "seg")
+    ).select(id_col, "si", "seg", F.md5("seg").alias("h"))
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    marked = seg_rows.withColumn("cnt", cnt)
+    kept = (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("cnt") <= max_df,
+                                F.struct("si", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+            ).alias("kept_text"),
+            F.sum((F.col("cnt") <= max_df).cast("long")).alias("n_kept_segments"),
+            F.sum((F.col("cnt") > max_df).cast("long")).alias(
+                "n_dropped_segments"
+            ),
+        )
+    )
+    tail = F.concat_ws(
+        " ", F.slice(toks, n_full * seg_len + 1, F.size(toks) - n_full * seg_len)
+    )
+    base = df.select(F.col(id_col), tail.alias("tail"))
+    joined = base.join(kept, id_col, "left")
+    clean = F.concat_ws(
+        " ",
+        F.filter(
+            F.array(F.coalesce("kept_text", F.lit("")), F.col("tail")),
+            lambda x: x != "",
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.md5(clean).alias("clean_md5"),
+        F.coalesce("n_kept_segments", F.lit(0)).alias("n_kept_segments"),
+        F.coalesce("n_dropped_segments", F.lit(0)).alias("n_dropped_segments"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:

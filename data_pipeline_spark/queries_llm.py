@@ -1558,3 +1558,63 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ld.segment_dup_stats(docs, "doc_id", "text", seg_len=8)
+
+
+@register(
+    "boilerplate_strip",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST((i - 1) // 8 AS INT) AS si,
+               string_agg(w, ' ' ORDER BY i) AS seg
+        FROM toks GROUP BY doc_id, CAST((i - 1) // 8 AS INT)
+        HAVING COUNT(*) = 8
+    ),
+    counted AS (
+        SELECT doc_id, si, seg,
+               COUNT(*) OVER (PARTITION BY md5(seg)) AS cnt
+        FROM segs
+    ),
+    kept AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN cnt <= 1 THEN seg END, ' ' ORDER BY si)
+                   AS kept_text,
+               SUM(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END) AS n_kept,
+               SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dropped
+        FROM counted GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               coalesce(array_to_string(
+                   array_slice(string_split(text, ' '),
+                       (len(string_split(text, ' ')) // 8) * 8 + 1,
+                       len(string_split(text, ' '))), ' '), '') AS tail
+        FROM documents
+    )
+    SELECT b.doc_id,
+           md5(CASE
+                 WHEN coalesce(kept_text, '') <> '' AND tail <> ''
+                   THEN kept_text || ' ' || tail
+                 WHEN coalesce(kept_text, '') <> '' THEN kept_text
+                 ELSE tail
+               END) AS clean_md5,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept_segments,
+           CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped_segments
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="Corpus-duplicated-segment REMOVAL (the RefinedWeb/CCNet line-dedup "
+    "transform, not just the statistic): every 8-token segment whose hash "
+    "occurs more than once in the corpus is stripped from the text that "
+    "ships to training; sub-segment tails are kept.  The cleaned text "
+    "rides as an md5 so document bodies never shuffle; segment counting "
+    "windows over the hash key and the rebuild is one groupBy(doc) + one "
+    "doc-id join for the tail.",
+    tags=("llm", "dedup", "transform"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.strip_duplicated_segments(docs, "doc_id", "text", seg_len=8)

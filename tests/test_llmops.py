@@ -616,3 +616,30 @@ def test_wav_codec_property_roundtrip():
         assert multimodal._real_audio_resample(blob, "wav", n_frames) == blob
 
     check()
+
+
+def test_strip_duplicated_segments_removes_cross_doc_boilerplate(spark):
+    """The shared 8-token boilerplate prefix is stripped from BOTH docs;
+    unique segments and sub-segment tails survive; short docs and
+    all-boilerplate docs reduce to their tails."""
+    import hashlib
+
+    boiler = "all rights reserved contact the site admin today"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one two three four five six extra"),
+            (2, boiler + " other ending seven eight nine ten eleven twelve"),
+            (3, "too short"),
+            (4, boiler),  # all-boilerplate, no tail
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.clean_md5, r.n_kept_segments, r.n_dropped_segments)
+        for r in ld.strip_duplicated_segments(docs, "doc_id", "text").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (md5("unique tail one two three four five six extra"), 1, 1)
+    assert got[2] == (md5("other ending seven eight nine ten eleven twelve"), 1, 1)
+    assert got[3] == (md5("too short"), 0, 0)  # tail-only, unchanged
+    assert got[4] == (md5(""), 0, 1)  # fully boilerplate -> empty text
