@@ -154,6 +154,47 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-source contamination audit: for each training SOURCE, how many
+    of its documents share an n-gram with the eval set, how many distinct
+    eval documents are reachable from it, and the distinct shared shingle
+    count — the report a pipeline reviews before deciding which sources
+    need scrubbing (the matrix form of ``decontaminate``).
+
+    Scale shape: the eval (shingle -> eval doc) map broadcasts (benchmark-
+    sized); ``source`` rides the corpus shingle stream in-row (no join to
+    re-attach it), the stream is filtered map-side by the broadcast, and
+    the only shuffle is the groupBy(source) over the surviving hits —
+    contamination-sized, not corpus-sized.  No distinct on the raw stream
+    (countDistinct collapses duplicates after the filter instead).
+    """
+    from data_pipeline_spark.llmops.textstats import word_ngrams
+
+    t_sh = train.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(word_ngrams(tokens(text_col), n)).alias("shingle"),
+    )
+    e_map = (
+        shingles(eval_df, id_col, text_col, n)
+        .select("shingle", F.col(id_col).alias("eval_id"))
+        .distinct()
+    )
+    hits = t_sh.join(F.broadcast(e_map), "shingle")
+    return hits.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("n_contaminated_docs"),
+        F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+    )
+
+
 def segment_dup_stats(
     df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
 ) -> DataFrame:

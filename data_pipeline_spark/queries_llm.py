@@ -1618,3 +1618,53 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ld.strip_duplicated_segments(docs, "doc_id", "text", seg_len=8)
+
+
+@register(
+    "contamination_by_source",
+    f"""
+    WITH {_SHINGLES_SQL.replace("documents", "(SELECT * FROM documents WHERE doc_id % 97 <> 0)")},
+    eval_toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    eval_sh AS (
+        SELECT DISTINCT doc_id AS eval_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,3) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM eval_toks
+        QUALIFY shingle IS NOT NULL
+    ),
+    train_sh AS (
+        SELECT t.doc_id, d.source,
+               t.w || ' ' || lead(t.w,1) OVER (PARTITION BY t.doc_id ORDER BY t.i)
+                   || ' ' || lead(t.w,2) OVER (PARTITION BY t.doc_id ORDER BY t.i)
+                   || ' ' || lead(t.w,3) OVER (PARTITION BY t.doc_id ORDER BY t.i)
+                   || ' ' || lead(t.w,4) OVER (PARTITION BY t.doc_id ORDER BY t.i) AS shingle
+        FROM toks t JOIN documents d USING (doc_id)
+        QUALIFY shingle IS NOT NULL
+    )
+    SELECT s.source,
+           COUNT(DISTINCT s.doc_id) AS n_contaminated_docs,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit,
+           COUNT(DISTINCT s.shingle) AS n_shared_shingles
+    FROM train_sh s JOIN eval_sh e ON s.shingle = e.shingle
+    GROUP BY s.source
+    """,
+    doc="Per-source contamination audit (the matrix form of "
+    "eval_decontamination): for each training source, its contaminated doc "
+    "count, distinct eval docs reachable, and shared 5-gram count.  Source "
+    "rides the shingle stream in-row; the eval shingle->doc map broadcasts; "
+    "the only shuffle is contamination-sized.",
+    tags=("llm", "dedup", "decontamination"),
+)
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ld.contamination_report(
+        train, eval_df, "doc_id", "text", "source", n=5
+    )

@@ -356,3 +356,13 @@ def test_segment_dedup_shuffles_hashes_not_text(spark):
     for block in exchange_blocks:
         assert not re.search(r"\bseg#\d+", block), block
     assert audit.join_strategies(df) == []
+
+
+def test_contamination_report_broadcasts_eval_map(spark):
+    """The eval shingle->doc map must broadcast onto the corpus shingle
+    stream — the corpus side never shuffles on the shingle."""
+    df = _q("contamination_by_source", spark)
+    strategies = audit.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        audit.formatted_plan(df)
+    )
