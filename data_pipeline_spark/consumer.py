@@ -81,6 +81,11 @@ class Consumer:
         needed step).  An encrypted message whose key_id is not provided
         raises at execution.
         """
+        if crypto_keys is None and env.wire_codec_backend(self.store.spark) == "python":
+            if from_committed and self.ledger is not None and starting_offsets is None:
+                starting_offsets = self.ledger.committed(self.group, topic)
+            wire = self.store.read(topic, starting_offsets=starting_offsets)
+            return self._decode_fused(wire, topic, reader_schema_id)
         raw = self.raw(topic, starting_offsets, from_committed)
         return self._decode_enveloped(raw, topic, reader_schema_id, crypto_keys)
 
@@ -96,10 +101,56 @@ class Consumer:
         streaming plans are IDENTICAL above the source (parity-tested in
         test_streaming.py).  Commit/seek is the stream's checkpoint, not
         the offset ledger."""
-        raw = self.store.read_stream(topic).withColumn(
+        stream = self.store.read_stream(topic)
+        if crypto_keys is None and env.wire_codec_backend(self.store.spark) == "python":
+            return self._decode_fused(stream, topic, reader_schema_id)
+        raw = stream.withColumn(
             "envelope", env.unpack(F.col("value"), spark=self.store.spark)
         )
         return self._decode_enveloped(raw, topic, reader_schema_id, crypto_keys)
+
+    def _reader_json(self, topic: str, reader_schema_id: int | None) -> str:
+        if reader_schema_id is not None:
+            return self.registry.get_schema_by_id(reader_schema_id).schema_json
+        latest = self.registry.latest_schema_for_topic(topic)
+        if latest is None:
+            raise KeyError(f"no schema registered for topic {topic}")
+        return latest.schema_json
+
+    def _writers(self, topic: str) -> dict[int, str]:
+        # writer-schema map for this topic only (small; broadcast by Spark
+        # as a captured literal inside the UDF closure)
+        return {
+            rs.schema_id: rs.schema_json
+            for rs in self.registry._schemas.values()
+            if rs.topic == topic
+        }
+
+    def _decode_fused(
+        self, wire: DataFrame, topic: str, reader_schema_id: int | None
+    ) -> DataFrame:
+        """Unencrypted python-backend fast path: unpack + decode in ONE
+        pandas UDF (envelope.unpack_decode_udf) — half the Arrow crossings
+        of the layered envelope-then-payload shape, same columns out."""
+        fused, _ = env.unpack_decode_udf(
+            self._writers(topic), self._reader_json(topic, reader_schema_id), topic
+        )
+        # materialize the UDF once in its own projection, then fan the
+        # struct fields out (field refs are free; re-stating the UDF per
+        # field would lean on expression dedup instead)
+        packed = wire.select(
+            "partition", "offset", "key", fused(F.col("value")).alias("e")
+        )
+        return packed.select(
+            "partition",
+            "offset",
+            "key",
+            F.col("e.uuid").alias("uuid"),
+            F.col("e.message_type").alias("message_type"),
+            F.col("e.schema_id").alias("schema_id"),
+            F.col("e.timestamp").alias("timestamp"),
+            F.col("e.payload").alias("payload"),
+        )
 
     def _decode_enveloped(
         self,
@@ -108,21 +159,8 @@ class Consumer:
         reader_schema_id: int | None,
         crypto_keys: dict[int, bytes] | None,
     ) -> DataFrame:
-        if reader_schema_id is not None:
-            reader = self.registry.get_schema_by_id(reader_schema_id).schema_json
-        else:
-            latest = self.registry.latest_schema_for_topic(topic)
-            if latest is None:
-                raise KeyError(f"no schema registered for topic {topic}")
-            reader = latest.schema_json
-
-        # writer-schema map for this topic only (small; broadcast by Spark
-        # as a captured literal inside the UDF closure)
-        writers = {
-            rs.schema_id: rs.schema_json
-            for rs in self.registry._schemas.values()
-            if rs.topic == topic
-        }
+        reader = self._reader_json(topic, reader_schema_id)
+        writers = self._writers(topic)
         reader_parsed = avro_codec.parse_schema(reader)
         spark_type = avro_codec.to_spark_type(reader_parsed)
         reader_names = [f["name"] for f in reader_parsed["fields"]]

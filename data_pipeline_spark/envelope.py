@@ -363,6 +363,117 @@ def unpack(wire: Column, mode: str = "FAILFAST", spark=None) -> Column:
     return _unpack_udf(wire)
 
 
+# ---------------------------------------------------------------------------
+# Fused wire paths (python backend): encode+pack / unpack+decode in ONE
+# pandas UDF each.  The layered shape (payload codec UDF, then envelope
+# codec UDF) crosses the Arrow boundary twice per direction — the payload
+# bytes ship JVM->Python->JVM for the payload codec and again inside the
+# envelope struct for the envelope codec.  Fusing halves the crossings on
+# the hot path.  Scope: the COMMON case only (no encryption, no meta
+# attributes, no reader override) — encryption sits between encode and pack
+# as a JVM aes_encrypt, so those topics keep the layered path; clusters
+# with spark-avro keep the JVM envelope codec.  Wire bytes are identical
+# (same compiled codecs), asserted by parity tests.
+# ---------------------------------------------------------------------------
+
+
+def encode_pack_udf(payload_schema_json: str, message_type: str, schema_id: int):
+    """(typed struct, uuid bytes, previous bytes, ts) -> wire bytes in one
+    Arrow crossing.  Bit-identical to encode_payload_udf + pack."""
+    schema = avro_codec.parse_schema(payload_schema_json)
+    field_names = [f["name"] for f in schema["fields"]]
+
+    @pandas_udf(T.BinaryType())
+    def fused(
+        data: pd.DataFrame, uuid_s: pd.Series, prev: pd.Series, ts: pd.Series
+    ) -> pd.Series:
+        rec = avro_codec.compile_encoder(schema)
+        env_enc = _env_encoder()
+        out = []
+        cols = [data[n].tolist() for n in field_names]
+        for values, u, pv, t in zip(
+            zip(*cols), uuid_s.tolist(), prev.tolist(), ts.tolist()
+        ):
+            pbuf = bytearray()
+            rec(pbuf, [v.item() if hasattr(v, "item") else v for v in values])
+            buf = bytearray(MAGIC_BINARY)
+            env_enc(
+                buf,
+                (
+                    bytes(u),
+                    message_type,
+                    schema_id,
+                    bytes(pbuf),
+                    None if pv is None else bytes(pv),
+                    None,
+                    None,
+                    int(t),
+                ),
+            )
+            out.append(bytes(buf))
+        return pd.Series(out, dtype=object)
+
+    return fused
+
+
+def unpack_decode_udf(writers: dict[int, str], reader_schema_json: str, topic: str):
+    """wire bytes -> (envelope scalars + decoded payload struct) in one
+    Arrow crossing, with per-message writer-schema dispatch.  Returns the
+    UDF and its output StructType."""
+    reader_parsed = avro_codec.parse_schema(reader_schema_json)
+    payload_type = avro_codec.to_spark_type(reader_parsed)
+    reader_names = [f["name"] for f in reader_parsed["fields"]]
+    out_type = T.StructType(
+        [
+            T.StructField("uuid", T.BinaryType()),
+            T.StructField("message_type", T.StringType()),
+            T.StructField("schema_id", T.IntegerType()),
+            T.StructField("timestamp", T.IntegerType()),
+            T.StructField("payload", payload_type),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def fused(blob: pd.Series) -> pd.DataFrame:
+        env_dec = _env_decoder()
+        decoders = {
+            sid: avro_codec.compile_decoder(
+                avro_codec.parse_schema(wjson), reader_parsed
+            )
+            for sid, wjson in writers.items()
+        }
+        rows = []
+        for b in blob:
+            mv = memoryview(bytes(b))
+            magic = bytes(mv[:1])
+            body = mv[1:]
+            if magic == MAGIC_ASCII:
+                body = memoryview(base64.urlsafe_b64decode(bytes(body)))
+            elif magic != MAGIC_BINARY:
+                raise ValueError(f"unknown envelope magic byte {magic!r}")
+            (u, mt, sid, payload, _prev, _meta, et, ts), _ = env_dec(body, 0)
+            if et is not None:
+                raise ValueError(
+                    f"topic {topic!r} carries encrypted payloads ({et}); "
+                    "pass crypto_keys to Consumer.messages"
+                )
+            dec = decoders.get(int(sid))
+            if dec is None:
+                raise KeyError(
+                    f"message carries schema_id {int(sid)} but topic "
+                    f"{topic!r} has only {sorted(decoders)} registered — "
+                    "registry out of sync with the stream"
+                )
+            values, _ = dec(memoryview(bytes(payload)), 0)
+            rows.append((u, mt, sid, ts, dict(zip(reader_names, values))))
+        return pd.DataFrame(
+            rows,
+            columns=["uuid", "message_type", "schema_id", "timestamp", "payload"],
+        )
+
+    return fused, out_type
+
+
 def generate_uuid() -> Column:
     """16 random bytes per row — the engine analogue of FastUUID
     (_fast_uuid.py): Spark's codegen uuid() is already JVM-fast; we convert

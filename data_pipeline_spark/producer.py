@@ -75,28 +75,42 @@ class Producer:
         rs = self.registry.get_schema_by_id(schema_id)
         schema = rs.schema_json
         field_names = [f["name"] for f in _json.loads(schema)["fields"]]
-        payload = env.encode_payload_udf(schema)(F.struct(*field_names))
-
-        if rs.primary_keys:
-            pk_schema = _json.dumps(
-                {
-                    "type": "record",
-                    "name": "pk",
-                    "fields": [
-                        {"name": k, "type": _field_type(schema, k)}
-                        for k in rs.primary_keys
-                    ],
-                }
-            )
-            key = env.encode_payload_udf(pk_schema)(F.struct(*rs.primary_keys))
-        else:
-            key = F.lit(None).cast("binary")
 
         ts = (
             F.col(timestamp_col).cast("long")
             if timestamp_col
             else F.unix_timestamp(F.current_timestamp())
         ).cast("int")
+
+        # fused fast path (the common case: no encryption, no meta, python
+        # wire backend): payload encode + envelope pack in ONE pandas UDF —
+        # half the Arrow crossings of the layered shape, identical bytes
+        if (
+            encrypt_key is None
+            and meta is None
+            and env.wire_codec_backend(self.store.spark) == "python"
+        ):
+            fused = env.encode_pack_udf(schema, message_type, schema_id)
+            key = self._key_col(rs, schema)
+            cols = [
+                key.alias("key"),
+                fused(
+                    F.struct(*field_names),
+                    env.generate_uuid(),
+                    (
+                        previous
+                        if previous is not None
+                        else F.lit(None).cast("binary")
+                    ),
+                    ts,
+                ).alias("value"),
+            ]
+            if order_by:
+                cols.append(F.col(order_by).alias("__order"))
+            return rows.select(*cols)
+
+        payload = env.encode_payload_udf(schema)(F.struct(*field_names))
+        key = self._key_col(rs, schema)
 
         meta_col = meta if meta is not None else F.lit(None).cast(env.META_TYPE_DDL)
         enc_type_col = F.lit(None).cast("string")
@@ -142,6 +156,25 @@ class Producer:
         if order_by:
             cols.append(F.col(order_by).alias("__order"))
         return rows.select(*cols)
+
+    def _key_col(self, rs: RegisteredSchema, schema: str) -> Column:
+        """Avro-encoded primary-key record (E3, message.py:340-384) so
+        partition assignment groups by pk; null for keyless schemas."""
+        import json as _json
+
+        if not rs.primary_keys:
+            return F.lit(None).cast("binary")
+        pk_schema = _json.dumps(
+            {
+                "type": "record",
+                "name": "pk",
+                "fields": [
+                    {"name": k, "type": _field_type(schema, k)}
+                    for k in rs.primary_keys
+                ],
+            }
+        )
+        return env.encode_payload_udf(pk_schema)(F.struct(*rs.primary_keys))
 
     def publish(
         self,

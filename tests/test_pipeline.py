@@ -729,3 +729,72 @@ def test_publish_crash_between_reserve_and_write_never_duplicates(
     for p, h in highs.items():
         if p in per_part_min_new and per_part_min_new[p] >= h:
             assert per_part_min_new[p] >= h + 5 or per_part_min_new[p] < h
+
+
+def test_fused_wire_path_is_byte_identical_to_layered(spark):
+    """encode_pack_udf (one Arrow crossing) must produce the exact bytes of
+    encode_payload_udf + pack (two crossings) for the same inputs, and
+    unpack_decode_udf must read either's output."""
+    import json
+
+    from data_pipeline_spark import envelope as env
+
+    schema = json.dumps(
+        {"type": "record", "name": "e",
+         "fields": [{"name": "a", "type": "long"},
+                    {"name": "b", "type": "string"}]}
+    )
+    rows = spark.createDataFrame(
+        [(1, "x", b"u" * 16, 100), (2, "yy", b"v" * 16, 200)],
+        "a LONG, b STRING, u BINARY, ts INT",
+    )
+    fused = env.encode_pack_udf(schema, "create", 7)(
+        F.struct("a", "b"), F.col("u"), F.lit(None).cast("binary"), F.col("ts")
+    )
+    payload = env.encode_payload_udf(schema)(F.struct("a", "b"))
+    layered = env.pack(
+        F.struct(
+            F.col("u").alias("uuid"),
+            F.lit("create").alias("message_type"),
+            F.lit(7).alias("schema_id"),
+            payload.alias("payload"),
+            F.lit(None).cast("binary").alias("previous_payload"),
+            F.lit(None).cast("string").alias("encryption_type"),
+            F.col("ts").alias("timestamp"),
+        )
+    )
+    got = rows.select(fused.alias("f"), layered.alias("l")).collect()
+    for r in got:
+        assert bytes(r.f) == bytes(r.l)
+
+    dec, _ = env.unpack_decode_udf({7: schema}, schema, "t")
+    out = rows.select(dec(fused).alias("e")).select(
+        "e.schema_id", "e.message_type", "e.payload.a", "e.payload.b"
+    ).collect()
+    assert sorted((r.a, r.b, r.schema_id, r.message_type) for r in out) == [
+        (1, "x", 7, "create"), (2, "yy", 7, "create"),
+    ]
+
+
+def test_fused_consume_raises_named_error_on_encrypted_topic(spark, tmp_path):
+    """Tailing an encrypted topic WITHOUT keys through the fused path must
+    fail with the pass-crypto_keys message, not a codec garbage error."""
+    import json
+
+    import pytest as _pytest
+
+    reg = SchemaRegistry()
+    rs = reg.register_schema(
+        "err.main.db", "events",
+        json.dumps({"type": "record", "name": "e",
+                    "fields": [{"name": "event_id", "type": "long"}]}),
+        contains_pii=True,
+    )
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    rows = spark.createDataFrame([(1,), (2,)], "event_id LONG")
+    Producer(store, reg).publish(
+        rows, rs.schema_id, order_by="event_id",
+        encrypt_key=(1, b"0123456789abcdef"),
+    )
+    with _pytest.raises(Exception, match="crypto_keys"):
+        Consumer(store, reg).messages(rs.topic).collect()
