@@ -132,12 +132,12 @@ class Consumer:
         """Unencrypted python-backend fast path: unpack + decode in ONE
         pandas UDF (envelope.unpack_decode_udf) — half the Arrow crossings
         of the layered envelope-then-payload shape, same columns out."""
-        fused, _ = env.unpack_decode_udf(
+        fused, payload_names = env.unpack_decode_udf(
             self._writers(topic), self._reader_json(topic, reader_schema_id), topic
         )
         # materialize the UDF once in its own projection, then fan the
-        # struct fields out (field refs are free; re-stating the UDF per
-        # field would lean on expression dedup instead)
+        # struct fields out and rebuild the payload struct JVM-side (free
+        # projections; the UDF returns flat columns for faster Arrow)
         packed = wire.select(
             "partition", "offset", "key", fused(F.col("value")).alias("e")
         )
@@ -149,7 +149,9 @@ class Consumer:
             F.col("e.message_type").alias("message_type"),
             F.col("e.schema_id").alias("schema_id"),
             F.col("e.timestamp").alias("timestamp"),
-            F.col("e.payload").alias("payload"),
+            F.struct(
+                *[F.col(f"e.p_{n}").alias(n) for n in payload_names]
+            ).alias("payload"),
         )
 
     def _decode_enveloped(

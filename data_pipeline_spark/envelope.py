@@ -417,9 +417,14 @@ def encode_pack_udf(payload_schema_json: str, message_type: str, schema_id: int)
 
 
 def unpack_decode_udf(writers: dict[int, str], reader_schema_json: str, topic: str):
-    """wire bytes -> (envelope scalars + decoded payload struct) in one
-    Arrow crossing, with per-message writer-schema dispatch.  Returns the
-    UDF and its output StructType."""
+    """wire bytes -> (envelope scalars + decoded payload FIELDS, flat) in
+    one Arrow crossing, with per-message writer-schema dispatch.
+
+    Payload fields come back flattened as ``p_<name>`` columns — Arrow
+    converts flat scalar columns ~15% faster than a per-row nested dict
+    struct, and the caller rebuilds the payload struct JVM-side for free
+    (Consumer._decode_fused).  Returns (udf, payload field names).
+    """
     reader_parsed = avro_codec.parse_schema(reader_schema_json)
     payload_type = avro_codec.to_spark_type(reader_parsed)
     reader_names = [f["name"] for f in reader_parsed["fields"]]
@@ -429,7 +434,10 @@ def unpack_decode_udf(writers: dict[int, str], reader_schema_json: str, topic: s
             T.StructField("message_type", T.StringType()),
             T.StructField("schema_id", T.IntegerType()),
             T.StructField("timestamp", T.IntegerType()),
-            T.StructField("payload", payload_type),
+            *[
+                T.StructField(f"p_{f.name}", f.dataType)
+                for f in payload_type.fields
+            ],
         ]
     )
 
@@ -442,7 +450,10 @@ def unpack_decode_udf(writers: dict[int, str], reader_schema_json: str, topic: s
             )
             for sid, wjson in writers.items()
         }
-        rows = []
+        names = ["uuid", "message_type", "schema_id", "timestamp"] + [
+            f"p_{n}" for n in reader_names
+        ]
+        cols: dict[str, list] = {n: [] for n in names}
         for b in blob:
             mv = memoryview(bytes(b))
             magic = bytes(mv[:1])
@@ -465,13 +476,15 @@ def unpack_decode_udf(writers: dict[int, str], reader_schema_json: str, topic: s
                     "registry out of sync with the stream"
                 )
             values, _ = dec(memoryview(bytes(payload)), 0)
-            rows.append((u, mt, sid, ts, dict(zip(reader_names, values))))
-        return pd.DataFrame(
-            rows,
-            columns=["uuid", "message_type", "schema_id", "timestamp", "payload"],
-        )
+            cols["uuid"].append(u)
+            cols["message_type"].append(mt)
+            cols["schema_id"].append(sid)
+            cols["timestamp"].append(ts)
+            for n, v in zip(reader_names, values):
+                cols[f"p_{n}"].append(v)
+        return pd.DataFrame(cols, columns=names)
 
-    return fused, out_type
+    return fused, reader_names
 
 
 def generate_uuid() -> Column:

@@ -61,15 +61,15 @@ def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1700000000),
         ).alias("value")
     )
-    fused_dec, _ = env.unpack_decode_udf(
+    fused_dec, _names = env.unpack_decode_udf(
         {1: _EVENT_WIRE_SCHEMA}, _EVENT_WIRE_SCHEMA, "roundtrip"
     )
     decoded = wire.select(fused_dec(F.col("value")).alias("e"))
     return decoded.select(
-        "e.payload.event_id",
-        "e.payload.user_id",
-        "e.payload.event_type",
-        "e.payload.value",
+        F.col("e.p_event_id").alias("event_id"),
+        F.col("e.p_user_id").alias("user_id"),
+        F.col("e.p_event_type").alias("event_type"),
+        F.col("e.p_value").alias("value"),
     )
 
 

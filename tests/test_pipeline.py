@@ -769,7 +769,8 @@ def test_fused_wire_path_is_byte_identical_to_layered(spark):
 
     dec, _ = env.unpack_decode_udf({7: schema}, schema, "t")
     out = rows.select(dec(fused).alias("e")).select(
-        "e.schema_id", "e.message_type", "e.payload.a", "e.payload.b"
+        "e.schema_id", "e.message_type",
+        F.col("e.p_a").alias("a"), F.col("e.p_b").alias("b"),
     ).collect()
     assert sorted((r.a, r.b, r.schema_id, r.message_type) for r in out) == [
         (1, "x", 7, "create"), (2, "yy", 7, "create"),
