@@ -53,7 +53,7 @@ class Introspector:
             .orderBy("topic")
         )
 
-    def topic_info(self, topic: str) -> dict:
+    def topic_info(self, topic: str, check_gap: bool = False) -> dict:
         latest = self.registry.latest_schema_for_topic(topic)
         if latest is None:
             raise KeyError(f"unknown topic {topic!r}")
@@ -83,12 +83,18 @@ class Introspector:
         if self.store is not None and self.store.exists(topic):
             highs = self.store.high_watermarks(topic)
             info["high_watermarks"] = highs
-            # watermark positions are RESERVATIONS: a publisher that crashed
-            # between its sidecar reservation and the data append leaves an
-            # offset gap, so the reserved count can exceed rows on disk.
-            # Surface both — a persistent nonzero gap under live publishers
-            # is normal crash debris; a growing one is a stuck producer.
+            # O(1) sidecar read: watermark positions are RESERVATIONS — an
+            # upper bound on rows, exact unless a publisher crashed between
+            # its reservation and the data append (which leaves a gap)
             info["reserved_count"] = sum(highs.values())
-            info["message_count"] = self.store.read(topic).count()
-            info["reserved_gap"] = info["reserved_count"] - info["message_count"]
+            info["message_count"] = info["reserved_count"]
+            if check_gap:
+                # exact audit: O(topic size) scan — opt-in, because
+                # introspect-all-topics tooling at 100 TB must stay on the
+                # sidecar path.  A persistent nonzero gap is normal crash
+                # debris; a growing one is a stuck producer.
+                info["message_count"] = self.store.read(topic).count()
+                info["reserved_gap"] = (
+                    info["reserved_count"] - info["message_count"]
+                )
         return info

@@ -195,6 +195,38 @@ def contamination_report(
     )
 
 
+def _segments_expr(text_col: str, seg_len: int):
+    """Array of a document's non-overlapping ``seg_len``-token segments
+    (space-joined); empty for docs shorter than one segment."""
+    toks = tokens(text_col)
+    n_full = (F.size(toks) / seg_len).cast("int")
+    return F.when(
+        F.size(toks) >= seg_len,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _counted_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int
+) -> DataFrame:
+    """(id, si, seg, h, cnt) rows: every document segment with its hash and
+    corpus-wide occurrence count — the shared core of the segment-dedup
+    STAT (``segment_dup_stats``) and TRANSFORM (``strip_duplicated_
+    segments``) so segmentation fixes can never diverge between them.
+    Shuffle key is the segment hash (uniform; text rides only as far as
+    the window that counts it — downstream projections prune it)."""
+    from pyspark.sql import Window
+
+    seg_rows = df.select(
+        F.col(id_col), F.posexplode(_segments_expr(text_col, seg_len)).alias("si", "seg")
+    ).withColumn("h", F.md5("seg"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return seg_rows.withColumn("cnt", cnt)
+
+
 def segment_dup_stats(
     df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
 ) -> DataFrame:
@@ -208,28 +240,11 @@ def segment_dup_stats(
     corpus.  Returns (id, n_segments, n_dup_segments, dup_ratio).
 
     Scale shape: the shuffle key is the segment HASH (uniform by
-    construction; the md5 moves, never the segment text), counted with a
-    hash-partitioned window, then one map-side-combined groupBy(doc).
+    construction), counted with a hash-partitioned window, then one
+    map-side-combined groupBy(doc).
     """
-    toks = tokens(text_col)
-    n_full = (F.size(toks) / seg_len).cast("int")
-    segs = F.when(
-        F.size(toks) >= seg_len,
-        F.transform(
-            F.sequence(F.lit(0), n_full - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * seg_len + 1, seg_len)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    seg_rows = df.select(F.col(id_col), F.explode(segs).alias("seg")).select(
-        id_col, F.md5("seg").alias("h")
-    )
-    from pyspark.sql import Window
-
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        seg_rows.withColumn("cnt", cnt)
+        _counted_segments(df, id_col, text_col, seg_len)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
@@ -261,22 +276,7 @@ def strip_duplicated_segments(
     under a hash-partitioned window; the rebuild is one groupBy(doc) +
     one equi-join back to the corpus for the tail — both on the doc id.
     """
-    toks = tokens(text_col)
-    n_full = (F.size(toks) / seg_len).cast("int")
-    segs = F.when(
-        F.size(toks) >= seg_len,
-        F.transform(
-            F.sequence(F.lit(0), n_full - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    seg_rows = df.select(
-        F.col(id_col), F.posexplode(segs).alias("si", "seg")
-    ).select(id_col, "si", "seg", F.md5("seg").alias("h"))
-    from pyspark.sql import Window
-
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    marked = seg_rows.withColumn("cnt", cnt)
+    marked = _counted_segments(df, id_col, text_col, seg_len)
     kept = (
         marked.groupBy(id_col)
         .agg(
@@ -300,6 +300,8 @@ def strip_duplicated_segments(
             ),
         )
     )
+    toks = tokens(text_col)
+    n_full = (F.size(toks) / seg_len).cast("int")
     tail = F.concat_ws(
         " ", F.slice(toks, n_full * seg_len + 1, F.size(toks) - n_full * seg_len)
     )
@@ -813,6 +815,12 @@ def connected_components_star(
         )
         if chained == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach the star fixpoint in "
+            f"{max_rounds} rounds — raise max_rounds (label extraction from "
+            "a chained edge set would return conflicting components)"
+        )
     # fixpoint is a star per component: every edge is (root, member)
     labels = cur.select(F.col("l").alias("node"), F.col("s").alias("component"))
     roots = cur.select(F.col("s").alias("node")).distinct().select(

@@ -517,8 +517,9 @@ def _real_audio_resample(content: bytes, fmt: str, n_target: int) -> bytes:
     pipeline applies before shuffling waveforms."""
     ch, rate, frames = decode_audio(content, fmt)
     pcm = np.frombuffer(frames, "<i2").reshape(-1, ch)
-    n = len(pcm) or 1
-    idx = (np.arange(n_target) * n) // n
+    if len(pcm) == 0:
+        pcm = np.zeros((1, ch), "<i2")  # silence stands in for empty input
+    idx = (np.arange(n_target) * len(pcm)) // n_target
     return _AUDIO_CODECS[fmt][1](ch, rate, pcm[idx].astype("<i2").tobytes())
 
 

@@ -259,24 +259,29 @@ class TopicStore:
         )
 
     def compact_meta(self, topic: str) -> None:
-        """Rewrite the watermark sidecar to one row per partition.
+        """Rewrite the watermark sidecar to O(partitions x publishers) rows.
 
         The sidecar appends one row per partition per publish, so a
         long-lived topic accumulates O(publishes) rows; reads already
         aggregate max(next_offset), so compaction is purely a size bound.
-        The snapshot is collected (tiny: one row per partition) before the
-        overwrite so the read never races the rewrite.  The surviving row
-        per partition is the max-next_offset one WITH its publish tag:
-        epochs are sequential so at most the LATEST reservation can be
-        dangling, and that is exactly the row compaction keeps — replay
-        verification stays possible across a compact.
+        The snapshot is collected (tiny) before the overwrite so the read
+        never races the rewrite.
+
+        Surviving rows per partition: the max-next_offset row (the
+        watermark) PLUS each PUBLISHER's latest tagged reservation
+        (publisher = the publish_id prefix before ':'; epochs are
+        sequential per publisher, so at most its latest reservation can be
+        dangling).  Keeping only the global max row (the pre-r7.1 shape)
+        broke multi-writer replay: a foreign publish after a crashed tagged
+        one would compact the dangling tag away and find_publish would
+        re-append an already-landed batch.
         """
         meta = self._meta_dir(topic)
         if not os.path.isdir(meta):
             return
-        rows = (
-            self._read_meta(topic)
-            .groupBy("partition")
+        df = self._read_meta(topic)
+        watermark = (
+            df.groupBy("partition")
             .agg(
                 F.max_by(
                     F.struct("next_offset", "publish_id", "base_offset"),
@@ -284,8 +289,20 @@ class TopicStore:
                 ).alias("top")
             )
             .select("partition", "top.*")
-            .collect()
         )
+        latest_tagged = (
+            df.filter(F.col("publish_id").isNotNull())
+            .withColumn("publisher", F.split("publish_id", ":").getItem(0))
+            .groupBy("partition", "publisher")
+            .agg(
+                F.max_by(
+                    F.struct("next_offset", "publish_id", "base_offset"),
+                    "base_offset",
+                ).alias("top")
+            )
+            .select("partition", "top.*")
+        )
+        rows = watermark.unionByName(latest_tagged).distinct().collect()
         self.spark.createDataFrame(
             [(r.partition, r.next_offset, r.publish_id, r.base_offset) for r in rows],
             self._META_SCHEMA,

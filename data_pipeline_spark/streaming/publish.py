@@ -170,15 +170,23 @@ class StreamingPublisher:
         topic = self.producer.registry.get_schema_by_id(self.schema_id).topic
         with store.publish_lease(topic):
             if self._pending == epoch_id:
-                # replay of a crashed epoch: data-verified resolution
-                self._pending = None
+                # replay of a crashed epoch: data-verified resolution.
+                # _pending stays set until a commit row LANDS — clearing it
+                # earlier would skip verification on the next replay if the
+                # commit append (or verification itself) throws here.
                 if self._landed(epoch_id):
                     self._append_ledger(spark, epoch_id, "commit", None)
                     self._last_epoch = epoch_id
+                    self._pending = None
                     return False
                 # intent already on the ledger; fall through to publish
             else:
                 self._append_ledger(spark, epoch_id, "intent", None)
+                # mirror the on-disk intent in memory: if anything below
+                # throws and the SAME publisher object retries the epoch
+                # (query restart without process death), the retry must go
+                # through data-verified resolution, not a blind re-publish
+                self._pending = epoch_id
             self.producer.publish(
                 batch,
                 self.schema_id,

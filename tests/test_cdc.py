@@ -313,3 +313,56 @@ def test_concurrent_streaming_publishers_with_lease(spark, tmp_path):
     wire = store.read(rs.topic)
     assert wire.count() == 100
     assert wire.select("partition", "offset").distinct().count() == 100
+
+
+def test_replay_survives_compaction_after_foreign_writer(spark, tmp_path):
+    """Code-review regression: a crashed tagged publish followed by a
+    FOREIGN publish and then compact_meta must keep the dangling tag (per-
+    publisher latest reservation) — replay still verifies landed-ness
+    instead of duplicating the batch."""
+    rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
+    pub1 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub1.publish_batch(batch(0, 10), 0) is True
+
+    # epoch 1: tagged publish landed, commit lost
+    _write_intent(spark, ledger, 1)
+    producer.publish(
+        batch(10, 10), rs.schema_id, order_by="event_id",
+        publish_id=pub1._publish_id(1),
+    )
+    # foreign writer advances every partition PAST our reservation
+    producer.publish(batch(500, 10), rs.schema_id, order_by="event_id")
+    store.compact_meta(rs.topic)
+
+    pub2 = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub2.publish_batch(batch(10, 10), 1) is False  # verified: skip
+    assert store.read(rs.topic).count() == 30  # no duplicate append
+
+
+def test_same_object_retry_after_commit_append_failure(spark, tmp_path):
+    """Code-review regression: if the COMMIT ledger append throws after a
+    successful publish, a retry of the same epoch on the SAME publisher
+    object must data-verify (and skip), not blindly re-publish."""
+    rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
+    pub = StreamingPublisher(producer, rs.schema_id, ledger, order_by="event_id")
+    assert pub.publish_batch(batch(0, 10), 0) is True
+
+    real_append = pub._append_ledger
+    calls = {"fail_next_commit": True}
+
+    def flaky(spark_s, epoch_id, phase, pre):
+        if phase == "commit" and calls["fail_next_commit"]:
+            calls["fail_next_commit"] = False
+            raise OSError("transient fs error on commit append")
+        return real_append(spark_s, epoch_id, phase, pre)
+
+    pub._append_ledger = flaky
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        pub.publish_batch(batch(10, 10), 1)  # publish landed, commit lost
+    assert store.read(rs.topic).count() == 20
+
+    # same-object retry (query restart without process death)
+    assert pub.publish_batch(batch(10, 10), 1) is False  # verified: skip
+    assert store.read(rs.topic).count() == 20  # NOT 30 — no duplicates

@@ -55,7 +55,7 @@ def test_multi_topic_consume_and_introspection(spark, tmp_path):
     assert sources == {("alpha", 1), ("beta", 1)}
     topics = {r.topic for r in intro.list_topics("ns.main.db").collect()}
     assert topics == {a.topic, b.topic}
-    info = intro.topic_info(a.topic)
+    info = intro.topic_info(a.topic, check_gap=True)
     assert info["primary_keys"] == ["event_id"]
     assert info["message_count"] == 30
     assert info["reserved_count"] == 30 and info["reserved_gap"] == 0
@@ -157,7 +157,11 @@ def test_topic_info_surfaces_reservation_gap(spark, tmp_path):
         TopicStore._META_SCHEMA,
     ).write.mode("append").parquet(store._meta_dir(rs.topic))
 
-    info = Introspector(spark, reg, store).topic_info(rs.topic)
+    intro = Introspector(spark, reg, store)
+    cheap = intro.topic_info(rs.topic)  # O(1) default: sidecar only
+    assert cheap["reserved_count"] == 20 + 3 * len(highs)
+    assert "reserved_gap" not in cheap
+    info = intro.topic_info(rs.topic, check_gap=True)
     assert info["message_count"] == 20
     assert info["reserved_count"] == 20 + 3 * len(highs)
     assert info["reserved_gap"] == 3 * len(highs)

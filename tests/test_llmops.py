@@ -614,6 +614,18 @@ def test_wav_codec_property_roundtrip():
         blob = multimodal._encode_wav(ch, rate, pcm)
         assert multimodal.decode_audio(blob, "wav") == (ch, rate, pcm)
         assert multimodal._real_audio_resample(blob, "wav", n_frames) == blob
+        # real resampling: n_target != n picks evenly spaced source frames
+        # via the same floor-grid as the image path
+        up = multimodal._real_audio_resample(blob, "wav", 2 * n_frames)
+        _, _, up_pcm = multimodal.decode_audio(up, "wav")
+        src = np.frombuffer(pcm, "<i2").reshape(-1, ch)
+        idx = (np.arange(2 * n_frames) * n_frames) // (2 * n_frames)
+        assert up_pcm == src[idx].astype("<i2").tobytes()
+        down = multimodal._real_audio_resample(blob, "wav", max(1, n_frames // 2))
+        _, _, dn_pcm = multimodal.decode_audio(down, "wav")
+        dn_n = max(1, n_frames // 2)
+        idx2 = (np.arange(dn_n) * n_frames) // dn_n
+        assert dn_pcm == src[idx2].astype("<i2").tobytes()
 
     check()
 
