@@ -678,6 +678,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components by min-label propagation to fixpoint.
 
@@ -685,19 +686,28 @@ def connected_components(
     reachable — the canonical representative of each near-dup cluster.
     Nodes with no edges are singleton components of themselves.
 
-    Scale shape: near-dup graphs are unions of small, dense clusters
-    (diameter is tiny — pairs come from banded/inverted indexes), so
-    propagation converges in a handful of rounds; each round is one
-    edge⋈label join + a min aggregation, both hash-partitioned on the
-    node id so the partitioning is reused.  ``localCheckpoint`` truncates
-    the iterative lineage (a growing plan tree is the classic iterative-
-    Spark failure mode).  For adversarial high-diameter graphs switch to
-    the large-star/small-star formulation; near-dup clustering never
-    needs it.
+    Scale shape: the edge list is the OUTPUT of banded/inverted-index
+    candidate generation, typically orders of magnitude smaller than the
+    corpus.  At or below ``driver_threshold`` edges the exact labels come
+    from a driver-side union-find (O(E a(E)) after one collect of id
+    pairs — cheaper than 3-5 distributed rounds of fixed overhead; the
+    threshold bounds driver memory to a few MB of ids).  Above it,
+    distributed min-label propagation runs: near-dup graphs are unions of
+    small dense clusters (tiny diameter), so it converges in a handful of
+    rounds; each round is one edge⋈label join + a min aggregation, both
+    hash-partitioned on the node id so the partitioning is reused, with
+    ``localCheckpoint`` truncating the iterative lineage (a growing plan
+    tree is the classic iterative-Spark failure mode).  For adversarial
+    HIGH-DIAMETER graphs use ``connected_components_star`` (O(log n)
+    rounds on any topology).
     """
     fwd = edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
     rev = edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
     und = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    n_edges = und.count()  # materialized by the checkpoint: O(1)-ish
+    if n_edges <= 2 * driver_threshold:  # und carries both directions
+        return _driver_union_find(und, nodes, id_col)
 
     # Only nodes that appear in an edge can ever change label: propagate
     # over that set alone (|near-dup docs|, tiny vs |corpus|) and re-attach
@@ -730,6 +740,47 @@ def connected_components(
         labels = proposed.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return labels.union(singletons).select(F.col("node").alias(id_col), "component")
+
+
+def _driver_union_find(und: DataFrame, nodes: DataFrame, id_col: str) -> DataFrame:
+    """Exact small-graph path: union-find with path compression over the
+    collected (id, nbr) pairs, labels = min node id per component —
+    identical output to the distributed propagation."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    pairs = [(r.id, r.nbr) for r in und.collect()]
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    members = {x for e in pairs for x in e}
+    for x in members:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    spark = und.sparkSession
+    labels = spark.createDataFrame(
+        [(x, comp_min[find(x)]) for x in members],
+        schema=und.select(
+            F.col("id").alias("node"), F.col("id").alias("component")
+        ).schema,
+    )
     singletons = (
         nodes.select(F.col(id_col).alias("node"))
         .join(labels.select("node"), "node", "left_anti")

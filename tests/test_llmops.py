@@ -655,3 +655,28 @@ def test_strip_duplicated_segments_removes_cross_doc_boilerplate(spark):
     assert got[2] == (md5("other ending seven eight nine ten eleven twelve"), 1, 1)
     assert got[3] == (md5("too short"), 0, 0)  # tail-only, unchanged
     assert got[4] == (md5(""), 0, 1)  # fully boilerplate -> empty text
+
+
+def test_connected_components_distributed_path_matches_union_find(spark):
+    """driver_threshold=0 forces the distributed min-label rounds; output
+    must equal the small-graph union-find path exactly."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8), (10, 11), (11, 12)],
+        "id_a LONG, id_b LONG",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 7, 8, 10, 11, 12]], "doc_id LONG"
+    )
+    dist = {
+        r.doc_id: r.component
+        for r in ld.connected_components(
+            edges, nodes, "doc_id", driver_threshold=0
+        ).collect()
+    }
+    uf = {
+        r.doc_id: r.component
+        for r in ld.connected_components(edges, nodes, "doc_id").collect()
+    }
+    assert dist == uf == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10,
+    }
