@@ -83,13 +83,13 @@ _PRIORITY = [
     "hashed_classifier_score",
     "doc_pii_scrub",
     "segment_dedup_stats",
+    "boilerplate_strip",
+    "contamination_by_source",
     # -- last driver verdict was round 5 (missed r6's window) ----------------
     "shipped_within_90d",
     "sessionize_events",
     "asof_click_attribution",
     "hypertable_rollup",
-    "simhash_signatures",
-    "embedding_cosine_topk",
     # -- flagship + high-value continuity ------------------------------------
     "q1_pricing_summary",
     "quality_decile_binning",
