@@ -103,6 +103,12 @@ class TopicStore:
             finally:
                 self._held_topics().discard(topic)
 
+    @staticmethod
+    def _post_reserve_hook(topic: str) -> None:
+        """No-op seam between the sidecar reservation and the data append;
+        crash-consistency tests override it to simulate dying in that
+        window (the one gap not injectable from outside _publish_locked)."""
+
     def _dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
 
@@ -210,6 +216,9 @@ class TopicStore:
                 ],
                 self._META_SCHEMA,
             ).write.mode("append").parquet(self._meta_dir(topic))
+            # crash-window test seam: the reserve->data gap is the one
+            # window that cannot be injected from outside this method
+            self._post_reserve_hook(topic)
             out.write.mode("append").partitionBy("partition").parquet(
                 self._dir(topic)
             )

@@ -366,3 +366,104 @@ def test_same_object_retry_after_commit_append_failure(spark, tmp_path):
     # same-object retry (query restart without process death)
     assert pub.publish_batch(batch(10, 10), 1) is False  # verified: skip
     assert store.read(rs.topic).count() == 20  # NOT 30 — no duplicates
+
+
+def test_publisher_chaos_every_crash_window_exactly_once(spark, tmp_path):
+    """Deterministic chaos sweep of the publish protocol: one epoch per
+    crash window (before intent / after intent / after sidecar reservation
+    / after data append / clean), each followed by a fresh-publisher
+    replay.  Invariant: the consumed set is exactly the union of the five
+    batches — no loss in any window, no duplicate in any window."""
+    from data_pipeline_spark.consumer import Consumer
+
+    rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
+
+    class Boom(RuntimeError):
+        pass
+
+    def make_pub():
+        return StreamingPublisher(
+            producer, rs.schema_id, ledger, order_by="event_id"
+        )
+
+    def crash_before_intent(pub):
+        real = pub._append_ledger
+        state = {"armed": True}
+
+        def flaky(s, e, phase, pre):
+            if phase == "intent" and state["armed"]:
+                state["armed"] = False
+                raise Boom("before intent")
+            return real(s, e, phase, pre)
+
+        pub._append_ledger = flaky
+
+    def crash_after_intent(pub):
+        real_publish = pub.producer.publish
+        state = {"armed": True}
+
+        def flaky(*a, **k):
+            if state["armed"]:
+                state["armed"] = False
+                raise Boom("after intent, before publish")
+            return real_publish(*a, **k)
+
+        pub.producer.publish = flaky
+
+    def crash_after_reserve(pub):
+        state = {"armed": True}
+
+        def hook(topic):
+            if state["armed"]:
+                state["armed"] = False
+                raise Boom("after reservation, before data")
+
+        store._post_reserve_hook = hook
+
+    def crash_after_data(pub):
+        real = pub._append_ledger
+        state = {"armed": True}
+
+        def flaky(s, e, phase, pre):
+            if phase == "commit" and state["armed"]:
+                state["armed"] = False
+                raise Boom("after data, before commit")
+            return real(s, e, phase, pre)
+
+        pub._append_ledger = flaky
+
+    crash_modes = [
+        crash_before_intent,
+        crash_after_intent,
+        crash_after_reserve,
+        crash_after_data,
+        None,  # clean epoch
+    ]
+    for epoch, mode in enumerate(crash_modes):
+        pub = make_pub()
+        rows = batch(epoch * 100, 10)
+        if mode is None:
+            assert pub.publish_batch(rows, epoch) is True
+        else:
+            mode(pub)
+            try:
+                pub.publish_batch(rows, epoch)
+                raise AssertionError(f"epoch {epoch}: expected crash")
+            except Boom:
+                pass
+            finally:
+                store._post_reserve_hook = TopicStore._post_reserve_hook
+                pub.producer.publish = Producer.publish.__get__(producer)
+            # process restart: fresh publisher object resolves the epoch
+            replay = make_pub()
+            replay.publish_batch(rows, epoch)
+
+    got = sorted(
+        r.event_id
+        for r in Consumer(store, producer.registry)
+        .messages(rs.topic).select("payload.event_id").collect()
+    )
+    want = sorted(e * 100 + i for e in range(5) for i in range(10))
+    assert got == want  # exactly-once across every window
+    assert len(set((r.partition, r.offset) for r in
+                   store.read(rs.topic).collect())) == 50
