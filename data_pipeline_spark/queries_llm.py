@@ -1668,3 +1668,167 @@ def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ld.contamination_report(
         train, eval_df, "doc_id", "text", "source", n=5
     )
+
+
+@register(
+    "url_blocklist_filter",
+    """
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0
+                    THEN ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.example.org/page' || CAST(doc_id AS VARCHAR)
+                         || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.net/asset'
+                    ELSE '' END AS txt
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id,
+               list_transform(
+                   regexp_extract_all(txt, 'https?://[a-z0-9.-]+[a-z0-9/]*'),
+                   u -> regexp_extract(u, 'https?://([a-z0-9.-]+)', 1)
+               ) AS domains
+        FROM seeded
+    )
+    SELECT doc_id,
+           CAST(len(domains) AS BIGINT) AS n_urls,
+           CAST(len(list_filter(domains,
+                d -> list_contains([
+                    'site0.example.org','site5.example.org','site10.example.org',
+                    'site15.example.org','site20.example.org','site25.example.org',
+                    'site30.example.org','site35.example.org','site40.example.org',
+                    'site45.example.org'], d))) AS BIGINT) AS n_blocked,
+           CAST(len(list_filter(domains,
+                d -> list_contains([
+                    'site0.example.org','site5.example.org','site10.example.org',
+                    'site15.example.org','site20.example.org','site25.example.org',
+                    'site30.example.org','site35.example.org','site40.example.org',
+                    'site45.example.org'], d))) = 0 AS INT) AS keep
+    FROM parsed
+    """,
+    doc="URL extraction + domain blocklist gate (the web-pipeline source "
+    "filter): extract links, parse domains in-row, count hits against a "
+    "broadcast blocklist, keep = no blocked domain.  The synthetic corpus "
+    "carries no organic URLs, so a deterministic injection (docs with "
+    "doc_id%4==0 gain two links, built identically on both sides) "
+    "exercises real matches.  All JVM regexp/array ops, zero shuffle.",
+    tags=("llm", "filter", "web"),
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blocklist = [f"site{k}.example.org" for k in range(0, 50, 5)]
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org/page"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and http://cdn"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.net/asset"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    domains = F.transform(
+        F.regexp_extract_all(txt, F.lit("https?://[a-z0-9.-]+[a-z0-9/]*"), F.lit(0)),
+        lambda u: F.regexp_extract(u, "https?://([a-z0-9.-]+)", 1),
+    )
+    blocked = F.filter(domains, lambda d: d.isin(*blocklist))
+    return docs.select(
+        "doc_id",
+        F.size(domains).cast("long").alias("n_urls"),
+        F.size(blocked).cast("long").alias("n_blocked"),
+        (F.size(blocked) == 0).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "corpus_health_by_source",
+    """
+    WITH base AS (
+        SELECT doc_id, source, md5(text) AS h,
+               len(string_split(text, ' ')) AS nt
+        FROM documents
+    ),
+    copies AS (
+        SELECT doc_id, source, nt,
+               COUNT(*) OVER (PARTITION BY h) AS copies
+        FROM base
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST((i - 1) // 8 AS INT) AS si,
+               md5(string_agg(w, ' ' ORDER BY i)) AS sh
+        FROM toks GROUP BY doc_id, CAST((i - 1) // 8 AS INT)
+        HAVING COUNT(*) = 8
+    ),
+    counted AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS cnt FROM segs
+    ),
+    seg AS (
+        SELECT doc_id, COUNT(*) AS ns,
+               SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS nd
+        FROM counted GROUP BY doc_id
+    )
+    SELECT c.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup_docs,
+           CAST(SUM(CASE WHEN c.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(COUNT(*) AS DOUBLE) AS exact_dup_ratio,
+           CAST(SUM(c.nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(coalesce(s.nd, 0)) AS BIGINT)
+               / CAST(greatest(SUM(coalesce(s.ns, 0)), 1) AS DOUBLE)
+               AS seg_dup_ratio
+    FROM copies c LEFT JOIN seg s USING (doc_id)
+    GROUP BY c.source
+    """,
+    doc="Per-source corpus health report: document count, exact-duplicate "
+    "document ratio (corpus-wide md5 copies), total tokens, and segment-"
+    "level boilerplate ratio — the one-look dashboard a pipeline reviews "
+    "per ingest source.  Exact integer sums with single final divisions; "
+    "source rides every stream in-row, per-doc partials join on doc_id.",
+    tags=("llm", "dedup", "report"),
+)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        textstats.token_count("text").alias("nt"),
+    )
+    copies = base.withColumn(
+        "copies", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    seg = ld.segment_dup_stats(docs, "doc_id", "text", seg_len=8).select(
+        "doc_id",
+        F.col("n_segments").alias("ns"),
+        F.col("n_dup_segments").alias("nd"),
+    )
+    joined = copies.join(seg, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("copies") > 1).cast("long")).alias("n_exact_dup_docs"),
+        (
+            F.sum((F.col("copies") > 1).cast("long"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_ratio"),
+        F.sum("nt").alias("total_tokens"),
+        (
+            F.sum(F.coalesce("nd", F.lit(0)))
+            / F.greatest(F.sum(F.coalesce("ns", F.lit(0))), F.lit(1)).cast(
+                "double"
+            )
+        ).alias("seg_dup_ratio"),
+    )
