@@ -85,9 +85,9 @@ _PRIORITY = [
     "segment_dedup_stats",
     "boilerplate_strip",
     "contamination_by_source",
+    "url_blocklist_filter",
+    "corpus_health_by_source",
     # -- last driver verdict was round 5 (missed r6's window) ----------------
-    "shipped_within_90d",
-    "sessionize_events",
     "asof_click_attribution",
     "hypertable_rollup",
     # -- flagship + high-value continuity ------------------------------------
