@@ -740,6 +740,23 @@ def connected_components(
         labels = proposed.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the budget) — raise "
+            "max_iterations or use connected_components_star (O(log n) "
+            "rounds on any topology); returning partial labels would "
+            "silently mis-cluster"
+        )
+    return _attach_singletons(labels, nodes, id_col)
+
+
+def _attach_singletons(
+    labels: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """Nodes untouched by any edge become singleton components of
+    themselves — shared tail of every components formulation so singleton
+    semantics can never diverge between paths."""
     singletons = (
         nodes.select(F.col(id_col).alias("node"))
         .join(labels.select("node"), "node", "left_anti")
@@ -781,12 +798,7 @@ def _driver_union_find(und: DataFrame, nodes: DataFrame, id_col: str) -> DataFra
             F.col("id").alias("node"), F.col("id").alias("component")
         ).schema,
     )
-    singletons = (
-        nodes.select(F.col(id_col).alias("node"))
-        .join(labels.select("node"), "node", "left_anti")
-        .select("node", F.col("node").alias("component"))
-    )
-    return labels.union(singletons).select(F.col("node").alias(id_col), "component")
+    return _attach_singletons(labels, nodes, id_col)
 
 
 def connected_components_star(
@@ -877,17 +889,4 @@ def connected_components_star(
     roots = cur.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
-    singletons = (
-        nodes.select(F.col(id_col).alias("node"))
-        .join(
-            labels.select("node").union(roots.select("node")).distinct(),
-            "node",
-            "left_anti",
-        )
-        .select("node", F.col("node").alias("component"))
-    )
-    return (
-        labels.union(roots)
-        .union(singletons)
-        .select(F.col("node").alias(id_col), "component")
-    )
+    return _attach_singletons(labels.union(roots), nodes, id_col)

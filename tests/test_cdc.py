@@ -374,8 +374,6 @@ def test_publisher_chaos_every_crash_window_exactly_once(spark, tmp_path):
     / after data append / clean), each followed by a fresh-publisher
     replay.  Invariant: the consumed set is exactly the union of the five
     batches — no loss in any window, no duplicate in any window."""
-    from data_pipeline_spark.consumer import Consumer
-
     rs, store, producer, batch, ledger = _pub_fixture(spark, tmp_path)
 
     class Boom(RuntimeError):
@@ -452,7 +450,11 @@ def test_publisher_chaos_every_crash_window_exactly_once(spark, tmp_path):
             except Boom:
                 pass
             finally:
-                store._post_reserve_hook = TopicStore._post_reserve_hook
+                # delete the instance override so lookup falls back to the
+                # class seam (assigning the class attr onto the instance
+                # would shadow any future class-level patch)
+                if "_post_reserve_hook" in store.__dict__:
+                    del store._post_reserve_hook
                 pub.producer.publish = Producer.publish.__get__(producer)
             # process restart: fresh publisher object resolves the epoch
             replay = make_pub()
