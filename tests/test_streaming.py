@@ -612,3 +612,33 @@ def test_streaming_encrypted_consume_matches_batch_decrypt(spark, tmp_path):
         for r in spark.sql("select * from enc_stream_tail").collect()
     )
     assert tailed == got
+
+
+def test_fused_stream_tail_matches_batch(spark, tmp_path):
+    """messages_stream WITHOUT crypto keys rides the fused unpack+decode
+    UDF; its output must equal the batch consumer's rows exactly."""
+    from data_pipeline_spark.consumer import Consumer
+
+    reg = SchemaRegistry()
+    rs = reg.register_schema("fus.main.db", "events", EVENT_SCHEMA)
+    store = TopicStore(spark, str(tmp_path / "topics"))
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    Producer(store, reg).publish(events.limit(35), rs.schema_id, order_by="event_id")
+
+    cons = Consumer(store, reg)
+    _run_available_now(
+        cons.messages_stream(rs.topic).select(
+            "partition", "offset", "payload.event_id", "payload.event_type"
+        ),
+        tmp_path,
+        "fused_tail",
+    )
+    got = sorted(
+        (r.partition, r.offset, r.event_id, r.event_type)
+        for r in spark.sql("select * from fused_tail").collect()
+    )
+    want = sorted(
+        (r.partition, r.offset, r.payload.event_id, r.payload.event_type)
+        for r in cons.messages(rs.topic).collect()
+    )
+    assert got == want and len(got) == 35
