@@ -208,23 +208,18 @@ class Producer:
             order_by=order_by,
             encrypt_key=encrypt_key,
         )
-        # message_count from the watermark delta (two O(1) sidecar reads)
-        # rather than wire.count(): counting would EXECUTE the whole
-        # encode pipeline a second time just for the statistic.  The lease
-        # spans pre-read -> publish so no interleaved writer can inflate
-        # the delta (re-entrant: store.publish re-acquires as a no-op).
-        with self.store.publish_lease(rs.topic):
-            pre = self.store.high_watermarks(rs.topic, num_partitions)
-            highs = self.store.publish(
-                wire.select(
-                    "key", "value", *([c for c in ["__order"] if order_by])
-                ),
-                rs.topic,
-                num_partitions=num_partitions,
-                order_by="__order" if order_by else None,
-                publish_id=publish_id,
-            )
-        n = sum(highs.values()) - sum(pre.values())
+        # message_count from the store's reservation delta rather than
+        # wire.count(): counting would EXECUTE the whole encode pipeline a
+        # second time just for the statistic.  publish_counted computes
+        # the delta inside its own lease off the materialized batch, so
+        # the number is exact even with interleaved writers.
+        highs, n = self.store.publish_counted(
+            wire.select("key", "value", *([c for c in ["__order"] if order_by])),
+            rs.topic,
+            num_partitions=num_partitions,
+            order_by="__order" if order_by else None,
+            publish_id=publish_id,
+        )
         return PublishStats(rs.topic, highs, n)
 
     # -- exactly-once recovery (T5/D2) --------------------------------------

@@ -147,6 +147,24 @@ class TopicStore:
         caller can later resolve, via ``find_publish`` + rows actually on
         disk, whether the data append landed (exactly-once replay).
         """
+        return self.publish_counted(
+            df, topic, num_partitions, order_by, publish_id
+        )[0]
+
+    def publish_counted(
+        self,
+        df: DataFrame,
+        topic: str,
+        num_partitions: int = 4,
+        order_by: Column | str | None = None,
+        publish_id: str | None = None,
+    ) -> tuple[dict[int, int], int]:
+        """``publish`` returning (new high watermarks, rows appended).
+
+        The count comes from the reservation delta computed INSIDE the
+        lease off the already-materialized wire batch — exact under
+        concurrent writers and free (no second execution of the encode
+        pipeline, no extra watermark read)."""
         with self.publish_lease(topic):
             return self._publish_locked(
                 df, topic, num_partitions, order_by, publish_id
@@ -159,7 +177,7 @@ class TopicStore:
         num_partitions: int,
         order_by: Column | str | None,
         publish_id: str | None = None,
-    ) -> dict[int, int]:
+    ) -> tuple[dict[int, int], int]:
         highs = self.high_watermarks(topic, num_partitions)
         key_or_value = F.coalesce(F.col("key"), F.col("value"))
         part = F.pmod(F.xxhash64(key_or_value), F.lit(num_partitions)).cast("int")
@@ -224,7 +242,10 @@ class TopicStore:
             )
         finally:
             out.unpersist()
-        return new_highs
+        n_appended = sum(
+            n - highs.get(p, 0) for p, n in new_highs.items()
+        )
+        return new_highs, n_appended
 
     # -- metadata -----------------------------------------------------------
 
