@@ -322,6 +322,96 @@ def strip_duplicated_segments(
     )
 
 
+def incremental_dedup_gate(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest-time dedup gate: flag INCOMING documents that duplicate the
+    EXISTING corpus, exactly (md5 match) or nearly (shingle Jaccard >=
+    threshold vs any corpus doc) — the admission check a pipeline runs on
+    each new crawl batch so the 100 TB corpus is never re-paired against
+    itself per ingest.
+
+    Returns (id, exact_dup, near_dup, best_jaccard, keep) for every
+    incoming doc; keep = neither flag.
+
+    Scale shape: the batch is small relative to the corpus, so the
+    incoming md5 set and the incoming (shingle -> id, size) map BROADCAST;
+    the corpus is scanned ONCE map-side for both checks — no corpus-side
+    shuffle at all (the reverse orientation of ``decontaminate``).  The
+    per-(incoming, corpus) intersection aggregation is bounded by
+    |batch shingles| x their corpus document frequency.
+    """
+    inc_hash = incoming.select(
+        F.col(id_col).alias("inc_id"), F.md5(text_col).alias("h")
+    )
+    # corpus side stays map-side: filter the corpus hash stream by the
+    # BROADCAST incoming hash set, then the (tiny) surviving hashes
+    # broadcast back onto the batch — the corpus never shuffles
+    matched_hashes = corpus.select(F.md5(text_col).alias("h")).join(
+        F.broadcast(inc_hash.select("h").distinct()), "h", "left_semi"
+    )
+    exact = inc_hash.join(
+        F.broadcast(matched_hashes.distinct()), "h", "left_semi"
+    ).select(F.col("inc_id").alias("exact_id"))
+
+    inc_sh = shingles(incoming, id_col, text_col, n).select(
+        F.col(id_col).alias("inc_id"), "shingle"
+    )
+    inc_sizes = inc_sh.groupBy("inc_id").agg(F.count(F.lit(1)).alias("inc_n"))
+    cor_sh = shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("cor_id"), "shingle"
+    )
+    inter = (
+        cor_sh.join(F.broadcast(inc_sh), "shingle")
+        .groupBy("inc_id", "cor_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .cache()
+    )
+    # corpus doc shingle totals only for docs that HIT the batch: the
+    # corpus shingle stream is filtered map-side by the (tiny) broadcast
+    # matched-id set — a full-corpus per-doc aggregation would shuffle
+    # everything for a statistic only the matches need
+    matched_ids = inter.select("cor_id").distinct()
+    cor_sizes = (
+        cor_sh.join(F.broadcast(matched_ids), "cor_id")
+        .groupBy("cor_id")
+        .agg(F.count(F.lit(1)).alias("cor_n"))
+    )
+    jac = (
+        inter.join(F.broadcast(inc_sizes), "inc_id")
+        .join(F.broadcast(cor_sizes), "cor_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("inc_n") + F.col("cor_n") - F.col("n_inter")),
+        )
+    )
+    best = jac.groupBy("inc_id").agg(F.max("jaccard").alias("best_jaccard"))
+
+    out = (
+        incoming.select(F.col(id_col).alias("inc_id"))
+        .join(exact.withColumn("exact", F.lit(1)),
+              F.col("inc_id") == F.col("exact_id"), "left")
+        .join(best, "inc_id", "left")
+    )
+    exact_dup = F.coalesce(F.col("exact"), F.lit(0))
+    near_dup = (F.coalesce(F.col("best_jaccard"), F.lit(0.0)) >= threshold).cast(
+        "int"
+    )
+    return out.select(
+        F.col("inc_id").alias(id_col),
+        exact_dup.alias("exact_dup"),
+        near_dup.alias("near_dup"),
+        F.col("best_jaccard"),
+        ((exact_dup == 0) & (near_dup == 0)).cast("int").alias("keep"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:

@@ -1832,3 +1832,76 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_dup_ratio"),
     )
+
+
+@register(
+    "incremental_dedup_gate",
+    """
+    WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    cor AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    exact AS (
+        SELECT DISTINCT i.doc_id FROM inc i
+        JOIN cor c ON md5(i.text) = md5(c.text)
+    ),
+    inc_toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM inc
+    ),
+    inc_sh AS (
+        SELECT DISTINCT doc_id AS inc_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM inc_toks QUALIFY shingle IS NOT NULL
+    ),
+    cor_toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM cor
+    ),
+    cor_sh AS (
+        SELECT DISTINCT doc_id AS cor_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM cor_toks QUALIFY shingle IS NOT NULL
+    ),
+    inc_sizes AS (SELECT inc_id, COUNT(*) AS inc_n FROM inc_sh GROUP BY 1),
+    cor_sizes AS (SELECT cor_id, COUNT(*) AS cor_n FROM cor_sh GROUP BY 1),
+    inter AS (
+        SELECT i.inc_id, c.cor_id, COUNT(*) AS n_inter
+        FROM inc_sh i JOIN cor_sh c ON i.shingle = c.shingle
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT inc_id,
+               MAX(n_inter / CAST(s.inc_n + z.cor_n - n_inter AS DOUBLE))
+                   AS best_jaccard
+        FROM inter
+        JOIN inc_sizes s USING (inc_id)
+        JOIN cor_sizes z USING (cor_id)
+        GROUP BY inc_id
+    )
+    SELECT i.doc_id,
+           CAST(e.doc_id IS NOT NULL AS INT) AS exact_dup,
+           CAST(coalesce(b.best_jaccard, 0.0) >= 0.8 AS INT) AS near_dup,
+           b.best_jaccard,
+           CAST(e.doc_id IS NULL
+                AND coalesce(b.best_jaccard, 0.0) < 0.8 AS INT) AS keep
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN best b ON b.inc_id = i.doc_id
+    """,
+    doc="Ingest-time incremental dedup gate: flag each INCOMING doc "
+    "(doc_id%10==0 stands in for the new crawl batch) that duplicates "
+    "the EXISTING corpus exactly (md5) or nearly (Jaccard >= 0.8 vs any "
+    "corpus doc).  The batch's hash set and shingle map broadcast; the "
+    "corpus is scanned once map-side for both checks and never shuffles "
+    "(the reverse orientation of decontaminate) — the reason a 100 TB "
+    "corpus isn't re-paired against itself on every ingest.",
+    tags=("llm", "dedup", "ingest"),
+)
+def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ld.incremental_dedup_gate(corpus, incoming, "doc_id", "text")

@@ -680,3 +680,25 @@ def test_connected_components_distributed_path_matches_union_find(spark):
     assert dist == uf == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10,
     }
+
+
+def test_incremental_dedup_gate_flags(spark):
+    """Exact copy of a corpus doc -> exact_dup; near-variant -> near_dup
+    with high best_jaccard; novel doc -> keep."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the wall"),
+         (2, "completely different corpus content about spark and parquet files")],
+        "doc_id LONG, text STRING",
+    )
+    incoming = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the wall"),
+         (101, "the quick brown fox jumps over the lazy dog near the door"),
+         (102, "a totally novel incoming document with fresh unseen words only")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+           for r in ld.incremental_dedup_gate(
+               corpus, incoming, "doc_id", "text", threshold=0.5).collect()}
+    assert got[100] == (1, 1, 0)   # byte-identical: exact AND near
+    assert got[101][0] == 0 and got[101][1] == 1 and got[101][2] == 0
+    assert got[102] == (0, 0, 1)
