@@ -87,8 +87,8 @@ _PRIORITY = [
     "contamination_by_source",
     "url_blocklist_filter",
     "corpus_health_by_source",
+    "incremental_dedup_gate",
     # -- last driver verdict was round 5 (missed r6's window) ----------------
-    "asof_click_attribution",
     "hypertable_rollup",
     # -- flagship + high-value continuity ------------------------------------
     "q1_pricing_summary",
