@@ -647,3 +647,74 @@ def test_fused_stream_tail_matches_batch(spark, tmp_path):
         for r in cons.messages(rs.topic).collect()
     )
     assert got == want and len(got) == 35
+
+
+def test_dedup_gated_ingest_across_batches(spark, tmp_path):
+    """Streaming ingest admission: batch 2 re-sends one exact copy and one
+    near-variant of batch-1 docs plus one novel doc — only the novel doc
+    is admitted; a replayed epoch admits nothing; within-batch exact
+    copies collapse to one keeper."""
+    from data_pipeline_spark.streaming.ingest import DedupGatedIngest
+
+    gate = DedupGatedIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / "ledger"),
+        threshold=0.5,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the wall"),
+            (2, "spark writes parquet files into partitioned warehouse tables"),
+            (3, "spark writes parquet files into partitioned warehouse tables"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    assert gate.admit_batch(b1, 0) == 2  # within-batch copy collapsed
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the wall"),
+            (11, "the quick brown fox jumps over the lazy dog near the door"),
+            (12, "a completely novel streaming document about watermark sidecars"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    assert gate.admit_batch(b2, 1) == 1  # only the novel doc
+    assert gate.admit_batch(b2, 1) == 0  # replay: ledger-skipped
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 12]
+
+    # crash window: data appended, ledger row lost -> replay re-gates and
+    # admits nothing (everything is now a corpus duplicate)
+    fresh = DedupGatedIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / "ledger"),
+        threshold=0.5,
+    )
+    assert fresh.admit_batch(b2, 2) == 0
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 3
+
+    # end-to-end through writeStream/availableNow
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(20, "one more unique streaming arrival with its own vocabulary"),
+         (21, "spark writes parquet files into partitioned warehouse tables")],
+        "doc_id LONG, text STRING",
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(str(src))
+    # the epoch ledger is scoped to ONE checkpoint (epochs restart at 0 in
+    # a new query) — a new stream gets its own ledger beside its checkpoint
+    streaming_gate = DedupGatedIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / "stream_ledger"),
+        threshold=0.5,
+    )
+    q = streaming_gate.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    final = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert final == [1, 2, 12, 20]  # 21 rejected as an exact corpus dup
