@@ -322,74 +322,93 @@ def strip_duplicated_segments(
     )
 
 
-def incremental_dedup_gate(
-    corpus: DataFrame,
+def doc_shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document dedup index row: ``(cor_id, h, n_sh, shingles)`` —
+    the md5 of the text, the distinct-shingle count, and the doc's
+    distinct shingle set as 64-bit xxhash64 values.
+
+    This is the PERSISTABLE form of everything the incremental gate needs
+    from a corpus document: ~8 bytes per shingle instead of the text, no
+    tokenization at gate time, and the exact-dup pass column-prunes to the
+    ``h`` column alone.  Built entirely in-row (array ops + xxhash64 in
+    codegen): one scan, zero shuffle.
+    """
+    from data_pipeline_spark.llmops.textstats import word_ngrams
+
+    sh = F.array_distinct(
+        F.transform(word_ngrams(tokens(text_col), n), lambda s: F.xxhash64(s))
+    )
+    base = df.select(
+        F.col(id_col).alias("cor_id"),
+        F.md5(text_col).alias("h"),
+        sh.alias("shingles"),
+    )
+    return base.select(
+        "cor_id", "h", F.size("shingles").alias("n_sh"), "shingles"
+    )
+
+
+def indexed_dedup_gate(
+    index: DataFrame,
     incoming: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Ingest-time dedup gate: flag INCOMING documents that duplicate the
-    EXISTING corpus, exactly (md5 match) or nearly (shingle Jaccard >=
-    threshold vs any corpus doc) — the admission check a pipeline runs on
-    each new crawl batch so the 100 TB corpus is never re-paired against
-    itself per ingest.
+    """Ingest-time dedup gate against a PRE-BUILT index (the
+    ``doc_shingle_index`` schema): flag INCOMING documents that duplicate
+    the indexed corpus exactly (md5 match) or nearly (shingle Jaccard >=
+    threshold vs any indexed doc).
 
     Returns (id, exact_dup, near_dup, best_jaccard, keep) for every
     incoming doc; keep = neither flag.
 
     Scale shape: the batch is small relative to the corpus, so the
-    incoming md5 set and the incoming (shingle -> id, size) map BROADCAST;
-    the corpus is scanned ONCE map-side for both checks — no corpus-side
-    shuffle at all (the reverse orientation of ``decontaminate``).  The
-    per-(incoming, corpus) intersection aggregation is bounded by
+    incoming md5 set and the incoming (shingle-hash -> id) map BROADCAST;
+    the index is scanned map-side (h column only for the exact pass,
+    shingle arrays for the near pass) and NEVER shuffles — per-doc sizes
+    ride the rows (``n_sh``/in-row counts), so there is no corpus-side
+    aggregation and nothing to cache.  Against a persisted index this
+    reads no corpus text at all; Jaccard counts are over 64-bit shingle
+    hashes (identical to string-shingle Jaccard barring 2^-64 collisions).
+    The per-(incoming, corpus) intersection aggregation is bounded by
     |batch shingles| x their corpus document frequency.
     """
-    inc_hash = incoming.select(
-        F.col(id_col).alias("inc_id"), F.md5(text_col).alias("h")
+    inc = doc_shingle_index(incoming, id_col, text_col, n).select(
+        F.col("cor_id").alias("inc_id"),
+        "h",
+        F.col("n_sh").alias("inc_n"),
+        "shingles",
     )
-    # corpus side stays map-side: filter the corpus hash stream by the
+    # index side stays map-side: filter the index hash stream by the
     # BROADCAST incoming hash set, then the (tiny) surviving hashes
-    # broadcast back onto the batch — the corpus never shuffles
-    matched_hashes = corpus.select(F.md5(text_col).alias("h")).join(
-        F.broadcast(inc_hash.select("h").distinct()), "h", "left_semi"
+    # broadcast back onto the batch — the index never shuffles
+    matched_hashes = index.select("h").join(
+        F.broadcast(inc.select("h").distinct()), "h", "left_semi"
     )
-    exact = inc_hash.join(
+    exact = inc.select("inc_id", "h").join(
         F.broadcast(matched_hashes.distinct()), "h", "left_semi"
     ).select(F.col("inc_id").alias("exact_id"))
 
-    inc_sh = shingles(incoming, id_col, text_col, n).select(
-        F.col(id_col).alias("inc_id"), "shingle"
-    )
-    inc_sizes = inc_sh.groupBy("inc_id").agg(F.count(F.lit(1)).alias("inc_n"))
-    cor_sh = shingles(corpus, id_col, text_col, n).select(
-        F.col(id_col).alias("cor_id"), "shingle"
+    inc_sh = inc.select("inc_id", F.explode("shingles").alias("sh"))
+    # per-doc sizes ride the exploded rows (functionally dependent on
+    # cor_id), so the grouped intersection already carries cor_n — no
+    # second index pass, no corpus-side size aggregation
+    cor_sh = index.select(
+        "cor_id", F.col("n_sh").alias("cor_n"), F.explode("shingles").alias("sh")
     )
     inter = (
-        cor_sh.join(F.broadcast(inc_sh), "shingle")
-        .groupBy("inc_id", "cor_id")
+        cor_sh.join(F.broadcast(inc_sh), "sh")
+        .groupBy("inc_id", "cor_id", "cor_n")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .cache()
     )
-    # corpus doc shingle totals only for docs that HIT the batch: the
-    # corpus shingle stream is filtered map-side by the (tiny) broadcast
-    # matched-id set — a full-corpus per-doc aggregation would shuffle
-    # everything for a statistic only the matches need
-    matched_ids = inter.select("cor_id").distinct()
-    cor_sizes = (
-        cor_sh.join(F.broadcast(matched_ids), "cor_id")
-        .groupBy("cor_id")
-        .agg(F.count(F.lit(1)).alias("cor_n"))
-    )
-    jac = (
-        inter.join(F.broadcast(inc_sizes), "inc_id")
-        .join(F.broadcast(cor_sizes), "cor_id")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("inc_n") + F.col("cor_n") - F.col("n_inter")),
-        )
+    inc_sizes = inc.select("inc_id", "inc_n")
+    jac = inter.join(F.broadcast(inc_sizes), "inc_id").withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("inc_n") + F.col("cor_n") - F.col("n_inter")),
     )
     best = jac.groupBy("inc_id").agg(F.max("jaccard").alias("best_jaccard"))
 
@@ -409,6 +428,39 @@ def incremental_dedup_gate(
         near_dup.alias("near_dup"),
         F.col("best_jaccard"),
         ((exact_dup == 0) & (near_dup == 0)).cast("int").alias("keep"),
+    )
+
+
+def incremental_dedup_gate(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest-time dedup gate straight off the corpus TEXT: the index form
+    of each corpus row is built in-row on the fly (never materialized) and
+    fed to ``indexed_dedup_gate`` — identical decisions to gating against
+    a persisted ``doc_shingle_index``, at the cost of re-reading and
+    re-shingling the corpus per call.  The admission check a pipeline runs
+    on a bounded corpus slice; for a GROWING corpus, persist the index
+    sidecar instead (streaming.ingest.DedupGatedIngest) so each trigger
+    reads hashes, not text.
+
+    r8: the previous standalone implementation cached the intersection
+    frame to feed a separate corpus-side size aggregation and never
+    unpersisted it — per-micro-batch callers accumulated CacheManager
+    entries for the life of the stream.  Sizes now ride the shingle rows
+    in-row, so there is no second pass and nothing to cache.
+    """
+    return indexed_dedup_gate(
+        doc_shingle_index(corpus, id_col, text_col, n),
+        incoming,
+        id_col,
+        text_col,
+        n,
+        threshold,
     )
 
 
