@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int = 1000,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram shingle-set Jaccard >= threshold.
 
@@ -91,8 +92,13 @@ def ngram_jaccard_pairs(
         sh.groupBy("shingle")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") <= max_df)
-        .cache()
     )
+    # posting feeds both the sizes and the intersection: cache it for
+    # one-shot analytical calls, but per-trigger callers (the streaming
+    # ingest gate) pass cache=False — an uncollected cache entry per
+    # micro-batch grows the CacheManager for the life of the stream
+    if cache:
+        posting = posting.cache()
     sizes = (
         posting.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
@@ -982,30 +988,32 @@ def connected_components_star(
     )
     cur = pairs  # invariant: edges as (s, l) canonical pairs, s < l
     for _ in range(max_rounds):
-        # -- large-star: (v, min(N(u) u {u})) for every neighbor v > u
+        # -- large-star, ONE shuffle: group each node's neighborhood
+        # in-row (collect_set dedups cross-group edge duplicates from the
+        # previous round) and link every strictly-larger neighbor to
+        # m = min(N(u) u {u}) with an in-row explode — the r7 form spent
+        # a groupBy + a join + a distinct here (3 shuffles)
         adj = cur.select(F.col("s").alias("u"), F.col("l").alias("v")).union(
             cur.select(F.col("l").alias("u"), F.col("s").alias("v"))
         )
-        mn = adj.groupBy("u").agg(F.min("v").alias("mn"))
-        m = F.least(F.col("mn"), F.col("u"))
-        ls = (
-            adj.join(mn, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(m.alias("s"), F.col("v").alias("l"))  # m < u < v
-            .filter(F.col("s") != F.col("l"))
-            .distinct()
-        )
-        # -- small-star: orient large->small; every node links its smaller
-        # neighborhood and itself to that neighborhood's min
-        sn = ls.groupBy("l").agg(F.min("s").alias("m"))
-        joined = ls.join(sn, "l")
+        grouped = adj.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        m = F.least(F.col("u"), F.array_min("vs"))
+        ls = grouped.select(
+            m.alias("s"),
+            F.explode(F.filter("vs", lambda v: v > F.col("u"))).alias("l"),
+        ).filter(F.col("s") != F.col("l"))
+        # -- small-star, ONE shuffle: group the smaller neighborhood by
+        # the larger endpoint (all s < l, so min(ss) is the star root)
+        # and link it plus the node itself to that min, again in-row
+        g2 = ls.groupBy("l").agg(F.collect_set("s").alias("ss"))
         cur = (
-            joined.select(F.col("m").alias("s"), F.col("l"))
-            .union(
-                joined.select(F.col("m").alias("s"), F.col("s").alias("l"))
+            g2.select(
+                F.array_min("ss").alias("s"),
+                F.explode(
+                    F.array_union("ss", F.array(F.col("l")))
+                ).alias("l"),
             )
             .filter(F.col("s") != F.col("l"))
-            .distinct()
             .localCheckpoint(eager=True)
         )
         # fixpoints of the alternation are exactly unions of stars, and a
@@ -1026,8 +1034,12 @@ def connected_components_star(
             f"{max_rounds} rounds — raise max_rounds (label extraction from "
             "a chained edge set would return conflicting components)"
         )
-    # fixpoint is a star per component: every edge is (root, member)
-    labels = cur.select(F.col("l").alias("node"), F.col("s").alias("component"))
+    # fixpoint is a star per component: every edge is (root, member).
+    # cur tolerates cross-group duplicate edges between rounds (the next
+    # round's collect_set absorbs them), so dedup once at extraction
+    labels = cur.select(
+        F.col("l").alias("node"), F.col("s").alias("component")
+    ).distinct()
     roots = cur.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )

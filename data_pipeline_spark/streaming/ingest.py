@@ -1,42 +1,94 @@
-"""Dedup-gated streaming ingest: every micro-batch of documents is admitted
-against the PERSISTED corpus (exact md5 + shingle-Jaccard near-dup via
-``llmops.dedup.incremental_dedup_gate``), and only the keepers append —
-the streaming form of the crawl-ingest admission check, so the corpus
-stays deduplicated AS it grows instead of requiring periodic full-corpus
+"""Dedup-gated streaming ingest with a persistent INDEX SIDECAR: every
+micro-batch of documents is admitted against the already-ingested corpus
+(exact md5 + shingle-Jaccard near-dup), and only the keepers append — the
+streaming form of the crawl-ingest admission check, so the corpus stays
+deduplicated AS it grows instead of requiring periodic full-corpus
 re-pairing.
 
-Exactly-once: an epoch ledger (the ExactlyOnceBatchSink pattern) skips
-replayed micro-batches, and the corpus append itself is one atomic job
-commit per admitted batch.  The ledger is scoped to ONE streaming
-checkpoint — epoch ids restart at 0 in a new query, so each stream gets
-its own ledger_path beside its checkpoint dir (the corpus_dir is the
-shared, growing artifact).  Cross-batch duplicates are rejected because
-each batch gates against everything previously admitted (including
-earlier batches of the same stream); duplicates WITHIN a batch are
-collapsed first by keeper-id exact dedup so a batch cannot admit two
-copies of a new document.
+Index sidecar (the 100 TB design)
+---------------------------------
+The gate never reads corpus text.  Beside the corpus lives an append-only
+``doc_shingle_index`` sidecar — one row per admitted document carrying its
+md5, distinct-shingle count, and 64-bit shingle-hash set (~8 bytes per
+shingle vs the text itself) — written in the same epoch commit as the
+corpus append.  Each trigger gates the batch against the INDEX
+(``llmops.dedup.indexed_dedup_gate``: batch hash set and shingle map
+broadcast, index scanned map-side, exact-dup pass column-pruned to the
+md5 column alone), so steady-state per-trigger IO is O(index), not
+O(corpus text), and no tokenization of ingested data ever re-runs.  The
+index IS sufficient for exact decisions (full shingle posting per doc),
+so there is no corpus fallback to verify hits against.
 
-Scale shape is inherited from the gate: the micro-batch's hash set and
-shingle map broadcast; the corpus is scanned map-side once per trigger and
-never shuffles.  At 100 TB the corpus scan per trigger is the cost to
-bound — production would maintain a bloom/minhash INDEX sidecar the same
-way the topic store maintains watermark sidecars; the gate's seam
-(corpus DataFrame in, flags out) is where that index drops in.
+Exactly-once commit protocol
+----------------------------
+Corpus and index cannot be made atomic as two directories, so both are
+partitioned by (ingest_writer, ingest_epoch) and a per-writer LEDGER
+partition inside the index dir is the single commit point, appended LAST:
+
+    1. purge: delete this writer's corpus/index partitions with epoch >
+       last committed (debris from a crashed attempt; fs listing only)
+    2. gate the batch against the COMMITTED index (ledger semi-join — a
+       foreign writer's crash debris is invisible too)
+    3. append admitted rows   -> corpus_dir / writer=w/epoch=e
+    4. append their index rows-> index_dir/docs / writer=w/epoch=e
+    5. append (epoch, n)      -> index_dir/ledger / writer=w
+
+A crash anywhere before 5 leaves only uncommitted partitions, which the
+replay purges and rewrites (gate decisions are deterministic given the
+committed index, so the rewrite is identical); after 5 the epoch is
+skipped.  Epoch ids are scoped to ONE streaming checkpoint, so each
+stream derives a stable ``writer_id`` from its ``ledger_path`` and owns
+its partitions; concurrent foreign writers are never touched by a purge
+and their uncommitted debris never gates.  Two writers admitting
+CONCURRENTLY can each admit a doc that duplicates the other's in-flight
+batch (admission is serializable per writer, not globally) — serialize
+writers with ``coordination.LeaseLock`` on the index dir if the corpus
+has multiple live ingest streams.
+
+Within a batch, exact copies collapse to one keeper (min id) and — by
+default — near-duplicate pairs collapse too (``ngram_jaccard_pairs`` over
+the batch; every doc that is the larger side of a >=threshold pair drops),
+so a single micro-batch cannot admit two near-copies of a new document.
+
+This directory-layout protocol uses local-FS listing/removal; a cluster
+deployment swaps those two calls for the Hadoop FileSystem API — the
+partition layout and ledger semantics are unchanged.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_spark.llmops.dedup import exact_dup_groups, incremental_dedup_gate
+from data_pipeline_spark.llmops.dedup import (
+    doc_shingle_index,
+    exact_dup_groups,
+    indexed_dedup_gate,
+    ngram_jaccard_pairs,
+)
+
+_WRITER_COL = "ingest_writer"
+_EPOCH_COL = "ingest_epoch"
+
+
+class ChaosCrash(RuntimeError):
+    """Injected crash for exactly-once protocol tests."""
+
+
+def _has_partitions(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        e.startswith(f"{_WRITER_COL}=") for e in os.listdir(path)
+    )
 
 
 class DedupGatedIngest:
-    """foreachBatch sink: gate each batch against the persisted corpus and
-    append only novel documents."""
+    """foreachBatch sink: gate each batch against the committed dedup
+    index and append only novel documents (see module docstring for the
+    sidecar layout and commit protocol)."""
 
     def __init__(
         self,
@@ -47,76 +99,191 @@ class DedupGatedIngest:
         text_col: str = "text",
         n: int = 3,
         threshold: float = 0.8,
+        index_dir: str | None = None,
+        writer_id: str | None = None,
+        within_batch_neardup: bool = True,
     ):
         self.spark = spark
         self.corpus_dir = corpus_dir
-        self.ledger_path = ledger_path
+        self.index_dir = index_dir or corpus_dir + "_index"
         self.id_col = id_col
         self.text_col = text_col
         self.n = n
         self.threshold = threshold
+        self.within_batch_neardup = within_batch_neardup
+        # stable per-stream identity: the ledger path is scoped to one
+        # checkpoint (pre-sidecar API kept), so its hash names this
+        # writer's partitions; "w" prefix keeps partition-value inference
+        # string-typed even for an all-digit hash
+        self.writer_id = writer_id or "w" + hashlib.md5(
+            ledger_path.encode()
+        ).hexdigest()[:12]
         self._last_epoch: int | None = None
+        self.crash_points: set[str] = set()  # test-injectable crash windows
+
+    # -- layout ------------------------------------------------------------
+    @property
+    def _docs_dir(self) -> str:
+        return os.path.join(self.index_dir, "docs")
+
+    @property
+    def _ledger_dir(self) -> str:
+        return os.path.join(self.index_dir, "ledger")
+
+    def _chaos(self, point: str) -> None:
+        if point in self.crash_points:
+            raise ChaosCrash(point)
+
+    # -- commit state ------------------------------------------------------
+    def _ledger(self) -> DataFrame | None:
+        if not _has_partitions(self._ledger_dir):
+            return None
+        return self.spark.read.parquet(self._ledger_dir)
 
     def _last_committed(self) -> int:
         if self._last_epoch is None:
-            if os.path.exists(self.ledger_path):
+            led = self._ledger()
+            top = None
+            if led is not None:
                 top = (
-                    self.spark.read.parquet(self.ledger_path)
+                    led.filter(F.col(_WRITER_COL) == self.writer_id)
                     .agg(F.max("epoch_id"))
                     .first()[0]
                 )
-                self._last_epoch = -1 if top is None else top
-            else:
-                self._last_epoch = -1
+            self._last_epoch = -1 if top is None else top
         return self._last_epoch
 
-    def _corpus(self) -> DataFrame | None:
-        if not os.path.isdir(self.corpus_dir):
-            return None
-        return self.spark.read.parquet(self.corpus_dir)
+    def _purge_uncommitted(self) -> None:
+        """Remove THIS writer's corpus/index partitions above its last
+        committed epoch — debris of a crashed attempt.  Foreign writers'
+        partitions are never touched."""
+        last = self._last_committed()
+        for base in (self.corpus_dir, self._docs_dir):
+            wdir = os.path.join(base, f"{_WRITER_COL}={self.writer_id}")
+            if not os.path.isdir(wdir):
+                continue
+            for entry in os.listdir(wdir):
+                if not entry.startswith(f"{_EPOCH_COL}="):
+                    continue
+                try:
+                    epoch = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if epoch > last:
+                    shutil.rmtree(os.path.join(wdir, entry))
 
+    def committed_index(self) -> DataFrame | None:
+        """COMMITTED dedup-index rows: docs partitions semi-joined against
+        the (small, broadcast) ledger, so neither this writer's nor any
+        foreign writer's crash debris ever gates a batch."""
+        led = self._ledger()
+        if led is None or not _has_partitions(self._docs_dir):
+            return None
+        committed = led.select(
+            _WRITER_COL, F.col("epoch_id").alias(_EPOCH_COL)
+        )
+        return (
+            self.spark.read.parquet(self._docs_dir)
+            .join(F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi")
+            .select("cor_id", "h", "n_sh", "shingles")
+        )
+
+    # -- gate --------------------------------------------------------------
+    def gate_batch(self, batch: DataFrame) -> DataFrame:
+        """Pure admission decision (no writes): collapse within-batch
+        exact copies (keeper = min id) and near-dup pairs (larger id of
+        every >=threshold pair drops), then gate the survivors against
+        the committed index.  Reads index partitions only — never corpus
+        files (asserted by the chaos suite's plan check)."""
+        keepers = exact_dup_groups(batch, self.id_col, self.text_col).select(
+            F.col("keeper_id").alias(self.id_col)
+        )
+        batch = batch.join(keepers, self.id_col)
+        if self.within_batch_neardup:
+            losers = (
+                ngram_jaccard_pairs(
+                    batch,
+                    self.id_col,
+                    self.text_col,
+                    self.n,
+                    self.threshold,
+                    cache=False,  # per-trigger caller: no CacheManager growth
+                )
+                .select(F.col("id_b").alias(self.id_col))
+                .distinct()
+            )
+            batch = batch.join(losers, self.id_col, "left_anti")
+        index = self.committed_index()
+        if index is None:
+            return batch
+        flags = indexed_dedup_gate(
+            index,
+            batch,
+            self.id_col,
+            self.text_col,
+            n=self.n,
+            threshold=self.threshold,
+        )
+        return batch.join(
+            flags.filter(F.col("keep") == 1).select(self.id_col), self.id_col
+        )
+
+    # -- commit ------------------------------------------------------------
     def admit_batch(self, batch: DataFrame, epoch_id: int) -> int:
         """Gate + append one micro-batch; returns admitted row count
         (0 for replays and fully-duplicate batches)."""
         if epoch_id <= self._last_committed():
             return 0
-        # collapse WITHIN-batch exact copies first (keeper = min id), so a
-        # batch can never admit two copies of the same new document
-        keepers = exact_dup_groups(batch, self.id_col, self.text_col).select(
-            F.col("keeper_id").alias(self.id_col)
-        )
-        batch = batch.join(keepers, self.id_col)
-        corpus = self._corpus()
-        if corpus is not None:
-            flags = incremental_dedup_gate(
-                corpus,
-                batch,
-                self.id_col,
-                self.text_col,
-                n=self.n,
-                threshold=self.threshold,
-            )
-            admitted = batch.join(
-                flags.filter(F.col("keep") == 1).select(self.id_col),
-                self.id_col,
-            )
-        else:
-            admitted = batch
-        admitted = admitted.persist()
+        self._purge_uncommitted()
+        admitted = self.gate_batch(batch).persist()
         try:
             n_admitted = admitted.count()
+            self._chaos("after_gate")
             if n_admitted:
-                admitted.write.mode("append").parquet(self.corpus_dir)
-            # ledger append AFTER the data: a crash between them replays
-            # the epoch, and the gate itself makes the replay idempotent
-            # (everything already admitted is now a corpus duplicate)
+                tagged = admitted.withColumn(
+                    _WRITER_COL, F.lit(self.writer_id)
+                ).withColumn(_EPOCH_COL, F.lit(epoch_id))
+                tagged.write.mode("append").partitionBy(
+                    _WRITER_COL, _EPOCH_COL
+                ).parquet(self.corpus_dir)
+                self._chaos("after_corpus")
+                idx = (
+                    doc_shingle_index(
+                        admitted, self.id_col, self.text_col, self.n
+                    )
+                    .withColumn(_WRITER_COL, F.lit(self.writer_id))
+                    .withColumn(_EPOCH_COL, F.lit(epoch_id))
+                )
+                idx.write.mode("append").partitionBy(
+                    _WRITER_COL, _EPOCH_COL
+                ).parquet(self._docs_dir)
+                self._chaos("after_index")
+            # ledger append LAST is the commit point: everything above is
+            # purgeable debris until this row lands
             self.spark.createDataFrame(
-                [(epoch_id, n_admitted)], "epoch_id LONG, n_admitted LONG"
-            ).write.mode("append").parquet(self.ledger_path)
+                [(epoch_id, n_admitted, self.writer_id)],
+                f"epoch_id LONG, n_admitted LONG, {_WRITER_COL} STRING",
+            ).write.mode("append").partitionBy(_WRITER_COL).parquet(
+                self._ledger_dir
+            )
             self._last_epoch = epoch_id
             return n_admitted
         finally:
             admitted.unpersist()
+
+    def corpus(self) -> DataFrame:
+        """The ingested corpus without the commit-protocol partition
+        columns (committed epochs only)."""
+        led = self._ledger()
+        df = self.spark.read.parquet(self.corpus_dir)
+        if led is not None:
+            committed = led.select(
+                _WRITER_COL, F.col("epoch_id").alias(_EPOCH_COL)
+            )
+            df = df.join(
+                F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi"
+            )
+        return df.drop(_WRITER_COL, _EPOCH_COL)
 
     def foreach_batch(self):
         def fn(batch: DataFrame, epoch_id: int) -> None:

@@ -1,0 +1,213 @@
+"""Exactly-once + scale properties of the dedup-gated ingest sink's
+index-sidecar commit protocol (streaming/ingest.py):
+
+- crash sweep over every window (after gate / after corpus append /
+  after index append) -> replay leaves exactly one copy of every
+  admitted doc, and the final corpus equals a never-crashed control run
+- a partially-appended corpus epoch (crash mid-write) is purged and
+  rewritten identically on replay
+- a foreign writer's committed data survives another writer's replay
+  untouched, and a foreign writer's UNCOMMITTED debris never gates
+- gate decisions off the persisted index are identical to the
+  corpus-text-scan path (incremental_dedup_gate)
+- the steady-state gate plan reads INDEX files only — never corpus text
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.llmops.dedup import incremental_dedup_gate
+from data_pipeline_spark.streaming.ingest import ChaosCrash, DedupGatedIngest
+
+DOCS1 = [
+    (1, "the quick brown fox jumps over the lazy dog near the wall"),
+    (2, "spark writes parquet files into partitioned warehouse tables"),
+    (3, "completely different content about streaming watermark sidecars"),
+]
+DOCS2 = [
+    (10, "the quick brown fox jumps over the lazy dog near the wall"),  # exact dup of 1
+    (11, "the quick brown fox jumps over the lazy dog near the door"),  # near dup of 1
+    (12, "a fresh document mentioning bloom filters and posting lists"),
+    (13, "another novel arrival with entirely disjoint vocabulary here"),
+]
+
+
+def _sink(spark, tmp_path, name="a", **kw):
+    return DedupGatedIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / f"ledger_{name}"),
+        threshold=0.5,
+        **kw,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _corpus_ids(spark, tmp_path):
+    return sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+
+
+@pytest.mark.parametrize("crash_at", ["after_gate", "after_corpus", "after_index"])
+def test_crash_window_replay_is_exactly_once(spark, tmp_path, crash_at):
+    sink = _sink(spark, tmp_path)
+    assert sink.admit_batch(_df(spark, DOCS1), 0) == 3
+
+    sink.crash_points = {crash_at}
+    with pytest.raises(ChaosCrash):
+        sink.admit_batch(_df(spark, DOCS2), 1)
+
+    # a recovered sink (fresh process: no cached epoch state) replays the
+    # epoch; every admitted doc appears exactly once
+    recovered = _sink(spark, tmp_path)
+    assert recovered.admit_batch(_df(spark, DOCS2), 1) == 2  # 12 and 13
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 12, 13]
+    # and a further replay of the committed epoch is a no-op
+    assert recovered.admit_batch(_df(spark, DOCS2), 1) == 0
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 12, 13]
+
+
+def test_partial_corpus_append_is_purged_and_rewritten(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    assert sink.admit_batch(_df(spark, DOCS1), 0) == 3
+
+    # simulate a crash mid-append: a PARTIAL epoch-1 corpus partition
+    # (one of the admitted docs, written without index rows or ledger row)
+    partial_dir = (
+        tmp_path
+        / "corpus"
+        / f"ingest_writer={sink.writer_id}"
+        / "ingest_epoch=1"
+    )
+    _df(spark, [DOCS2[2]]).drop().write.parquet(str(partial_dir))
+    assert os.path.isdir(partial_dir)
+
+    recovered = _sink(spark, tmp_path)
+    assert recovered.admit_batch(_df(spark, DOCS2), 1) == 2
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 12, 13]
+
+
+def test_foreign_writer_survives_replay_and_debris_never_gates(spark, tmp_path):
+    a = _sink(spark, tmp_path, "a")
+    assert a.admit_batch(_df(spark, DOCS1), 0) == 3
+
+    # foreign writer B commits one novel doc into the shared corpus
+    b = _sink(spark, tmp_path, "b")
+    assert b.admit_batch(
+        _df(spark, [(50, "foreign writer contributes a unique document")]), 0
+    ) == 1
+
+    # ...and leaves UNCOMMITTED debris for its next epoch (crash after
+    # index append, before ledger)
+    b.crash_points = {"after_index"}
+    with pytest.raises(ChaosCrash):
+        b.admit_batch(
+            _df(spark, [(51, "uncommitted foreign debris document text")]), 1
+        )
+
+    # A's replay of an uncommitted epoch purges only A's partitions;
+    # B's committed doc 50 still gates (doc 60 is its exact dup), while
+    # B's uncommitted 51-debris does NOT reject an identical arrival
+    recovered_a = _sink(spark, tmp_path, "a")
+    batch = _df(
+        spark,
+        [
+            (60, "foreign writer contributes a unique document"),  # dup of 50
+            (61, "uncommitted foreign debris document text"),  # 51 never committed
+        ],
+    )
+    assert recovered_a.admit_batch(batch, 1) == 1
+    # the COMMITTED corpus view: B's 51-debris is invisible (its epoch
+    # never reached the ledger) even though its files still sit on disk
+    # until B's own replay purges them
+    assert sorted(
+        r.doc_id for r in recovered_a.corpus().collect()
+    ) == [1, 2, 3, 50, 61]
+
+    # B's recovery then replays its crashed epoch: the purge removes the
+    # debris files, and 51 is now an exact dup of A's committed 61, so it
+    # stays out — one copy total
+    recovered_b = _sink(spark, tmp_path, "b")
+    assert recovered_b.admit_batch(
+        _df(spark, [(51, "uncommitted foreign debris document text")]), 1
+    ) == 0
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 50, 61]
+
+
+def test_within_batch_neardup_collapse(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    batch = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the wall"),
+            (2, "the quick brown fox jumps over the lazy dog near the door"),
+            (3, "entirely unrelated text with its own distinct vocabulary"),
+        ],
+    )
+    assert sink.admit_batch(batch, 0) == 2  # 2 collapses onto keeper 1
+    assert _corpus_ids(spark, tmp_path) == [1, 3]
+
+    # opting out preserves the pre-sidecar behavior (gap documented)
+    loose = _sink(spark, tmp_path / "loose", within_batch_neardup=False)
+    assert loose.admit_batch(batch, 0) == 3
+
+
+def test_index_gate_matches_corpus_scan_gate(spark, tmp_path):
+    """Decisions off the persisted index == decisions off corpus text."""
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1), 0)
+    sink.admit_batch(_df(spark, DOCS2), 1)
+
+    probe = _df(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the wall"),
+            (101, "a fresh document mentioning bloom filters and posting lists"),
+            (102, "the quick brown fox jumps over the lazy dog by the door"),
+            (103, "genuinely new material unseen by any prior batch at all"),
+        ],
+    )
+    from data_pipeline_spark.llmops.dedup import indexed_dedup_gate
+
+    via_index = indexed_dedup_gate(
+        sink.committed_index(), probe, "doc_id", "text", threshold=0.5
+    )
+    via_text = incremental_dedup_gate(
+        sink.corpus(), probe, "doc_id", "text", threshold=0.5
+    )
+    rows_i = sorted(map(tuple, via_index.collect()))
+    rows_t = sorted(map(tuple, via_text.collect()))
+    assert rows_i == rows_t
+    assert [r[0] for r in rows_i if r[4] == 1] == [103]
+
+
+def test_steady_state_gate_reads_index_not_corpus(spark, tmp_path):
+    """The per-trigger gate plan scans index files only: the corpus dir
+    never appears in the optimized plan's file sources — the assertion
+    that the 100 TB trigger cost is O(index), not O(corpus text)."""
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1), 0)
+
+    gated = sink.gate_batch(_df(spark, DOCS2))
+    files = gated.inputFiles()
+    corpus_abs = os.path.abspath(str(tmp_path / "corpus")) + "/"
+    docs_abs = os.path.abspath(sink._docs_dir) + "/"
+    assert files, "gate plan should have file sources"
+    assert not any(corpus_abs in f for f in files), (
+        "gate plan must not scan corpus files"
+    )
+    assert any(docs_abs in f for f in files), (
+        "gate plan should scan the index sidecar"
+    )
+    # and the decision itself is right: one exact + one near dup rejected
+    assert sorted(r.doc_id for r in gated.collect()) == [12, 13]
