@@ -65,6 +65,14 @@ BENCH_QUERIES = [
     "unigram_logprob_score",
     "hashed_classifier_score",
     "segment_dedup_stats",
+    # r8 additions: the ingest-admission family carries round-over-round
+    # numbers (incremental gate = corpus-scan form, persisted = the
+    # steady-state index-sidecar form the streaming sink runs), plus the
+    # fused star-CC and the boilerplate stripper
+    "incremental_dedup_gate",
+    "persisted_index_dedup_gate",
+    "boilerplate_strip",
+    "neardup_cluster_assignment_star",
 ]
 
 

@@ -15,6 +15,7 @@ wire boundary.  Everything before pack / after unpack is columnar.
 from __future__ import annotations
 
 import base64
+import functools
 import json
 import uuid as uuidlib
 from typing import Any
@@ -125,6 +126,22 @@ def _env_decoder():
     if _ENV_DECODER is None:
         _ENV_DECODER = avro_codec.compile_decoder(ENVELOPE_SCHEMA)
     return _ENV_DECODER
+
+
+# payload codecs for the FUSED wire UDFs, memoized per Python worker and
+# keyed by schema JSON (r8: the fused UDFs recompiled them on every pandas
+# batch — repeated compile cost on the exact hot path fusion exists for)
+@functools.lru_cache(maxsize=256)
+def _payload_encoder(schema_json: str):
+    return avro_codec.compile_encoder(avro_codec.parse_schema(schema_json))
+
+
+@functools.lru_cache(maxsize=256)
+def _payload_decoder(writer_json: str, reader_json: str):
+    return avro_codec.compile_decoder(
+        avro_codec.parse_schema(writer_json),
+        avro_codec.parse_schema(reader_json),
+    )
 
 
 def _pack_one(row: dict[str, Any], ascii_mode: bool = False) -> bytes:
@@ -387,7 +404,7 @@ def encode_pack_udf(payload_schema_json: str, message_type: str, schema_id: int)
     def fused(
         data: pd.DataFrame, uuid_s: pd.Series, prev: pd.Series, ts: pd.Series
     ) -> pd.Series:
-        rec = avro_codec.compile_encoder(schema)
+        rec = _payload_encoder(payload_schema_json)  # worker-memoized
         env_enc = _env_encoder()
         out = []
         cols = [data[n].tolist() for n in field_names]
@@ -444,10 +461,8 @@ def unpack_decode_udf(writers: dict[int, str], reader_schema_json: str, topic: s
     @pandas_udf(out_type)
     def fused(blob: pd.Series) -> pd.DataFrame:
         env_dec = _env_decoder()
-        decoders = {
-            sid: avro_codec.compile_decoder(
-                avro_codec.parse_schema(wjson), reader_parsed
-            )
+        decoders = {  # worker-memoized per (writer, reader) schema pair
+            sid: _payload_decoder(wjson, reader_schema_json)
             for sid, wjson in writers.items()
         }
         names = ["uuid", "message_type", "schema_id", "timestamp"] + [

@@ -65,6 +65,11 @@ class Introspector:
             "primary_keys": list(latest.primary_keys),
             "contains_pii": latest.contains_pii,
             "schema_json": latest.schema_json,
+            # table-level documentation attached via schema_ref bulk specs
+            # (schema_ref.apply_schema_ref) or set_source_metadata
+            "source_meta": self.registry.get_source_metadata(
+                latest.namespace, latest.source
+            ),
             # per-field schema elements with docs/notes
             # (models/avro_schema_element.py:41)
             "elements": [
@@ -88,12 +93,17 @@ class Introspector:
             # its reservation and the data append (which leaves a gap)
             info["reserved_count"] = sum(highs.values())
             info["message_count"] = info["reserved_count"]
+            # callers that need exactness must pass check_gap=True; the
+            # basis key makes the default's upper-bound semantics explicit
+            # in the result itself rather than only in this comment
+            info["message_count_basis"] = "reservations"
             if check_gap:
                 # exact audit: O(topic size) scan — opt-in, because
                 # introspect-all-topics tooling at 100 TB must stay on the
                 # sidecar path.  A persistent nonzero gap is normal crash
                 # debris; a growing one is a stuck producer.
                 info["message_count"] = self.store.read(topic).count()
+                info["message_count_basis"] = "scan"
                 info["reserved_gap"] = (
                     info["reserved_count"] - info["message_count"]
                 )

@@ -418,11 +418,14 @@ def indexed_dedup_gate(
     )
     best = jac.groupBy("inc_id").agg(F.max("jaccard").alias("best_jaccard"))
 
+    # flag attachment: exact/best are bounded by the batch, so broadcast
+    # them onto the incoming frame — without the hint the planner can't
+    # size these derived frames and falls back to sort-merge
     out = (
         incoming.select(F.col(id_col).alias("inc_id"))
-        .join(exact.withColumn("exact", F.lit(1)),
+        .join(F.broadcast(exact.withColumn("exact", F.lit(1))),
               F.col("inc_id") == F.col("exact_id"), "left")
-        .join(best, "inc_id", "left")
+        .join(F.broadcast(best), "inc_id", "left")
     )
     exact_dup = F.coalesce(F.col("exact"), F.lit(0))
     near_dup = (F.coalesce(F.col("best_jaccard"), F.lit(0.0)) >= threshold).cast(
@@ -731,6 +734,105 @@ def _capped_bucket_pairs(
     )
 
 
+def _simhash32_banded(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, sh, band, bucket) rows: 32-bit signature split into 4 bands of
+    8 bits (2^8 buckets per band) — shared by the pair expansion and the
+    flood-stats audit so they can never band differently."""
+    bands, band_width = 4, 8
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sh"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        # simhash >> shift, shift varies per band: exact pow-2 division
+        F.floor(
+            F.col("sh")
+            / F.pow(F.lit(2.0), (bands - 1 - F.col("band")) * band_width)
+        ).cast("bigint")
+        % (1 << band_width),
+    )
+
+
+def _simhash64_banded(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, hi, lo, band, bucket) rows: 64-bit signature (two 32-bit
+    halves) split into 4 bands of 16 bits (2^16 buckets per band)."""
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("sh_hi").alias("hi"),
+        F.col("sh_lo").alias("lo"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.floor(
+            F.when(F.col("band") < 2, F.col("hi")).otherwise(F.col("lo"))
+            / F.when(F.col("band") % 2 == 0, F.lit(65536.0)).otherwise(
+                F.lit(1.0)
+            )
+        ).cast("bigint")
+        % 65536,
+    )
+
+
+def capped_bucket_stats(
+    banded: DataFrame, id_field: str, max_bucket: int
+) -> DataFrame:
+    """Recall-loss audit for ``_capped_bucket_pairs`` callers: per band,
+    how many buckets (and how many doc postings) exceed ``max_bucket``
+    and were therefore dropped before pair expansion, plus the peak
+    bucket size.  One row per band:
+
+        (band, n_buckets, n_flooded_buckets, n_flooded_postings,
+         max_bucket_size)
+
+    Capping is DOCUMENTED drop-semantics, not silent: a pair whose every
+    shared band floods is lost, which voids e.g. the SimHash pigeonhole
+    guarantee for docs inside flooded buckets.  Run this beside any
+    capped pairing to size the cap for the corpus — 32-bit SimHash's
+    2^8-bucket bands flood linearly with corpus size (~1.1k docs/bucket
+    already at sf0.1), so its callers must either raise the cap above
+    their corpus envelope or accept (and now: measure) the loss.  Cost:
+    the same (band, bucket) groupBy the pairing itself runs — counts
+    only, no posting lists.
+    """
+    per_bucket = banded.groupBy("band", "bucket").agg(
+        F.count(id_field).alias("n_docs")
+    )
+    flooded = F.col("n_docs") > max_bucket
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(flooded.cast("int")).alias("n_flooded_buckets"),
+            F.sum(F.when(flooded, F.col("n_docs")).otherwise(0)).alias(
+                "n_flooded_postings"
+            ),
+            F.max("n_docs").alias("max_bucket_size"),
+        )
+        .orderBy("band")
+    )
+
+
+def simhash_flood_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """``capped_bucket_stats`` over the exact banding the simhash pair
+    functions use — the companion audit the 32/64-bit near-dup callers
+    run to see whether (and how much) the flood cap is costing recall at
+    their corpus size."""
+    if bits == 64:
+        sigs = simhash64_signatures(df, id_col, text_col)
+        banded = _simhash64_banded(sigs, id_col)
+    else:
+        sigs = simhash_signatures(df, id_col, text_col)
+        banded = _simhash32_banded(sigs, id_col)
+    return capped_bucket_stats(banded, "id", max_bucket)
+
+
 def simhash64_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -748,23 +850,9 @@ def simhash64_neardup_pairs(
     all four bands (the case more buckets can't fix) stays bounded per
     key instead of going quadratic in one join."""
     sigs = simhash64_signatures(df, id_col, text_col).cache()
-    banded = (
-        sigs.select(
-            F.col(id_col).alias("id"),
-            F.col("sh_hi").alias("hi"),
-            F.col("sh_lo").alias("lo"),
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-        )
-        .withColumn(
-            "bucket",
-            F.floor(
-                F.when(F.col("band") < 2, F.col("hi")).otherwise(F.col("lo"))
-                / F.when(F.col("band") % 2 == 0, F.lit(65536.0)).otherwise(F.lit(1.0))
-            ).cast("bigint")
-            % 65536,
-        )
+    pairs = _capped_bucket_pairs(
+        _simhash64_banded(sigs, id_col), ["id", "hi", "lo"], max_bucket
     )
-    pairs = _capped_bucket_pairs(banded, ["id", "hi", "lo"], max_bucket)
     hamming = F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
@@ -793,26 +881,19 @@ def simhash_neardup_pairs(
     ``simhash64_neardup_pairs`` (2^16-bucket bands, same exact-banding
     guarantee) is the declared scale path, with this 32-bit form kept as
     the oracle anchor.
+
+    The cap DROPS flooded buckets (documented recall loss — a pair whose
+    every shared band floods is lost, voiding the pigeonhole guarantee
+    for those docs); ``simhash_flood_stats`` reports per-band flooded
+    bucket/posting counts so the loss is measured, not silent — at the
+    default cap the 2^8-bucket bands already flood near sf0.1 corpus
+    sizes, so size ``max_bucket`` above the corpus envelope or switch to
+    the 64-bit path.
     """
     sigs = simhash_signatures(df, id_col, text_col).cache()
-    bands = 4
-    band_width = 8  # 32 bits / 4 bands
-    banded = (
-        sigs.select(
-            F.col(id_col).alias("id"),
-            F.col("simhash").alias("sh"),
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        )
-        .withColumn(
-            "bucket",
-            # simhash >> shift, shift varies per band: exact pow-2 division
-            F.floor(
-                F.col("sh") / F.pow(F.lit(2.0), (bands - 1 - F.col("band")) * band_width)
-            ).cast("bigint")
-            % (1 << band_width),
-        )
+    pairs = _capped_bucket_pairs(
+        _simhash32_banded(sigs, id_col), ["id", "sh"], max_bucket
     )
-    pairs = _capped_bucket_pairs(banded, ["id", "sh"], max_bucket)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming

@@ -1,18 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-FOUR real codecs run end-to-end here with the stdlib only — uncompressed
-24-bit BMP, binary PPM (P6), compressed PNG (zlib inflate + the five
-scanline filters), and 16-bit PCM WAV (``wave``) — so ``extract_features``
-computes actual pixel/sample statistics and ``resize_media`` performs an
-actual nearest-neighbor resample for those formats.  The decode kernels are
-numpy reshape/stride operations over the Arrow batches (no per-pixel Python
-except PNG's inherently sequential Sub/Average/Paeth unfilters).  Formats
-needing external codec libs (jpeg/mp4/flac...), absent from this container,
-keep the clearly-marked stub path: on a production image PIL/ffmpeg drop
-into the same ``decode_media`` / ``decode_audio`` seams.  Everything
-Spark-side — schema, batch iteration shape, partitioning, mapInPandas
-plumbing — is identical for both paths.
+FIVE real codecs run end-to-end here with stdlib + numpy only —
+uncompressed 24-bit BMP, binary PPM (P6), lossless-compressed PNG (zlib
+inflate + the five scanline filters), LOSSY-compressed baseline JPEG
+(8x8 DCT + quantization + zigzag + canonical Huffman, both directions),
+and 16-bit PCM WAV (``wave``) — so ``extract_features`` computes actual
+pixel/sample statistics and ``resize_media`` performs an actual
+nearest-neighbor resample for those formats.  The decode kernels are numpy
+reshape/stride/einsum operations over the Arrow batches (no per-pixel
+Python except PNG's inherently sequential Sub/Average/Paeth unfilters and
+the JPEG entropy coder's per-symbol bit loop).  Formats needing external
+codec libs (webp/mp4/flac...), absent from this container, keep the
+clearly-marked stub path: on a production image PIL/ffmpeg drop into the
+same ``decode_media`` / ``decode_audio`` seams.  Everything Spark-side —
+schema, batch iteration shape, partitioning, mapInPandas plumbing — is
+identical for both paths.
 
 Scale notes: binary payloads ride the same DataFrame as metadata, so
 partition sizing must respect ``spark.sql.files.maxPartitionBytes`` against
@@ -247,10 +250,445 @@ def _encode_png(w: int, h: int, rgb: bytes) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (JFIF / ITU T.81 SOF0), stdlib + numpy only: 8x8 block DCT,
+# Annex-K quantization tables with libjpeg quality scaling, zigzag RLE,
+# canonical Huffman entropy coding.  The encoder emits 4:4:4 (no chroma
+# subsampling) with SELF-DESCRIBING Huffman tables — equal-length canonical
+# codes over exactly the symbols the scan uses, written to DHT — so the
+# decoder (this one or any spec decoder) rebuilds them from the stream;
+# transcribing the spec's suggested AC tables is unnecessary.  The decoder
+# handles baseline sequential, 8-bit, 1- or 3-component, sampling factors
+# 1x1 (what the encoder emits); progressive / subsampled / 12-bit raise
+# NotImplementedError into the documented PIL seam.  DCT/IDCT/quantization
+# are einsum over ALL blocks at once; only the entropy coder is a per-symbol
+# loop (inherently sequential, like PNG's Sub/Paeth unfilter).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = sorted(
+    range(64),
+    key=lambda i: (
+        (i >> 3) + (i & 7),
+        # odd diagonals run top-right -> bottom-left (row ascending),
+        # even ones the reverse (column ascending)
+        (i >> 3) if ((i >> 3) + (i & 7)) % 2 else (i & 7),
+    ),
+)  # index: position in scan order -> (row*8+col); standard T.81 order
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2
+    c[0] /= np.sqrt(2)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _jpeg_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for t in (_QUANT_LUMA, _QUANT_CHROMA):
+        q = np.floor((t * scale + 50) / 100)
+        out.append(np.clip(q, 1, 255))
+    return out[0], out[1]
+
+
+def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a (h, w) plane to 8-multiples by edge replication and cut into
+    (n_blocks_y, n_blocks_x, 8, 8)."""
+    h, w = plane.shape
+    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+    return (
+        padded.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3),
+        bh // 8,
+        bw // 8,
+    )
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, length: int) -> int:
+        while self.nbits < length:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside scan")
+                self.pos += 1  # skip stuffed zero
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= length
+        val = (self.acc >> self.nbits) & ((1 << length) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return val
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _extend(code: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return code if code >= (1 << (size - 1)) else code - (1 << size) + 1
+
+
+def _canonical_codes(symbols: set[int]) -> tuple[dict[int, tuple[int, int]], list[int], list[int]]:
+    """Equal-length canonical Huffman over exactly the used symbols:
+    returns ({symbol: (code, length)}, bits[1..16], huffval) for DHT.
+    Length = ceil(log2(n+1)) keeps the all-ones code unused as T.81
+    recommends."""
+    vals = sorted(symbols) or [0]
+    length = 1
+    while (1 << length) <= len(vals):  # smallest length with a spare
+        length += 1
+    table = {s: (i, length) for i, s in enumerate(vals)}
+    bits = [0] * 17
+    bits[length] = len(vals)
+    return table, bits[1:], vals
+
+
+def _encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
+    """(w, h, top-down RGB) -> baseline JFIF bytes (4:4:4, 8-bit)."""
+    import struct
+
+    qy, qc = _jpeg_qtables(quality)
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    quant = [qy, qc, qc]
+
+    # DCT + quantize every 8x8 block of every component at once
+    coefs, nby = [], None
+    for plane, q in zip(planes, quant):
+        blocks, nby, nbx = _blocks_of(plane)
+        f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - 128.0, _DCT_C)
+        coefs.append(np.rint(f / q).astype(np.int64))
+
+    # entropy-code (two passes: collect symbols, then emit with canonical
+    # tables built over exactly those symbols)
+    def scan_symbols():
+        dc_syms = [set(), set()]
+        ac_syms = [set(), set()]
+        prev_dc = [0, 0, 0]
+        for by in range(nby):
+            for bx in range(coefs[0].shape[1]):
+                for ci in range(3):
+                    tsel = 0 if ci == 0 else 1
+                    zz = coefs[ci][by, bx].reshape(64)[_ZIGZAG]
+                    size, _ = _magnitude(int(zz[0]) - prev_dc[ci])
+                    prev_dc[ci] = int(zz[0])
+                    dc_syms[tsel].add(size)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ac_syms[tsel].add(0xF0)
+                            run -= 16
+                        s, _ = _magnitude(v)
+                        ac_syms[tsel].add((run << 4) | s)
+                        run = 0
+                    if run:
+                        ac_syms[tsel].add(0x00)
+        return dc_syms, ac_syms
+
+    dc_syms, ac_syms = scan_symbols()
+    # EOB must be encodable even for an all-zero image
+    ac_syms[0].add(0x00), ac_syms[1].add(0x00)
+    dc_tabs = [_canonical_codes(s) for s in dc_syms]
+    ac_tabs = [_canonical_codes(s) for s in ac_syms]
+
+    bw_ = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(nby):
+        for bx in range(coefs[0].shape[1]):
+            for ci in range(3):
+                tsel = 0 if ci == 0 else 1
+                dc_t, ac_t = dc_tabs[tsel][0], ac_tabs[tsel][0]
+                zz = coefs[ci][by, bx].reshape(64)[_ZIGZAG]
+                size, code = _magnitude(int(zz[0]) - prev_dc[ci])
+                prev_dc[ci] = int(zz[0])
+                hc, hl = dc_t[size]
+                bw_.write(hc, hl)
+                if size:
+                    bw_.write(code, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_t[0xF0]
+                        bw_.write(hc, hl)
+                        run -= 16
+                    s, c = _magnitude(v)
+                    hc, hl = ac_t[(run << 4) | s]
+                    bw_.write(hc, hl)
+                    bw_.write(c, s)
+                    run = 0
+                if run:
+                    hc, hl = ac_t[0x00]
+                    bw_.write(hc, hl)
+    scan = bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4,
+            bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals),
+        )
+
+    zz_q = lambda q: bytes(int(q.reshape(64)[i]) for i in _ZIGZAG)  # noqa: E731
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q(qy))
+    out += seg(0xFFDB, b"\x01" + zz_q(qc))
+    out += seg(
+        0xFFC0,  # SOF0 baseline, 8-bit, 3 components, 1x1 sampling
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += dht(0, 0, dc_tabs[0][1], dc_tabs[0][2])
+    out += dht(1, 0, ac_tabs[0][1], ac_tabs[0][2])
+    out += dht(0, 1, dc_tabs[1][1], dc_tabs[1][2])
+    out += dht(1, 1, ac_tabs[1][1], ac_tabs[1][2])
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
+    """Baseline JFIF -> (w, h, top-down RGB buffer).
+
+    Supports SOF0, 8-bit, 1 or 3 components with 1x1 sampling factors
+    (what ``_encode_jpeg`` emits); progressive (SOF2), subsampled, or
+    arithmetic-coded streams raise NotImplementedError into the PIL seam.
+    Huffman tables and quant tables come from the stream's own DHT/DQT.
+    """
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qsel)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dcsel, acsel)
+    scan_data = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack_from(">H", content, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        payload = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(payload):
+                prec_id = payload[p]
+                if prec_id >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                q = np.zeros(64)
+                for i, v in enumerate(payload[p + 1 : p + 65]):
+                    q[_ZIGZAG[i]] = v
+                qtables[prec_id & 0xF] = q.reshape(8, 8)
+                p += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) decodes natively; "
+                "progressive/lossless requires PIL on the cluster image"
+            )
+        elif marker == 0xFFC0:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = [  # component triples follow the 6-byte frame header
+                (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
+                for i in range(nc)
+            ]
+            if any(s != 0x11 for _, s, _q in comps):
+                raise NotImplementedError(
+                    "chroma-subsampled JPEG needs PIL (encoder emits 4:4:4)"
+                )
+            sof = (fw, fh, nc)
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tc_id = payload[p]
+                bits = payload[p + 1 : p + 17]
+                nvals = sum(bits)
+                vals = payload[p + 17 : p + 17 + nvals]
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                vi = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                htables[(tc_id >> 4, tc_id & 0xF)] = table
+                p += 17 + nvals
+        elif marker == 0xFFDA:
+            ns = payload[0]
+            scan_comps = [
+                (
+                    payload[1 + 2 * i],
+                    payload[2 + 2 * i] >> 4,
+                    payload[2 + 2 * i] & 0xF,
+                )
+                for i in range(ns)
+            ]
+            # scan data runs to the next real marker (EOI); unstuffing is
+            # the bit reader's job
+            end = len(content) - 2
+            scan_data = content[pos:end]
+            break
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        # APPn / COM / others: skipped
+    if sof is None or scan_data is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fw, fh, nc = sof
+
+    def read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | reader.read(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    nby, nbx = (fh + 7) // 8, (fw + 7) // 8
+    out_planes = [np.zeros((nby, nbx, 8, 8), np.float64) for _ in range(nc)]
+    reader = _BitReader(scan_data)
+    prev_dc = [0] * nc
+    qsel = {cid: q for cid, _s, q in comps}
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (cid, dcs, acs) in enumerate(scan_comps):
+                dct = htables[(0, dcs)]
+                act = htables[(1, acs)]
+                zz = np.zeros(64, np.int64)
+                size = read_symbol(reader, dct)
+                prev_dc[ci] += _extend(reader.read(size), size)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(reader, act)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC run symbol")
+                        k += 1  # ZRL consumed 16 zeros
+                        continue
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(reader.read(size), size)
+                    k += 1
+                block = np.zeros(64, np.float64)
+                block[_ZIGZAG] = zz
+                out_planes[ci][by, bx] = block.reshape(8, 8) * qtables[qsel[cid]]
+
+    # IDCT all blocks of all components at once
+    planes = []
+    for cp in out_planes:
+        sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cp, _DCT_C) + 128.0
+        full = sp.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes.append(full[:fh, :fw])
+    if nc == 1:
+        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return fw, fh, np.repeat(y[:, :, None], 3, axis=2).tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return fw, fh, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
 _CODECS = {
     "bmp": (_decode_bmp, _encode_bmp),
     "ppm": (_decode_ppm, _encode_ppm),
     "png": (_decode_png, _encode_png),
+    "jpeg": (_decode_jpeg, _encode_jpeg),
 }
 
 
@@ -343,12 +781,14 @@ def synthesize_multiformat_media(
     df: DataFrame, id_col: str, text_col: str, width: int = 4, height: int = 4
 ) -> DataFrame:
     """Deterministic REAL media fixture across every native codec: row i
-    becomes a bmp / ppm / png image or a 16-bit PCM wav (by media_id % 4),
-    pixels/samples derived from the row's utf-8 text bytes.  Every row then
-    exercises a real decode in ``extract_features`` — compressed-image
-    (PNG: zlib inflate + unfilter) and audio (WAV) paths included."""
+    becomes a bmp / ppm / png / jpeg image or a 16-bit PCM wav (by
+    media_id % 5), pixels/samples derived from the row's utf-8 text bytes.
+    Every row then exercises a real decode in ``extract_features`` —
+    lossless-compressed (PNG: zlib inflate + unfilter), LOSSY-compressed
+    (baseline JPEG: Huffman + dequant + IDCT) and audio (WAV) paths
+    included."""
 
-    fmts = ["bmp", "ppm", "png", "wav"]
+    fmts = ["bmp", "ppm", "png", "wav", "jpeg"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         need = 3 * width * height
@@ -356,7 +796,7 @@ def synthesize_multiformat_media(
             blobs, kinds, chosen = [], [], []
             for mid, t in zip(pdf["media_id"], pdf["text"]):
                 raw = (t or "").encode("utf-8") or b"\x00"
-                fmt = fmts[int(mid) % 4]
+                fmt = fmts[int(mid) % len(fmts)]
                 if fmt == "wav":
                     n = width * height
                     pcm = (
@@ -390,15 +830,16 @@ def synthesize_multiformat_media(
 def decode_media(content: bytes, fmt: str = "unknown") -> tuple[int, int, bytes]:
     """Decode an image blob to (width, height, top-down RGB buffer).
 
-    Real stdlib decoders run for ``bmp``, ``ppm`` and ``png`` (audio goes
-    through ``decode_audio``).  Other compressed formats require codec
-    libs not present in this container — on a production image,
-    PIL.Image.open drops in here (STUB retained, clearly marked)."""
+    Real stdlib+numpy decoders run for ``bmp``, ``ppm``, ``png`` and
+    baseline ``jpeg`` (audio goes through ``decode_audio``).  Remaining
+    compressed formats (webp/gif/tiff...) require codec libs not present
+    in this container — on a production image, PIL.Image.open drops in
+    here (STUB retained, clearly marked)."""
     codec = _CODECS.get(fmt)
     if codec is None:
         raise NotImplementedError(
             f"decode of {fmt!r} requires PIL/ffmpeg on the cluster image; "
-            "bmp/ppm/png decode natively, other formats use the "
+            "bmp/ppm/png/jpeg decode natively, other formats use the "
             "deterministic fallback kernels for pipeline testing"
         )
     return codec[0](content)

@@ -277,11 +277,26 @@ def lsh_neardup_pairs(
         planes_per_table = num_planes
     if planes_per_table is None:
         planes_per_table = lsh_planes_for_recall(threshold, num_tables)
-    bucket_of = _bucket_tables_udf(num_tables, planes_per_table, dim)
-    ids = df.select(
-        F.col(id_col).alias("v_id"),
-        F.posexplode(bucket_of(F.col(vec_col))).alias("t", "bucket"),
-    )
+    if planes_per_table == 0:
+        # exhaustive configuration: zero hyperplanes put every vector in
+        # the single bucket of one table, so candidates = all pairs and
+        # recall is 1 BY CONSTRUCTION — the exactness limit of the
+        # banding recall formula (p^0 = 1).  Validation-only (the bucket
+        # posting list is the whole corpus: size max_bucket accordingly
+        # and keep the input bounded); it certifies the full LSH pipeline
+        # (posting lists, in-row pair expansion, quantized-cosine verify)
+        # against the brute-force oracle.
+        ids = df.select(
+            F.col(id_col).alias("v_id"),
+            F.lit(0).alias("t"),
+            F.lit(0).alias("bucket"),
+        )
+    else:
+        bucket_of = _bucket_tables_udf(num_tables, planes_per_table, dim)
+        ids = df.select(
+            F.col(id_col).alias("v_id"),
+            F.posexplode(bucket_of(F.col(vec_col))).alias("t", "bucket"),
+        )
     # bucket membership lists from ONE groupBy; pairs expand IN-ROW (the
     # same posting-list shape as the Jaccard path) — no bucket self-join,
     # and the max_bucket cap is a size filter on the list (hot-bucket

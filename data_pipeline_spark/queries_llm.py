@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from data_pipeline_spark.io import load_table
 from data_pipeline_spark.llmops import dedup as ld
 from data_pipeline_spark.llmops import multimodal, similarity, textstats
-from data_pipeline_spark.queries import register
+from data_pipeline_spark.queries import QUERIES, register
 
 _STOP_EN_SQL = "('the','a','of','and','to','in','is')"
 
@@ -356,6 +356,50 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_flood_stats",
+    f"""
+    WITH {_SIMHASH_SQL},
+    banded AS (
+        SELECT doc_id, CAST(t.band AS INT) AS band,
+               CAST(floor(simhash / power(2.0, (3 - t.band) * 8)) AS BIGINT)
+                   % 256 AS bucket
+        FROM sig CROSS JOIN range(0, 4) t(band)
+    ),
+    per_bucket AS (
+        SELECT band, bucket, COUNT(*) AS n_docs FROM banded GROUP BY 1, 2
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CAST(n_docs > 10 AS INT)) AS BIGINT) AS n_flooded_buckets,
+           CAST(SUM(CASE WHEN n_docs > 10 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS n_flooded_postings,
+           CAST(MAX(n_docs) AS BIGINT) AS max_bucket_size
+    FROM per_bucket GROUP BY band ORDER BY band
+    """,
+    doc="Flood audit for the capped posting-list pairing: per SimHash "
+    "band, how many buckets (and doc postings) exceed the cap and would "
+    "be dropped before pair expansion, plus the peak bucket size — the "
+    "companion measurement that turns the cap's documented drop-semantics "
+    "from silent into observed (32-bit bands flood linearly with corpus "
+    "size, the reason the 64-bit banding is the scale path).  Same "
+    "(band, bucket) groupBy the pairing itself runs; counts only.",
+    tags=("llm", "dedup"),
+)
+def simhash_flood_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = ld.simhash_flood_stats(
+        docs, "doc_id", "text", bits=32, max_bucket=10
+    )
+    return stats.select(
+        F.col("band").cast("int").alias("band"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_flooded_buckets").cast("long").alias("n_flooded_buckets"),
+        F.col("n_flooded_postings").cast("long").alias("n_flooded_postings"),
+        F.col("max_bucket_size").cast("long").alias("max_bucket_size"),
+    )
+
+
+@register(
     "simhash_neardup_pairs",
     f"""
     WITH {_SIMHASH_SQL}
@@ -448,9 +492,7 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "embedding_cosine_topk",
-    f"""
+_COSINE_TOPK_SQL = f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
                {_cos_sql('q.embedding', 'b.embedding')} AS cos_sim
@@ -463,7 +505,12 @@ def _cos_sql(a: str, b: str) -> str:
            cos_sim
     FROM scored
     QUALIFY rank <= 10
-    """,
+    """
+
+
+@register(
+    "embedding_cosine_topk",
+    _COSINE_TOPK_SQL,
     doc="Brute-force cosine top-k (ANN baseline): queries broadcast, base "
     "scanned once; 1e-6 quantized integer dot => bit-reproducible.",
     tags=("llm", "similarity"),
@@ -729,6 +776,49 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, n_probe=4
+    )
+
+
+@register(
+    "ivf_exact_topk",
+    _COSINE_TOPK_SQL,
+    doc="IVF-flat ANN at its exactness limit: n_probe = n_lists probes "
+    "every inverted list, so the probe-join path must reproduce the "
+    "brute-force top-k bit-for-bit — driver-level certification of the "
+    "IVF machinery (coarse quantizer, list assignment, probe join, "
+    "windowed rank) against the same oracle as embedding_cosine_topk.",
+    tags=("llm", "similarity"),
+)
+def ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, n_probe=16
+    )
+
+
+@register(
+    "lsh_exact_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 500 AND b.vec_id < 500
+      AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    doc="Hyperplane-LSH at its exactness limit: planes_per_table=0 puts "
+    "every vector in one bucket (recall 1 by construction, the p^0=1 "
+    "limit of the banding formula), so the posting-list pair expansion "
+    "and quantized-cosine verification must reproduce the brute-force "
+    "pair set exactly — driver-level certification of the LSH pipeline. "
+    "Bounded to 500 vectors because the single posting list is "
+    "deliberately quadratic.",
+    tags=("llm", "similarity"),
+)
+def lsh_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.45, num_tables=1, planes_per_table=0, dim=64,
+        max_bucket=1000,
     )
 
 
@@ -1905,3 +1995,39 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return ld.incremental_dedup_gate(corpus, incoming, "doc_id", "text")
+
+
+@register(
+    "persisted_index_dedup_gate",
+    QUERIES["incremental_dedup_gate"].oracle,
+    doc="The SAME admission decisions as incremental_dedup_gate, but off "
+    "a PERSISTED doc_shingle_index round-tripped through parquet — the "
+    "steady-state form the streaming ingest sink runs every trigger: the "
+    "gate reads ~8-byte shingle hashes and md5s (exact pass column-prunes "
+    "to md5 alone) instead of re-reading and re-tokenizing corpus text.  "
+    "Sharing the corpus-scan oracle certifies that the index is decision-"
+    "complete: nothing about an admitted document matters to dedup beyond "
+    "what the sidecar row stores.",
+    tags=("llm", "dedup", "ingest"),
+)
+def persisted_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # materialize the index sidecar exactly as the ingest sink would,
+    # at a stable per-sf location (overwritten per call: deterministic)
+    idx_dir = str(
+        Path(tempfile.gettempdir())
+        / "spark_graft_gate_index"
+        / hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    ld.doc_shingle_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+    return ld.indexed_dedup_gate(
+        spark.read.parquet(idx_dir), incoming, "doc_id", "text"
+    )

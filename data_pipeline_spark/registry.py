@@ -116,6 +116,13 @@ class SchemaRegistry:
     # (schema_id, element key) -> user note; elements themselves are derived
     # from the schema JSON, so only the mutable notes need storage
     _element_notes: dict[tuple[int, str], str] = field(default_factory=dict)
+    # (schema_id, element key) -> doc OVERRIDE: the Avro "doc" attribute is
+    # immutable once registered, but schema-ref bulk specs attach/update
+    # docs post-registration (tools/schema_ref.py:23-76 semantics)
+    _element_docs: dict[tuple[int, str], str] = field(default_factory=dict)
+    # (namespace, source) -> table-level documentation metadata
+    # (doc/note/category/owner_email/file_display/file_url)
+    _source_meta: dict[tuple[str, str], dict] = field(default_factory=dict)
 
     # -- registration -------------------------------------------------------
 
@@ -360,7 +367,9 @@ class SchemaRegistry:
                 element_type="record",
                 element_name=None,
                 key=record,
-                doc=schema.get("doc"),
+                doc=self._element_docs.get(
+                    (schema_id, record), schema.get("doc")
+                ),
                 note=self._element_notes.get((schema_id, record)),
                 created_at=rs.created_at,
             )
@@ -374,7 +383,7 @@ class SchemaRegistry:
                     element_type=self._element_type_str(f.get("type")),
                     element_name=f["name"],
                     key=key,
-                    doc=f.get("doc"),
+                    doc=self._element_docs.get((schema_id, key), f.get("doc")),
                     note=self._element_notes.get((schema_id, key)),
                     created_at=rs.created_at,
                 )
@@ -394,6 +403,39 @@ class SchemaRegistry:
                 f"schema {schema_id} has no element {element_name!r}"
             )
         self._element_notes[(schema_id, key)] = note
+
+    def register_schema_element_doc(
+        self, schema_id: int, element_name: str | None, doc: str
+    ) -> None:
+        """Attach/replace a doc override on an element (None = the
+        record).  The Avro schema's own "doc" attribute stays untouched
+        (schemas are immutable once registered); reads through
+        ``get_schema_elements_by_schema_id`` see the override."""
+        rs = self.get_schema_by_id(schema_id)
+        record = json.loads(rs.schema_json).get("name", "record")
+        key = record if element_name is None else f"{record}|{element_name}"
+        known = {e.key for e in self.get_schema_elements_by_schema_id(schema_id)}
+        if key not in known:
+            raise KeyError(
+                f"schema {schema_id} has no element {element_name!r}"
+            )
+        self._element_docs[(schema_id, key)] = doc
+
+    # -- source-level documentation metadata --------------------------------
+
+    def set_source_metadata(
+        self, namespace: str, source: str, **attrs: str | bool | None
+    ) -> None:
+        """Attach/update table-level documentation attributes (doc, note,
+        category, owner_email, file_display, file_url) on a registered
+        source.  None values are ignored; repeated calls merge."""
+        if self.latest_schema_for_source(namespace, source) is None:
+            raise KeyError(f"unknown source {namespace}.{source}")
+        meta = self._source_meta.setdefault((namespace, source), {})
+        meta.update({k: v for k, v in attrs.items() if v is not None})
+
+    def get_source_metadata(self, namespace: str, source: str) -> dict:
+        return dict(self._source_meta.get((namespace, source), {}))
 
     # -- DataFrame views (broadcastable catalog dimensions) -----------------
 

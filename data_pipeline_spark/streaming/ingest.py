@@ -36,7 +36,11 @@ partition inside the index dir is the single commit point, appended LAST:
 A crash anywhere before 5 leaves only uncommitted partitions, which the
 replay purges and rewrites (gate decisions are deterministic given the
 committed index, so the rewrite is identical); after 5 the epoch is
-skipped.  Epoch ids are scoped to ONE streaming checkpoint, so each
+skipped.  ``compact()`` folds the accumulated per-epoch partitions into
+one consolidated partition with the same ledger-append-as-commit-point
+protocol (superseded pairs are REVOKED by ``n_admitted = -1`` ledger
+rows rather than deleted-in-place, so no crash window double-counts or
+loses a document); ``vacuum()`` sweeps revoked/orphaned directories.  Epoch ids are scoped to ONE streaming checkpoint, so each
 stream derives a stable ``writer_id`` from its ``ledger_path`` and owns
 its partitions; concurrent foreign writers are never touched by a purge
 and their uncommitted debris never gates.  Two writers admitting
@@ -140,13 +144,34 @@ class DedupGatedIngest:
             return None
         return self.spark.read.parquet(self._ledger_dir)
 
+    def _committed_pairs(self) -> DataFrame | None:
+        """(writer, epoch) pairs that are committed AND not revoked.
+        ``compact`` revokes superseded pairs by appending an
+        ``n_admitted = -1`` ledger row, so committed = pairs whose
+        minimum n_admitted is still >= 0."""
+        led = self._ledger()
+        if led is None:
+            return None
+        return (
+            led.groupBy(_WRITER_COL, F.col("epoch_id").alias(_EPOCH_COL))
+            .agg(F.min("n_admitted").alias("_mn"))
+            .filter(F.col("_mn") >= 0)
+            .select(_WRITER_COL, _EPOCH_COL)
+        )
+
     def _last_committed(self) -> int:
         if self._last_epoch is None:
             led = self._ledger()
             top = None
             if led is not None:
+                # revocation rows (n_admitted < 0) don't count: an epoch
+                # whose data was compacted away is still a committed epoch
+                # for replay-skip purposes
                 top = (
-                    led.filter(F.col(_WRITER_COL) == self.writer_id)
+                    led.filter(
+                        (F.col(_WRITER_COL) == self.writer_id)
+                        & (F.col("n_admitted") >= 0)
+                    )
                     .agg(F.max("epoch_id"))
                     .first()[0]
                 )
@@ -175,13 +200,11 @@ class DedupGatedIngest:
     def committed_index(self) -> DataFrame | None:
         """COMMITTED dedup-index rows: docs partitions semi-joined against
         the (small, broadcast) ledger, so neither this writer's nor any
-        foreign writer's crash debris ever gates a batch."""
-        led = self._ledger()
-        if led is None or not _has_partitions(self._docs_dir):
+        foreign writer's crash debris — nor a compacted-away or
+        not-yet-committed compact partition — ever gates a batch."""
+        committed = self._committed_pairs()
+        if committed is None or not _has_partitions(self._docs_dir):
             return None
-        committed = led.select(
-            _WRITER_COL, F.col("epoch_id").alias(_EPOCH_COL)
-        )
         return (
             self.spark.read.parquet(self._docs_dir)
             .join(F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi")
@@ -273,17 +296,142 @@ class DedupGatedIngest:
 
     def corpus(self) -> DataFrame:
         """The ingested corpus without the commit-protocol partition
-        columns (committed epochs only)."""
-        led = self._ledger()
+        columns (committed, non-revoked epochs only)."""
+        committed = self._committed_pairs()
         df = self.spark.read.parquet(self.corpus_dir)
-        if led is not None:
-            committed = led.select(
-                _WRITER_COL, F.col("epoch_id").alias(_EPOCH_COL)
-            )
+        if committed is not None:
             df = df.join(
                 F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi"
             )
         return df.drop(_WRITER_COL, _EPOCH_COL)
+
+    # -- compaction --------------------------------------------------------
+    def vacuum(self) -> int:
+        """Delete corpus/index partition directories whose (writer, epoch)
+        pair is NOT committed-and-live: compact-crash orphans and
+        partitions a completed ``compact`` revoked but did not get to
+        delete.  Pure cleanup — the ledger semi-join already hides these
+        from every reader — so a crash anywhere in here is harmless.
+        Never touches a LIVE stream writer's uncommitted current epoch:
+        only partitions of writers other than this one, or of this
+        writer at-or-below its committed watermark, are candidates."""
+        committed = self._committed_pairs()
+        live: set[tuple[str, int]] = set()
+        revoked: set[tuple[str, int]] = set()
+        if committed is not None:
+            live = {(r[0], r[1]) for r in committed.collect()}
+            revoked = {
+                (r[0], r[1])
+                for r in self._ledger()
+                .filter(F.col("n_admitted") < 0)
+                .select(_WRITER_COL, "epoch_id")
+                .collect()
+            }
+        removed = 0
+        for base in (self.corpus_dir, self._docs_dir):
+            if not os.path.isdir(base):
+                continue
+            for wentry in os.listdir(base):
+                if not wentry.startswith(f"{_WRITER_COL}="):
+                    continue
+                writer = wentry.split("=", 1)[1]
+                wdir = os.path.join(base, wentry)
+                for eentry in os.listdir(wdir):
+                    if not eentry.startswith(f"{_EPOCH_COL}="):
+                        continue
+                    try:
+                        epoch = int(eentry.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if (writer, epoch) in live:
+                        continue
+                    if (
+                        writer == self.writer_id
+                        and epoch > self._last_committed()
+                    ):
+                        continue  # this stream's own in-flight epoch
+                    # foreign UNCOMMITTED (never-revoked) debris belongs to
+                    # its writer's replay, not to vacuum: skip pairs with
+                    # no ledger trace at all unless they are compact
+                    # leftovers (compact writers never replay)
+                    if not writer.startswith("c") and (
+                        (writer, epoch) not in revoked
+                    ):
+                        continue
+                    shutil.rmtree(os.path.join(wdir, eentry))
+                    removed += 1
+        return removed
+
+    def compact(self) -> int:
+        """Rewrite every committed corpus/index partition into ONE
+        consolidated partition and revoke the originals — the maintenance
+        pass that stops a long-running stream from accumulating thousands
+        of tiny per-epoch parquet partitions.
+
+        Protocol (the single ledger append is the commit point):
+
+          1. vacuum: remove orphans of previously crashed compactions
+          2. snapshot the committed (writer, epoch) pairs
+          3. copy their corpus and index rows to a fresh compact writer's
+             epoch-0 partition (uncommitted: invisible to every reader)
+          4. ONE ledger append: the compact pair's commit row PLUS an
+             ``n_admitted = -1`` revocation row per superseded pair
+          5. delete the superseded partitions (cleanup; a crash here
+             leaves revoked-but-present dirs for the next vacuum)
+
+        A crash before 4 leaves invisible orphans (vacuumed later); after
+        4 the compacted data is live and the old partitions are already
+        invisible — no window double-counts or loses a document.  Epochs
+        committed by live streams AFTER the snapshot are untouched.
+        Returns the number of documents in the compacted partition."""
+        import uuid
+
+        self.vacuum()
+        snapshot = self._committed_pairs()
+        if snapshot is None:
+            return 0
+        pairs = [(r[0], r[1]) for r in snapshot.collect()]
+        if not pairs:
+            return 0
+        cw = "c" + uuid.uuid4().hex[:12]
+        pair_df = F.broadcast(
+            self.spark.createDataFrame(
+                pairs, f"{_WRITER_COL} STRING, {_EPOCH_COL} LONG"
+            )
+        )
+        n_docs = 0
+        for base in (self.corpus_dir, self._docs_dir):
+            if not _has_partitions(base):
+                continue  # nothing ever admitted through this dataset
+            rows = (
+                self.spark.read.parquet(base)
+                .join(pair_df, [_WRITER_COL, _EPOCH_COL], "left_semi")
+                .drop(_WRITER_COL, _EPOCH_COL)
+                .withColumn(_WRITER_COL, F.lit(cw))
+                .withColumn(_EPOCH_COL, F.lit(0))
+            )
+            if base == self.corpus_dir:
+                rows = rows.persist()
+                n_docs = rows.count()
+            rows.write.mode("append").partitionBy(_WRITER_COL, _EPOCH_COL).parquet(
+                base
+            )
+            if base == self.corpus_dir:
+                rows.unpersist()
+        self._chaos("compact_before_ledger")
+        ledger_rows = [(0, n_docs, cw)] + [(e, -1, w) for w, e in pairs]
+        self.spark.createDataFrame(
+            ledger_rows, f"epoch_id LONG, n_admitted LONG, {_WRITER_COL} STRING"
+        ).write.mode("append").partitionBy(_WRITER_COL).parquet(self._ledger_dir)
+        self._chaos("compact_after_ledger")
+        for base in (self.corpus_dir, self._docs_dir):
+            for w, e in pairs:
+                path = os.path.join(
+                    base, f"{_WRITER_COL}={w}", f"{_EPOCH_COL}={e}"
+                )
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+        return n_docs
 
     def foreach_batch(self):
         def fn(batch: DataFrame, epoch_id: int) -> None:

@@ -191,6 +191,83 @@ def test_index_gate_matches_corpus_scan_gate(spark, tmp_path):
     assert [r[0] for r in rows_i if r[4] == 1] == [103]
 
 
+def _epoch_dirs(base):
+    out = []
+    if not os.path.isdir(base):
+        return out
+    for w in os.listdir(base):
+        if w.startswith("ingest_writer="):
+            for e in os.listdir(os.path.join(base, w)):
+                if e.startswith("ingest_epoch="):
+                    out.append((w.split("=")[1], int(e.split("=")[1])))
+    return sorted(out)
+
+
+def test_compact_consolidates_partitions_and_preserves_decisions(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1), 0)
+    sink.admit_batch(_df(spark, DOCS2), 1)
+    sink.admit_batch(
+        _df(spark, [(30, "late arrival with novel words and fresh phrasing")]), 2
+    )
+    before = sorted(r.doc_id for r in sink.corpus().collect())
+    assert len(_epoch_dirs(str(tmp_path / "corpus"))) == 3
+
+    n = sink.compact()
+    assert n == len(before)
+    # one compact partition remains per dataset; originals deleted
+    dirs = _epoch_dirs(str(tmp_path / "corpus"))
+    assert len(dirs) == 1 and dirs[0][0].startswith("c") and dirs[0][1] == 0
+    assert sorted(r.doc_id for r in sink.corpus().collect()) == before
+
+    # gate decisions identical post-compaction, and new epochs still admit
+    probe = _df(
+        spark,
+        [
+            (70, "late arrival with novel words and fresh phrasing"),  # dup of 30
+            (71, "an after-compaction document with brand new content"),
+        ],
+    )
+    assert sink.admit_batch(probe, 3) == 1
+    assert sorted(r.doc_id for r in sink.corpus().collect()) == before + [71]
+    # replay of a pre-compaction epoch is still ledger-skipped
+    assert sink.admit_batch(_df(spark, DOCS2), 1) == 0
+
+
+@pytest.mark.parametrize("crash_at", ["compact_before_ledger", "compact_after_ledger"])
+def test_compact_crash_windows_never_lose_or_duplicate(spark, tmp_path, crash_at):
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1), 0)
+    sink.admit_batch(_df(spark, DOCS2), 1)
+    before = sorted(r.doc_id for r in sink.corpus().collect())
+
+    sink.crash_points = {crash_at}
+    with pytest.raises(ChaosCrash):
+        sink.compact()
+    sink.crash_points = set()
+
+    # whatever the window, the committed view holds exactly one copy of
+    # every admitted doc, and the gate still rejects duplicates of them
+    recovered = _sink(spark, tmp_path)
+    assert sorted(r.doc_id for r in recovered.corpus().collect()) == before
+    dup = _df(spark, [(90, DOCS2[3][1])])  # copy of doc 13
+    assert recovered.admit_batch(dup, 2) == 0
+
+    # vacuum (also run by the next compact) clears the debris; a fresh
+    # compaction then converges to a single live partition
+    recovered.compact()
+    dirs = _epoch_dirs(str(tmp_path / "corpus"))
+    live = [d for d in dirs]
+    assert len([d for d in live if d[0].startswith("c")]) >= 1
+    assert sorted(r.doc_id for r in recovered.corpus().collect()) == before
+    # and every surviving on-disk partition is exactly the committed view
+    raw = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert raw == before
+
+
 def test_steady_state_gate_reads_index_not_corpus(spark, tmp_path):
     """The per-trigger gate plan scans index files only: the corpus dir
     never appears in the optimized plan's file sources — the assertion

@@ -42,11 +42,69 @@ def test_lsh_recall_against_brute_force(spark):
 
 def test_multimodal_decode_stub_retained_for_compressed_formats():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\xff\xd8\xff", "jpeg")
+        multimodal.decode_media(b"RIFF....WEBP", "webp")
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG")  # unknown format
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"fLaC", "flac")
+    # jpeg decodes natively now, but only baseline sequential: progressive
+    # (SOF2) must route to the PIL seam, not mis-decode
+    import struct
+
+    progressive = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 1, 1, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(progressive, "jpeg")
+
+
+def test_jpeg_codec_roundtrip_bounded_loss():
+    """Baseline JPEG encode->decode: exact on flat blocks, tightly bounded
+    on smooth gradients, and the luminance statistics of the decoded
+    pixels match a directly-computed reference."""
+    import numpy as np
+
+    flat = bytes([77] * (3 * 8 * 8))
+    w, h, out = multimodal._decode_jpeg(multimodal._encode_jpeg(8, 8, flat))
+    assert (w, h) == (8, 8)
+    assert max(abs(b - 77) for b in out) <= 1
+
+    grad = bytes(
+        v
+        for y in range(16)
+        for x in range(16)
+        for v in (x * 16, y * 16, ((x + y) * 8) % 256)
+    )
+    w, h, out = multimodal._decode_jpeg(
+        multimodal._encode_jpeg(16, 16, grad, quality=95)
+    )
+    assert (w, h) == (16, 16)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(grad, np.uint8).astype(int)
+    )
+    assert err.max() <= 4
+
+    # odd (non-multiple-of-8) dimensions survive the block padding
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(5, 13, 3), dtype=np.uint8).tobytes()
+    w, h, out = multimodal._decode_jpeg(multimodal._encode_jpeg(13, 5, rgb))
+    assert (w, h, len(out)) == (13, 5, 3 * 13 * 5)
+
+    # luminance histogram of a decoded jpeg == reference computed straight
+    # from its decoded pixels with the same integer BT.601 binning (the
+    # extract_features contract)
+    blob = multimodal._encode_jpeg(16, 16, grad, quality=95)
+    hist = multimodal._luminance_histogram(blob, "jpeg", 16)
+    px = np.frombuffer(
+        multimodal._decode_jpeg(blob)[2], np.uint8
+    ).reshape(-1, 3).astype(np.int64)
+    lum = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+    ref = np.bincount((lum * 16) // 256, minlength=16) / 256
+    assert hist == pytest.approx(ref.tolist())
 
 
 def test_image_codec_roundtrip():
@@ -142,13 +200,13 @@ def test_wav_codec_roundtrip_and_amplitude_stats(spark):
 
 
 def test_multiformat_media_real_decode_distributed(spark):
-    """synthesize_multiformat_media covers all four codecs per batch and
+    """synthesize_multiformat_media covers all five codecs per batch and
     extract_features decodes every row for real (fallback histogram never
     runs: all formats are native)."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(40)
     media = multimodal.synthesize_multiformat_media(docs, "doc_id", "text")
     fmts = {r.format for r in media.select("format").distinct().collect()}
-    assert fmts == {"bmp", "ppm", "png", "wav"}
+    assert fmts == {"bmp", "ppm", "png", "wav", "jpeg"}
     feats = multimodal.extract_features(media, buckets=16).collect()
     assert len(feats) == 40
     for r in feats:

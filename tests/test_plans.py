@@ -358,6 +358,26 @@ def test_segment_dedup_shuffles_hashes_not_text(spark):
     assert audit.join_strategies(df) == []
 
 
+def test_indexed_gate_broadcasts_batch_and_prunes_index_columns(spark):
+    """The ingest admission gate: every join broadcasts a batch-bounded
+    side (the index/corpus side must never shuffle — at 100 TB that's the
+    whole point), and the index scans column-prune — the exact-dup pass
+    reads the md5 column ALONE, never the shingle arrays."""
+    df = _q("persisted_index_dedup_gate", spark)
+    strategies = audit.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        audit.formatted_plan(df)
+    )
+    index_scans = [
+        s for s in audit.scan_info(df) if "spark_graft_gate_index" in s.location
+    ]
+    schemas = sorted(s.read_schema for s in index_scans)
+    assert schemas == [
+        "struct<cor_id:bigint,n_sh:int,shingles:array<bigint>>",
+        "struct<h:string>",
+    ], schemas
+
+
 def test_contamination_report_broadcasts_eval_map(spark):
     """The eval shingle->doc map must broadcast onto the corpus shingle
     stream — the corpus side never shuffles on the shingle."""

@@ -119,6 +119,32 @@ def test_neardup_paths_bound_boilerplate_floods(spark, path):
     _assert_flood_capped([(r.id_a, r.id_b) for r in out.collect()])
 
 
+def test_simhash_flood_stats_measure_the_drop(spark):
+    """The flood audit reports exactly what the cap drops: with the cap
+    below the boilerplate cluster, every band shows >=1 flooded bucket
+    holding >= FLOOD_N postings; with the cap above the corpus, zero."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    docs = _flood_docs(spark)
+    for bits in (32, 64):
+        capped = {
+            r.band: r
+            for r in ld.simhash_flood_stats(
+                docs, "doc_id", "text", bits=bits, max_bucket=CAP
+            ).collect()
+        }
+        assert set(capped) == {0, 1, 2, 3}
+        for band, r in capped.items():
+            assert r.n_flooded_buckets >= 1, (bits, band)
+            assert r.n_flooded_postings >= FLOOD_N, (bits, band)
+            assert r.max_bucket_size >= FLOOD_N, (bits, band)
+        uncapped = ld.simhash_flood_stats(
+            docs, "doc_id", "text", bits=bits, max_bucket=10_000
+        ).collect()
+        assert all(r.n_flooded_buckets == 0 for r in uncapped)
+        assert all(r.n_flooded_postings == 0 for r in uncapped)
+
+
 def test_lsh_ann_bounds_embedding_floods(spark):
     from data_pipeline_spark.llmops import similarity
 

@@ -19,6 +19,7 @@ PICK = [
     ("q19_disjunctive_revenue", "OR-of-ANDs pushed to BOTH scans (CNF)"),
     ("q21_waiting_suppliers", "multi-EXISTS as per-order window sets, no self-join"),
     ("trailing_7d_user_spend", "event-time RANGE frame on integer microseconds"),
+    ("persisted_index_dedup_gate", "ingest gate off the parquet index sidecar: batch sides broadcast, index never shuffles, exact pass column-prunes to the md5 alone"),
 ]
 
 if __name__ == "__main__":
