@@ -363,6 +363,7 @@ def indexed_dedup_gate(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Ingest-time dedup gate against a PRE-BUILT index (the
     ``doc_shingle_index`` schema): flag INCOMING documents that duplicate
@@ -382,7 +383,13 @@ def indexed_dedup_gate(
     hashes (identical to string-shingle Jaccard barring 2^-64 collisions).
     The per-(incoming, corpus) intersection aggregation is bounded by
     |batch shingles| x their corpus document frequency.
+
+    ``broadcast_batch=False`` is the BACKFILL escape hatch: a one-off
+    batch too large to broadcast (a re-crawled archive, not a streaming
+    trigger) falls back to shuffle joins — same decisions, corpus-sized
+    cost, run deliberately.
     """
+    bc = F.broadcast if broadcast_batch else (lambda d: d)
     inc = doc_shingle_index(incoming, id_col, text_col, n).select(
         F.col("cor_id").alias("inc_id"),
         "h",
@@ -393,10 +400,10 @@ def indexed_dedup_gate(
     # BROADCAST incoming hash set, then the (tiny) surviving hashes
     # broadcast back onto the batch — the index never shuffles
     matched_hashes = index.select("h").join(
-        F.broadcast(inc.select("h").distinct()), "h", "left_semi"
+        bc(inc.select("h").distinct()), "h", "left_semi"
     )
     exact = inc.select("inc_id", "h").join(
-        F.broadcast(matched_hashes.distinct()), "h", "left_semi"
+        bc(matched_hashes.distinct()), "h", "left_semi"
     ).select(F.col("inc_id").alias("exact_id"))
 
     inc_sh = inc.select("inc_id", F.explode("shingles").alias("sh"))
@@ -407,12 +414,12 @@ def indexed_dedup_gate(
         "cor_id", F.col("n_sh").alias("cor_n"), F.explode("shingles").alias("sh")
     )
     inter = (
-        cor_sh.join(F.broadcast(inc_sh), "sh")
+        cor_sh.join(bc(inc_sh), "sh")
         .groupBy("inc_id", "cor_id", "cor_n")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     inc_sizes = inc.select("inc_id", "inc_n")
-    jac = inter.join(F.broadcast(inc_sizes), "inc_id").withColumn(
+    jac = inter.join(bc(inc_sizes), "inc_id").withColumn(
         "jaccard",
         F.col("n_inter") / (F.col("inc_n") + F.col("cor_n") - F.col("n_inter")),
     )
@@ -423,9 +430,9 @@ def indexed_dedup_gate(
     # size these derived frames and falls back to sort-merge
     out = (
         incoming.select(F.col(id_col).alias("inc_id"))
-        .join(F.broadcast(exact.withColumn("exact", F.lit(1))),
+        .join(bc(exact.withColumn("exact", F.lit(1))),
               F.col("inc_id") == F.col("exact_id"), "left")
-        .join(F.broadcast(best), "inc_id", "left")
+        .join(bc(best), "inc_id", "left")
     )
     exact_dup = F.coalesce(F.col("exact"), F.lit(0))
     near_dup = (F.coalesce(F.col("best_jaccard"), F.lit(0.0)) >= threshold).cast(

@@ -106,6 +106,8 @@ class DedupGatedIngest:
         index_dir: str | None = None,
         writer_id: str | None = None,
         within_batch_neardup: bool = True,
+        serialize_writers: bool = False,
+        broadcast_batch: bool = True,
     ):
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -123,6 +125,12 @@ class DedupGatedIngest:
             ledger_path.encode()
         ).hexdigest()[:12]
         self._last_epoch: int | None = None
+        # serialize_writers wraps each epoch commit in a LeaseLock on the
+        # index dir, closing the documented concurrent-admission window
+        # (two writers each admitting a doc that duplicates the other's
+        # in-flight batch); single-stream deployments skip the lock cost
+        self.serialize_writers = serialize_writers
+        self.broadcast_batch = broadcast_batch
         self.crash_points: set[str] = set()  # test-injectable crash windows
 
     # -- layout ------------------------------------------------------------
@@ -246,6 +254,7 @@ class DedupGatedIngest:
             self.text_col,
             n=self.n,
             threshold=self.threshold,
+            broadcast_batch=self.broadcast_batch,
         )
         return batch.join(
             flags.filter(F.col("keep") == 1).select(self.id_col), self.id_col
@@ -254,7 +263,24 @@ class DedupGatedIngest:
     # -- commit ------------------------------------------------------------
     def admit_batch(self, batch: DataFrame, epoch_id: int) -> int:
         """Gate + append one micro-batch; returns admitted row count
-        (0 for replays and fully-duplicate batches)."""
+        (0 for replays and fully-duplicate batches).  With
+        ``serialize_writers`` the whole gate->append->commit sequence runs
+        under a lease on the index dir, so concurrent streams sharing one
+        corpus admit strictly one-at-a-time (each sees every previously
+        committed doc — no cross-stream duplicate window)."""
+        if not self.serialize_writers:
+            return self._admit(batch, epoch_id)
+        from data_pipeline_spark.coordination import LeaseLock
+
+        with LeaseLock(
+            "ingest-commit",
+            "corpus",
+            root=os.path.join(self.index_dir, "locks"),
+            lease_seconds=300,
+        ):
+            return self._admit(batch, epoch_id)
+
+    def _admit(self, batch: DataFrame, epoch_id: int) -> int:
         if epoch_id <= self._last_committed():
             return 0
         self._purge_uncommitted()

@@ -268,6 +268,58 @@ def test_compact_crash_windows_never_lose_or_duplicate(spark, tmp_path, crash_at
     assert raw == before
 
 
+def test_string_doc_ids_and_backfill_gate_path(spark, tmp_path):
+    """The sink is generic over the id type (index schema follows it),
+    and the broadcast_batch=False backfill path produces identical
+    decisions via shuffle joins."""
+    sink = DedupGatedIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / "ledger"),
+        threshold=0.5,
+        broadcast_batch=False,
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("a-1", "the quick brown fox jumps over the lazy dog near the wall"),
+            ("a-2", "spark writes parquet files into partitioned warehouse tables"),
+        ],
+        "doc_id STRING, text STRING",
+    )
+    assert sink.admit_batch(b1, 0) == 2
+    b2 = spark.createDataFrame(
+        [
+            ("b-1", "the quick brown fox jumps over the lazy dog near the wall"),
+            ("b-2", "a genuinely novel backfill document with fresh words"),
+        ],
+        "doc_id STRING, text STRING",
+    )
+    assert sink.admit_batch(b2, 1) == 1
+    assert sorted(r.doc_id for r in sink.corpus().collect()) == [
+        "a-1", "a-2", "b-2",
+    ]
+
+
+def test_serialized_writers_share_one_corpus(spark, tmp_path):
+    """serialize_writers: two streams interleaving commits under the
+    lease each see the other's committed docs — the cross-stream
+    duplicate window closes."""
+    a = _sink(spark, tmp_path, "a", serialize_writers=True)
+    b = _sink(spark, tmp_path, "b", serialize_writers=True)
+    assert a.admit_batch(
+        _df(spark, [(1, "first stream contributes this document body")]), 0
+    ) == 1
+    # B's first epoch gates against A's committed doc
+    assert b.admit_batch(
+        _df(spark, [(2, "first stream contributes this document body"),
+                     (3, "second stream adds an entirely different one")]), 0
+    ) == 1
+    assert a.admit_batch(
+        _df(spark, [(4, "second stream adds an entirely different one")]), 1
+    ) == 0
+    assert sorted(r.doc_id for r in a.corpus().collect()) == [1, 3]
+
+
 def test_steady_state_gate_reads_index_not_corpus(spark, tmp_path):
     """The per-trigger gate plan scans index files only: the corpus dir
     never appears in the optimized plan's file sources — the assertion
