@@ -49,8 +49,10 @@ _PRIORITY = [
     "jaccard_neardup_pairs",
     "simhash_neardup_pairs",
     "simhash64_neardup_pairs",
-    # new: the cap's recall-loss audit (ADVICE r7: surface the drop)
+    # new: the cap's recall-loss audit (ADVICE r7: surface the drop) and
+    # the semantic-dedup composition (embedding pairs -> components)
     "simhash_flood_stats",
+    "embedding_neardup_clusters",
     # -- longest-unverified tail: last driver verdict was ROUND 5 ------------
     "shipped_within_90d",
     "sessionize_events",

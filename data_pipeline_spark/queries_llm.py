@@ -1024,6 +1024,57 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT c.vec_id, c.component,
+           COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+           CAST(c.vec_id = c.component AS INT) AS is_representative
+    FROM comp c
+    """,
+    doc="SEMANTIC dedup clustering: the embedding-space analogue of "
+    "neardup_cluster_assignment — exact cosine>=0.45 pair graph -> "
+    "connected components -> min-id representative per cluster, the step "
+    "that turns pairwise embedding near-dups into keep/drop decisions.  "
+    "This catalog form uses the exact O(n^2) pair baseline so the "
+    "recursive-CTE oracle certifies the composition; at corpus scale the "
+    "identical clustering runs off lsh_neardup_pairs candidates (same "
+    "edge schema, capped posting lists).",
+    tags=("llm", "similarity", "dedup", "iterative"),
+)
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.neardup_pairs(emb, threshold=0.45).select("id_a", "id_b")
+    comp = ld.connected_components(pairs, emb, "vec_id")
+    w = Window.partitionBy("component")
+    return comp.select(
+        "vec_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("component")).cast("int").alias(
+            "is_representative"
+        ),
+    )
+
+
+@register(
     "neardup_cluster_assignment",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},
