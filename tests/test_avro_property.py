@@ -129,3 +129,46 @@ def test_resolution_matrix_matches_avro_promotion_lattice(wt, rt):
             ac.decode(w, blob, r)
         with pytest.raises(ac.SchemaResolutionError):
             ac.compile_decoder(w, r)(memoryview(blob), 0)
+
+
+# ---------------------------------------------------------------------------
+# Baseline-JPEG codec property: encode->decode over arbitrary images stays
+# a valid image of the same shape with bounded reconstruction error.
+# ---------------------------------------------------------------------------
+
+_img = st.tuples(
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.sampled_from([60, 80, 90, 95]),        # quality
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_img)
+def test_jpeg_property_roundtrip_shape_and_bounded_error(params):
+    import numpy as np
+
+    from data_pipeline_spark.llmops import multimodal as mm
+
+    w, h, seed, quality = params
+    rng = np.random.RandomState(seed % (2**32))
+    # mix of smooth structure and noise so both DCT regimes appear
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 9 + yy * 5) % 256).astype(np.uint8)
+    noise = rng.randint(0, 64, size=(h, w), dtype=np.uint8)
+    rgb = np.stack(
+        [base, (base + noise) % 256, noise * 3 % 256], axis=2
+    ).astype(np.uint8)
+
+    enc = mm._encode_jpeg(w, h, rgb.tobytes(), quality=quality)
+    w2, h2, out = mm._decode_jpeg(enc)
+    assert (w2, h2) == (w, h)
+    dec = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    # quantization error is bounded by the scaled quant tables; the loosest
+    # table entry at q=60 bounds any single coefficient's contribution —
+    # empirical envelope with wide margin, catching structural bugs
+    # (wrong zigzag, huffman corruption, plane swap), not codec noise
+    assert err.mean() <= 40, (w, h, quality, err.mean())
+    assert err.max() <= 160, (w, h, quality, err.max())
