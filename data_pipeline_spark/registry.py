@@ -514,6 +514,14 @@ class SchemaRegistry:
                 {"schema_id": sid, "key": key, "note": note}
                 for (sid, key), note in self._element_notes.items()
             ],
+            "element_docs": [
+                {"schema_id": sid, "key": key, "doc": doc}
+                for (sid, key), doc in self._element_docs.items()
+            ],
+            "source_meta": [
+                {"namespace": ns, "source": src, "meta": meta}
+                for (ns, src), meta in self._source_meta.items()
+            ],
         }
         with open(path.rstrip("/") + "__catalog.json", "w") as f:
             json.dump(catalog, f)
@@ -561,4 +569,8 @@ class SchemaRegistry:
                 )
             for d in catalog.get("element_notes", ()):
                 reg._element_notes[(d["schema_id"], d["key"])] = d["note"]
+            for d in catalog.get("element_docs", ()):
+                reg._element_docs[(d["schema_id"], d["key"])] = d["doc"]
+            for d in catalog.get("source_meta", ()):
+                reg._source_meta[(d["namespace"], d["source"])] = d["meta"]
         return reg

@@ -126,3 +126,22 @@ def test_override_false_preserves_existing(registry):
 def test_unknown_source_metadata_raises(registry):
     with pytest.raises(KeyError):
         registry.set_source_metadata("main", "nope", doc="x")
+
+
+def test_schema_ref_metadata_survives_save_load(spark, registry, tmp_path):
+    """Bulk-applied docs/notes/meta round-trip through registry
+    persistence — a documentation pass must not vanish on restart."""
+    apply_schema_ref(registry, SchemaRef(REF))
+    path = str(tmp_path / "reg")
+    registry.save(spark, path)
+    reloaded = SchemaRegistry.load(spark, path)
+
+    assert reloaded.get_source_metadata("main", "orders")["category"] == "sales"
+    rs = reloaded.latest_schema_for_source("main", "orders")
+    els = {
+        e.element_name: e
+        for e in reloaded.get_schema_elements_by_schema_id(rs.schema_id)
+    }
+    assert els["o_orderkey"].doc == "pk"
+    assert els["o_orderkey"].note == "monotonic"
+    assert els[None].note == "refreshed nightly"
