@@ -30,7 +30,7 @@ class Introspector:
         df = self._schemas()
         if namespace:
             df = df.filter(F.col("namespace") == namespace)
-        return (
+        out = (
             df.groupBy("namespace", "source")
             .agg(
                 F.count(F.lit(1)).alias("n_schemas"),
@@ -38,6 +38,23 @@ class Introspector:
             )
             .orderBy("namespace", "source")
         )
+        # surface schema_ref-applied table metadata as catalog columns
+        # (driver-side dict -> tiny broadcast dimension)
+        meta_rows = [
+            (ns, src, m.get("category"), m.get("owner_email"))
+            for (ns, src), m in self.registry._source_meta.items()
+        ]
+        if meta_rows:
+            meta = self.spark.createDataFrame(
+                meta_rows,
+                "namespace STRING, source STRING, category STRING, "
+                "owner_email STRING",
+            )
+            out = out.join(F.broadcast(meta), ["namespace", "source"], "left")
+        else:
+            out = out.withColumn("category", F.lit(None).cast("string")) \
+                     .withColumn("owner_email", F.lit(None).cast("string"))
+        return out
 
     def list_topics(self, namespace: str | None = None) -> DataFrame:
         df = self._schemas()

@@ -225,7 +225,17 @@ class DedupGatedIngest:
         exact copies (keeper = min id) and near-dup pairs (larger id of
         every >=threshold pair drops), then gate the survivors against
         the committed index.  Reads index partitions only — never corpus
-        files (asserted by the chaos suite's plan check)."""
+        files (asserted by the chaos suite's plan check).
+
+        NULL text normalizes to '' (and the normalized form is what an
+        admitted row stores): without it,
+        SQL NULL join semantics make NULL-text rows collapse WITHIN a
+        batch (groupBy treats NULLs as equal) yet never match ACROSS
+        batches (joins skip NULL keys) — every later NULL doc would be
+        admitted forever."""
+        batch = batch.withColumn(
+            self.text_col, F.coalesce(F.col(self.text_col), F.lit(""))
+        )
         keepers = exact_dup_groups(batch, self.id_col, self.text_col).select(
             F.col("keeper_id").alias(self.id_col)
         )

@@ -300,6 +300,22 @@ def test_string_doc_ids_and_backfill_gate_path(spark, tmp_path):
     ]
 
 
+def test_null_text_normalizes_for_admission(spark, tmp_path):
+    """NULL text is admitted as '' exactly once across batches — without
+    normalization, NULL join semantics admit every later NULL doc."""
+    sink = _sink(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a real document body")],
+        "doc_id LONG, text STRING",
+    )
+    assert sink.admit_batch(b1, 0) == 2  # NULLs collapse to keeper 1
+    b2 = spark.createDataFrame(
+        [(10, None), (11, "")], "doc_id LONG, text STRING"
+    )
+    assert sink.admit_batch(b2, 1) == 0  # both are dups of stored ''
+    assert sorted(r.doc_id for r in sink.corpus().collect()) == [1, 3]
+
+
 def test_serialized_writers_share_one_corpus(spark, tmp_path):
     """serialize_writers: two streams interleaving commits under the
     lease each see the other's committed docs — the cross-stream

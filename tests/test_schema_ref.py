@@ -128,6 +128,16 @@ def test_unknown_source_metadata_raises(registry):
         registry.set_source_metadata("main", "nope", doc="x")
 
 
+def test_list_sources_surfaces_applied_metadata(spark, registry):
+    apply_schema_ref(registry, SchemaRef(REF))
+    rows = {
+        (r.namespace, r.source): (r.category, r.owner_email)
+        for r in Introspector(spark, registry).list_sources().collect()
+    }
+    assert rows[("main", "orders")] == ("sales", "orders-team@example.com")
+    assert rows[("main", "customer")][0] == "crm"
+
+
 def test_schema_ref_metadata_survives_save_load(spark, registry, tmp_path):
     """Bulk-applied docs/notes/meta round-trip through registry
     persistence — a documentation pass must not vanish on restart."""
