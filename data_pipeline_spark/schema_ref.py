@@ -85,6 +85,59 @@ class SchemaRef:
         return self.get_ref_val(self.get_source_ref(namespace, source), key)
 
 
+def generate_schema_ref(
+    registry: SchemaRegistry,
+    namespace: str | None = None,
+    doc_source: str | None = None,
+    doc_owner: str | None = None,
+) -> dict:
+    """The inverse of ``apply_schema_ref``
+    (tools/schema_ref_json_generator.py semantics): dump the registry's
+    current documentation state — per-source metadata, record notes,
+    per-field docs/notes — as a schema-ref JSON spec, so a catalog's
+    annotations can be exported, reviewed in code review, and re-applied
+    elsewhere.  Only sources in ``namespace`` (all if None); keys a
+    source has no value for are omitted, so applying the generated spec
+    onto a fresh registry reproduces exactly the captured state."""
+    seen: set[tuple[str, str]] = set()
+    docs = []
+    for rs in sorted(registry._schemas.values(), key=lambda r: -r.schema_id):
+        key = (rs.namespace, rs.source)
+        if key in seen or (namespace and rs.namespace != namespace):
+            continue
+        seen.add(key)  # newest schema_id wins: that's what apply targets
+        entry: dict = {"namespace": rs.namespace, "source": rs.source}
+        entry.update(
+            {
+                k: v
+                for k, v in registry.get_source_metadata(*key).items()
+                if k != "doc_owner"
+            }
+        )
+        fields = []
+        for e in registry.get_schema_elements_by_schema_id(rs.schema_id):
+            if e.element_name is None:
+                if e.note is not None:
+                    entry["note"] = e.note
+                continue
+            f = {"name": e.element_name}
+            if e.doc is not None:
+                f["doc"] = e.doc
+            if e.note is not None:
+                f["note"] = e.note
+            if len(f) > 1:
+                fields.append(f)
+        if fields:
+            entry["fields"] = fields
+        docs.append(entry)
+    spec: dict = {"docs": sorted(docs, key=lambda d: (d["namespace"], d["source"]))}
+    if doc_source is not None:
+        spec["doc_source"] = doc_source
+    if doc_owner is not None:
+        spec["doc_owner"] = doc_owner
+    return spec
+
+
 def apply_schema_ref(
     registry: SchemaRegistry, ref: SchemaRef, override: bool = True
 ) -> dict:

@@ -10,7 +10,11 @@ import pytest
 
 from data_pipeline_spark.introspector import Introspector
 from data_pipeline_spark.registry import SchemaRegistry
-from data_pipeline_spark.schema_ref import SchemaRef, apply_schema_ref
+from data_pipeline_spark.schema_ref import (
+    SchemaRef,
+    apply_schema_ref,
+    generate_schema_ref,
+)
 
 ORDERS = {
     "type": "record",
@@ -126,6 +130,32 @@ def test_override_false_preserves_existing(registry):
 def test_unknown_source_metadata_raises(registry):
     with pytest.raises(KeyError):
         registry.set_source_metadata("main", "nope", doc="x")
+
+
+def test_generate_apply_roundtrip(registry):
+    """generate_schema_ref exports the registry's documentation state;
+    applying the export onto a FRESH registry reproduces it exactly
+    (avro-level field docs carry over as overrides on the target)."""
+    apply_schema_ref(registry, SchemaRef(REF))
+    spec = generate_schema_ref(registry, doc_owner="data-team@example.com")
+
+    fresh = SchemaRegistry()
+    fresh.register_schema("main", "orders", json.dumps(ORDERS), ("o_orderkey",))
+    fresh.register_schema(
+        "main", "customer", json.dumps(CUSTOMER), ("c_custkey",)
+    )
+    summary = apply_schema_ref(fresh, SchemaRef(spec))
+    assert summary["sources_missing"] == [] and summary["fields_missing"] == []
+
+    for reg in (registry, fresh):
+        assert reg.get_source_metadata("main", "orders")["category"] == "sales"
+        rs = reg.latest_schema_for_source("main", "orders")
+        els = {
+            e.element_name: (e.doc, e.note)
+            for e in reg.get_schema_elements_by_schema_id(rs.schema_id)
+        }
+        assert els["o_orderkey"] == ("pk", "monotonic")
+        assert els[None][1] == "refreshed nightly"
 
 
 def test_list_sources_surfaces_applied_metadata(spark, registry):
