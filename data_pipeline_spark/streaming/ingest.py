@@ -270,6 +270,55 @@ class DedupGatedIngest:
             flags.filter(F.col("keep") == 1).select(self.id_col), self.id_col
         )
 
+    def gate_flags(self, batch: DataFrame) -> DataFrame:
+        """Observability form of the gate: the full per-document flag
+        frame (id, exact_dup, near_dup, best_jaccard, keep) against the
+        committed index, WITHOUT the within-batch collapse — what a
+        monitoring job samples to watch rejection rates.  No writes."""
+        batch = batch.withColumn(
+            self.text_col, F.coalesce(F.col(self.text_col), F.lit(""))
+        )
+        index = self.committed_index()
+        if index is None:
+            return batch.select(
+                F.col(self.id_col),
+                F.lit(0).alias("exact_dup"),
+                F.lit(0).alias("near_dup"),
+                F.lit(None).cast("double").alias("best_jaccard"),
+                F.lit(1).alias("keep"),
+            )
+        return indexed_dedup_gate(
+            index,
+            batch,
+            self.id_col,
+            self.text_col,
+            n=self.n,
+            threshold=self.threshold,
+            broadcast_batch=self.broadcast_batch,
+        )
+
+    def ingest_stats(self) -> DataFrame | None:
+        """Per-writer ingest history off the ledger: committed epochs,
+        admitted totals, and the live (non-revoked) epoch count — the
+        O(ledger) view an operator checks before anything corpus-sized."""
+        led = self._ledger()
+        if led is None:
+            return None
+        per_pair = led.groupBy(
+            _WRITER_COL, F.col("epoch_id").alias(_EPOCH_COL)
+        ).agg(
+            F.max("n_admitted").alias("n_admitted"),
+            (F.min("n_admitted") >= 0).cast("int").alias("live"),
+        )
+        return per_pair.groupBy(_WRITER_COL).agg(
+            F.count(F.lit(1)).alias("n_epochs"),
+            F.sum("live").alias("n_live_epochs"),
+            F.sum(
+                F.when(F.col("live") == 1, F.col("n_admitted")).otherwise(0)
+            ).alias("n_admitted_live"),
+            F.max(_EPOCH_COL).alias("max_epoch"),
+        )
+
     # -- commit ------------------------------------------------------------
     def admit_batch(self, batch: DataFrame, epoch_id: int) -> int:
         """Gate + append one micro-batch; returns admitted row count

@@ -300,6 +300,31 @@ def test_string_doc_ids_and_backfill_gate_path(spark, tmp_path):
     ]
 
 
+def test_gate_flags_and_ingest_stats_observability(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1), 0)
+    sink.admit_batch(_df(spark, DOCS2), 1)
+
+    flags = {r[0]: (r.exact_dup, r.near_dup, r.keep)
+             for r in sink.gate_flags(_df(spark, DOCS2)).collect()}
+    assert flags[10] == (1, 1, 0)   # exact copy of doc 1 (jaccard 1 too)
+    assert flags[11][1] == 1 and flags[11][2] == 0  # near dup
+    assert flags[12] == (1, 1, 0)   # now IN the corpus from epoch 1
+    stats = {r[0]: r for r in sink.ingest_stats().collect()}
+    s = stats[sink.writer_id]
+    assert (s.n_epochs, s.n_live_epochs, s.n_admitted_live, s.max_epoch) == (
+        2, 2, 5, 1,
+    )
+
+    # after compaction: original epochs revoked, totals preserved
+    sink.compact()
+    rows = sink.ingest_stats().collect()
+    total_live = sum(r.n_admitted_live for r in rows)
+    assert total_live == 5
+    s = {r[0]: r for r in rows}[sink.writer_id]
+    assert s.n_live_epochs == 0 and s.n_epochs == 2
+
+
 def test_null_text_normalizes_for_admission(spark, tmp_path):
     """NULL text is admitted as '' exactly once across batches — without
     normalization, NULL join semantics admit every later NULL doc."""
