@@ -623,6 +623,54 @@ def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_keyframes",
+    """
+    SELECT doc_id AS media_id,
+           k AS frame_index,
+           k AS pts_ticks,
+           1 + greatest(octet_length(encode(coalesce(text, ''))), 1) AS n_bytes,
+           TRUE AS payload_ok
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, CAST(2 + doc_id % 5 AS BIGINT), 2)) AS k
+        FROM documents
+    )
+    """,
+    doc="REAL video-container demux at query level: synthesize a valid MP4 "
+    "per document (3 + doc_id%5 frames, keyframes every 2nd sample, frame "
+    "payloads derived from the text), then parse the ISO BMFF sample tables "
+    "(stts/stsc/stsz/stco/stss) inside mapInPandas and emit the sync "
+    "samples' (index, pts, size) plus a payload-integrity flag checked "
+    "against the source text through a join.  The oracle reconstructs the "
+    "expected sample table arithmetically from (doc_id, octet_length(text)) "
+    "— a full cross-check that the container roundtrip preserves frame "
+    "count, keyframe grid, timestamps, sizes and byte ranges.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_mp4_media(docs, "doc_id", "text")
+    frames = multimodal.sample_keyframes(media)
+    joined = frames.join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    )
+    expected_tail = F.when(
+        F.coalesce(F.length("text"), F.lit(0)) > 0,
+        F.encode(F.col("text"), "utf-8"),
+    ).otherwise(F.lit(bytes([0])))
+    payload_ok = (
+        F.col("content") == F.concat(F.substring("content", 1, 1), expected_tail)
+    ) & (F.hex(F.substring("content", 1, 1)) == F.lpad(F.hex("frame_index"), 2, "0"))
+    return joined.select(
+        "media_id",
+        "frame_index",
+        "pts_ticks",
+        "n_bytes",
+        payload_ok.alias("payload_ok"),
+    )
+
+
+@register(
     "lsh_ann_neardup",
     None,  # approximate (bucketed recall): rows-only check
     doc="Multi-table hyperplane-LSH bucketed near-dup search — the 100 TB "

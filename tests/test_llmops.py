@@ -760,3 +760,96 @@ def test_incremental_dedup_gate_flags(spark):
     assert got[100] == (1, 1, 0)   # byte-identical: exact AND near
     assert got[101][0] == 0 and got[101][1] == 1 and got[101][2] == 0
     assert got[102] == (0, 0, 1)
+
+
+def test_mp4_container_roundtrip_sample_table():
+    """encode -> parse recovers the exact sample table: offsets slice back
+    the original payloads, pts follow the stts grid, keyframes follow the
+    stss grid, and the stsc/stco chunk mapping is exercised (2 samples per
+    chunk, remainder chunk included for odd counts)."""
+    for n in (1, 2, 3, 7, 8):
+        frames = [bytes([k]) + b"x" * (5 * k + 1) for k in range(n)]
+        blob = multimodal._encode_mp4(frames, keyframe_every=2, frame_duration=3)
+        table = multimodal.parse_mp4_sample_table(blob)
+        assert len(table) == n
+        for k, (off, size, pts, key) in enumerate(table):
+            assert blob[off : off + size] == frames[k]
+            assert pts == 3 * k
+            assert key == (k % 2 == 0)
+
+
+def test_mp4_extract_frames_selection():
+    """Keyframe selection honors stss; n_frames strides evenly; the
+    keyframes_only=False path returns every sample."""
+    frames = [bytes([k]) * (k + 1) for k in range(8)]
+    blob = multimodal._encode_mp4(frames, keyframe_every=3)
+    keys = multimodal.extract_mp4_frames(blob)
+    assert [i for i, _pts, _p in keys] == [0, 3, 6]
+    assert [p for _i, _pts, p in keys] == [frames[0], frames[3], frames[6]]
+    allf = multimodal.extract_mp4_frames(blob, keyframes_only=False)
+    assert [p for _i, _pts, p in allf] == frames
+    two = multimodal.extract_mp4_frames(blob, n_frames=2, keyframes_only=False)
+    assert len(two) == 2 and two[0][2] == frames[0]
+
+
+def test_mp4_parser_rejects_corruption():
+    frames = [b"payload"]
+    blob = multimodal._encode_mp4(frames)
+    with pytest.raises(ValueError):
+        multimodal.parse_mp4_sample_table(b"\x00\x00\x00\x10ftypisom")
+    with pytest.raises(ValueError):  # truncated box tree
+        multimodal.parse_mp4_sample_table(blob[: len(blob) // 2])
+    with pytest.raises(ValueError):  # no moov at all
+        multimodal.parse_mp4_sample_table(blob[:24])
+
+
+def test_mp4_container_property_roundtrip():
+    """Property: arbitrary frame counts/sizes/keyframe grids roundtrip
+    through the container — every parsed (offset, size) slices back the
+    exact payload and the sync grid matches keyframe_every."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=12),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(frames, keyframe_every, spc):
+        blob = multimodal._encode_mp4(
+            frames, keyframe_every=keyframe_every, samples_per_chunk=spc
+        )
+        table = multimodal.parse_mp4_sample_table(blob)
+        assert len(table) == len(frames)
+        for k, (off, size, pts, key) in enumerate(table):
+            assert blob[off : off + size] == frames[k]
+            assert pts == k
+            assert key == (k % keyframe_every == 0)
+
+    check()
+
+
+def test_mp4_keyframe_sampling_distributed(spark):
+    """sample_keyframes demuxes real MP4 rows through Spark: payloads
+    survive the Arrow transit, keyframe grid and pts are the container's,
+    and non-mp4 rows fall back to chunking so mixed tables are total."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = multimodal.synthesize_mp4_media(docs, "doc_id", "text")
+    out = multimodal.sample_keyframes(media).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        n = 3 + mid % 5
+        expect_keys = [k for k in range(n) if k % 2 == 0]
+        assert sorted(r.frame_index for r in rows) == expect_keys
+        raw = (texts[mid] or "").encode("utf-8") or b"\x00"
+        for r in rows:
+            assert bytes(r.content) == bytes([r.frame_index]) + raw
+            assert r.pts_ticks == r.frame_index
+    # mixed-table fallback: non-container rows still produce frames
+    mixed = multimodal.attach_media(docs, "doc_id", "text")
+    fb = multimodal.sample_keyframes(mixed, n_frames=2).collect()
+    assert len(fb) == 20 and all(r.n_bytes > 0 for r in fb)
