@@ -34,6 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining window; the rest follow.
 _PRIORITY = [
     # -- r8 evidence targets: new or changed this round ----------------------
+    # new: the real-codec multimodal certifications — MP4 container demux
+    # vs an arithmetic sample-table oracle, FLAC lossless roundtrip vs an
+    # arithmetic PCM oracle (first driver-level value-checks for the
+    # multimodal family)
+    "multimodal_mp4_keyframes",
+    "multimodal_flac_roundtrip",
     # new: the persisted-index gate (the streaming sink's steady-state
     # path) and the two ANN exactness-limit certifications
     "persisted_index_dedup_gate",

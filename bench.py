@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "persisted_index_dedup_gate",
     "boilerplate_strip",
     "neardup_cluster_assignment_star",
+    # r8 late additions: the real-codec multimodal paths (MP4 container
+    # demux + FLAC lossless roundtrip) carry numbers so codec regressions
+    # show up round-over-round
+    "multimodal_mp4_keyframes",
+    "multimodal_flac_roundtrip",
 ]
 
 

@@ -1,0 +1,474 @@
+"""Real FLAC codec (encode + decode), stdlib + numpy only.
+
+Implements the lossless subset a data pipeline meets in practice for
+16-bit PCM: STREAMINFO metadata, fixed-blocksize frames, independent
+channels, constant / verbatim / fixed-predictor (orders 0-4) subframes
+with Rice-coded residuals (escape partitions included), CRC-8 frame
+headers, CRC-16 frame footers and the STREAMINFO MD5 integrity check over
+the decoded PCM.  The encoder picks the fixed-predictor order per block by
+minimal summed |residual| and the Rice parameter by exact bit cost —
+the same heuristics libFLAC's fast preset uses (public spec:
+https://xiph.org/flac/format.html; no code consulted).
+
+Out-of-subset streams raise NotImplementedError into the documented
+soundfile/ffmpeg seam (llmops.multimodal.decode_audio): LPC subframes,
+stereo decorrelation (left/right/mid-side), non-16-bit sample sizes.
+Everything this encoder emits, this decoder decodes — and vice versa for
+any fixed-subset FLAC file.
+
+Scale note: like the PNG unfilter and the JPEG entropy coder, the Rice
+coder is an inherently sequential bit loop — correctness-grade in this
+container; production clusters drop soundfile into the same seam.  The
+predictor/residual math and PCM (de)interleaving are numpy-vectorized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_CRC8_POLY = 0x07
+_CRC16_POLY = 0x8005
+
+
+def _make_crc_table(poly: int, width: int) -> list:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+        table.append(crc & mask)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(_CRC8_POLY, 8)
+_CRC16_TABLE = _make_crc_table(_CRC16_POLY, 16)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[(crc >> 8) ^ b]
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, val: int, n: int) -> None:
+        self.write(val & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits terminated by a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0, "unaligned"
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, byte_pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = byte_pos * 8
+
+    def read(self, n: int) -> int:
+        end = self.bitpos + n
+        if end > len(self.data) * 8:
+            raise ValueError("truncated FLAC bitstream")
+        first, last = self.bitpos >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.data[first:last], "big")
+        val = (chunk >> (last * 8 - end)) & ((1 << n) - 1)
+        self.bitpos = end
+        return val
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        nbits = len(self.data) * 8
+        while True:
+            if self.bitpos >= nbits:
+                raise ValueError("truncated FLAC bitstream (unary)")
+            rem = 8 - (self.bitpos & 7)
+            window = self.data[self.bitpos >> 3] & ((1 << rem) - 1)
+            if window == 0:
+                q += rem
+                self.bitpos += rem
+                continue
+            lead = rem - window.bit_length()
+            self.bitpos += lead + 1
+            return q + lead
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    @property
+    def byte_pos(self) -> int:
+        return self.bitpos >> 3
+
+
+def _utf8_encode_num(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of frame numbers (raw patterns — not
+    chr().encode(), which rejects the surrogate range)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, bits in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << bits):
+            cont = [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(nbytes - 1)]
+            lead_payload = n >> (6 * (nbytes - 1))
+            lead = ((0xFF << (8 - nbytes)) & 0xFF) | lead_payload
+            return bytes([lead] + cont[::-1])
+    raise ValueError("frame number too large")
+
+
+def _utf8_decode_num(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 8 - (b0 ^ 0xFF).bit_length()
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError(f"bad coded-number lead byte {b0:#x}")
+    val = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad coded-number continuation byte")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    return (res << 1) ^ (res >> 63)  # arithmetic shift: sign -> all ones
+
+
+def _rice_cost(u: np.ndarray, k: int) -> int:
+    return int(np.sum(u >> k)) + len(u) * (k + 1)
+
+
+def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
+    """Rice coding method 0, partition order 0 (one partition)."""
+    w.write(0, 2)  # coding method: 4-bit rice parameters
+    w.write(0, 4)  # partition order 0
+    u = _zigzag(res.astype(np.int64))
+    if len(u) == 0:
+        w.write(0, 4)
+        return
+    costs = [(_rice_cost(u, k), k) for k in range(15)]
+    best_cost, best_k = min(costs)
+    raw_bits = max(1, int(np.abs(res).max()).bit_length() + 1) if len(res) else 1
+    if best_cost > len(res) * raw_bits + 5:
+        w.write(0xF, 4)  # escape: raw signed residuals
+        w.write(raw_bits, 5)
+        for v in res.tolist():
+            w.write_signed(int(v), raw_bits)
+        return
+    w.write(best_k, 4)
+    ulist = u.tolist()
+    for v in ulist:
+        w.write_unary(v >> best_k)
+        if best_k:
+            w.write(v & ((1 << best_k) - 1), best_k)
+
+
+def _read_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    param_bits = 4 if method == 0 else 5
+    escape = (1 << param_bits) - 1
+    porder = r.read(4)
+    n_part = 1 << porder
+    if blocksize % n_part:
+        raise ValueError("blocksize not divisible by partition count")
+    out: list = []
+    for p in range(n_part):
+        n = blocksize // n_part - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("predictor order exceeds first partition")
+        k = r.read(param_bits)
+        if k == escape:
+            bits = r.read(5)
+            out.extend(r.read_signed(bits) if bits else 0 for _ in range(n))
+        else:
+            vals = []
+            for _ in range(n):
+                q = r.read_unary()
+                u = (q << k) | (r.read(k) if k else 0)
+                vals.append((u >> 1) ^ -(u & 1))  # un-zigzag
+            out.extend(vals)
+    return np.asarray(out, np.int64)
+
+
+def _integrate_fixed(warmup: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
+    """Invert the order-th difference: warmup samples + residuals -> samples."""
+    w = warmup.astype(np.int64)
+    seq = res.astype(np.int64)
+    for m in range(order - 1, -1, -1):
+        base = np.diff(w, n=m)[-1]
+        seq = base + np.cumsum(seq)
+    return np.concatenate([w, seq])
+
+
+def _write_subframe(w: _BitWriter, samples: np.ndarray, bps: int) -> None:
+    s = samples.astype(np.int64)
+    w.write(0, 1)  # zero pad bit
+    if len(s) > 1 and bool(np.all(s == s[0])):
+        w.write(0b000000, 6)  # constant
+        w.write(0, 1)  # no wasted bits
+        w.write_signed(int(s[0]), bps)
+        return
+    max_order = min(4, len(s) - 1) if len(s) > 1 else 0
+    best_order, best_sum = 0, None
+    for k in range(max_order + 1):
+        cost = int(np.sum(np.abs(np.diff(s, n=k))))
+        if best_sum is None or cost < best_sum:
+            best_order, best_sum = k, cost
+    res = np.diff(s, n=best_order)
+    # verbatim wins when the residual stream would exceed raw samples
+    u = _zigzag(res)
+    rice_est = min(_rice_cost(u, k) for k in range(15)) if len(u) else 0
+    if rice_est + best_order * bps >= len(s) * bps:
+        w.write(0b000001, 6)  # verbatim
+        w.write(0, 1)
+        for v in s.tolist():
+            w.write_signed(int(v), bps)
+        return
+    w.write(0b001000 | best_order, 6)  # fixed, order in low bits
+    w.write(0, 1)
+    for v in s[:best_order].tolist():
+        w.write_signed(int(v), bps)
+    _write_residual(w, res)
+
+
+def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("subframe pad bit set")
+    kind = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits-per-sample flag: unary count follows
+        wasted = r.read_unary() + 1
+        bps -= wasted
+    if kind == 0:
+        out = np.full(blocksize, r.read_signed(bps), np.int64)
+    elif kind == 1:
+        out = np.asarray([r.read_signed(bps) for _ in range(blocksize)], np.int64)
+    elif 8 <= kind <= 12:
+        order = kind - 8
+        warmup = np.asarray(
+            [r.read_signed(bps) for _ in range(order)], np.int64
+        )
+        res = _read_residual(r, blocksize, order)
+        out = _integrate_fixed(warmup, res, order) if order else res
+    elif kind >= 32:
+        raise NotImplementedError(
+            "LPC subframes not in the fixed subset — decode with "
+            "soundfile/ffmpeg on the cluster image"
+        )
+    else:
+        raise ValueError(f"reserved subframe type {kind:#08b}")
+    return out << wasted if wasted else out
+
+
+_BLOCKSIZE_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_SAMPLE_RATE_FIXED = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+                      6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+                      11: 96000}
+_BPS_FIXED = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def encode_flac(
+    n_channels: int, sample_rate: int, frames: bytes, blocksize: int = 4096
+) -> bytes:
+    """16-bit interleaved little-endian PCM -> FLAC stream (fLaC magic +
+    STREAMINFO with real MD5 + fixed-blocksize frames, independent
+    channels).  Lossless: decode_flac inverts it byte-exactly."""
+    if n_channels < 1 or n_channels > 8:
+        raise ValueError(f"channels out of range: {n_channels}")
+    pcm = np.frombuffer(frames, "<i2")
+    if len(pcm) % n_channels:
+        raise ValueError("PCM length not a multiple of channel count")
+    samples = pcm.reshape(-1, n_channels).astype(np.int64)
+    total = len(samples)
+    md5 = hashlib.md5(frames).digest()
+
+    out = bytearray(b"fLaC")
+    # STREAMINFO: last-metadata flag set, type 0, length 34
+    info = _BitWriter()
+    info.write(blocksize, 16)
+    info.write(blocksize, 16)
+    info.write(0, 24)  # min framesize unknown
+    info.write(0, 24)  # max framesize unknown
+    info.write(sample_rate, 20)
+    info.write(n_channels - 1, 3)
+    info.write(15, 5)  # bps - 1
+    info.write(total, 36)
+    out += struct.pack(">I", (1 << 31) | 34)[0:4]
+    out += info.getvalue() + md5
+
+    for fi, start in enumerate(range(0, max(total, 1), blocksize)):
+        block = samples[start : start + blocksize]
+        bs = len(block)
+        if bs == 0:  # zero-sample stream still carries no frames
+            break
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy (header carries frame #)
+        hdr.write(0b0111, 4)  # blocksize: 16-bit value-1 at header end
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.write(n_channels - 1, 4)  # independent channels
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)  # reserved
+        head = bytearray(hdr.getvalue())
+        head += _utf8_encode_num(fi)
+        head += struct.pack(">H", bs - 1)
+        head.append(_crc8(bytes(head)))
+
+        w = _BitWriter()
+        for b in head:
+            w.write(b, 8)
+        for ch in range(n_channels):
+            _write_subframe(w, block[:, ch], 16)
+        w.align()
+        frame = w.getvalue()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+def decode_flac(content: bytes) -> tuple:
+    """FLAC stream -> (n_channels, sample_rate, interleaved int16 LE PCM).
+
+    Decodes the fixed subset (constant/verbatim/fixed subframes,
+    independent channels, 16-bit); verifies frame CRC-8/CRC-16 and the
+    STREAMINFO MD5.  LPC / stereo decorrelation / other sample sizes raise
+    NotImplementedError into the soundfile seam."""
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        (hdr,) = struct.unpack_from(">I", content, pos)
+        last, btype, length = hdr >> 31, (hdr >> 24) & 0x7F, hdr & 0xFFFFFF
+        body = content[pos + 4 : pos + 4 + length]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + length
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("missing STREAMINFO")
+    r = _BitReader(streaminfo)
+    r.read(16)  # min blocksize
+    r.read(16)  # max blocksize
+    r.read(24)
+    r.read(24)
+    si_rate = r.read(20)
+    si_channels = r.read(3) + 1
+    si_bps = r.read(5) + 1
+    total = r.read(36)
+    si_md5 = streaminfo[18:34]
+    if si_bps != 16:
+        raise NotImplementedError(
+            f"{si_bps}-bit FLAC not in the 16-bit subset — soundfile seam"
+        )
+
+    chunks: list = []
+    got = 0
+    while got < total and pos < len(content):
+        fr = _BitReader(content, pos)
+        sync = fr.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        fr.read(1)
+        fr.read(1)  # blocking strategy (number semantics only)
+        bs_code = fr.read(4)
+        sr_code = fr.read(4)
+        chan_code = fr.read(4)
+        bps_code = fr.read(3)
+        fr.read(1)
+        _frame_no = _utf8_decode_num(fr)
+        if bs_code == 0:
+            raise ValueError("reserved blocksize code 0")
+        elif bs_code == 6:
+            bs = fr.read(8) + 1
+        elif bs_code == 7:
+            bs = fr.read(16) + 1
+        else:
+            bs = _BLOCKSIZE_FIXED[bs_code]
+        if sr_code == 12:
+            fr.read(8)
+        elif sr_code in (13, 14):
+            fr.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid sample rate code 15")
+        header_len = fr.byte_pos - pos
+        expect_crc8 = fr.read(8)
+        if _crc8(content[pos : pos + header_len]) != expect_crc8:
+            raise ValueError(f"frame header CRC-8 mismatch at byte {pos}")
+        if chan_code >= 8:
+            raise NotImplementedError(
+                "stereo decorrelation (L/S, R/S, M/S) not in the "
+                "independent-channel subset — soundfile seam"
+            )
+        n_ch = chan_code + 1
+        bps = si_bps if bps_code == 0 else _BPS_FIXED.get(bps_code)
+        if bps is None:
+            raise ValueError(f"reserved sample size code {bps_code}")
+        if bps != 16:
+            raise NotImplementedError("non-16-bit frame — soundfile seam")
+
+        block = np.empty((bs, n_ch), np.int64)
+        for ch in range(n_ch):
+            block[:, ch] = _read_subframe(fr, bs, bps)
+        fr.align()
+        frame_end = fr.byte_pos
+        expect_crc16 = fr.read(16)
+        if _crc16(content[pos:frame_end]) != expect_crc16:
+            raise ValueError(f"frame CRC-16 mismatch at byte {pos}")
+        pos = fr.byte_pos
+        chunks.append(block)
+        got += bs
+
+    pcm = (
+        np.concatenate(chunks)[:total]
+        if chunks
+        else np.empty((0, si_channels), np.int64)
+    )
+    frames = pcm.astype("<i2").tobytes()
+    if si_md5 != b"\x00" * 16 and hashlib.md5(frames).digest() != si_md5:
+        raise ValueError("decoded PCM fails the STREAMINFO MD5 check")
+    return si_channels, si_rate, frames

@@ -1,19 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-FIVE real codecs run end-to-end here with stdlib + numpy only —
+SIX real codecs run end-to-end here with stdlib + numpy only —
 uncompressed 24-bit BMP, binary PPM (P6), lossless-compressed PNG (zlib
 inflate + the five scanline filters), LOSSY-compressed baseline JPEG
 (8x8 DCT + quantization + zigzag + canonical Huffman, both directions),
-and 16-bit PCM WAV (``wave``) — so ``extract_features`` computes actual
+16-bit PCM WAV (``wave``), and lossless-compressed FLAC (rice-coded
+fixed-predictor subset, llmops.flac) — so ``extract_features`` computes actual
 pixel/sample statistics and ``resize_media`` performs an actual
 nearest-neighbor resample for those formats.  The decode kernels are numpy
 reshape/stride/einsum operations over the Arrow batches (no per-pixel
 Python except PNG's inherently sequential Sub/Average/Paeth unfilters and
-the JPEG entropy coder's per-symbol bit loop).  Formats needing external
-codec libs (webp/mp4/flac...), absent from this container, keep the
-clearly-marked stub path: on a production image PIL/ffmpeg drop into the
-same ``decode_media`` / ``decode_audio`` seams.  Everything Spark-side —
+the JPEG/FLAC entropy coders' per-symbol bit loops).  MP4 gets a real
+CONTAINER codec (ISO BMFF box tree + sample tables, see the video section)
+— frame sampling demuxes real byte ranges; only the codec PAYLOAD decode
+(H.264 etc.) is external.  Formats needing external codec libs
+(webp/mp3/ogg...), absent from this container, keep the clearly-marked
+stub path: on a production image PIL/ffmpeg drop into the same
+``decode_media`` / ``decode_audio`` seams.  Everything Spark-side —
 schema, batch iteration shape, partitioning, mapInPandas plumbing — is
 identical for both paths.
 
@@ -36,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     LongType,
     StringType,
@@ -725,16 +730,24 @@ def _encode_wav(n_channels: int, sample_rate: int, frames: bytes) -> bytes:
     return buf.getvalue()
 
 
+from data_pipeline_spark.llmops.flac import (  # noqa: E402  (codec module)
+    decode_flac as _decode_flac,
+    encode_flac as _encode_flac,
+)
+
 _AUDIO_CODECS = {
     "wav": (_decode_wav, _encode_wav),
+    "flac": (_decode_flac, _encode_flac),
 }
 
 
 def decode_audio(content: bytes, fmt: str = "unknown") -> tuple[int, int, bytes]:
     """Decode an audio blob to (n_channels, sample_rate, int16 PCM frames).
 
-    Real stdlib decoder for ``wav``; compressed audio (flac/mp3/ogg) needs
-    codec libs not in this container — soundfile/ffmpeg drop in here."""
+    Real stdlib/numpy decoders for ``wav`` and lossless-compressed ``flac``
+    (rice-coded fixed-predictor subset; llmops.flac); remaining compressed
+    audio (mp3/ogg, FLAC's LPC/stereo-decorrelation extensions) needs codec
+    libs not in this container — soundfile/ffmpeg drop in here."""
     codec = _AUDIO_CODECS.get(fmt)
     if codec is None:
         raise NotImplementedError(
@@ -781,14 +794,14 @@ def synthesize_multiformat_media(
     df: DataFrame, id_col: str, text_col: str, width: int = 4, height: int = 4
 ) -> DataFrame:
     """Deterministic REAL media fixture across every native codec: row i
-    becomes a bmp / ppm / png / jpeg image or a 16-bit PCM wav (by
-    media_id % 5), pixels/samples derived from the row's utf-8 text bytes.
+    becomes a bmp / ppm / png / jpeg image or a 16-bit PCM wav / flac (by
+    media_id % 6), pixels/samples derived from the row's utf-8 text bytes.
     Every row then exercises a real decode in ``extract_features`` —
-    lossless-compressed (PNG: zlib inflate + unfilter), LOSSY-compressed
-    (baseline JPEG: Huffman + dequant + IDCT) and audio (WAV) paths
-    included."""
+    lossless-compressed (PNG: zlib inflate + unfilter; FLAC: rice +
+    fixed predictors), LOSSY-compressed (baseline JPEG: Huffman + dequant
+    + IDCT) and audio PCM (WAV) paths included."""
 
-    fmts = ["bmp", "ppm", "png", "wav", "jpeg"]
+    fmts = ["bmp", "ppm", "png", "wav", "jpeg", "flac"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         need = 3 * width * height
@@ -797,14 +810,14 @@ def synthesize_multiformat_media(
             for mid, t in zip(pdf["media_id"], pdf["text"]):
                 raw = (t or "").encode("utf-8") or b"\x00"
                 fmt = fmts[int(mid) % len(fmts)]
-                if fmt == "wav":
+                if fmt in _AUDIO_CODECS:
                     n = width * height
                     pcm = (
                         (np.frombuffer(
                             (raw * (2 * n // len(raw) + 1))[: 2 * n], np.uint8
                         ).astype(np.int64) - 128) * 256
                     ).astype("<i2")
-                    blobs.append(_encode_wav(1, 8000, pcm.tobytes()))
+                    blobs.append(_AUDIO_CODECS[fmt][1](1, 8000, pcm.tobytes()))
                     kinds.append("audio")
                 else:
                     rgb = (raw * (need // len(raw) + 1))[:need]
@@ -1455,3 +1468,81 @@ def sample_keyframes(
             )
 
     return media.mapInPandas(run, schema=KEYFRAME_SCHEMA)
+
+
+def synthesize_audio_media(
+    df: DataFrame, id_col: str, text_col: str, fmt: str = "flac",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL audio fixture: one mono 16-bit stream per row in
+    the requested native codec (wav or flac), sample i = (text byte i -
+    128) * 256 — so n_samples == octet_length(text) (1 for empty text),
+    pure arithmetic a SQL oracle can reconstruct."""
+    if fmt not in _AUDIO_CODECS:
+        raise ValueError(f"no native audio codec for {fmt!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                raw = (t or "").encode("utf-8") or b"\x00"
+                pcm = (
+                    (np.frombuffer(raw, np.uint8).astype(np.int64) - 128) * 256
+                ).astype("<i2")
+                blobs.append(_AUDIO_CODECS[fmt][1](1, sample_rate, pcm.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].reset_index(drop=True),
+                    "content": blobs,
+                    "media_type": "audio",
+                    "format": fmt,
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("text")
+    )
+    return prepared.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_VERIFY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("pcm_ok", BooleanType()),
+    ]
+)
+
+
+def verify_audio_roundtrip(media_with_text: DataFrame) -> DataFrame:
+    """Decode each audio row through the native codec and compare the PCM
+    byte-for-byte against the stream recomputed from the row's source text
+    (``synthesize_audio_media``'s derivation) — the lossless-roundtrip
+    certificate a SQL oracle can check via (n_samples, pcm_ok)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_samples, rates, oks = [], [], []
+            for content, fmt, t in zip(
+                pdf["content"], pdf["format"], pdf["text"]
+            ):
+                ch, rate, frames = decode_audio(bytes(content), fmt)
+                raw = (t or "").encode("utf-8") or b"\x00"
+                expected = (
+                    (np.frombuffer(raw, np.uint8).astype(np.int64) - 128) * 256
+                ).astype("<i2").tobytes()
+                n_samples.append(len(frames) // 2)
+                rates.append(rate)
+                oks.append(ch == 1 and frames == expected)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].reset_index(drop=True),
+                    "n_samples": n_samples,
+                    "sample_rate": rates,
+                    "pcm_ok": oks,
+                }
+            )
+
+    return media_with_text.mapInPandas(run, schema=AUDIO_VERIFY_SCHEMA)

@@ -561,10 +561,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_real_decode",
     None,  # pandas-UDF real-codec path: rows-only check
     doc="REAL media decode at query level: synthesize a valid bmp / ppm / "
-    "png image or 16-bit PCM wav per document (media_id % 4; pixels and "
-    "samples = text bytes), decode each in the mapInPandas feature kernel "
-    "— PNG runs a real zlib inflate + unfilter, WAV a real PCM parse — "
-    "and emit actual luminance/amplitude-histogram statistics: the "
+    "png / jpeg image or 16-bit PCM wav / flac per document (media_id % 6; "
+    "pixels and samples = text bytes), decode each in the mapInPandas "
+    "feature kernel — PNG runs a real zlib inflate + unfilter, JPEG a real "
+    "Huffman + IDCT, FLAC a real rice + fixed-predictor decode, WAV a real "
+    "PCM parse — and emit actual luminance/amplitude-histogram statistics: the "
     "decode->stats path a production pipeline runs with PIL/soundfile, "
     "exercised end-to-end with the stdlib codecs.  Exploded to scalar "
     "rows for the driver canon.",
@@ -668,6 +669,34 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         payload_ok.alias("payload_ok"),
     )
+
+
+@register(
+    "multimodal_flac_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           greatest(octet_length(encode(coalesce(text, ''))), 1) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           TRUE AS pcm_ok
+    FROM documents
+    """,
+    doc="REAL lossless-compressed audio at query level: synthesize one FLAC "
+    "stream per document (rice-coded fixed-predictor subset, llmops.flac; "
+    "sample i = (text byte i - 128) * 256), decode it back inside "
+    "mapInPandas and compare the PCM byte-for-byte against the stream "
+    "recomputed from the source text through a join.  The oracle "
+    "reconstructs (n_samples, sample_rate, pcm_ok) arithmetically from "
+    "octet_length(text) — certifying the full encode -> Arrow transit -> "
+    "decode roundtrip including CRC-8/CRC-16 and STREAMINFO MD5 checks.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_audio_media(docs, "doc_id", "text", fmt="flac")
+    joined = media.join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    )
+    return multimodal.verify_audio_roundtrip(joined)
 
 
 @register(

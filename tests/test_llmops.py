@@ -46,7 +46,23 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG")  # unknown format
     with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"fLaC", "flac")
+        multimodal.decode_audio(b"OggS", "ogg")
+    # flac decodes natively now, but only the fixed subset: LPC subframes
+    # must route to the soundfile seam, not mis-decode
+    import numpy as np
+
+    from data_pipeline_spark.llmops import flac as flac_codec
+
+    blob = bytearray(
+        flac_codec.encode_flac(1, 8000, np.arange(64, dtype="<i2").tobytes())
+    )
+    # rewrite the first subframe header to LPC order 1 (0b100000), fixing
+    # the header CRC-8 so the type check itself is what trips
+    frame_start = 4 + 4 + 34
+    sub_hdr = frame_start + 4 + 1 + 2  # sync/flags + coded num + blocksize
+    blob[sub_hdr + 1] = (0b0100000 << 1) | (blob[sub_hdr + 1] & 1)
+    with pytest.raises(NotImplementedError):
+        flac_codec.decode_flac(bytes(blob))
     # jpeg decodes natively now, but only baseline sequential: progressive
     # (SOF2) must route to the PIL seam, not mis-decode
     import struct
@@ -200,13 +216,13 @@ def test_wav_codec_roundtrip_and_amplitude_stats(spark):
 
 
 def test_multiformat_media_real_decode_distributed(spark):
-    """synthesize_multiformat_media covers all five codecs per batch and
+    """synthesize_multiformat_media covers all six codecs per batch and
     extract_features decodes every row for real (fallback histogram never
     runs: all formats are native)."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(40)
     media = multimodal.synthesize_multiformat_media(docs, "doc_id", "text")
     fmts = {r.format for r in media.select("format").distinct().collect()}
-    assert fmts == {"bmp", "ppm", "png", "wav", "jpeg"}
+    assert fmts == {"bmp", "ppm", "png", "wav", "jpeg", "flac"}
     feats = multimodal.extract_features(media, buckets=16).collect()
     assert len(feats) == 40
     for r in feats:
@@ -853,3 +869,98 @@ def test_mp4_keyframe_sampling_distributed(spark):
     mixed = multimodal.attach_media(docs, "doc_id", "text")
     fb = multimodal.sample_keyframes(mixed, n_frames=2).collect()
     assert len(fb) == 20 and all(r.n_bytes > 0 for r in fb)
+
+
+def test_flac_codec_roundtrip_lossless():
+    """decode(encode(x)) == x byte-exactly across silence, constants, ramps,
+    noise, sine, multi-channel and partial-last-block shapes; compressible
+    signals genuinely shrink (rice coding is real, not a wrapper)."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import flac
+
+    rng = np.random.RandomState(7)
+    t = np.arange(5000)
+    cases = [
+        (1, 8000, np.zeros(100, "<i2")),
+        (1, 8000, np.full(257, 1234, "<i2")),
+        (1, 44100, np.arange(-500, 500, dtype="<i2")),
+        (1, 8000, rng.randint(-32768, 32768, 4097).astype("<i2")),
+        (1, 16000, (3000 * np.sin(t / 20)).astype("<i2")),
+        (2, 48000, rng.randint(-2000, 2000, 2 * 777).astype("<i2")),
+        (1, 8000, np.array([5], "<i2")),
+        (3, 8000, rng.randint(-100, 100, 3 * 4500).astype("<i2")),
+    ]
+    for ch, rate, pcm in cases:
+        blob = flac.encode_flac(ch, rate, pcm.tobytes())
+        assert flac.decode_flac(blob) == (ch, rate, pcm.tobytes())
+    sine = (3000 * np.sin(t / 20)).astype("<i2")
+    blob = flac.encode_flac(1, 16000, sine.tobytes())
+    assert len(blob) < 0.3 * len(sine.tobytes())  # real compression
+
+
+def test_flac_codec_rejects_corruption():
+    """Bit flips in the frame body trip CRC-16 or the STREAMINFO MD5; a
+    flipped header bit trips CRC-8 or sync; garbage is not FLAC."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import flac
+
+    pcm = np.arange(-300, 300, dtype="<i2")
+    blob = bytearray(flac.encode_flac(1, 8000, pcm.tobytes()))
+    with pytest.raises(ValueError):
+        flac.decode_flac(b"RIFFnotflac")
+    corrupted = bytearray(blob)
+    corrupted[-3] ^= 0x40  # inside the last frame's payload/footer
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(corrupted))
+    header_hit = bytearray(blob)
+    header_hit[4 + 4 + 34 + 1] ^= 0x01  # second byte of first frame header
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(header_hit))
+
+
+def test_flac_codec_property_roundtrip():
+    """Property: arbitrary channel counts, lengths and sample contents
+    roundtrip byte-exactly, including multi-block streams."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_spark.llmops import flac
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=700),
+        st.randoms(use_true_random=False),
+        st.sampled_from([64, 192, 4096]),
+    )
+    def check(ch, n, rnd, blocksize):
+        pcm = np.asarray(
+            [rnd.randrange(-32768, 32768) for _ in range(ch * n)], "<i2"
+        )
+        blob = flac.encode_flac(ch, 8000, pcm.tobytes(), blocksize=blocksize)
+        assert flac.decode_flac(blob) == (ch, 8000, pcm.tobytes())
+
+    check()
+
+
+def test_flac_feature_and_resize_paths(spark):
+    """flac registers as a native audio codec: extract_features computes
+    real amplitude statistics and resize_media resamples through a real
+    decode -> re-encode."""
+    import numpy as np
+
+    pcm = np.array([0, 0, -32768, 32767] * 25, "<i2")
+    blob = multimodal._AUDIO_CODECS["flac"][1](1, 8000, pcm.tobytes())
+    media = spark.createDataFrame(
+        [(1, blob, "audio", "flac", len(blob))], schema=multimodal.MEDIA_SCHEMA
+    )
+    hist = multimodal.extract_features(media, buckets=16).collect()[0].features
+    assert hist[8] == pytest.approx(0.5)
+    assert hist[0] == pytest.approx(0.25)
+    assert hist[15] == pytest.approx(0.25)
+    resized = multimodal.resize_media(media, 4, 4).collect()[0]
+    ch, rate, frames = multimodal.decode_audio(bytes(resized.content), "flac")
+    assert (ch, rate) == (1, 8000) and len(frames) == 2 * 16
