@@ -411,9 +411,22 @@ def _canonical_codes(symbols: set[int]) -> tuple[dict[int, tuple[int, int]], lis
     return table, bits[1:], vals
 
 
-def _encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
-    """(w, h, top-down RGB) -> baseline JFIF bytes (4:4:4, 8-bit)."""
+def _encode_jpeg(
+    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(w, h, top-down RGB) -> baseline JFIF bytes (8-bit; 4:4:4, or
+    MCU-interleaved 4:2:0 / 4:2:2 chroma subsampling — 4:2:0 is what
+    virtually every real-world photo uses)."""
     import struct
+
+    luma_by_mode = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+    if subsampling not in luma_by_mode:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    samp = [luma_by_mode[subsampling], (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
 
     qy, qc = _jpeg_qtables(quality)
     px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
@@ -425,12 +438,41 @@ def _encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
     ]
     quant = [qy, qc, qc]
 
-    # DCT + quantize every 8x8 block of every component at once
-    coefs, nby = [], None
-    for plane, q in zip(planes, quant):
-        blocks, nby, nbx = _blocks_of(plane)
+    # per component: box-average downsample below the max sampling, pad to
+    # a whole number of MCUs (edge replication), DCT + quantize all blocks
+    coefs = []
+    for plane, q, (sh, sv) in zip(planes, quant, samp):
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            ph = (plane.shape[0] + fy - 1) // fy * fy
+            pw = (plane.shape[1] + fx - 1) // fx * fx
+            padded = np.pad(
+                plane,
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge",
+            )
+            plane = padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        tgt_h, tgt_w = mcuy * sv * 8, mcux * sh * 8
+        padded = np.pad(
+            plane,
+            ((0, tgt_h - plane.shape[0]), (0, tgt_w - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = padded.reshape(tgt_h // 8, 8, tgt_w // 8, 8).transpose(0, 2, 1, 3)
         f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - 128.0, _DCT_C)
         coefs.append(np.rint(f / q).astype(np.int64))
+
+    def mcu_blocks():
+        """(ci, zigzagged block) in MCU-interleaved scan order — for 4:4:4
+        this degenerates to the per-block Y,Cb,Cr order."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for vy in range(sv):
+                        for vx in range(sh):
+                            yield ci, coefs[ci][
+                                my * sv + vy, mx * sh + vx
+                            ].reshape(64)[_ZIGZAG]
 
     # entropy-code (two passes: collect symbols, then emit with canonical
     # tables built over exactly those symbols)
@@ -438,28 +480,25 @@ def _encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
         dc_syms = [set(), set()]
         ac_syms = [set(), set()]
         prev_dc = [0, 0, 0]
-        for by in range(nby):
-            for bx in range(coefs[0].shape[1]):
-                for ci in range(3):
-                    tsel = 0 if ci == 0 else 1
-                    zz = coefs[ci][by, bx].reshape(64)[_ZIGZAG]
-                    size, _ = _magnitude(int(zz[0]) - prev_dc[ci])
-                    prev_dc[ci] = int(zz[0])
-                    dc_syms[tsel].add(size)
-                    run = 0
-                    for k in range(1, 64):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            ac_syms[tsel].add(0xF0)
-                            run -= 16
-                        s, _ = _magnitude(v)
-                        ac_syms[tsel].add((run << 4) | s)
-                        run = 0
-                    if run:
-                        ac_syms[tsel].add(0x00)
+        for ci, zz in mcu_blocks():
+            tsel = 0 if ci == 0 else 1
+            size, _ = _magnitude(int(zz[0]) - prev_dc[ci])
+            prev_dc[ci] = int(zz[0])
+            dc_syms[tsel].add(size)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms[tsel].add(0xF0)
+                    run -= 16
+                s, _ = _magnitude(v)
+                ac_syms[tsel].add((run << 4) | s)
+                run = 0
+            if run:
+                ac_syms[tsel].add(0x00)
         return dc_syms, ac_syms
 
     dc_syms, ac_syms = scan_symbols()
@@ -470,36 +509,33 @@ def _encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
 
     bw_ = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(nby):
-        for bx in range(coefs[0].shape[1]):
-            for ci in range(3):
-                tsel = 0 if ci == 0 else 1
-                dc_t, ac_t = dc_tabs[tsel][0], ac_tabs[tsel][0]
-                zz = coefs[ci][by, bx].reshape(64)[_ZIGZAG]
-                size, code = _magnitude(int(zz[0]) - prev_dc[ci])
-                prev_dc[ci] = int(zz[0])
-                hc, hl = dc_t[size]
+    for ci, zz in mcu_blocks():
+        tsel = 0 if ci == 0 else 1
+        dc_t, ac_t = dc_tabs[tsel][0], ac_tabs[tsel][0]
+        size, code = _magnitude(int(zz[0]) - prev_dc[ci])
+        prev_dc[ci] = int(zz[0])
+        hc, hl = dc_t[size]
+        bw_.write(hc, hl)
+        if size:
+            bw_.write(code, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_t[0xF0]
                 bw_.write(hc, hl)
-                if size:
-                    bw_.write(code, size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_t[0xF0]
-                        bw_.write(hc, hl)
-                        run -= 16
-                    s, c = _magnitude(v)
-                    hc, hl = ac_t[(run << 4) | s]
-                    bw_.write(hc, hl)
-                    bw_.write(c, s)
-                    run = 0
-                if run:
-                    hc, hl = ac_t[0x00]
-                    bw_.write(hc, hl)
+                run -= 16
+            s, c = _magnitude(v)
+            hc, hl = ac_t[(run << 4) | s]
+            bw_.write(hc, hl)
+            bw_.write(c, s)
+            run = 0
+        if run:
+            hc, hl = ac_t[0x00]
+            bw_.write(hc, hl)
     scan = bw_.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -518,9 +554,15 @@ def _encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
     out += seg(0xFFDB, b"\x00" + zz_q(qy))
     out += seg(0xFFDB, b"\x01" + zz_q(qc))
     out += seg(
-        0xFFC0,  # SOF0 baseline, 8-bit, 3 components, 1x1 sampling
+        0xFFC0,  # SOF0 baseline, 8-bit, 3 components, declared sampling
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes(
+            [
+                1, samp[0][0] << 4 | samp[0][1], 0,
+                2, samp[1][0] << 4 | samp[1][1], 1,
+                3, samp[2][0] << 4 | samp[2][1], 1,
+            ]
+        ),
     )
     out += dht(0, 0, dc_tabs[0][1], dc_tabs[0][2])
     out += dht(1, 0, ac_tabs[0][1], ac_tabs[0][2])
@@ -535,10 +577,12 @@ def _encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
 def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
     """Baseline JFIF -> (w, h, top-down RGB buffer).
 
-    Supports SOF0, 8-bit, 1 or 3 components with 1x1 sampling factors
-    (what ``_encode_jpeg`` emits); progressive (SOF2), subsampled, or
-    arithmetic-coded streams raise NotImplementedError into the PIL seam.
-    Huffman tables and quant tables come from the stream's own DHT/DQT.
+    Supports SOF0, 8-bit, 1 or 3 components with integer-ratio sampling
+    factors — 4:4:4, 4:2:0, 4:2:2 and friends decode natively via
+    MCU-interleaved block order + replication upsampling; progressive
+    (SOF2), restart intervals, or arithmetic-coded streams raise
+    NotImplementedError into the PIL seam.  Huffman tables and quant
+    tables come from the stream's own DHT/DQT.
     """
     import struct
 
@@ -584,10 +628,6 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                 (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
                 for i in range(nc)
             ]
-            if any(s != 0x11 for _, s, _q in comps):
-                raise NotImplementedError(
-                    "chroma-subsampled JPEG needs PIL (encoder emits 4:4:4)"
-                )
             sof = (fw, fh, nc)
         elif marker == 0xFFC4:
             p = 0
@@ -638,46 +678,77 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                 return sym
         raise ValueError("invalid Huffman code in scan")
 
-    nby, nbx = (fh + 7) // 8, (fw + 7) // 8
-    out_planes = [np.zeros((nby, nbx, 8, 8), np.float64) for _ in range(nc)]
+    sampling = {cid: (s >> 4, s & 0xF) for cid, s, _q in comps}
+    hmax = max(sh for sh, _sv in sampling.values())
+    vmax = max(sv for _sh, sv in sampling.values())
+    for sh, sv in sampling.values():
+        if sh < 1 or sv < 1 or hmax % sh or vmax % sv:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {sh}x{sv} needs PIL"
+            )
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    out_planes = []
+    for cid, _dcs, _acs in scan_comps:
+        sh, sv = sampling[cid]
+        out_planes.append(np.zeros((mcuy * sv, mcux * sh, 8, 8), np.float64))
     reader = _BitReader(scan_data)
     prev_dc = [0] * nc
     qsel = {cid: q for cid, _s, q in comps}
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (cid, dcs, acs) in enumerate(scan_comps):
-                dct = htables[(0, dcs)]
-                act = htables[(1, acs)]
-                zz = np.zeros(64, np.int64)
-                size = read_symbol(reader, dct)
-                prev_dc[ci] += _extend(reader.read(size), size)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(reader, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC run symbol")
-                        k += 1  # ZRL consumed 16 zeros
-                        continue
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(reader.read(size), size)
-                    k += 1
-                block = np.zeros(64, np.float64)
-                block[_ZIGZAG] = zz
-                out_planes[ci][by, bx] = block.reshape(8, 8) * qtables[qsel[cid]]
 
-    # IDCT all blocks of all components at once
+    def read_block(ci, cid, dcs, acs):
+        dct = htables[(0, dcs)]
+        act = htables[(1, acs)]
+        zz = np.zeros(64, np.int64)
+        size = read_symbol(reader, dct)
+        prev_dc[ci] += _extend(reader.read(size), size)
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = read_symbol(reader, act)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC run symbol")
+                k += 1  # ZRL consumed 16 zeros
+                continue
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(reader.read(size), size)
+            k += 1
+        block = np.zeros(64, np.float64)
+        block[_ZIGZAG] = zz
+        return block.reshape(8, 8) * qtables[qsel[cid]]
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, dcs, acs) in enumerate(scan_comps):
+                sh, sv = sampling[cid]
+                for vy in range(sv):
+                    for vx in range(sh):
+                        out_planes[ci][my * sv + vy, mx * sh + vx] = read_block(
+                            ci, cid, dcs, acs
+                        )
+
+    # IDCT all blocks of all components at once; upsample subsampled
+    # components back to frame resolution by pixel replication
     planes = []
-    for cp in out_planes:
+    for ci, (cid, _dcs, _acs) in enumerate(scan_comps):
+        sh, sv = sampling[cid]
+        cp = out_planes[ci]
         sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cp, _DCT_C) + 128.0
-        full = sp.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        planes.append(full[:fh, :fw])
+        full = sp.transpose(0, 2, 1, 3).reshape(cp.shape[0] * 8, cp.shape[1] * 8)
+        ch_ = -(-fh * sv // vmax)  # ceil: component-resolution extent
+        cw_ = -(-fw * sh // hmax)
+        comp = full[:ch_, :cw_]
+        if sv != vmax or sh != hmax:
+            comp = np.repeat(
+                np.repeat(comp, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        planes.append(comp[:fh, :fw])
     if nc == 1:
         y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return fw, fh, np.repeat(y[:, :, None], 3, axis=2).tobytes()

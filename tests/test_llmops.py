@@ -964,3 +964,58 @@ def test_flac_feature_and_resize_paths(spark):
     resized = multimodal.resize_media(media, 4, 4).collect()[0]
     ch, rate, frames = multimodal.decode_audio(bytes(resized.content), "flac")
     assert (ch, rate) == (1, 8000) and len(frames) == 2 * 16
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 / 4:2:2 encode->decode: exact on flat color and on grayscale
+    gradients (chroma constant under subsampling), mean-bounded on colored
+    gradients, shape-exact on odd dimensions, and genuinely smaller than
+    4:4:4 on chroma-smooth content."""
+    import numpy as np
+
+    flat = bytes([77, 130, 200] * (16 * 16))
+    gray = bytes(v for y in range(16) for x in range(16) for v in ((x * 16,) * 3))
+    color = bytes(
+        v
+        for y in range(32)
+        for x in range(32)
+        for v in (x * 8, y * 8, ((x + y) * 4) % 256)
+    )
+    for mode in ("420", "422"):
+        w, h, out = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(16, 16, flat, quality=95, subsampling=mode)
+        )
+        assert (w, h) == (16, 16)
+        assert max(
+            abs(a - b) for a, b in zip(out, flat)
+        ) <= 1, f"flat {mode}"
+        w, h, out = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(16, 16, gray, quality=95, subsampling=mode)
+        )
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(gray, np.uint8).astype(int)
+        )
+        assert err.max() <= 4, f"gray {mode}"
+        w, h, out = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(32, 32, color, quality=95, subsampling=mode)
+        )
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(color, np.uint8).astype(int)
+        )
+        assert err.mean() <= 4, f"color mean {mode}"
+
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, size=(5, 13, 3), dtype=np.uint8).tobytes()
+        w, h, out = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(13, 5, rgb, subsampling=mode)
+        )
+        assert (w, h, len(out)) == (13, 5, 3 * 13 * 5)
+
+    b444 = multimodal._encode_jpeg(32, 32, color, quality=95, subsampling="444")
+    b420 = multimodal._encode_jpeg(32, 32, color, quality=95, subsampling="420")
+    assert len(b420) < len(b444)  # chroma blocks really dropped 4x
+
+    with pytest.raises(ValueError):
+        multimodal._encode_jpeg(8, 8, flat[: 3 * 64], subsampling="411")
