@@ -40,6 +40,9 @@ _PRIORITY = [
     # multimodal family)
     "multimodal_mp4_keyframes",
     "multimodal_flac_roundtrip",
+    # new: the Morton-layout key op (zorder_write's pruning effect is
+    # measured from real parquet footers in tests/test_scale_ops.py)
+    "zorder_curve_keys",
     # new: the persisted-index gate (the streaming sink's steady-state
     # path) and the two ANN exactness-limit certifications
     "persisted_index_dedup_gate",

@@ -1257,3 +1257,53 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hierarchical_time_rollup(
         ev, "ts", ["event_type"], "value", fine_seconds=3600, coarse_seconds=86400
     )
+
+
+_Z_INTERLEAVE_SQL = " | ".join(
+    f"(((qx >> {b}) & 1) << {2 * b}) | (((qy >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@register(
+    "zorder_curve_keys",
+    f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey AS ck,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+        FROM orders
+    ), stats AS (
+        SELECT min(ck) AS mnc, max(ck) AS mxc,
+               min(dd) AS mnd, max(dd) AS mxd
+        FROM base
+    ), q AS (
+        SELECT o_orderkey,
+               CAST(floor((ck - mnc) * 256 / (mxc - mnc + 1)) AS BIGINT) AS qx,
+               CAST(floor((dd - mnd) * 256 / (mxd - mnd + 1)) AS BIGINT) AS qy
+        FROM base, stats
+    )
+    SELECT o_orderkey AS order_id,
+           CAST({_Z_INTERLEAVE_SQL} AS BIGINT) AS zkey
+    FROM q
+    """,
+    doc="Morton (z-order) layout keys over (customer, order day): integer "
+    "span quantization + closed-form bit interleave, no UDF and no global "
+    "sort — the key zorder_write range-partitions by so parquet min/max "
+    "footers prune box predicates on EITHER dimension (operators/zorder.py; "
+    "row-group pruning measured in tests/test_scale_ops.py).  The oracle "
+    "recomputes the identical arithmetic in SQL.",
+    tags=("O-ext", "layout"),
+)
+def zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.operators import zorder
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("dd"),
+    )
+    keyed = zorder.zorder_key(base, ["ck", "dd"], bits=8)
+    return keyed.select(F.col("o_orderkey").alias("order_id"), "zkey")

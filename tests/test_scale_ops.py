@@ -198,3 +198,87 @@ def test_lsh_ann_bounds_embedding_floods(spark):
         emb, threshold=0.99, num_tables=8, dim=dim, max_bucket=CAP
     )
     _assert_flood_capped([(r.id_a, r.id_b) for r in out.collect()])
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Write orders under three layouts (z-ordered on (ck, dd); sorted by
+    ck only; sorted by dd only) and count, from the real parquet footers,
+    the row groups whose min/max stats intersect a selective box on EACH
+    single dimension.  The z-order layout must bound BOTH dimensions'
+    hit fractions, while each one-column sort degenerates to reading
+    ~every row group for the other dimension — the property that makes
+    z-ordering the right 100 TB layout for mixed predicates."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators import zorder
+    from tests.conftest import SF_CORRECT
+
+    # sf0.01: at sf0.001 only ~150 distinct custkeys land on the 1024-bucket
+    # quantization grid, and the sparse grid (not the curve) dominates the
+    # file boundaries; the denser SF is the regime the layout targets
+    orders = load_table(spark, SF_CORRECT, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("dd"),
+    )
+    n_files = 16
+    paths = {
+        "z": str(tmp_path / "z"),
+        "ck": str(tmp_path / "ck"),
+        "dd": str(tmp_path / "dd"),
+    }
+    zorder.zorder_write(base, paths["z"], ["ck", "dd"], bits=10, n_files=n_files)
+    for col in ("ck", "dd"):
+        (
+            base.repartitionByRange(n_files, col)
+            .sortWithinPartitions(col)
+            .write.mode("overwrite")
+            .parquet(paths[col])
+        )
+
+    def rg_stats(path, col):
+        import pathlib
+
+        out = []
+        for f in pathlib.Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                out.append((st.min, st.max))
+        return out
+
+    # ~5% boxes placed mid-span, derived from the data so the test holds
+    # at any SF
+    spans = base.agg(
+        F.min("ck"), F.max("ck"), F.min("dd"), F.max("dd")
+    ).collect()[0]
+    boxes = {}
+    for col, (mn, mx) in (("ck", spans[0:2]), ("dd", spans[2:4])):
+        lo = mn + (mx - mn) * 40 // 100
+        boxes[col] = (lo, lo + max(1, (mx - mn) * 5 // 100))
+
+    def hit_fraction(path, col):
+        stats = rg_stats(path, col)
+        lo, hi = boxes[col]
+        hits = sum(1 for mn, mx in stats if mx >= lo and mn <= hi)
+        return hits / len(stats)
+
+    # the z layout bounds both dimensions
+    assert hit_fraction(paths["z"], "ck") <= 0.5
+    assert hit_fraction(paths["z"], "dd") <= 0.5
+    # a single-column sort is better on its own dimension...
+    assert hit_fraction(paths["ck"], "ck") <= hit_fraction(paths["z"], "ck")
+    assert hit_fraction(paths["dd"], "dd") <= hit_fraction(paths["z"], "dd")
+    # ...but degenerates on the other one; z-order never does
+    assert hit_fraction(paths["ck"], "dd") >= 0.9
+    assert hit_fraction(paths["dd"], "ck") >= 0.9
+
+    # layout preserved the rows exactly (same multiset of order keys)
+    z_keys = spark.read.parquet(paths["z"]).select("o_orderkey")
+    assert z_keys.count() == base.count()
+    assert z_keys.distinct().count() == base.select("o_orderkey").distinct().count()
