@@ -386,3 +386,24 @@ def test_contamination_report_broadcasts_eval_map(spark):
     assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
         audit.formatted_plan(df)
     )
+
+
+def test_zorder_key_broadcasts_stats_no_fact_shuffle(spark):
+    """The span stats must come back as a broadcast (nested-loop on a
+    1-row frame) — any other shape would shuffle the 100 TB fact to attach
+    two constants; the only exchange below the key projection is the
+    stats aggregation's own (which carries one row per partition)."""
+    df = _q("zorder_curve_keys", spark)
+    strategies = audit.join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastNestedLoopJoin"}, (
+        audit.formatted_plan(df)
+    )
+    plan = audit.formatted_plan(df)
+    # no sort-merge machinery and no exchange of the orders fact itself:
+    # the single shuffle Exchange in the plan feeds the min/max
+    # HashAggregate (one row per partition)
+    assert "SortMergeJoin" not in plan
+    import re as _re
+
+    shuffles = _re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan
