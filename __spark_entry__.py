@@ -43,6 +43,9 @@ _PRIORITY = [
     # new: the Morton-layout key op (zorder_write's pruning effect is
     # measured from real parquet footers in tests/test_scale_ops.py)
     "zorder_curve_keys",
+    # new: the Misra-Gries exactness limit (k >= |distinct| == GROUP BY),
+    # certifying the third sketch scale path like the ANN exact configs
+    "heavy_hitter_bigrams_exact",
     # new: the persisted-index gate (the streaming sink's steady-state
     # path) and the two ANN exactness-limit certifications
     "persisted_index_dedup_gate",

@@ -1,0 +1,96 @@
+"""Mergeable frequency sketches: Misra-Gries heavy hitters.
+
+The third sketch scale path (after HLL distinct counts and GK quantiles,
+queries_llm.py): finding frequent tokens/n-grams/URLs over a 100 TB corpus
+without shuffling the full (item, count) space.  Per-partition Misra-Gries
+summaries of capacity k are built inside one mapInPandas pass (the
+iterator spans the whole partition, so exactly one summary per partition
+and the item stream never shuffles); the partials — at most k rows per
+partition — are merged with the mergeable-summaries reduction (Agarwal,
+Cormode, Huang, Phillips, Wei, Yi, "Mergeable Summaries", PODS 2012,
+public literature): sum matching counters, subtract the (k+1)-th largest
+merged weight, keep positive.
+
+Guarantees (held under ANY merge tree, so partitioning cannot break them):
+- every item with true frequency > n / (k+1) appears in the output;
+- reported weights are lower bounds, within n / (k+1) of the true count.
+
+In the k >= |distinct items| limit no counter is ever pruned and the
+output equals the exact GROUP BY — the oracle-paired exact configuration,
+same certification pattern as ivf_exact_topk / lsh_exact_neardup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("item", StringType()),
+        StructField("weight", LongType()),
+    ]
+)
+
+
+def _prune(counters: dict, k: int) -> None:
+    """One mergeable-summaries reduction step: subtract the (k+1)-th
+    largest counter from everything and drop the non-positive — capacity
+    returns to <= k, total undercount grows by <= d per surviving item."""
+    if len(counters) <= k:
+        return
+    d = sorted(counters.values(), reverse=True)[k]
+    for it in list(counters):
+        w = counters[it] - d
+        if w > 0:
+            counters[it] = w
+        else:
+            del counters[it]
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 50
+) -> DataFrame:
+    """(item, weight) lower-bound frequencies of the <= k heaviest items.
+
+    Batch updates are vectorized (pandas value_counts per Arrow batch,
+    dict merge, prune) — the per-item Python touches at most
+    |batch-distinct| + k entries, never the row count.  The only shuffle
+    carries <= k rows per partition.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            _prune(counters, k)
+        yield pd.DataFrame(
+            {"item": list(counters), "weight": list(counters.values())}
+        )
+
+    partials = df.select(
+        F.col(item_col).cast("string").alias(item_col)
+    ).mapInPandas(run, schema=_SUMMARY_SCHEMA)
+    merged = partials.groupBy("item").agg(F.sum("weight").alias("weight"))
+    # final reduction: d = the (k+1)-th largest merged weight (0 when the
+    # merge already fits) via a top-(k+1) limit — no global window
+    d = (
+        merged.orderBy(F.col("weight").desc(), F.col("item"))
+        .limit(k + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) > F.lit(k), F.min("weight"))
+            .otherwise(F.lit(0))
+            .alias("d")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(d))
+        .select("item", (F.col("weight") - F.col("d")).alias("weight"))
+        .filter(F.col("weight") > 0)
+    )

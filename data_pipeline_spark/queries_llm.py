@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_spark.io import load_table
 from data_pipeline_spark.llmops import dedup as ld
-from data_pipeline_spark.llmops import multimodal, similarity, textstats
+from data_pipeline_spark.llmops import multimodal, similarity, sketches, textstats
 from data_pipeline_spark.queries import QUERIES, register
 
 _STOP_EN_SQL = "('the','a','of','and','to','in','is')"
@@ -2159,3 +2159,65 @@ def persisted_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ld.indexed_dedup_gate(
         spark.read.parquet(idx_dir), incoming, "doc_id", "text"
     )
+
+
+def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token bigrams of every document — the item stream both heavy-hitter
+    queries sketch over (same derivation as the oracle's
+    string_split + generate_series form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(textstats.tokens("text").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.explode(bigrams).alias("item"))
+
+
+@register(
+    "heavy_hitter_bigrams",
+    None,  # sketch output depends on partition boundaries: rows-only
+    doc="Misra-Gries heavy hitters (k=20) over token bigrams: one "
+    "mapInPandas pass builds a capacity-k summary per partition (the item "
+    "stream never shuffles; the only exchange carries <= k rows per "
+    "partition), merged with the mergeable-summaries reduction.  Every "
+    "bigram with frequency > n/(k+1) is guaranteed present with a "
+    "lower-bound weight; the unit suite pins the guarantee and the "
+    "exact-configuration equality (llmops/sketches.py).",
+    tags=("llm", "scale-path"),
+)
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.misra_gries_heavy_hitters(
+        _bigram_stream(spark, sf_dir), "item", k=20
+    )
+
+
+@register(
+    "heavy_hitter_bigrams_exact",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    big AS (
+        SELECT t[i] || ' ' || t[i + 1] AS item
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM big
+    GROUP BY item
+    ORDER BY weight DESC, item ASC
+    LIMIT 50
+    """,
+    doc="The Misra-Gries exactness limit: with k >= |distinct items| no "
+    "counter is ever pruned and the merged summary IS the exact GROUP BY "
+    "— certifying the full sketch machinery (per-partition summaries, "
+    "mergeable reduction, final subtraction) against the brute-force SQL "
+    "oracle, the same pattern as ivf_exact_topk / lsh_exact_neardup.",
+    tags=("llm", "scale-path"),
+)
+def heavy_hitter_bigrams_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mg = sketches.misra_gries_heavy_hitters(
+        _bigram_stream(spark, sf_dir), "item", k=1_000_000
+    )
+    return mg.orderBy(F.col("weight").desc(), F.col("item").asc()).limit(50)

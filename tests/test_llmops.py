@@ -1019,3 +1019,40 @@ def test_jpeg_chroma_subsampling_roundtrip():
 
     with pytest.raises(ValueError):
         multimodal._encode_jpeg(8, 8, flat[: 3 * 64], subsampling="411")
+
+
+def test_misra_gries_guarantee_and_lower_bounds(spark):
+    """Every item above the n/(k+1) frequency threshold must survive with
+    a lower-bound weight within n/(k+1) of truth — under adversarial
+    partitioning (the mergeable-summaries property)."""
+    from data_pipeline_spark.llmops import sketches
+
+    rows = [("hot",)] * 3000 + [(f"noise{i}", ) for i in range(200) for _ in range(10)]
+    df = spark.createDataFrame(rows, "item STRING").repartition(7)
+    n, k = len(rows), 9
+    out = {r.item: r.weight for r in
+           sketches.misra_gries_heavy_hitters(df, "item", k=k).collect()}
+    assert len(out) <= k
+    assert "hot" in out  # 3000 > n/(k+1) = 500
+    assert 3000 - n // (k + 1) <= out["hot"] <= 3000
+    truth = {"hot": 3000, **{f"noise{i}": 10 for i in range(200)}}
+    for item, w in out.items():
+        assert w <= truth[item]  # weights are lower bounds, never over
+
+
+def test_misra_gries_exact_configuration(spark):
+    """k >= |distinct| means no pruning anywhere: the sketch equals the
+    exact GROUP BY on every item."""
+    from data_pipeline_spark.llmops import sketches
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item")).repartition(5)
+    exact = {
+        (r.item, r.cnt)
+        for r in toks.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    mg = {
+        (r.item, r.weight)
+        for r in sketches.misra_gries_heavy_hitters(toks, "item", k=10**6).collect()
+    }
+    assert mg == exact
