@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-SIX real codecs run end-to-end here with stdlib + numpy only —
+SEVEN real codecs run end-to-end here with stdlib + numpy only —
 uncompressed 24-bit BMP, binary PPM (P6), lossless-compressed PNG (zlib
 inflate + the five scanline filters), LOSSY-compressed baseline JPEG
-(8x8 DCT + quantization + zigzag + canonical Huffman, both directions),
-16-bit PCM WAV (``wave``), and lossless-compressed FLAC (rice-coded
-fixed-predictor subset, llmops.flac) — so ``extract_features`` computes actual
+(8x8 DCT + quantization + zigzag + canonical Huffman, 4:4:4/4:2:0/4:2:2,
+both directions), LZW-compressed GIF (palette images, interlacing,
+first-frame-of-animated), 16-bit PCM WAV (``wave``), and
+lossless-compressed FLAC (rice-coded fixed-predictor subset, llmops.flac)
+— so ``extract_features`` computes actual
 pixel/sample statistics and ``resize_media`` performs an actual
 nearest-neighbor resample for those formats.  The decode kernels are numpy
 reshape/stride/einsum operations over the Arrow batches (no per-pixel
@@ -760,11 +762,219 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
     return fw, fh, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# Real GIF codec (stdlib only): LZW-compressed palette images (GIF87a/89a).
+# Decoder handles global/local color tables, interlacing and extension
+# blocks, returning the FIRST frame of animated files; encoder palettizes
+# exact colors (<= 256 unique — the fixture regime; real-color photos need
+# a quantizer, i.e. PIL, behind the same seam) and emits standard
+# variable-width LZW.  The LZW coder is a per-code loop like the JPEG/FLAC
+# entropy coders — correctness-grade in-sandbox.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-variant LZW: variable width from min+1, CLEAR/END codes,
+    dictionary capped at 4096 entries."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list = []
+    table: list = []
+    width = min_code_size + 1
+    prev = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # stream ended without END code: tolerate
+            acc |= data[pos] << nbits  # GIF packs codes LSB-first
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream (code out of range)")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_lzw_encode(indices: list, min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for idx in indices:
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # dictionary full: clear and restart (keeps decoders happy)
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (idx,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(content: bytes) -> tuple[int, int, bytes]:
+    """GIF87a/89a -> (w, h, top-down RGB buffer of the FIRST frame)."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x7))
+        gct = content[pos : pos + n]
+        pos += n
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block {b:#x} at {pos}")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x7))
+            pal = content[pos : pos + n]
+            pos += n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code = content[pos]
+        pos += 1
+        lzw = bytearray()
+        while content[pos]:
+            ln = content[pos]
+            lzw += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF pixel data")
+        arr = np.asarray(idx[: iw * ih], np.int64).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = np.empty_like(arr)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, ih, step):
+                    rows[y] = arr[src]
+                    src += 1
+            arr = rows
+        palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+        if int(arr.max()) >= len(palette):
+            raise ValueError("GIF pixel index outside the color table")
+        # first frame only (animated GIFs continue with more blocks): the
+        # frame is placed on the logical screen at (left, top)
+        rgb = palette[arr]
+        if (left, top, iw, ih) != (0, 0, sw, sh):
+            screen = np.zeros((sh, sw, 3), np.uint8)
+            screen[top : top + ih, left : left + iw] = rgb
+            rgb = screen
+        return sw, sh, rgb.tobytes()
+    raise ValueError("GIF contains no image block")
+
+
+def _encode_gif(w: int, h: int, rgb: bytes) -> bytes:
+    """(w, h, top-down RGB) -> non-interlaced GIF89a with an exact palette.
+
+    Palettizes exact colors only (<= 256 unique); true-color inputs need a
+    quantizer — PIL drops into the same seam on a production image."""
+    import struct
+
+    px = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+    palette, inverse = np.unique(px, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise NotImplementedError(
+            f"{len(palette)} unique colors: GIF needs palette quantization "
+            "(PIL on the cluster image)"
+        )
+    depth = max(1, int(len(palette) - 1).bit_length())
+    pal_size = 1 << depth
+    pal_bytes = palette.tobytes() + b"\x00" * (3 * (pal_size - len(palette)))
+    min_code = max(2, depth)
+    lzw = _gif_lzw_encode(inverse.ravel().tolist(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_bytes
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 _CODECS = {
     "bmp": (_decode_bmp, _encode_bmp),
     "ppm": (_decode_ppm, _encode_ppm),
     "png": (_decode_png, _encode_png),
     "jpeg": (_decode_jpeg, _encode_jpeg),
+    "gif": (_decode_gif, _encode_gif),
 }
 
 
@@ -865,14 +1075,15 @@ def synthesize_multiformat_media(
     df: DataFrame, id_col: str, text_col: str, width: int = 4, height: int = 4
 ) -> DataFrame:
     """Deterministic REAL media fixture across every native codec: row i
-    becomes a bmp / ppm / png / jpeg image or a 16-bit PCM wav / flac (by
-    media_id % 6), pixels/samples derived from the row's utf-8 text bytes.
-    Every row then exercises a real decode in ``extract_features`` —
-    lossless-compressed (PNG: zlib inflate + unfilter; FLAC: rice +
-    fixed predictors), LOSSY-compressed (baseline JPEG: Huffman + dequant
-    + IDCT) and audio PCM (WAV) paths included."""
+    becomes a bmp / ppm / png / jpeg / gif image or a 16-bit PCM wav /
+    flac (by media_id % 7), pixels/samples derived from the row's utf-8
+    text bytes.  Every row then exercises a real decode in
+    ``extract_features`` — lossless-compressed (PNG: zlib inflate +
+    unfilter; GIF: LZW; FLAC: rice + fixed predictors), LOSSY-compressed
+    (baseline JPEG: Huffman + dequant + IDCT) and audio PCM (WAV) paths
+    included."""
 
-    fmts = ["bmp", "ppm", "png", "wav", "jpeg", "flac"]
+    fmts = ["bmp", "ppm", "png", "wav", "jpeg", "flac", "gif"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         need = 3 * width * height

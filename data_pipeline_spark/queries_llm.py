@@ -561,11 +561,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_real_decode",
     None,  # pandas-UDF real-codec path: rows-only check
     doc="REAL media decode at query level: synthesize a valid bmp / ppm / "
-    "png / jpeg image or 16-bit PCM wav / flac per document (media_id % 6; "
-    "pixels and samples = text bytes), decode each in the mapInPandas "
-    "feature kernel — PNG runs a real zlib inflate + unfilter, JPEG a real "
-    "Huffman + IDCT, FLAC a real rice + fixed-predictor decode, WAV a real "
-    "PCM parse — and emit actual luminance/amplitude-histogram statistics: the "
+    "png / jpeg / gif image or 16-bit PCM wav / flac per document "
+    "(media_id % 7; pixels and samples = text bytes), decode each in the "
+    "mapInPandas feature kernel — PNG runs a real zlib inflate + unfilter, "
+    "JPEG a real Huffman + IDCT, GIF a real LZW decode, FLAC a real rice + "
+    "fixed-predictor decode, WAV a real PCM parse — and emit actual "
+    "luminance/amplitude-histogram statistics: the "
     "decode->stats path a production pipeline runs with PIL/soundfile, "
     "exercised end-to-end with the stdlib codecs.  Exploded to scalar "
     "rows for the driver canon.",

@@ -216,13 +216,13 @@ def test_wav_codec_roundtrip_and_amplitude_stats(spark):
 
 
 def test_multiformat_media_real_decode_distributed(spark):
-    """synthesize_multiformat_media covers all six codecs per batch and
+    """synthesize_multiformat_media covers all seven codecs per batch and
     extract_features decodes every row for real (fallback histogram never
     runs: all formats are native)."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(40)
     media = multimodal.synthesize_multiformat_media(docs, "doc_id", "text")
     fmts = {r.format for r in media.select("format").distinct().collect()}
-    assert fmts == {"bmp", "ppm", "png", "wav", "jpeg", "flac"}
+    assert fmts == {"bmp", "ppm", "png", "wav", "jpeg", "flac", "gif"}
     feats = multimodal.extract_features(media, buckets=16).collect()
     assert len(feats) == 40
     for r in feats:
@@ -1056,3 +1056,83 @@ def test_misra_gries_exact_configuration(spark):
         for r in sketches.misra_gries_heavy_hitters(toks, "item", k=10**6).collect()
     }
     assert mg == exact
+
+
+def test_gif_codec_roundtrip_and_lzw():
+    """decode(encode(x)) == x for palette-sized color sets, including a
+    full 256-color palette, a single pixel, and dictionary-growth-heavy
+    content; >256 unique colors routes to the quantizer (PIL) seam."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pal256 = np.array([[i, 255 - i, (i * 7) % 256] for i in range(256)], np.uint8)
+    cases = [
+        (4, 4, bytes([10, 20, 30] * 16)),
+        (3, 2, bytes(range(10, 28))),
+        (16, 16, pal256[rng.randint(0, 256, size=(16, 16))].tobytes()),
+        (1, 1, b"\x05\x06\x07"),
+        (17, 31, (rng.randint(0, 5, size=(31, 17, 3)).astype(np.uint8) * 50).tobytes()),
+    ]
+    for w, h, rgb in cases:
+        blob = multimodal._encode_gif(w, h, rgb)
+        assert multimodal.decode_media(blob, "gif") == (w, h, rgb)
+
+    colors = np.array([[i % 256, i // 256, 7] for i in range(300)], np.uint8)
+    with pytest.raises(NotImplementedError):
+        multimodal._encode_gif(30, 10, colors.tobytes())
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"NOTGIF" + b"\x00" * 20, "gif")
+
+
+def test_gif_decoder_interlace_and_extensions():
+    """Interlaced GIFs (an external encoder's choice) must deinterlace to
+    the original rows; extension blocks (GCE etc.) are skipped and only
+    the first frame of an animated file is returned."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    w, h = 5, 13
+    rgb = (rng.randint(0, 4, size=(h, w, 3)).astype(np.uint8) * 60).tobytes()
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    order = [
+        y
+        for start, step in multimodal._GIF_INTERLACE_PASSES
+        for y in range(start, h, step)
+    ]
+    blob = bytearray(multimodal._encode_gif(w, h, arr[order].tobytes()))
+    pal_size = 3 * (2 << (blob[10] & 7))
+    idesc = 13 + pal_size
+    assert blob[idesc] == 0x2C
+    blob[idesc + 9] |= 0x40  # interlace flag: rows were written pass-ordered
+    assert multimodal.decode_media(bytes(blob), "gif") == (w, h, rgb)
+
+    one = multimodal._encode_gif(2, 2, bytes([1, 2, 3] * 4))
+    hdr_end = 13 + 3 * (2 << (one[10] & 7))
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphics-control ext
+    ani = one[:hdr_end] + gce + one[hdr_end:]
+    assert multimodal.decode_media(ani, "gif") == (2, 2, bytes([1, 2, 3] * 4))
+
+
+def test_gif_codec_property_roundtrip():
+    """Property: arbitrary small dimensions and palette-bounded pixel
+    content roundtrip exactly through the LZW path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.randoms(use_true_random=False),
+    )
+    def check(w, h, rnd):
+        # <= 8 distinct colors so any w*h stays palette-bounded
+        palette = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+                   for _ in range(8)]
+        rgb = bytes(
+            v for _ in range(w * h) for v in palette[rnd.randrange(8)]
+        )
+        blob = multimodal._encode_gif(w, h, rgb)
+        assert multimodal.decode_media(blob, "gif") == (w, h, rgb)
+
+    check()
