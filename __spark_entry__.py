@@ -46,6 +46,9 @@ _PRIORITY = [
     # new: the Misra-Gries exactness limit (k >= |distinct| == GROUP BY),
     # certifying the third sketch scale path like the ANN exact configs
     "heavy_hitter_bigrams_exact",
+    # new: the PQ exactness limit (lossless codebooks == brute force),
+    # certifying the product-quantization ANN path end to end
+    "pq_exact_topk",
     # new: the persisted-index gate (the streaming sink's steady-state
     # path) and the two ANN exactness-limit certifications
     "persisted_index_dedup_gate",

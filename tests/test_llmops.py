@@ -1136,3 +1136,41 @@ def test_gif_codec_property_roundtrip():
         assert multimodal.decode_media(blob, "gif") == (w, h, rgb)
 
     check()
+
+
+def test_pq_recall_and_lossless_exactness(spark):
+    """PQ ADC shortlist + exact re-rank: recall@10 >= 0.6 vs brute force
+    at 32x compression (m=8, 32 centroids); the lossless-codebook limit
+    reproduces the brute-force result EXACTLY (ids, ranks and cosine
+    bits), certifying train/encode/ADC/re-rank end to end."""
+    from data_pipeline_spark.llmops import pq
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", k=10)
+    ex_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    approx = pq.pq_topk(emb, queries, k=10, m=8, n_centroids=32, shortlist=50)
+    ap_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(ap_pairs & ex_pairs) / len(ex_pairs) >= 0.6
+
+    books = pq.pq_train(emb, m=8, n_centroids=None, sample=10**6)
+    lossless = pq.pq_topk(emb, queries, k=10, m=8, shortlist=50, codebooks=books)
+    got = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in lossless.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in exact.collect()}
+    assert got == want
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes are m small integers per vector (the 32x compression claim)
+    and encoding is deterministic across runs."""
+    from data_pipeline_spark.llmops import pq
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq.pq_train(emb, m=8, n_centroids=16)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # 64 dims / 8
+    codes = pq.pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < books.shape[1] for r in codes for c in r.codes)
+    again = {r.id: tuple(r.codes) for r in pq.pq_encode(emb, books).collect()}
+    assert {r.id: tuple(r.codes) for r in codes} == again
