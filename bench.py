@@ -75,9 +75,12 @@ BENCH_QUERIES = [
     "neardup_cluster_assignment_star",
     # r8 late additions: the real-codec multimodal paths (MP4 container
     # demux + FLAC lossless roundtrip) carry numbers so codec regressions
-    # show up round-over-round
+    # show up round-over-round, plus the three new scale-path operators
     "multimodal_mp4_keyframes",
     "multimodal_flac_roundtrip",
+    "zorder_curve_keys",
+    "heavy_hitter_bigrams",
+    "pq_ann_topk",
 ]
 
 
