@@ -49,6 +49,9 @@ _PRIORITY = [
     # new: the PQ exactness limit (lossless codebooks == brute force),
     # certifying the product-quantization ANN path end to end
     "pq_exact_topk",
+    # new: hypertable gap-fill + LOCF/linear interpolation (~50% of the
+    # 15-min buckets are generated gaps at sf0.01)
+    "gapfill_interpolated_series",
     # new: the persisted-index gate (the streaming sink's steady-state
     # path) and the two ANN exactness-limit certifications
     "persisted_index_dedup_gate",

@@ -144,3 +144,82 @@ def hierarchical_time_rollup(
         "n_events",
         (F.col("__sv").cast("double") / 100.0).alias("sum_value"),
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Hypertable-style gap-filled time series with LOCF and linear
+    interpolation (the time_bucket_gapfill / interpolate pattern).
+
+    Buckets the facts, generates the missing buckets per key with an
+    in-row ``sequence`` + explode over each key's [min, max] span (no
+    driver loop, no cross join against a global spine), left-joins the
+    aggregates back, and fills gaps two ways from one pair of running
+    windows: last-observation-carried-forward and linear interpolation
+    between the neighboring present buckets.
+
+    Scale shape: one shuffle for the per-key aggregation, one window
+    partition per key for the fills (both hash-partitioned on the keys, so
+    the partitioning is reused); sums ride as scaled longs so present
+    buckets are exact, and the interpolation expression — prev + ((next -
+    prev) * dt) / span — multiplies in int64 and divides once in double,
+    reproducible bit-for-bit by any engine.  Spine edges are always
+    present buckets (each key's min/max), so fills never extrapolate.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    bucket = (F.floor(epoch / bucket_seconds) * bucket_seconds).cast("bigint")
+    agg = (
+        df.select(*keys, bucket.alias("bucket_start"),
+                  scaled_long(value_col).alias("__sv"))
+        .groupBy(*keys, "bucket_start")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__sv").alias("sv"))
+    )
+    spine = (
+        agg.groupBy(*keys)
+        .agg(F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("mn", "mx", F.lit(bucket_seconds).cast("bigint"))
+            ).alias("bucket_start"),
+        )
+    )
+    joined = spine.join(agg, [*keys, "bucket_start"], "left")
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    present_b = F.when(F.col("sv").isNotNull(), F.col("bucket_start"))
+    prev_sv = F.last("sv", ignorenulls=True).over(w_prev)
+    prev_b = F.last(present_b, ignorenulls=True).over(w_prev)
+    next_sv = F.first("sv", ignorenulls=True).over(w_next)
+    next_b = F.first(present_b, ignorenulls=True).over(w_next)
+    linear = F.when(
+        F.col("sv").isNotNull(), F.col("sv").cast("double")
+    ).otherwise(
+        prev_sv
+        + ((next_sv - prev_sv) * (F.col("bucket_start") - prev_b))
+        / (next_b - prev_b)
+    )
+    return joined.select(
+        *keys,
+        "bucket_start",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("sv").isNull().alias("is_gap"),
+        (prev_sv / F.lit(100.0)).alias("sum_value_locf"),
+        (linear / F.lit(100.0)).alias("sum_value_linear"),
+    )

@@ -1307,3 +1307,63 @@ def zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = zorder.zorder_key(base, ["ck", "dd"], bits=8)
     return keyed.select(F.col("o_orderkey").alias("order_id"), "zkey")
+
+
+@register(
+    "gapfill_interpolated_series",
+    """
+    WITH agg AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_start,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sv
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, 900)) AS bucket_start
+        FROM (SELECT event_type, min(bucket_start) AS mn,
+                     max(bucket_start) AS mx
+              FROM agg GROUP BY 1)
+    ), joined AS (
+        SELECT s.event_type, s.bucket_start, a.n, a.sv
+        FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
+    ), filled AS (
+        SELECT event_type, bucket_start, n, sv,
+               last_value(sv IGNORE NULLS) OVER w_prev AS prev_sv,
+               last_value(CASE WHEN sv IS NOT NULL THEN bucket_start END
+                          IGNORE NULLS) OVER w_prev AS prev_b,
+               first_value(sv IGNORE NULLS) OVER w_next AS next_sv,
+               first_value(CASE WHEN sv IS NOT NULL THEN bucket_start END
+                           IGNORE NULLS) OVER w_next AS next_b
+        FROM joined
+        WINDOW
+            w_prev AS (PARTITION BY event_type ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY event_type ORDER BY bucket_start
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_start,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           sv IS NULL AS is_gap,
+           prev_sv / 100.0 AS sum_value_locf,
+           CASE WHEN sv IS NOT NULL THEN CAST(sv AS DOUBLE)
+                ELSE prev_sv + ((next_sv - prev_sv)
+                                * (bucket_start - prev_b))
+                               / (next_b - prev_b)
+           END / 100.0 AS sum_value_linear
+    FROM filled
+    """,
+    doc="Hypertable gap-fill + interpolation (time_bucket_gapfill "
+    "semantics): per-type 15-minute buckets, missing buckets generated "
+    "with an in-row sequence+explode per key span (no driver loop), gaps "
+    "filled by LOCF and by linear interpolation between neighboring "
+    "present buckets from one pair of running windows.  Scaled-long sums "
+    "keep present buckets exact; the interpolation divides once in double "
+    "so both engines agree bit-for-bit.",
+    tags=("A-ext", "hypertable"),
+)
+def gapfill_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return agg.gapfill_interpolate(
+        ev, "ts", ["event_type"], "value", bucket_seconds=900
+    )

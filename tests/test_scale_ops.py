@@ -282,3 +282,35 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     z_keys = spark.read.parquet(paths["z"]).select("o_orderkey")
     assert z_keys.count() == base.count()
     assert z_keys.distinct().count() == base.select("o_orderkey").distinct().count()
+
+
+def test_gapfill_interpolate_hand_computed(spark):
+    """Constructed series: buckets 0, 3, 4 present (values 10.0, 40.0,
+    20.0 at 900s buckets) -> gaps at 1, 2 must fill LOCF=10.0 and
+    linearly 20.0 / 30.0; present buckets exact; edges never extrapolate."""
+    import datetime
+
+    from data_pipeline_spark.operators.aggregates import gapfill_interpolate
+
+    def ts(bucket, off=0):
+        return datetime.datetime.fromtimestamp(
+            bucket * 900 + off, datetime.timezone.utc
+        ).replace(tzinfo=None)
+
+    rows = [
+        ("a", ts(0), 4.0), ("a", ts(0, 10), 6.0),     # bucket 0: 10.0
+        ("a", ts(3), 40.0),                           # bucket 3: 40.0
+        ("a", ts(4), 20.0),                           # bucket 4: 20.0
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP_NTZ, value DOUBLE")
+    out = {
+        r.bucket_start // 900: r
+        for r in gapfill_interpolate(df, "ts", ["event_type"], "value").collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4]  # spine spans min..max only
+    assert not out[0].is_gap and out[0].sum_value_linear == 10.0
+    assert out[1].is_gap and out[1].n_events == 0
+    assert out[1].sum_value_locf == 10.0 and out[1].sum_value_linear == 20.0
+    assert out[2].sum_value_locf == 10.0 and out[2].sum_value_linear == 30.0
+    assert not out[3].is_gap and out[3].sum_value_linear == 40.0
+    assert out[4].sum_value_linear == 20.0
