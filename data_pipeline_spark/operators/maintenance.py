@@ -1,0 +1,67 @@
+"""Table maintenance: small-file compaction for parquet directories.
+
+The small-files problem is the quiet killer of 100 TB scans: a streaming
+sink or over-parallel write that leaves millions of KB-scale files makes
+every later query pay file-listing latency and one task per file, and
+starves parquet of row-group-sized units its min/max stats can prune.
+``compact_small_files`` rewrites a directory into size-targeted files —
+optionally range-sorted so footer stats become disjoint and prunable —
+the OPTIMIZE/compaction maintenance job every table format runs, built
+from plain Spark primitives.
+
+Commit protocol: the rewrite lands in a sibling temp directory and is
+swapped in via rename (old -> .bak -> delete).  Rename of a directory is
+atomic on a POSIX filesystem but the two-step swap leaves a short window
+with no directory present; a production table format closes it with a
+manifest/ledger commit — exactly what streaming/ingest.py's per-writer
+ledger does for the dedup corpus (the in-repo precedent).  Readers that
+hold an already-planned DataFrame are unaffected (they pinned the old
+file list); new planners see either old or new, never a mix.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Rewrite a parquet dir into ~total/target_bytes files; returns stats.
+
+    With ``sort_col`` the rewrite is repartitionByRange + sortWithin, so
+    each output file covers a disjoint key range (footer-prunable); without
+    it, a plain repartition balances sizes.
+    """
+    p = pathlib.Path(path)
+    files = [f for f in p.glob("*.parquet")]
+    bytes_before = sum(f.stat().st_size for f in files)
+    n_out = max(1, -(-bytes_before // target_bytes))
+
+    df = spark.read.parquet(str(p))
+    tmp = p.with_name(f"{p.name}__compact_{uuid.uuid4().hex[:8]}")
+    if sort_col is not None:
+        writer = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        writer = df.repartition(n_out)
+    writer.write.mode("overwrite").parquet(str(tmp))
+
+    bak = p.with_name(f"{p.name}__bak_{uuid.uuid4().hex[:8]}")
+    p.rename(bak)
+    tmp.rename(p)
+    shutil.rmtree(bak)
+    return {
+        "files_before": len(files),
+        "files_after": len(list(p.glob("*.parquet"))),
+        "bytes": bytes_before,
+        "target_bytes": target_bytes,
+    }

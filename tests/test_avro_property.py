@@ -141,17 +141,18 @@ _img = st.tuples(
     st.integers(min_value=1, max_value=24),   # height
     st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
     st.sampled_from([60, 80, 90, 95]),        # quality
+    st.sampled_from(["444", "420", "422"]),   # chroma subsampling
 )
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=40, deadline=None)
 @given(_img)
 def test_jpeg_property_roundtrip_shape_and_bounded_error(params):
     import numpy as np
 
     from data_pipeline_spark.llmops import multimodal as mm
 
-    w, h, seed, quality = params
+    w, h, seed, quality, subsampling = params
     rng = np.random.RandomState(seed % (2**32))
     # mix of smooth structure and noise so both DCT regimes appear
     yy, xx = np.mgrid[0:h, 0:w]
@@ -161,7 +162,9 @@ def test_jpeg_property_roundtrip_shape_and_bounded_error(params):
         [base, (base + noise) % 256, noise * 3 % 256], axis=2
     ).astype(np.uint8)
 
-    enc = mm._encode_jpeg(w, h, rgb.tobytes(), quality=quality)
+    enc = mm._encode_jpeg(
+        w, h, rgb.tobytes(), quality=quality, subsampling=subsampling
+    )
     w2, h2, out = mm._decode_jpeg(enc)
     assert (w2, h2) == (w, h)
     dec = np.frombuffer(out, np.uint8).reshape(h, w, 3)
@@ -169,6 +172,9 @@ def test_jpeg_property_roundtrip_shape_and_bounded_error(params):
     # quantization error is bounded by the scaled quant tables; the loosest
     # table entry at q=60 bounds any single coefficient's contribution —
     # empirical envelope with wide margin, catching structural bugs
-    # (wrong zigzag, huffman corruption, plane swap), not codec noise
-    assert err.mean() <= 40, (w, h, quality, err.mean())
-    assert err.max() <= 160, (w, h, quality, err.max())
+    # (wrong zigzag, huffman corruption, plane swap), not codec noise.
+    # Chroma subsampling box-averages noisy chroma, so its envelope is
+    # wider — still far below a plane-swap/upsample-misalignment failure.
+    mean_cap, max_cap = (40, 160) if subsampling == "444" else (64, 230)
+    assert err.mean() <= mean_cap, (w, h, quality, subsampling, err.mean())
+    assert err.max() <= max_cap, (w, h, quality, subsampling, err.max())

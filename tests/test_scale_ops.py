@@ -314,3 +314,41 @@ def test_gapfill_interpolate_hand_computed(spark):
     assert out[2].sum_value_locf == 10.0 and out[2].sum_value_linear == 30.0
     assert not out[3].is_gap and out[3].sum_value_linear == 40.0
     assert out[4].sum_value_linear == 20.0
+
+
+def test_compact_small_files_preserves_rows_and_sorts(spark, tmp_path):
+    """64 tiny files compact into size-targeted few; the row multiset is
+    identical; the sorted variant leaves DISJOINT per-file key ranges
+    (footer-prunable), which the fragmented input did not have."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark.operators.maintenance import compact_small_files
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "frag")
+    orders.repartition(64).write.parquet(path)
+    assert len(list(pathlib.Path(path).glob("*.parquet"))) == 64
+    before = sorted(r.o_orderkey for r in spark.read.parquet(path).collect())
+
+    stats = compact_small_files(spark, path, target_bytes=64 * 1024,
+                                sort_col="o_orderkey")
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 16
+    after = sorted(r.o_orderkey for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    ranges = []
+    for f in pathlib.Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        st = md.row_group(0).column(ci).statistics
+        mx = max(
+            md.row_group(rg).column(ci).statistics.max
+            for rg in range(md.num_row_groups)
+        )
+        ranges.append((st.min, mx))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint: a key-range predicate prunes whole files
