@@ -46,9 +46,11 @@ _PRIORITY = [
     # new: the Misra-Gries exactness limit (k >= |distinct| == GROUP BY),
     # certifying the third sketch scale path like the ANN exact configs
     "heavy_hitter_bigrams_exact",
-    # new: the PQ exactness limit (lossless codebooks == brute force),
-    # certifying the product-quantization ANN path end to end
+    # new: the PQ exactness limit (lossless codebooks == brute force) and
+    # the IVF-PQ double limit (all-lists probe + lossless codebooks),
+    # certifying the compressed-ANN paths end to end
     "pq_exact_topk",
+    "ivfpq_exact_topk",
     # new: hypertable gap-fill + LOCF/linear interpolation (~50% of the
     # 15-min buckets are generated gaps at sf0.01)
     "gapfill_interpolated_series",

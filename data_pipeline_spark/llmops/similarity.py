@@ -401,6 +401,42 @@ def ivf_assign(
     return assignments, c
 
 
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Each query's ``n_probe`` nearest IVF lists: (query_id, query_q,
+    query_n, list_id) — centroids broadcast, one row_number window over
+    |queries| x n_lists rows.  Shared by ivf_topk and the IVF-PQ
+    composition (llmops/pq.py)."""
+    q = quantized(queries, id_col, vec_col, "query")
+    cq = centroids.select(
+        "list_id",
+        _qvec(F.col("c_vec")).alias("c_q"),
+        quantized_norm_sq(F.col("c_vec")).alias("c_n"),
+    )
+    q_probe = q.join(F.broadcast(cq)).select(
+        "query_id",
+        "query_q",
+        "query_n",
+        "list_id",
+        _cos_from_parts(
+            _int_dot(F.col("query_q"), F.col("c_q")), F.col("query_n"), F.col("c_n")
+        ).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("list_id").asc()
+    )
+    return (
+        q_probe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "query_q", "query_n", "list_id")
+    )
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -425,29 +461,7 @@ def ivf_topk(
         "neighbor_id",
     )
 
-    q = quantized(queries, id_col, vec_col, "query")
-    cq = centroids.select(
-        "list_id",
-        _qvec(F.col("c_vec")).alias("c_q"),
-        quantized_norm_sq(F.col("c_vec")).alias("c_n"),
-    )
-    q_probe = q.join(F.broadcast(cq)).select(
-        "query_id",
-        "query_q",
-        "query_n",
-        "list_id",
-        _cos_from_parts(
-            _int_dot(F.col("query_q"), F.col("c_q")), F.col("query_n"), F.col("c_n")
-        ).alias("c_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("c_cos").desc(), F.col("list_id").asc()
-    )
-    probes = (
-        q_probe.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "query_q", "query_n", "list_id")
-    )
+    probes = ivf_probes(queries, centroids, id_col, vec_col, n_probe)
 
     scored = probes.join(listed, "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -1174,3 +1174,28 @@ def test_pq_encode_shape_and_determinism(spark):
     assert all(0 <= c < books.shape[1] for r in codes for c in r.codes)
     again = {r.id: tuple(r.codes) for r in pq.pq_encode(emb, books).collect()}
     assert {r.id: tuple(r.codes) for r in codes} == again
+
+
+def test_ivfpq_recall_and_double_exactness(spark):
+    """IVF-PQ: recall@10 >= 0.4 at the pruned config (coarse routing
+    dominates the loss — IVF-flat measures ~0.54 here); the double
+    exactness limit (probe every list + lossless codebooks) reproduces
+    brute force bit-for-bit, certifying the composition end to end."""
+    from data_pipeline_spark.llmops import pq
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", k=10)
+    ex_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    pruned = pq.ivfpq_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+    pr_pairs = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    assert len(pr_pairs & ex_pairs) / len(ex_pairs) >= 0.4
+
+    full = pq.ivfpq_topk(
+        emb, queries, k=10, n_lists=16, n_probe=16,
+        n_centroids=None, sample=10**6,
+    )
+    got = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in full.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in exact.collect()}
+    assert got == want
