@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "zorder_curve_keys",
     "heavy_hitter_bigrams",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "gapfill_interpolated_series",
 ]
 
 

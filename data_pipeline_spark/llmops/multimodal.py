@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-SEVEN real codecs run end-to-end here with stdlib + numpy only —
+EIGHT real codecs run end-to-end here with stdlib + numpy only —
 uncompressed 24-bit BMP, binary PPM (P6), lossless-compressed PNG (zlib
 inflate + the five scanline filters), LOSSY-compressed baseline JPEG
 (8x8 DCT + quantization + zigzag + canonical Huffman, 4:4:4/4:2:0/4:2:2,
 both directions), LZW-compressed GIF (palette images, interlacing,
-first-frame-of-animated), 16-bit PCM WAV (``wave``), and
+first-frame-of-animated), strip-based uncompressed
+TIFF (both byte orders), 16-bit PCM WAV (``wave``), and
 lossless-compressed FLAC (rice-coded fixed-predictor subset, llmops.flac)
 — so ``extract_features`` computes actual
 pixel/sample statistics and ``resize_media`` performs an actual
@@ -763,6 +764,120 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# Real TIFF codec (stdlib struct only): uncompressed strip-based baseline
+# TIFF, both byte orders on decode (II little- and MM big-endian), 8-bit
+# RGB and grayscale.  Compressed TIFF variants (LZW/deflate/packbits) and
+# tiled layouts raise into the PIL seam.
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts",
+}
+
+
+def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed strip-based TIFF -> (w, h, top-down RGB buffer)."""
+    import struct
+
+    if content[:2] == b"II":
+        e = "<"
+    elif content[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic, ifd_off = struct.unpack_from(e + "HI", content, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(e + "H", content, ifd_off)
+    tags: dict = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        tag, ttype, count = struct.unpack_from(
+            e + "HHI", content, ifd_off + 2 + 12 * i
+        )
+        if tag not in _TIFF_TAGS:
+            continue
+        if ttype not in type_size:
+            raise ValueError(f"unsupported TIFF field type {ttype}")
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        total = type_size[ttype] * count
+        voff = ifd_off + 2 + 12 * i + 8
+        if total > 4:
+            (voff,) = struct.unpack_from(e + "I", content, voff)
+        vals = struct.unpack_from(e + str(count) + fmt, content, voff)
+        tags[_TIFF_TAGS[tag]] = list(vals)
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
+    if tags.get("compression", [1])[0] != 1:
+        raise NotImplementedError(
+            "compressed TIFF (LZW/deflate/packbits) needs PIL on the "
+            "cluster image; uncompressed strips decode natively"
+        )
+    w, h = tags["width"][0], tags["height"][0]
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError("only 8-bit gray/RGB TIFF supported")
+    raw = b"".join(
+        content[o : o + n]
+        for o, n in zip(tags["strip_offsets"], tags["strip_counts"])
+    )
+    if len(raw) < w * h * spp:
+        raise ValueError("truncated TIFF strip data")
+    px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, px.tobytes()
+
+
+def _encode_tiff(w: int, h: int, rgb: bytes) -> bytes:
+    """(w, h, top-down RGB) -> little-endian uncompressed two-strip TIFF
+    (two strips so the strip-reassembly path is genuinely exercised)."""
+    import struct
+
+    rows_first = max(1, h // 2)
+    strip1 = rgb[: rows_first * w * 3]
+    strip2 = rgb[rows_first * w * 3 :]
+    strips = [s for s in (strip1, strip2) if s]
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    entries = []
+    data_off = 8 + 2 + 12 * 9 + 4  # header + count + 9 entries + next-IFD
+    extra = b""
+
+    def entry(tag, ttype, count, value):
+        entries.append(struct.pack("<HHII", tag, ttype, count, value))
+
+    offsets, counts, pos = [], [], data_off
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        extra += s
+        pos += len(s)
+    # BitsPerSample needs 3 SHORTs (6 bytes > 4): goes in the extra area
+    bits_off = pos
+    extra += struct.pack("<3H", 8, 8, 8)
+    pos += 6
+    if len(strips) > 1:  # offset/count arrays >4 bytes live out-of-line
+        so_off, sc_off = pos, pos + 4 * len(strips)
+        extra += struct.pack(f"<{len(strips)}I", *offsets)
+        extra += struct.pack(f"<{len(strips)}I", *counts)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 3, bits_off)
+    entry(259, 3, 1, 1)  # uncompressed
+    entry(262, 3, 1, 2)  # RGB
+    entry(273, 4, len(strips), offsets[0] if len(strips) == 1 else so_off)
+    entry(277, 3, 1, 3)
+    entry(278, 4, 1, rows_first if len(strips) > 1 else h)
+    entry(279, 4, len(strips), counts[0] if len(strips) == 1 else sc_off)
+    ifd = struct.pack("<H", 9) + b"".join(entries) + struct.pack("<I", 0)
+    return header + ifd + extra
+
+
+# ---------------------------------------------------------------------------
 # Real GIF codec (stdlib only): LZW-compressed palette images (GIF87a/89a).
 # Decoder handles global/local color tables, interlacing and extension
 # blocks, returning the FIRST frame of animated files; encoder palettizes
@@ -975,6 +1090,7 @@ _CODECS = {
     "png": (_decode_png, _encode_png),
     "jpeg": (_decode_jpeg, _encode_jpeg),
     "gif": (_decode_gif, _encode_gif),
+    "tiff": (_decode_tiff, _encode_tiff),
 }
 
 
@@ -1075,15 +1191,15 @@ def synthesize_multiformat_media(
     df: DataFrame, id_col: str, text_col: str, width: int = 4, height: int = 4
 ) -> DataFrame:
     """Deterministic REAL media fixture across every native codec: row i
-    becomes a bmp / ppm / png / jpeg / gif image or a 16-bit PCM wav /
-    flac (by media_id % 7), pixels/samples derived from the row's utf-8
-    text bytes.  Every row then exercises a real decode in
+    becomes a bmp / ppm / png / jpeg / gif / tiff image or a 16-bit PCM
+    wav / flac (by media_id % 8), pixels/samples derived from the row's
+    utf-8 text bytes.  Every row then exercises a real decode in
     ``extract_features`` — lossless-compressed (PNG: zlib inflate +
     unfilter; GIF: LZW; FLAC: rice + fixed predictors), LOSSY-compressed
-    (baseline JPEG: Huffman + dequant + IDCT) and audio PCM (WAV) paths
-    included."""
+    (baseline JPEG: Huffman + dequant + IDCT), strip-based (TIFF) and
+    audio PCM (WAV) paths included."""
 
-    fmts = ["bmp", "ppm", "png", "wav", "jpeg", "flac", "gif"]
+    fmts = ["bmp", "ppm", "png", "wav", "jpeg", "flac", "gif", "tiff"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         need = 3 * width * height

@@ -216,13 +216,13 @@ def test_wav_codec_roundtrip_and_amplitude_stats(spark):
 
 
 def test_multiformat_media_real_decode_distributed(spark):
-    """synthesize_multiformat_media covers all seven codecs per batch and
+    """synthesize_multiformat_media covers all eight codecs per batch and
     extract_features decodes every row for real (fallback histogram never
     runs: all formats are native)."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(40)
     media = multimodal.synthesize_multiformat_media(docs, "doc_id", "text")
     fmts = {r.format for r in media.select("format").distinct().collect()}
-    assert fmts == {"bmp", "ppm", "png", "wav", "jpeg", "flac", "gif"}
+    assert fmts == {"bmp", "ppm", "png", "wav", "jpeg", "flac", "gif", "tiff"}
     feats = multimodal.extract_features(media, buckets=16).collect()
     assert len(feats) == 40
     for r in feats:
@@ -1199,3 +1199,53 @@ def test_ivfpq_recall_and_double_exactness(spark):
     got = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in full.collect()}
     want = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in exact.collect()}
     assert got == want
+
+
+def test_tiff_codec_roundtrip_and_variants():
+    """Strip-based TIFF: the two-strip encoder roundtrips exactly; a
+    hand-built big-endian grayscale file decodes with channel replication;
+    compressed TIFF routes to the PIL seam."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for w, h in ((1, 1), (3, 2), (13, 5), (8, 31)):
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        blob = multimodal._encode_tiff(w, h, rgb)
+        assert multimodal.decode_media(blob, "tiff") == (w, h, rgb)
+
+    # big-endian (MM) single-strip grayscale, built by hand: an external
+    # writer's layout, not ours
+    w, h = 3, 2
+    gray = bytes([10, 20, 30, 40, 50, 60])
+    entries = []
+
+    def entry(tag, ttype, count, value):
+        entries.append(struct.pack(">HHII", tag, ttype, count, value))
+
+    data_off = 8 + 2 + 12 * 7 + 4
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 8 << 16)   # SHORT packs into the value field's
+    entry(259, 3, 1, 1 << 16)   # leading bytes under big-endian layout
+    entry(273, 4, 1, data_off)
+    entry(277, 3, 1, 1 << 16)
+    entry(279, 4, 1, len(gray))
+    blob = (
+        struct.pack(">2sHI", b"MM", 42, 8)
+        + struct.pack(">H", 7)
+        + b"".join(entries)
+        + struct.pack(">I", 0)
+        + gray
+    )
+    expect = b"".join(bytes([v, v, v]) for v in gray)
+    assert multimodal.decode_media(blob, "tiff") == (w, h, expect)
+
+    lzw = bytearray(multimodal._encode_tiff(2, 2, bytes(12)))
+    idx = lzw.find(struct.pack("<HHI", 259, 3, 1))
+    lzw[idx + 8] = 5  # compression = LZW
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(bytes(lzw), "tiff")
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"XX" + bytes(20), "tiff")
