@@ -195,11 +195,33 @@ def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
             w.write_signed(int(v), raw_bits)
         return
     w.write(best_k, 4)
-    ulist = u.tolist()
-    for v in ulist:
-        w.write_unary(v >> best_k)
-        if best_k:
-            w.write(v & ((1 << best_k) - 1), best_k)
+    _emit_rice_vectorized(w, u, best_k)
+
+
+def _emit_rice_vectorized(w: _BitWriter, u: np.ndarray, k: int) -> None:
+    """Build the whole partition's rice bitstream as a numpy bit array
+    (scatter the unary terminators and payload bits by cumulative offset,
+    packbits, feed 64-bit words to the writer) — the per-SAMPLE Python
+    loop becomes a per-64-bits loop, ~20x fewer iterations on typical
+    parameters."""
+    q = u >> k
+    ends = np.cumsum(q + (1 + k))
+    total_bits = int(ends[-1])
+    bits = np.zeros(total_bits, np.uint8)
+    term = ends - (k + 1)  # position of each field's terminating 1 bit
+    bits[term] = 1
+    if k:
+        pos = term[:, None] + 1 + np.arange(k)[None, :]
+        vals = (u[:, None] >> np.arange(k - 1, -1, -1)[None, :]) & 1
+        bits[pos.ravel()] = vals.ravel().astype(np.uint8)
+    pad = (-total_bits) % 64
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    words = np.packbits(bits).view(">u8")
+    for word in words[:-1].tolist():
+        w.write(word, 64)
+    tail_bits = total_bits - 64 * (len(words) - 1)
+    w.write(int(words[-1]) >> (64 - tail_bits), tail_bits)
 
 
 def _read_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
@@ -222,11 +244,39 @@ def _read_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
             bits = r.read(5)
             out.extend(r.read_signed(bits) if bits else 0 for _ in range(n))
         else:
+            # hot loop: inlined unary+payload reads on local variables
+            # (method-call/attribute overhead dominates at ~1 call/bit)
             vals = []
+            data, bitpos = r.data, r.bitpos
+            nbits_total = len(data) * 8
+            mask_k = (1 << k) - 1
             for _ in range(n):
-                q = r.read_unary()
-                u = (q << k) | (r.read(k) if k else 0)
+                q = 0
+                while True:
+                    if bitpos >= nbits_total:
+                        raise ValueError("truncated FLAC bitstream (unary)")
+                    rem = 8 - (bitpos & 7)
+                    window = data[bitpos >> 3] & ((1 << rem) - 1)
+                    if window == 0:
+                        q += rem
+                        bitpos += rem
+                        continue
+                    lead = rem - window.bit_length()
+                    bitpos += lead + 1
+                    q += lead
+                    break
+                if k:
+                    end = bitpos + k
+                    if end > nbits_total:
+                        raise ValueError("truncated FLAC bitstream")
+                    first, last = bitpos >> 3, (end + 7) >> 3
+                    chunk = int.from_bytes(data[first:last], "big")
+                    u = (q << k) | ((chunk >> (last * 8 - end)) & mask_k)
+                    bitpos = end
+                else:
+                    u = q
                 vals.append((u >> 1) ^ -(u & 1))  # un-zigzag
+            r.bitpos = bitpos
             out.extend(vals)
     return np.asarray(out, np.int64)
 

@@ -573,7 +573,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the codec kernels use the cluster (at 100 TB the scan
+    # arrives already split)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media = multimodal.synthesize_multiformat_media(docs, "doc_id", "text")
     feats = multimodal.extract_features(media)
     return feats.select(
@@ -650,7 +655,9 @@ def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media = multimodal.synthesize_mp4_media(docs, "doc_id", "text")
     frames = multimodal.sample_keyframes(media)
     joined = frames.join(
@@ -692,7 +699,9 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media = multimodal.synthesize_audio_media(docs, "doc_id", "text", fmt="flac")
     joined = media.join(
         docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
