@@ -2174,8 +2174,13 @@ def persisted_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token bigrams of every document — the item stream both heavy-hitter
     queries sketch over (same derivation as the oracle's
-    string_split + generate_series form)."""
-    docs = load_table(spark, sf_dir, "documents")
+    string_split + generate_series form).  Repartitioned off the small-SF
+    single file so the per-partition summaries + mergeable reduction are
+    genuinely exercised (the guarantee is merge-tree-independent, so the
+    exact-configuration oracle is unaffected)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select(textstats.tokens("text").alias("t"))
     bigrams = F.when(
         F.size("t") >= 2,
