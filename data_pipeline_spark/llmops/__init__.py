@@ -15,4 +15,13 @@ Design rules:
   parallelism, reproducible across engines.
 """
 
-from data_pipeline_spark.llmops import dedup, multimodal, similarity, textstats  # noqa: F401
+from data_pipeline_spark.llmops import (  # noqa: F401
+    classify,
+    dedup,
+    flac,
+    multimodal,
+    pq,
+    similarity,
+    sketches,
+    textstats,
+)
