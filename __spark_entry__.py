@@ -43,9 +43,10 @@ _PRIORITY = [
     # new: the Morton-layout key op (zorder_write's pruning effect is
     # measured from real parquet footers in tests/test_scale_ops.py)
     "zorder_curve_keys",
-    # new: the Misra-Gries exactness limit (k >= |distinct| == GROUP BY),
+    # new: the Misra-Gries exactness limits — global AND per-group —
     # certifying the third sketch scale path like the ANN exact configs
     "heavy_hitter_bigrams_exact",
+    "grouped_heavy_hitters_exact",
     # new: the PQ exactness limit (lossless codebooks == brute force) and
     # the IVF-PQ double limit (all-lists probe + lossless codebooks),
     # certifying the compressed-ANN paths end to end

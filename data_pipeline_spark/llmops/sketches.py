@@ -94,3 +94,69 @@ def misra_gries_heavy_hitters(
         .select("item", (F.col("weight") - F.col("d")).alias("weight"))
         .filter(F.col("weight") > 0)
     )
+
+
+def misra_gries_by_group(
+    df: DataFrame, group_col: str, item_col: str, k: int = 20
+) -> DataFrame:
+    """(group, item, weight): per-GROUP heavy hitters — frequent URLs per
+    language, top n-grams per source, etc.
+
+    Same two-phase shape as the global sketch, keyed: the partition pass
+    keeps one capacity-k Misra-Gries summary PER GROUP seen in that
+    partition (state is O(groups-per-partition x k), independent of row
+    count), the partials merge per (group, item), and the final reduction
+    subtracts each group's (k+1)-th largest merged weight via one ranked
+    window over the tiny partial set.  The n/(k+1) guarantee holds per
+    group with n = that group's item count."""
+    from pyspark.sql import Window
+
+    schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("item", StringType()),
+            StructField("weight", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_group: dict = {}
+        for pdf in batches:
+            counts = pdf.groupby("grp")["it"].value_counts()
+            for (g, item), cnt in counts.items():
+                counters = per_group.setdefault(g, {})
+                counters[item] = counters.get(item, 0) + int(cnt)
+            for counters in per_group.values():
+                _prune(counters, k)
+        yield pd.DataFrame(
+            [
+                {"grp": g, "item": it, "weight": w}
+                for g, counters in per_group.items()
+                for it, w in counters.items()
+            ],
+            columns=["grp", "item", "weight"],
+        )
+
+    prepared = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(item_col).cast("string").alias("it"),
+    )
+    partials = prepared.mapInPandas(run, schema=schema)
+    merged = partials.groupBy("grp", "item").agg(F.sum("weight").alias("weight"))
+    w_rank = Window.partitionBy("grp").orderBy(
+        F.col("weight").desc(), F.col("item")
+    )
+    ranked = merged.withColumn("rn", F.row_number().over(w_rank))
+    d = (
+        ranked.filter(F.col("rn") == k + 1)
+        .select("grp", F.col("weight").alias("d"))
+    )
+    return (
+        ranked.join(d, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "item",
+            (F.col("weight") - F.coalesce(F.col("d"), F.lit(0))).alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+    )

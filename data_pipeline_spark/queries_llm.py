@@ -2325,3 +2325,43 @@ def ivfpq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, n_lists=16, n_probe=16, m=8, n_centroids=None, shortlist=50,
         sample=10**6,  # lossless codebooks must cover EVERY vector
     )
+
+
+@register(
+    "grouped_heavy_hitters_exact",
+    """
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS item FROM documents
+    ), c AS (
+        SELECT lang, item, CAST(COUNT(*) AS BIGINT) AS weight
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT lang, item, weight FROM (
+        SELECT lang, item, weight,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY weight DESC, item) AS rn
+        FROM c
+    ) WHERE rn <= 5
+    """,
+    doc="Per-group Misra-Gries exactness limit: top-5 tokens per language "
+    "through the keyed sketch (per-partition per-group summaries + keyed "
+    "mergeable reduction) with k >= |distinct|, which must equal the exact "
+    "per-group GROUP BY — certifying the grouped machinery like "
+    "heavy_hitter_bigrams_exact does the global one.  The sketch regime "
+    "(small k, per-group n/(k+1) guarantee) is pinned in units.",
+    tags=("llm", "scale-path"),
+)
+def grouped_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("lang", F.explode(textstats.tokens("text")).alias("item"))
+    mg = sketches.misra_gries_by_group(toks, "lang", "item", k=1_000_000)
+    w = Window.partitionBy("lang").orderBy(F.col("weight").desc(), F.col("item"))
+    return (
+        mg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "item", "weight")
+    )

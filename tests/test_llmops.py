@@ -1249,3 +1249,35 @@ def test_tiff_codec_roundtrip_and_variants():
         multimodal.decode_media(bytes(lzw), "tiff")
     with pytest.raises(ValueError):
         multimodal.decode_media(b"XX" + bytes(20), "tiff")
+
+
+def test_misra_gries_by_group_guarantee_and_exactness(spark):
+    """Per-group: each group's heavy item (freq > n_g/(k+1)) survives
+    with a lower-bound weight under adversarial partitioning; the exact
+    configuration equals per-group GROUP BY on every item."""
+    from data_pipeline_spark.llmops import sketches
+
+    rows = [("a", "hot")] * 900 + [("a", f"n{i}") for i in range(60) for _ in range(5)]
+    rows += [("b", "warm")] * 400 + [("b", f"m{i}") for i in range(80) for _ in range(2)]
+    df = spark.createDataFrame(rows, "g STRING, item STRING").repartition(7)
+    out = {}
+    for r in sketches.misra_gries_by_group(df, "g", "item", k=9).collect():
+        out[(r.g, r.item)] = r.weight
+    assert ("a", "hot") in out and ("b", "warm") in out
+    n_a = 900 + 300
+    assert 900 - n_a // 10 <= out[("a", "hot")] <= 900
+    truth = {}
+    for g, it in rows:
+        truth[(g, it)] = truth.get((g, it), 0) + 1
+    for key, w in out.items():
+        assert w <= truth[key]  # lower bounds per group
+
+    exact = {
+        (r.g, r.item, r.cnt)
+        for r in df.groupBy("g", "item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    mg = {
+        (r.g, r.item, r.weight)
+        for r in sketches.misra_gries_by_group(df, "g", "item", k=10**6).collect()
+    }
+    assert mg == exact
