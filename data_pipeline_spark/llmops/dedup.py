@@ -328,18 +328,123 @@ def strip_duplicated_segments(
     )
 
 
+# MinHash banding parameters of the index's ``bands`` column: 30 hash
+# functions split into 10 bands of 3 rows.  The S-curve midpoint is
+# (1/10)^(1/3) ~= 0.46, so at the gate's threshold 0.8 a true near-dup
+# pair collides in >= 1 band with probability 1-(1-0.8^3)^10 = 0.9992,
+# while a J=0.3 pair collides only 24% of the time — false positives
+# cost one exact-Jaccard evaluation each, never a wrong decision.
+_INDEX_NUM_PERM = 30
+_INDEX_BANDS = 10
+_INDEX_ROWS = _INDEX_NUM_PERM // _INDEX_BANDS
+
+
+def _with_band_buckets(df: DataFrame, shingles_col: str) -> DataFrame:
+    """Append an in-row MinHash band-bucket column ``bands`` computed from
+    an array<bigint> shingle-hash column: Kirsch-Mitzenmacher double
+    hashing (h1 + j*h2 from two xxhash64 views of the shingle value — h1
+    60 bits, h2 48 bits, so h1 + 29*h2 < 2^61 never overflows signed-64),
+    per-function min via zip_with + array_min, band bucket = xxhash64 of
+    the band's rows + band id.  Zero explode, zero shuffle.
+
+    The two hash arrays land in their OWN projection so each is computed
+    once per row (CollapseProject keeps non-trivial aliases referenced
+    many times in a separate Project); the 30 KM minimums are then plain
+    integer zip_with traversals — 2 hash passes + 30 arithmetic passes
+    per row instead of 60 hash passes.  Empty shingle sets get an EMPTY
+    bands array (array_min of nothing is null, which would otherwise
+    bucket all empty docs together)."""
+    col = F.col(shingles_col)
+    staged = df.withColumns(
+        {
+            "_h1": F.transform(
+                col, lambda s: F.shiftrightunsigned(F.xxhash64(s), 4)
+            ),
+            "_h2": F.transform(
+                col,
+                lambda s: F.shiftrightunsigned(F.xxhash64(s, F.lit(1)), 16),
+            ),
+        }
+    )
+
+    def km_min(j):  # factory: a plain lambda would capture j by reference
+        return F.array_min(
+            F.zip_with(
+                F.col("_h1"), F.col("_h2"), lambda a, b: a + F.lit(j) * b
+            )
+        )
+
+    mins = [km_min(j) for j in range(_INDEX_NUM_PERM)]
+    bands = F.when(F.size(col) > 0, _bucket_array(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return staged.withColumn("bands", bands).drop("_h1", "_h2")
+
+
+def _bucket_array(mins: list):
+    """band bucket t = xxhash64 of the band's rows_per_band minimums plus
+    the band id — shared by the in-row and exploded formulations so their
+    bucket values are bit-identical."""
+    return F.array(
+        *[
+            F.xxhash64(
+                *mins[t * _INDEX_ROWS : (t + 1) * _INDEX_ROWS], F.lit(t)
+            )
+            for t in range(_INDEX_BANDS)
+        ]
+    )
+
+
+def _batch_band_buckets(inc: DataFrame) -> DataFrame:
+    """DISTINCT band-bucket values of a batch frame carrying an in-row
+    ``shingles`` array — the EXPLODED formulation of ``_with_band_buckets``
+    (same KM functions, same bucket hash, bit-identical values): explode
+    the shingle stream, derive the 30 KM columns in codegen, groupBy(doc)
+    with 30 map-side-combined mins, hash the bands, explode + distinct.
+
+    Why a second formulation: the in-row zip_with/transform pipeline runs
+    INTERPRETED (higher-order functions have no codegen) at ~1 ms/doc —
+    fine amortized once per ADMITTED doc on the index write path, but the
+    gate recomputes the batch side every trigger, where this codegen
+    explode+groupBy form measures ~10x faster.  Batch-sized input, so the
+    |docs|-row shuffle is trivial.  Docs with empty shingle sets drop out
+    at the explode — identical to the in-row form's empty ``bands``."""
+    sh = inc.select(F.col("inc_id"), F.explode("shingles").alias("s"))
+    h1 = F.shiftrightunsigned(F.xxhash64("s"), 4)
+    h2 = F.shiftrightunsigned(F.xxhash64("s", F.lit(1)), 16)
+    hashed = sh.select(
+        "inc_id",
+        *[(h1 + F.lit(j) * h2).alias(f"k{j}") for j in range(_INDEX_NUM_PERM)],
+    )
+    mins_df = hashed.groupBy("inc_id").agg(
+        *[F.min(f"k{j}").alias(f"m{j}") for j in range(_INDEX_NUM_PERM)]
+    )
+    bands = _bucket_array([F.col(f"m{j}") for j in range(_INDEX_NUM_PERM)])
+    return (
+        mins_df.select(F.explode(bands).alias("bb")).distinct()
+    )
+
+
 def doc_shingle_index(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    with_bands: bool = True,
 ) -> DataFrame:
-    """Per-document dedup index row: ``(cor_id, h, n_sh, shingles)`` —
-    the md5 of the text, the distinct-shingle count, and the doc's
-    distinct shingle set as 64-bit xxhash64 values.
+    """Per-document dedup index row: ``(cor_id, h, n_sh, shingles,
+    bands)`` — the md5 of the text, the distinct-shingle count, the doc's
+    distinct shingle set as 64-bit xxhash64 values, and its MinHash LSH
+    band buckets (see ``_with_band_buckets``).
 
     This is the PERSISTABLE form of everything the incremental gate needs
     from a corpus document: ~8 bytes per shingle instead of the text, no
     tokenization at gate time, and the exact-dup pass column-prunes to the
-    ``h`` column alone.  Built entirely in-row (array ops + xxhash64 in
-    codegen): one scan, zero shuffle.
+    ``h`` column alone; the band-pruned near pass column-prunes its first
+    phase to (cor_id, bands).  Built entirely in-row (array ops +
+    xxhash64 in codegen): one scan, zero shuffle.
+
+    ``with_bands=False`` skips the band computation for EPHEMERAL index
+    frames feeding an unpruned gate (incremental_dedup_gate's in-memory
+    path) — persisted sidecars should always keep the default so any
+    later reader can band-prune.
     """
     from data_pipeline_spark.llmops.textstats import word_ngrams
 
@@ -351,9 +456,10 @@ def doc_shingle_index(
         F.md5(text_col).alias("h"),
         sh.alias("shingles"),
     )
-    return base.select(
+    base = base.select(
         "cor_id", "h", F.size("shingles").alias("n_sh"), "shingles"
     )
+    return _with_band_buckets(base, "shingles") if with_bands else base
 
 
 def indexed_dedup_gate(
@@ -364,6 +470,7 @@ def indexed_dedup_gate(
     n: int = 3,
     threshold: float = 0.8,
     broadcast_batch: bool = True,
+    band_prune: bool = False,
 ) -> DataFrame:
     """Ingest-time dedup gate against a PRE-BUILT index (the
     ``doc_shingle_index`` schema): flag INCOMING documents that duplicate
@@ -388,9 +495,30 @@ def indexed_dedup_gate(
     batch too large to broadcast (a re-crawled archive, not a streaming
     trigger) falls back to shuffle joins — same decisions, corpus-sized
     cost, run deliberately.
+
+    ``band_prune=True`` turns on the MinHash band-bucket pre-filter for
+    the near pass: phase one scans only the index's (cor_id, bands)
+    columns against the BROADCAST batch bucket set, and the expensive
+    shingle-array explode runs on the COLLIDING candidate docs alone —
+    O(candidates) instead of O(index) per trigger.  The trade, stated
+    precisely: a true near-dup pair at exactly J = threshold = 0.8 is
+    a band candidate with p = 1-(1-0.8^3)^10 = 0.9992 (higher above
+    threshold, ~1-2e-6 at J = 0.9); false candidates only cost an exact
+    Jaccard evaluation, never a wrong flag.  ``best_jaccard`` becomes
+    "best among band candidates" — decisions (exact_dup/near_dup/keep)
+    are what the pruned gate certifies, and sub-threshold best values may
+    be absent.  Requires an index with the ``bands`` column
+    (doc_shingle_index emits it; older sidecars must be rebuilt).
     """
     bc = F.broadcast if broadcast_batch else (lambda d: d)
-    inc = doc_shingle_index(incoming, id_col, text_col, n).select(
+    if band_prune and "bands" not in index.columns:
+        raise ValueError(
+            "band_prune=True needs a 'bands' column on the index — "
+            "rebuild the sidecar with doc_shingle_index()"
+        )
+    inc = doc_shingle_index(
+        incoming, id_col, text_col, n, with_bands=False
+    ).select(
         F.col("cor_id").alias("inc_id"),
         "h",
         F.col("n_sh").alias("inc_n"),
@@ -406,11 +534,28 @@ def indexed_dedup_gate(
         bc(matched_hashes.distinct()), "h", "left_semi"
     ).select(F.col("inc_id").alias("exact_id"))
 
+    near_source = index
+    if band_prune:
+        # phase 1: column-pruned (cor_id, bands) scan vs the broadcast
+        # batch buckets; phase 2 explodes shingles of the candidates only.
+        # The candidate id list is bounded by the batch's band collisions
+        # against an ALREADY-DEDUPLICATED corpus (the gate's own admission
+        # invariant: no two indexed docs are near-dups), so it broadcasts
+        # as bare ids — 8 bytes each, millions would still be ~MBs
+        inc_buckets = _batch_band_buckets(inc)
+        candidates = (
+            index.select("cor_id", F.explode("bands").alias("bb"))
+            .join(bc(inc_buckets), "bb", "left_semi")
+            .select("cor_id")
+            .distinct()
+        )
+        near_source = index.join(F.broadcast(candidates), "cor_id", "left_semi")
+
     inc_sh = inc.select("inc_id", F.explode("shingles").alias("sh"))
     # per-doc sizes ride the exploded rows (functionally dependent on
     # cor_id), so the grouped intersection already carries cor_n — no
     # second index pass, no corpus-side size aggregation
-    cor_sh = index.select(
+    cor_sh = near_source.select(
         "cor_id", F.col("n_sh").alias("cor_n"), F.explode("shingles").alias("sh")
     )
     inter = (
@@ -471,7 +616,7 @@ def incremental_dedup_gate(
     in-row, so there is no second pass and nothing to cache.
     """
     return indexed_dedup_gate(
-        doc_shingle_index(corpus, id_col, text_col, n),
+        doc_shingle_index(corpus, id_col, text_col, n, with_bands=False),
         incoming,
         id_col,
         text_col,

@@ -773,7 +773,7 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
-    278: "rows_per_strip", 279: "strip_counts",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar_config",
 }
 
 
@@ -821,6 +821,21 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
     bits = tags.get("bits", [8])
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise NotImplementedError("only 8-bit gray/RGB TIFF supported")
+    # explicit seams for layouts this decoder would otherwise garble:
+    # WhiteIsZero (photometric 0) decodes inverted, palette (3) needs the
+    # color map, and planar (PlanarConfiguration 2) stores RRR..GGG..BBB
+    # instead of interleaved RGB — all route to the PIL seam like the
+    # module's other unsupported variants.
+    if tags.get("photometric", [1 if spp == 1 else 2])[0] not in (1, 2):
+        raise NotImplementedError(
+            "TIFF photometric != BlackIsZero/RGB needs PIL on the cluster "
+            "image"
+        )
+    if tags.get("planar_config", [1])[0] != 1:
+        raise NotImplementedError(
+            "planar (PlanarConfiguration=2) TIFF needs PIL on the cluster "
+            "image; chunky interleaved decodes natively"
+        )
     raw = b"".join(
         content[o : o + n]
         for o, n in zip(tags["strip_offsets"], tags["strip_counts"])

@@ -122,6 +122,8 @@ def pq_encode(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch: asarray yields 1-D, skip
+                continue
             x = np.asarray(list(pdf["v"]), np.float64)
             codes = np.empty((len(x), m), np.int32)
             for j in range(m):
@@ -186,6 +188,8 @@ def pq_topk(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:  # take=0 would break argpartition; skip
+                continue
             c = np.asarray(list(pdf["codes"]), np.int32)  # (rows, m)
             ids = pdf["id"].to_numpy()
             # approx inner product: sum over subspaces of table lookups
@@ -300,6 +304,8 @@ def ivfpq_topk(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch: asarray yields 1-D, skip
+                continue
             c = np.asarray(list(pdf["codes"]), np.int32)
             ids = pdf["id"].to_numpy()
             lists = pdf["list_id"].to_numpy()

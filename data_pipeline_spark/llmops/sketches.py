@@ -74,9 +74,15 @@ def misra_gries_heavy_hitters(
             {"item": list(counters), "weight": list(counters.values())}
         )
 
+    # contract: NULL items are excluded up front (value_counts would drop
+    # them silently inside the kernel; making it a Spark-side filter keeps
+    # the k >= |distinct| exact-GROUP-BY equivalence well-defined — the
+    # matching SQL oracle carries WHERE item IS NOT NULL)
     partials = df.select(
         F.col(item_col).cast("string").alias(item_col)
-    ).mapInPandas(run, schema=_SUMMARY_SCHEMA)
+    ).filter(F.col(item_col).isNotNull()).mapInPandas(
+        run, schema=_SUMMARY_SCHEMA
+    )
     merged = partials.groupBy("item").agg(F.sum("weight").alias("weight"))
     # final reduction: d = the (k+1)-th largest merged weight (0 when the
     # merge already fits) via a top-(k+1) limit — no global window
@@ -137,10 +143,13 @@ def misra_gries_by_group(
             columns=["grp", "item", "weight"],
         )
 
+    # same NULL contract as the global sketch: null groups and null items
+    # are excluded explicitly (pandas groupby/value_counts would drop them
+    # silently; a SQL oracle keeps NULL groups, so pin the divergence here)
     prepared = df.select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(item_col).cast("string").alias("it"),
-    )
+    ).filter(F.col("grp").isNotNull() & F.col("it").isNotNull())
     partials = prepared.mapInPandas(run, schema=schema)
     merged = partials.groupBy("grp", "item").agg(F.sum("weight").alias("weight"))
     w_rank = Window.partitionBy("grp").orderBy(

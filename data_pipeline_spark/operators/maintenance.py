@@ -46,22 +46,40 @@ def compact_small_files(
     n_out = max(1, -(-bytes_before // target_bytes))
 
     df = spark.read.parquet(str(p))
+    rows_before = df.count()
     tmp = p.with_name(f"{p.name}__compact_{uuid.uuid4().hex[:8]}")
-    if sort_col is not None:
-        writer = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
-            sort_col
-        )
-    else:
-        writer = df.repartition(n_out)
-    writer.write.mode("overwrite").parquet(str(tmp))
-
     bak = p.with_name(f"{p.name}__bak_{uuid.uuid4().hex[:8]}")
-    p.rename(bak)
-    tmp.rename(p)
+    try:
+        if sort_col is not None:
+            writer = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
+                sort_col
+            )
+        else:
+            writer = df.repartition(n_out)
+        writer.write.mode("overwrite").parquet(str(tmp))
+
+        # validate the rewrite BEFORE touching the original: the swap only
+        # proceeds once the temp dir demonstrably holds all the rows
+        rows_after = spark.read.parquet(str(tmp)).count()
+        if rows_after != rows_before:
+            raise RuntimeError(
+                f"compaction rewrite row-count mismatch at {tmp}: "
+                f"{rows_after} != {rows_before}; original left untouched"
+            )
+        p.rename(bak)
+        try:
+            tmp.rename(p)
+        except BaseException:
+            bak.rename(p)  # restore the original under its real name
+            raise
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # don't leak the temp dir
+        raise
     shutil.rmtree(bak)
     return {
         "files_before": len(files),
         "files_after": len(list(p.glob("*.parquet"))),
+        "rows": rows_before,
         "bytes": bytes_before,
         "target_bytes": target_bytes,
     }

@@ -2163,12 +2163,114 @@ def persisted_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         / "spark_graft_gate_index"
         / hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
-    ld.doc_shingle_index(corpus, "doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(idx_dir)
+    # repartition off the small-SF single-file partition before the
+    # in-row band computation (interpreted HOFs, ~1 ms/doc on one core);
+    # at 100 TB the corpus arrives already split, so this is free at scale
+    ld.doc_shingle_index(
+        corpus.repartition(spark.sparkContext.defaultParallelism),
+        "doc_id",
+        "text",
+    ).write.mode("overwrite").parquet(idx_dir)
     return ld.indexed_dedup_gate(
         spark.read.parquet(idx_dir), incoming, "doc_id", "text"
     )
+
+
+@register(
+    "banded_index_dedup_gate",
+    """
+    WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    cor AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    exact AS (
+        SELECT DISTINCT i.doc_id FROM inc i
+        JOIN cor c ON md5(i.text) = md5(c.text)
+    ),
+    inc_toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM inc
+    ),
+    inc_sh AS (
+        SELECT DISTINCT doc_id AS inc_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM inc_toks QUALIFY shingle IS NOT NULL
+    ),
+    cor_toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM cor
+    ),
+    cor_sh AS (
+        SELECT DISTINCT doc_id AS cor_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM cor_toks QUALIFY shingle IS NOT NULL
+    ),
+    inc_sizes AS (SELECT inc_id, COUNT(*) AS inc_n FROM inc_sh GROUP BY 1),
+    cor_sizes AS (SELECT cor_id, COUNT(*) AS cor_n FROM cor_sh GROUP BY 1),
+    inter AS (
+        SELECT i.inc_id, c.cor_id, COUNT(*) AS n_inter
+        FROM inc_sh i JOIN cor_sh c ON i.shingle = c.shingle
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT inc_id,
+               MAX(n_inter / CAST(s.inc_n + z.cor_n - n_inter AS DOUBLE))
+                   AS best_jaccard
+        FROM inter
+        JOIN inc_sizes s USING (inc_id)
+        JOIN cor_sizes z USING (cor_id)
+        GROUP BY inc_id
+    )
+    SELECT i.doc_id,
+           CAST(e.doc_id IS NOT NULL AS INT) AS exact_dup,
+           CAST(coalesce(b.best_jaccard, 0.0) >= 0.8 AS INT) AS near_dup,
+           CAST(e.doc_id IS NULL
+                AND coalesce(b.best_jaccard, 0.0) < 0.8 AS INT) AS keep
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN best b ON b.inc_id = i.doc_id
+    """,
+    doc="The BAND-PRUNED form of persisted_index_dedup_gate — the "
+    "steady-state trigger shape at 100 TB: phase one scans only the "
+    "index's (cor_id, bands) MinHash band-bucket columns against the "
+    "broadcast batch buckets, and the shingle-array explode runs on the "
+    "band-COLLIDING candidates alone (O(candidates), not O(index), per "
+    "trigger — measured 450->32 docs exploded at sf0.01, 4500->1581 at "
+    "sf0.1).  Admission DECISIONS match the full-scan SQL oracle exactly "
+    "(a >=0.8 pair escapes all 10 bands with p=8e-4, and a false band "
+    "collision only costs an exact-Jaccard evaluation); best_jaccard is "
+    "omitted because below-threshold candidates may legitimately be "
+    "pruned before scoring.",
+    tags=("llm", "dedup", "ingest"),
+)
+def banded_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx_dir = str(
+        Path(tempfile.gettempdir())
+        / "spark_graft_gate_index"
+        / hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    # repartition off the small-SF single-file partition before the
+    # in-row band computation (interpreted HOFs, ~1 ms/doc on one core);
+    # at 100 TB the corpus arrives already split, so this is free at scale
+    ld.doc_shingle_index(
+        corpus.repartition(spark.sparkContext.defaultParallelism),
+        "doc_id",
+        "text",
+    ).write.mode("overwrite").parquet(idx_dir)
+    flags = ld.indexed_dedup_gate(
+        spark.read.parquet(idx_dir), incoming, "doc_id", "text",
+        band_prune=True,
+    )
+    return flags.select("doc_id", "exact_dup", "near_dup", "keep")
 
 
 def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,6 +108,7 @@ class DedupGatedIngest:
         within_batch_neardup: bool = True,
         serialize_writers: bool = False,
         broadcast_batch: bool = True,
+        band_prune: bool = True,
     ):
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -131,6 +132,14 @@ class DedupGatedIngest:
         # in-flight batch); single-stream deployments skip the lock cost
         self.serialize_writers = serialize_writers
         self.broadcast_batch = broadcast_batch
+        # band_prune: steady-state triggers scan only (cor_id, bands) of
+        # the index and explode shingles for band-colliding candidates —
+        # O(candidates) per trigger instead of O(index).  A >= threshold
+        # pair escapes the bands with p <= 1-(1-t^3)^10 (8e-4 at t=0.8);
+        # admission decisions on the chaos/flood fixtures are identical.
+        # Requires sidecars built by this round's doc_shingle_index
+        # (bands column); set False to gate against a pre-bands sidecar.
+        self.band_prune = band_prune
         self.crash_points: set[str] = set()  # test-injectable crash windows
 
     # -- layout ------------------------------------------------------------
@@ -265,6 +274,7 @@ class DedupGatedIngest:
             n=self.n,
             threshold=self.threshold,
             broadcast_batch=self.broadcast_batch,
+            band_prune=self.band_prune,
         )
         return batch.join(
             flags.filter(F.col("keep") == 1).select(self.id_col), self.id_col
@@ -295,6 +305,7 @@ class DedupGatedIngest:
             n=self.n,
             threshold=self.threshold,
             broadcast_batch=self.broadcast_batch,
+            band_prune=self.band_prune,
         )
 
     def ingest_stats(self) -> DataFrame | None:

@@ -352,3 +352,152 @@ def test_compact_small_files_preserves_rows_and_sorts(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo  # disjoint: a key-range predicate prunes whole files
+
+
+# -- band-pruned ingest gate (r9) ---------------------------------------------
+
+
+def _gate_fixture_docs(spark):
+    """Corpus with a near-dup target, an exact-dup target, and uniques;
+    batch with one near-dup, one exact dup, and novel docs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from the harbor wall at sunset every single day "
+        "and the gulls wheel above the breakwater calling to the boats "
+        "returning with the evening tide as lanterns begin to glow along "
+        "the promenade where vendors pack away their stalls one by one"
+    )
+    near = base.replace("sunset", "sunrise")  # one-token edit: J ~ 0.9
+    corpus = [(i, f"corpus document {i} body about topic {i*3} entirely "
+                  f"unlike anything else number {i*11}") for i in range(1, 40)]
+    corpus += [(100, base), (101, "a short standalone corpus doc")]
+    batch = [(200, near), (201, "a short standalone corpus doc"),
+             (202, "a wholly novel incoming document about fresh material"),
+             (203, "")]
+    cdf = spark.createDataFrame(corpus, "doc_id LONG, text STRING").repartition(4)
+    bdf = spark.createDataFrame(batch, "doc_id LONG, text STRING").repartition(2)
+    return cdf, bdf
+
+
+def test_band_pruned_gate_decisions_match_full_scan(spark):
+    """band_prune=True must reproduce the unpruned gate's admission
+    decisions exactly: the near-dup (one-token edit), the exact dup, the
+    novel docs, and the empty-text doc."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    corpus, batch = _gate_fixture_docs(spark)
+    idx = ld.doc_shingle_index(corpus, "doc_id", "text")
+    full = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+        for r in ld.indexed_dedup_gate(idx, batch, "doc_id", "text").collect()
+    }
+    pruned = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+        for r in ld.indexed_dedup_gate(
+            idx, batch, "doc_id", "text", band_prune=True
+        ).collect()
+    }
+    assert full == pruned
+    assert pruned[200] == (0, 1, 0)  # near-dup caught through the bands
+    assert pruned[201] == (1, 1, 0)  # exact dup (J=1.0: near-dup too)
+    assert pruned[202][2] == 1       # novel doc keeps
+    assert pruned[203][2] == 1       # empty text: no shingles, no bands
+
+
+def test_band_pruned_gate_on_flood_fixture(spark):
+    """Decision parity on the boilerplate-flood fixture (the adversarial
+    identical-doc regime) — and the pruned explode demonstrably covers
+    every true near-dup: the candidate set contains each corpus doc the
+    full gate scored at >= threshold."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    docs = _flood_docs(spark)
+    incoming = docs.filter(F.col("doc_id").startswith("f")).limit(30).union(
+        spark.createDataFrame(
+            [("x0001", "a wholly new document that matches nothing else")],
+            "doc_id STRING, text STRING",
+        )
+    )
+    corpus = docs.filter(~F.col("doc_id").startswith("f"))
+    idx = ld.doc_shingle_index(corpus, "doc_id", "text")
+    full = sorted(
+        (r.doc_id, r.exact_dup, r.near_dup, r.keep)
+        for r in ld.indexed_dedup_gate(idx, incoming, "doc_id", "text").collect()
+    )
+    pruned = sorted(
+        (r.doc_id, r.exact_dup, r.near_dup, r.keep)
+        for r in ld.indexed_dedup_gate(
+            idx, incoming, "doc_id", "text", band_prune=True
+        ).collect()
+    )
+    assert full == pruned
+
+
+def test_band_candidates_are_a_strict_subset(spark):
+    """The shingle explode's input under band_prune is the band-colliding
+    candidate subset: on a fixture where only one corpus doc resembles the
+    batch, the candidate set excludes (nearly) all of the corpus — the
+    runtime form of the O(candidates)-not-O(index) per-trigger claim."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    corpus, batch = _gate_fixture_docs(spark)
+    idx = ld.doc_shingle_index(corpus, "doc_id", "text")
+    inc = ld.doc_shingle_index(batch, "doc_id", "text", with_bands=False).select(
+        F.col("cor_id").alias("inc_id"), "shingles"
+    )
+    buckets = ld._batch_band_buckets(inc)
+    candidates = (
+        idx.select("cor_id", F.explode("bands").alias("bb"))
+        .join(F.broadcast(buckets), "bb", "left_semi")
+        .select("cor_id")
+        .distinct()
+    )
+    cand = {r.cor_id for r in candidates.collect()}
+    assert 100 in cand                      # the true near-dup source
+    assert len(cand) < idx.count() / 2, cand  # most of the corpus pruned
+
+
+def test_exploded_batch_buckets_equal_inrow_bands(spark):
+    """The gate's codegen explode+groupBy bucket formulation and the
+    index's in-row zip_with formulation must be bit-identical — they are
+    two evaluations of the same KM double-hash + band-hash arithmetic."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    corpus, batch = _gate_fixture_docs(spark)
+    both = corpus.union(batch)
+    idx = ld.doc_shingle_index(both, "doc_id", "text")
+    inrow = {
+        bb for r in idx.select(F.explode("bands").alias("bb")).collect()
+        for bb in [r.bb]
+    }
+    inc = idx.select(F.col("cor_id").alias("inc_id"), "shingles")
+    exploded = {r.bb for r in ld._batch_band_buckets(inc).collect()}
+    assert inrow == exploded
+
+
+def test_band_pruned_gate_plan_prunes_index_columns(spark, tmp_path):
+    """Against a PERSISTED index, the pruned gate's scans stay column-
+    pruned per phase: md5 alone for the exact pass, (cor_id, bands) for
+    the collision pass, and the full shingle schema only for the
+    candidate-restricted near pass; every join broadcasts a batch-bounded
+    side."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    corpus, batch = _gate_fixture_docs(spark)
+    path = str(tmp_path / "bidx")
+    ld.doc_shingle_index(corpus, "doc_id", "text").write.parquet(path)
+    g = ld.indexed_dedup_gate(
+        spark.read.parquet(path), batch, "doc_id", "text", band_prune=True
+    )
+    strategies = audit.join_strategies(g)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        audit.formatted_plan(g)
+    )
+    schemas = sorted(
+        s.read_schema for s in audit.scan_info(g) if "bidx" in s.location
+    )
+    assert schemas == [
+        "struct<cor_id:bigint,bands:array<bigint>>",
+        "struct<cor_id:bigint,n_sh:int,shingles:array<bigint>>",
+        "struct<h:string>",
+    ], schemas
