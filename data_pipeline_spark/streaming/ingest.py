@@ -225,7 +225,13 @@ class DedupGatedIngest:
         return (
             self.spark.read.parquet(self._docs_dir)
             .join(F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi")
-            .select("cor_id", "h", "n_sh", "shingles")
+            .select(
+                "cor_id",
+                "h",
+                "n_sh",
+                "shingles",
+                *(["bands"] if self.band_prune else []),
+            )
         )
 
     # -- gate --------------------------------------------------------------

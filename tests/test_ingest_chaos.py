@@ -381,3 +381,113 @@ def test_steady_state_gate_reads_index_not_corpus(spark, tmp_path):
     )
     # and the decision itself is right: one exact + one near dup rejected
     assert sorted(r.doc_id for r in gated.collect()) == [12, 13]
+
+
+# -- composition with the table-maintenance compactor (r9) --------------------
+#
+# operators.maintenance.compact_small_files is a DIFFERENT mechanism from
+# the sink's own ledger-protocol compact(): it rewrites one leaf parquet
+# directory in place via temp-write + validate + rename swap.  Running it
+# against a COMMITTED epoch partition of a live gated-ingest corpus must
+# compose: partition values live in the directory names (the files carry
+# only data columns), gating reads the index sidecar rather than corpus
+# text, and the swap's validation must leave the corpus intact on failure.
+
+
+def _writer_epoch_dir(sink, epoch):
+    return os.path.join(
+        sink.corpus_dir,
+        f"ingest_writer={sink.writer_id}",
+        f"ingest_epoch={epoch}",
+    )
+
+
+def test_maintenance_compact_of_committed_epoch_composes_with_ingest(
+    spark, tmp_path
+):
+    """Compacting a committed epoch's leaf dir while the sink keeps
+    admitting: corpus contents, gate decisions, and replay semantics all
+    unchanged; the leaf holds fewer (validated) files."""
+    from data_pipeline_spark.operators.maintenance import compact_small_files
+
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1).repartition(3), 0)  # multi-file epoch
+    sink.admit_batch(_df(spark, DOCS2), 1)
+    before = sorted(r.doc_id for r in sink.corpus().collect())
+
+    leaf = _writer_epoch_dir(sink, 0)
+    files_before = len(
+        [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    )
+    assert files_before > 1
+    stats = compact_small_files(spark, leaf)
+    files_after = len(
+        [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    )
+    assert files_after < files_before and stats["rows"] == len(DOCS1)
+
+    # the corpus view is unchanged and the stream continues: duplicates
+    # of epoch-0 docs still reject (gate reads the index, not the
+    # rewritten files), novel docs still admit, replay still skips
+    assert sorted(r.doc_id for r in sink.corpus().collect()) == before
+    probe = _df(
+        spark,
+        [(80, DOCS1[0][1]),  # exact dup of compacted doc 1
+         (81, "fresh post-compaction arrival with unshared vocabulary")],
+    )
+    assert sink.admit_batch(probe, 2) == 1
+    assert sink.admit_batch(_df(spark, DOCS1), 0) == 0  # replay skipped
+    assert sorted(r.doc_id for r in sink.corpus().collect()) == before + [81]
+
+
+def test_maintenance_compact_failure_leaves_live_corpus_intact(
+    spark, tmp_path
+):
+    """A rewrite that dies mid-flight (here: sorting on a column that
+    doesn't exist) must leave the original epoch directory untouched and
+    leak no temp/backup debris — the validate-before-swap contract — and
+    the ingest stream must continue unaffected."""
+    from data_pipeline_spark.operators.maintenance import compact_small_files
+
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1).repartition(3), 0)
+    before = sorted(r.doc_id for r in sink.corpus().collect())
+    leaf = _writer_epoch_dir(sink, 0)
+    listing_before = sorted(os.listdir(leaf))
+
+    with pytest.raises(Exception):
+        compact_small_files(spark, leaf, sort_col="no_such_column")
+
+    assert sorted(os.listdir(leaf)) == listing_before  # untouched
+    parent = os.path.dirname(leaf)
+    debris = [
+        d for d in os.listdir(parent)
+        if "__compact" in d or "__bak" in d
+    ]
+    assert debris == [], debris
+    assert sorted(r.doc_id for r in sink.corpus().collect()) == before
+    assert sink.admit_batch(
+        _df(spark, [(82, "post-failure novel document keeps flowing")]), 1
+    ) == 1
+
+
+def test_maintenance_compact_sorted_epoch_keeps_partition_columns(
+    spark, tmp_path
+):
+    """Range-sorted maintenance compaction inside a leaf partition dir:
+    the rewritten files carry only data columns, so the partition values
+    (writer, epoch) must still be inferred from the directory names when
+    reading the whole corpus."""
+    from data_pipeline_spark.operators.maintenance import compact_small_files
+
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, DOCS1).repartition(3), 0)
+    leaf = _writer_epoch_dir(sink, 0)
+    compact_small_files(spark, leaf, sort_col="doc_id")
+
+    full = spark.read.parquet(sink.corpus_dir)
+    rows = {
+        (r.doc_id, r.ingest_writer, int(r.ingest_epoch))
+        for r in full.collect()
+    }
+    assert rows == {(d, sink.writer_id, 0) for d, _t in DOCS1}

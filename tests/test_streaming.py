@@ -718,3 +718,49 @@ def test_dedup_gated_ingest_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     )
     assert final == [1, 2, 12, 20]  # 21 rejected as an exact corpus dup
+
+
+def test_streaming_locf_gapfill_matches_batch(spark, tmp_path):
+    """Streaming LOCF gap-fill == the batch gapfill_interpolate's LOCF
+    columns over every CLOSED bucket (the stream's final per-key bucket
+    is still open when availableNow terminates, and linear interpolation
+    is pinned batch-only — it needs the NEXT present bucket, i.e.
+    unbounded lookahead under append semantics)."""
+    from data_pipeline_spark.operators.aggregates import gapfill_interpolate
+    from data_pipeline_spark.streaming.gapfill import locf_gapfill_stream
+
+    src_dir = tmp_path / "gap_src"
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "ts", "event_type", "value"
+    )
+    events.write.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    filled = locf_gapfill_stream(
+        stream, "ts", "event_type", "value", bucket_seconds=3600,
+        idle_timeout_ms=None,
+    )
+    _run_available_now(filled, tmp_path, "locf_gapfill")
+    got = {
+        (r.event_type, r.bucket_start): (r.n_events, r.is_gap, r.sum_value_locf)
+        for r in spark.sql("SELECT * FROM locf_gapfill").collect()
+    }
+    assert got, "stream emitted no closed buckets"
+
+    batch = gapfill_interpolate(
+        events, "ts", ["event_type"], "value", bucket_seconds=3600
+    ).collect()
+    last_per_key: dict = {}
+    for r in batch:
+        last_per_key[r.event_type] = max(
+            last_per_key.get(r.event_type, 0), r.bucket_start
+        )
+    want = {
+        (r.event_type, r.bucket_start): (
+            r.n_events, r.is_gap, r.sum_value_locf
+        )
+        for r in batch
+        if r.bucket_start < last_per_key[r.event_type]
+    }
+    assert got == want
+    assert any(gap for (_n, gap, _v) in got.values())  # gaps exercised
