@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "multimodal_flac_roundtrip",
     "zorder_curve_keys",
     "heavy_hitter_bigrams",
+    # r9 additions: the band-pruned steady-state ingest gate and the
+    # z-layout end-to-end read path (layout written once per sf, bench
+    # reps hit the steady-state pruned scan)
+    "banded_index_dedup_gate",
+    "zorder_box_query",
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "gapfill_interpolated_series",

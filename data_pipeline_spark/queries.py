@@ -1310,6 +1310,78 @@ def zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_box_query",
+    """
+    WITH stats AS (
+        SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+               min(l_partkey) AS mnp, max(l_partkey) AS mxp
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem, stats
+    WHERE l_orderkey BETWEEN mno + CAST(floor((mxo - mno) * 45 / 100) AS BIGINT)
+                         AND mno + CAST(floor((mxo - mno) * 55 / 100) AS BIGINT)
+      AND l_partkey  BETWEEN mnp + CAST(floor((mxp - mnp) * 45 / 100) AS BIGINT)
+                         AND mnp + CAST(floor((mxp - mnp) * 55 / 100) AS BIGINT)
+    """,
+    doc="End-to-end z-order layout proof at bench scale: lineitem is "
+    "written ONCE per sf as a 16-file Morton layout over (l_orderkey, "
+    "l_partkey) — zorder_write's repartitionByRange + sortWithinPartitions "
+    "— and this query scans THAT copy with a 10%-per-dimension box "
+    "predicate on both dimensions.  The oracle computes the same box "
+    "aggregate from the original table (the answer is layout-independent; "
+    "the LAYOUT only changes which row groups the scan can skip — "
+    "files/row-groups read per layout are recorded in the round notes).  "
+    "Bench runs hit the steady-state read path: the layout write is "
+    "skipped when its _SUCCESS marker exists.",
+    tags=("O-ext", "layout"),
+)
+def zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from data_pipeline_spark.operators import zorder
+
+    layout_dir = str(
+        Path(tempfile.gettempdir())
+        / "spark_graft_zorder_lineitem"
+        / hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(os.path.join(layout_dir, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        zorder.zorder_write(
+            li, layout_dir, ["l_orderkey", "l_partkey"], bits=10, n_files=16
+        )
+    zl = spark.read.parquet(layout_dir)
+    # the box bounds must be LITERALS for the predicate to push into the
+    # parquet scan (PushedFilters -> row-group pruning — the very thing
+    # the layout exists for); a joined-in stats row would evaluate the
+    # filter post-scan.  One 1-row collect, metadata-bounded by contract.
+    st = zl.agg(
+        F.min("l_orderkey").alias("mno"), F.max("l_orderkey").alias("mxo"),
+        F.min("l_partkey").alias("mnp"), F.max("l_partkey").alias("mxp"),
+    ).collect()[0]
+    lo_o = st.mno + (st.mxo - st.mno) * 45 // 100
+    hi_o = st.mno + (st.mxo - st.mno) * 55 // 100
+    lo_p = st.mnp + (st.mxp - st.mnp) * 45 // 100
+    hi_p = st.mnp + (st.mxp - st.mnp) * 55 // 100
+    boxed = zl.filter(
+        F.col("l_orderkey").between(F.lit(lo_o), F.lit(hi_o))
+        & F.col("l_partkey").between(F.lit(lo_p), F.lit(hi_p))
+    )
+    return boxed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round("l_quantity", 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_qty"),
+    )
+
+
+@register(
     "gapfill_interpolated_series",
     """
     WITH agg AS (
