@@ -33,80 +33,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # second, and a representative spread of the long-green set fills the
 # remaining window; the rest follow.
 _PRIORITY = [
-    # -- r8 evidence targets: new or changed this round ----------------------
-    # new: the real-codec multimodal certifications — MP4 container demux
-    # vs an arithmetic sample-table oracle, FLAC lossless roundtrip vs an
-    # arithmetic PCM oracle (first driver-level value-checks for the
-    # multimodal family)
-    "multimodal_mp4_keyframes",
-    "multimodal_flac_roundtrip",
-    # new: the Morton-layout key op (zorder_write's pruning effect is
-    # measured from real parquet footers in tests/test_scale_ops.py)
-    "zorder_curve_keys",
-    # new: the Misra-Gries exactness limits — global AND per-group —
-    # certifying the third sketch scale path like the ANN exact configs
+    # -- r9 evidence targets -------------------------------------------------
+    # never driver-checked: the two new r9 entries (band-pruned gate with
+    # a decision-only oracle; the z-layout end-to-end box query) and the
+    # three rows-only scale paths the r8 verdict asked to rotate in
+    "banded_index_dedup_gate",
+    "zorder_box_query",
+    "heavy_hitter_bigrams",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    # changed r9 internals: the gate family (bands column + pruning seam
+    # threaded through doc_shingle_index/indexed_dedup_gate), the sketches
+    # (explicit null-exclusion contract), the PQ kernels (empty-batch
+    # guards), the z-key op, and the TIFF decode path (photometric/planar
+    # seams)
+    "persisted_index_dedup_gate",
+    "incremental_dedup_gate",
     "heavy_hitter_bigrams_exact",
     "grouped_heavy_hitters_exact",
-    # new: the PQ exactness limit (lossless codebooks == brute force) and
-    # the IVF-PQ double limit (all-lists probe + lossless codebooks),
-    # certifying the compressed-ANN paths end to end
     "pq_exact_topk",
     "ivfpq_exact_topk",
-    # new: hypertable gap-fill + LOCF/linear interpolation (~50% of the
-    # 15-min buckets are generated gaps at sf0.01)
-    "gapfill_interpolated_series",
-    # new: the persisted-index gate (the streaming sink's steady-state
-    # path) and the two ANN exactness-limit certifications
-    "persisted_index_dedup_gate",
-    "ivf_exact_topk",
-    "lsh_exact_neardup",
-    # changed r8: gate rewritten around doc_shingle_index (cache removed,
-    # sizes in-row); star-CC rounds fused to one shuffle per phase; the
-    # jaccard pairing grew the cache=False seam; simhash banding factored
-    # into shared helpers for the flood-stats audit
-    "incremental_dedup_gate",
-    "neardup_cluster_assignment_star",
-    "neardup_cluster_assignment",
-    "jaccard_neardup_pairs",
-    "simhash_neardup_pairs",
-    "simhash64_neardup_pairs",
-    # new: the cap's recall-loss audit (ADVICE r7: surface the drop) and
-    # the semantic-dedup composition (embedding pairs -> components)
-    "simhash_flood_stats",
-    "embedding_neardup_clusters",
-    # -- longest-unverified tail: last driver verdict was ROUND 5 ------------
-    "shipped_within_90d",
-    "sessionize_events",
-    "asof_click_attribution",
-    "doc_exact_dedup",
-    "simhash_signatures",
-    "embedding_cosine_topk",
-    "embedding_neardup_pairs",
-    "word_frequencies",
-    "q13_order_count_distribution",
-    # -- last driver verdict was ROUND 6 (oracle-paired rows) ----------------
-    "monitor_window_counts",
-    "refresh_range_batches",
-    "compaction_latest_per_key",
-    "broadcast_dim_enrich",
-    "cdc_update_diff",
-    "revenue_by_nation",
-    "props_json_extract",
-    "minhash_lsh_candidates",
-    "tfidf_top_terms",
-    "pretraining_corpus_filter",
-    "deterministic_sample",
-    "corpus_mix_stats",
-    "sequence_packing",
-    "bpe_token_stats",
-    "temperature_mix_sampling",
-    "trailing_7d_user_spend",
-    "exact_doc_length_percentiles",
-    "eval_decontamination",
-    "ngram_repetition_filter",
-    "unigram_logprob_score",
-    "neardup_quality_survivors",
-    "q2_min_cost_supplier",
+    "zorder_curve_keys",
+    "multimodal_real_decode",
+    # -- longest-unverified tail: last driver verdict was ROUND 6 ------------
+    "lsh_ann_neardup",
+    "ivf_ann_topk",
+    "approx_distinct_users_scale_path",
+    "approx_doc_length_quantiles",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
@@ -119,10 +72,28 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
     "q20_part_promotion_suppliers",
-    # (the four r6 rows-only queries — lsh_ann_neardup, ivf_ann_topk and
-    # the two sketch scale paths — stay outside the window: their exact
-    # configurations are certified above with full oracles, which is
-    # strictly stronger evidence than another rows>0 verdict)
+    # -- round-7-latest spread fills the remaining window --------------------
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_frame_pipeline",
+    "doc_text_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "quality_decile_binning",
+    "hashed_classifier_score",
+    "doc_pii_scrub",
+    "segment_dedup_stats",
+    "boilerplate_strip",
+    "contamination_by_source",
+    "url_blocklist_filter",
+    "corpus_health_by_source",
+    "envelope_roundtrip",
+    "topic_transport_roundtrip",
+    "wire_key_roundtrip",
+    "encrypted_transport_roundtrip",
+    "hypertable_rollup",
+    "dq_column_stats",
 ]
 
 
