@@ -2,19 +2,22 @@
 
 Implements the lossless subset a data pipeline meets in practice for
 16-bit PCM: STREAMINFO metadata, fixed-blocksize frames, independent
-channels, constant / verbatim / fixed-predictor (orders 0-4) subframes
-with Rice-coded residuals (escape partitions included), CRC-8 frame
-headers, CRC-16 frame footers and the STREAMINFO MD5 integrity check over
-the decoded PCM.  The encoder picks the fixed-predictor order per block by
-minimal summed |residual| and the Rice parameter by exact bit cost —
-the same heuristics libFLAC's fast preset uses (public spec:
-https://xiph.org/flac/format.html; no code consulted).
+channels, constant / verbatim / fixed-predictor (orders 0-4) / LPC
+(orders 1-8 on encode, 1-32 on decode) subframes with Rice-coded
+residuals (escape partitions included), CRC-8 frame headers, CRC-16
+frame footers and the STREAMINFO MD5 integrity check over the decoded
+PCM.  The encoder picks per block among constant/verbatim/fixed/LPC by
+exact bit cost: fixed order by minimal summed |residual|, LPC by
+Levinson-Durbin over the block autocorrelation with 12-bit quantized
+coefficients — the same shape as libFLAC's presets (public spec:
+https://xiph.org/flac/format.html; no code consulted).  Prediction is
+exact integer arithmetic (sum >> shift), so every path is lossless.
 
 Out-of-subset streams raise NotImplementedError into the documented
-soundfile/ffmpeg seam (llmops.multimodal.decode_audio): LPC subframes,
-stereo decorrelation (left/right/mid-side), non-16-bit sample sizes.
+soundfile/ffmpeg seam (llmops.multimodal.decode_audio): stereo
+decorrelation (left/right/mid-side) and non-16-bit sample sizes.
 Everything this encoder emits, this decoder decodes — and vice versa for
-any fixed-subset FLAC file.
+any independent-channel 16-bit FLAC file.
 
 Scale note: like the PNG unfilter and the JPEG entropy coder, the Rice
 coder is an inherently sequential bit loop — correctness-grade in this
@@ -291,6 +294,69 @@ def _integrate_fixed(warmup: np.ndarray, res: np.ndarray, order: int) -> np.ndar
     return np.concatenate([w, seq])
 
 
+_LPC_MAX_ORDER = 8
+_LPC_PRECISION = 12  # quantized coefficient bits (stored as precision-1)
+
+
+def _lpc_analyze(s: np.ndarray, max_order: int) -> tuple | None:
+    """Levinson-Durbin over the block's autocorrelation -> quantized
+    integer predictor (qcoefs, shift) at the order with the smallest
+    prediction-error estimate.  Returns None when the signal carries no
+    usable correlation structure (zero energy / degenerate recursion)."""
+    x = s.astype(np.float64)
+    n = len(x)
+    max_order = min(max_order, n - 1)
+    if max_order < 1:
+        return None
+    r = np.array(
+        [np.dot(x[: n - k], x[k:]) for k in range(max_order + 1)]
+    )
+    if r[0] <= 0:
+        return None
+    err = r[0]
+    a = np.zeros(0)
+    best = None  # (estimated error per sample, coefs)
+    for m in range(1, max_order + 1):
+        acc = r[m] - (a @ r[1:m][::-1] if m > 1 else 0.0)
+        k = acc / err
+        a = np.concatenate([a - k * a[::-1], [k]]) if m > 1 else np.array([k])
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+        # ~bits/sample of a Laplacian residual at this error level, plus
+        # the header cost of carrying m more coefficients
+        cost = n * 0.5 * np.log2(max(err / n, 1e-9)) + m * _LPC_PRECISION
+        if best is None or cost < best[0]:
+            best = (cost, a.copy())
+    if best is None:
+        return None
+    coefs = best[1]
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax == 0.0:
+        return None
+    # shift so the largest coefficient uses the full signed precision
+    shift = _LPC_PRECISION - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    q = np.round(coefs * (1 << shift)).astype(np.int64)
+    lim = 1 << (_LPC_PRECISION - 1)
+    q = np.clip(q, -lim, lim - 1)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(s: np.ndarray, qcoefs: np.ndarray, shift: int) -> np.ndarray:
+    """res[i] = s[i] - ((sum_j q[j] * s[i-1-j]) >> shift) for i >= order,
+    vectorized as one slice-dot per coefficient; numpy's >> on signed
+    int64 is the arithmetic shift the spec requires."""
+    order = len(qcoefs)
+    n = len(s)
+    acc = np.zeros(n - order, np.int64)
+    for j in range(order):
+        acc += qcoefs[j] * s[order - 1 - j : n - 1 - j]
+    return s[order:] - (acc >> shift)
+
+
 def _write_subframe(w: _BitWriter, samples: np.ndarray, bps: int) -> None:
     s = samples.astype(np.int64)
     w.write(0, 1)  # zero pad bit
@@ -306,14 +372,43 @@ def _write_subframe(w: _BitWriter, samples: np.ndarray, bps: int) -> None:
         if best_sum is None or cost < best_sum:
             best_order, best_sum = k, cost
     res = np.diff(s, n=best_order)
-    # verbatim wins when the residual stream would exceed raw samples
     u = _zigzag(res)
     rice_est = min(_rice_cost(u, k) for k in range(15)) if len(u) else 0
-    if rice_est + best_order * bps >= len(s) * bps:
+    fixed_bits = rice_est + best_order * bps
+
+    # LPC candidate: exact bit cost vs the best fixed predictor
+    lpc = _lpc_analyze(s, _LPC_MAX_ORDER)
+    lpc_plan = None
+    if lpc is not None:
+        qcoefs, shift = lpc
+        lres = _lpc_residual(s, qcoefs, shift)
+        lu = _zigzag(lres)
+        lrice = min(_rice_cost(lu, k) for k in range(15)) if len(lu) else 0
+        lpc_bits = (
+            lrice + len(qcoefs) * bps + 4 + 5 + len(qcoefs) * _LPC_PRECISION
+        )
+        if lpc_bits < fixed_bits:
+            lpc_plan = (qcoefs, shift, lres, lpc_bits)
+
+    # verbatim wins when the residual stream would exceed raw samples
+    if min(fixed_bits, lpc_plan[3] if lpc_plan else fixed_bits) >= len(s) * bps:
         w.write(0b000001, 6)  # verbatim
         w.write(0, 1)
         for v in s.tolist():
             w.write_signed(int(v), bps)
+        return
+    if lpc_plan is not None:
+        qcoefs, shift, lres, _bits = lpc_plan
+        order = len(qcoefs)
+        w.write(0b100000 | (order - 1), 6)  # LPC, order-1 in low bits
+        w.write(0, 1)
+        for v in s[:order].tolist():
+            w.write_signed(int(v), bps)
+        w.write(_LPC_PRECISION - 1, 4)
+        w.write_signed(shift, 5)
+        for c in qcoefs.tolist():
+            w.write_signed(int(c), _LPC_PRECISION)
+        _write_residual(w, lres)
         return
     w.write(0b001000 | best_order, 6)  # fixed, order in low bits
     w.write(0, 1)
@@ -342,10 +437,27 @@ def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         res = _read_residual(r, blocksize, order)
         out = _integrate_fixed(warmup, res, order) if order else res
     elif kind >= 32:
-        raise NotImplementedError(
-            "LPC subframes not in the fixed subset — decode with "
-            "soundfile/ffmpeg on the cluster image"
-        )
+        order = (kind & 0b011111) + 1
+        warmup = [r.read_signed(bps) for _ in range(order)]
+        precision = r.read(4)
+        if precision == 0b1111:
+            raise ValueError("invalid LPC coefficient precision 15")
+        precision += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        qcoefs = [r.read_signed(precision) for _ in range(order)]
+        res = _read_residual(r, blocksize, order).tolist()
+        # native-int recurrence (python >> is the arithmetic shift the
+        # spec requires; ~an order of magnitude faster than per-sample
+        # numpy indexing for the sequential filter)
+        y = list(warmup)
+        for i in range(order, blocksize):
+            acc = 0
+            for j in range(order):
+                acc += qcoefs[j] * y[i - 1 - j]
+            y.append((acc >> shift) + res[i - order])
+        out = np.asarray(y, np.int64)
     else:
         raise ValueError(f"reserved subframe type {kind:#08b}")
     return out << wasted if wasted else out

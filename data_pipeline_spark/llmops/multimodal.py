@@ -1157,9 +1157,9 @@ def decode_audio(content: bytes, fmt: str = "unknown") -> tuple[int, int, bytes]
     """Decode an audio blob to (n_channels, sample_rate, int16 PCM frames).
 
     Real stdlib/numpy decoders for ``wav`` and lossless-compressed ``flac``
-    (rice-coded fixed-predictor subset; llmops.flac); remaining compressed
-    audio (mp3/ogg, FLAC's LPC/stereo-decorrelation extensions) needs codec
-    libs not in this container — soundfile/ffmpeg drop in here."""
+    (rice-coded fixed-predictor AND LPC subframes; llmops.flac); remaining
+    compressed audio (mp3/ogg, FLAC's stereo-decorrelation extension) needs
+    codec libs not in this container — soundfile/ffmpeg drop in here."""
     codec = _AUDIO_CODECS.get(fmt)
     if codec is None:
         raise NotImplementedError(

@@ -47,20 +47,24 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
         multimodal.decode_media(b"\x89PNG")  # unknown format
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"OggS", "ogg")
-    # flac decodes natively now, but only the fixed subset: LPC subframes
-    # must route to the soundfile seam, not mis-decode
+    # flac decodes natively including LPC subframes (r9); the remaining
+    # seam is stereo decorrelation — left/side channel assignment (0b1000
+    # in the channel field) must route to soundfile, not mis-decode
     import numpy as np
 
     from data_pipeline_spark.llmops import flac as flac_codec
 
     blob = bytearray(
-        flac_codec.encode_flac(1, 8000, np.arange(64, dtype="<i2").tobytes())
+        flac_codec.encode_flac(2, 8000, np.arange(128, dtype="<i2").tobytes())
     )
-    # rewrite the first subframe header to LPC order 1 (0b100000), fixing
-    # the header CRC-8 so the type check itself is what trips
     frame_start = 4 + 4 + 34
-    sub_hdr = frame_start + 4 + 1 + 2  # sync/flags + coded num + blocksize
-    blob[sub_hdr + 1] = (0b0100000 << 1) | (blob[sub_hdr + 1] & 1)
+    # byte 3 of the frame header: channel assignment (4) + bps (3) + rsvd;
+    # re-sign the CRC-8 (4 fixed header bytes + 1-byte coded frame number
+    # + 2-byte blocksize) so the seam check itself is what trips
+    blob[frame_start + 3] = (0b1000 << 4) | (blob[frame_start + 3] & 0x0F)
+    blob[frame_start + 7] = flac_codec._crc8(
+        bytes(blob[frame_start : frame_start + 7])
+    )
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
     # jpeg decodes natively now, but only baseline sequential: progressive
@@ -897,6 +901,46 @@ def test_flac_codec_roundtrip_lossless():
     sine = (3000 * np.sin(t / 20)).astype("<i2")
     blob = flac.encode_flac(1, 16000, sine.tobytes())
     assert len(blob) < 0.3 * len(sine.tobytes())  # real compression
+
+
+def test_flac_lpc_subframes_lossless_and_smaller():
+    """LPC subframes (r9): Levinson-Durbin quantized predictors must (a)
+    roundtrip byte-exactly — prediction is exact integer sum >> shift on
+    both sides — and (b) actually beat the fixed predictors on correlated
+    signals (the encoder picks by exact bit cost, so forcing LPC off can
+    only grow the stream)."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import flac
+
+    rng = np.random.RandomState(11)
+    n = 9000
+    t = np.arange(n)
+    left = (8000 * np.sin(2 * np.pi * t / 100)
+            + rng.randint(-200, 200, n)).astype("<i2")
+    right = (6000 * np.sin(2 * np.pi * t / 37 + 1.0)
+             + rng.randint(-100, 100, n)).astype("<i2")
+    pcm = np.empty(2 * n, "<i2")
+    pcm[0::2], pcm[1::2] = left, right
+    raw = pcm.tobytes()
+
+    enc = flac.encode_flac(2, 44100, raw)
+    assert flac.decode_flac(enc) == (2, 44100, raw)
+
+    # the encoded stream genuinely contains LPC subframes: re-encoding
+    # with LPC analysis disabled must produce a larger stream
+    orig = flac._lpc_analyze
+    flac._lpc_analyze = lambda s, mo: None
+    try:
+        enc_fixed = flac.encode_flac(2, 44100, raw)
+    finally:
+        flac._lpc_analyze = orig
+    assert flac.decode_flac(enc_fixed) == (2, 44100, raw)
+    assert len(enc) < len(enc_fixed)
+
+    # white noise must not regress (LPC loses the cost comparison there)
+    noise = rng.randint(-32768, 32768, 5000).astype("<i2").tobytes()
+    assert flac.decode_flac(flac.encode_flac(1, 16000, noise))[2] == noise
 
 
 def test_flac_codec_rejects_corruption():
