@@ -2,22 +2,26 @@
 
 Implements the lossless subset a data pipeline meets in practice for
 16-bit PCM: STREAMINFO metadata, fixed-blocksize frames, independent
-channels, constant / verbatim / fixed-predictor (orders 0-4) / LPC
-(orders 1-8 on encode, 1-32 on decode) subframes with Rice-coded
-residuals (escape partitions included), CRC-8 frame headers, CRC-16
-frame footers and the STREAMINFO MD5 integrity check over the decoded
-PCM.  The encoder picks per block among constant/verbatim/fixed/LPC by
-exact bit cost: fixed order by minimal summed |residual|, LPC by
-Levinson-Durbin over the block autocorrelation with 12-bit quantized
-coefficients — the same shape as libFLAC's presets (public spec:
-https://xiph.org/flac/format.html; no code consulted).  Prediction is
-exact integer arithmetic (sum >> shift), so every path is lossless.
+channels AND all three stereo-decorrelation assignments (left/side,
+right/side, mid/side), constant / verbatim / fixed-predictor (orders
+0-4) / LPC (orders 1-8 on encode, 1-32 on decode) subframes with
+Rice-coded residuals (escape partitions included), CRC-8 frame headers,
+CRC-16 frame footers and the STREAMINFO MD5 integrity check over the
+decoded PCM.  The encoder picks per block among constant/verbatim/
+fixed/LPC by exact bit cost — fixed order by minimal summed |residual|,
+LPC by Levinson-Durbin over the block autocorrelation with 12-bit
+quantized coefficients — and, for stereo input, among the four channel
+assignments by exact summed subframe cost, the same decision shape as
+libFLAC's presets (public spec: https://xiph.org/flac/format.html; no
+code consulted).  Prediction is exact integer arithmetic (sum >> shift)
+and the stereo transforms are exactly invertible (side = l - r carries
+17 bits; mid = (l + r) >> 1 recovers the dropped LSB from side's
+parity), so every path is lossless.
 
 Out-of-subset streams raise NotImplementedError into the documented
-soundfile/ffmpeg seam (llmops.multimodal.decode_audio): stereo
-decorrelation (left/right/mid-side) and non-16-bit sample sizes.
-Everything this encoder emits, this decoder decodes — and vice versa for
-any independent-channel 16-bit FLAC file.
+soundfile/ffmpeg seam (llmops.multimodal.decode_audio): non-16-bit
+sample sizes.  Everything this encoder emits, this decoder decodes —
+and vice versa for any 16-bit FLAC file.
 
 Scale note: like the PNG unfilter and the JPEG entropy coder, the Rice
 coder is an inherently sequential bit loop — correctness-grade in this
@@ -97,6 +101,18 @@ class _BitWriter:
     def getvalue(self) -> bytes:
         assert self.nbits == 0, "unaligned"
         return bytes(self.buf)
+
+    @property
+    def bit_length(self) -> int:
+        return len(self.buf) * 8 + self.nbits
+
+    def extend(self, other: "_BitWriter") -> None:
+        """Append another writer's bit stream (used to splice the winning
+        stereo-mode subframes without re-encoding them)."""
+        for b in other.buf:
+            self.write(b, 8)
+        if other.nbits:
+            self.write(other.acc, other.nbits)
 
 
 class _BitReader:
@@ -472,14 +488,30 @@ _SAMPLE_RATE_FIXED = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
 _BPS_FIXED = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+# frame-header channel-assignment codes for the stereo transforms
+_STEREO_MODES = {"left_side": 0b1000, "right_side": 0b1001, "mid_side": 0b1010}
+
+
 def encode_flac(
-    n_channels: int, sample_rate: int, frames: bytes, blocksize: int = 4096
+    n_channels: int,
+    sample_rate: int,
+    frames: bytes,
+    blocksize: int = 4096,
+    stereo_mode: str | None = None,
 ) -> bytes:
     """16-bit interleaved little-endian PCM -> FLAC stream (fLaC magic +
-    STREAMINFO with real MD5 + fixed-blocksize frames, independent
-    channels).  Lossless: decode_flac inverts it byte-exactly."""
+    STREAMINFO with real MD5 + fixed-blocksize frames).  Stereo input
+    picks per frame among independent / left-side / right-side / mid-side
+    by exact summed subframe bit cost (``stereo_mode`` pins one:
+    "independent", "left_side", "right_side", "mid_side").  Lossless:
+    decode_flac inverts it byte-exactly."""
     if n_channels < 1 or n_channels > 8:
         raise ValueError(f"channels out of range: {n_channels}")
+    if stereo_mode is not None:
+        if n_channels != 2:
+            raise ValueError("stereo_mode requires exactly 2 channels")
+        if stereo_mode != "independent" and stereo_mode not in _STEREO_MODES:
+            raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     pcm = np.frombuffer(frames, "<i2")
     if len(pcm) % n_channels:
         raise ValueError("PCM length not a multiple of channel count")
@@ -506,13 +538,49 @@ def encode_flac(
         bs = len(block)
         if bs == 0:  # zero-sample stream still carries no frames
             break
+
+        if n_channels == 2:
+            left, right = block[:, 0], block[:, 1]
+            side = left - right  # 17-bit signed
+            mid = (left + right) >> 1  # arithmetic: floor, LSB rides side
+
+            def _sub(sig: np.ndarray, bps: int) -> _BitWriter:
+                sw = _BitWriter()
+                _write_subframe(sw, sig, bps)
+                return sw
+
+            wl, wr = _sub(left, 16), _sub(right, 16)
+            candidates = [(wl.bit_length + wr.bit_length, 0, 0b0001, (wl, wr))]
+            if stereo_mode in (None, "left_side", "right_side", "mid_side"):
+                ws = _sub(side, 17)
+                if stereo_mode in (None, "left_side"):
+                    candidates.append(
+                        (wl.bit_length + ws.bit_length, 1, 0b1000, (wl, ws))
+                    )
+                if stereo_mode in (None, "right_side"):
+                    candidates.append(
+                        (ws.bit_length + wr.bit_length, 2, 0b1001, (ws, wr))
+                    )
+                if stereo_mode in (None, "mid_side"):
+                    wm = _sub(mid, 16)
+                    candidates.append(
+                        (wm.bit_length + ws.bit_length, 3, 0b1010, (wm, ws))
+                    )
+            if stereo_mode not in (None, "independent"):
+                candidates = candidates[-1:]  # the pinned transform only
+            # deterministic tie-break: cheaper first, then mode order
+            _, _, chan_code, subframes = min(candidates)
+        else:
+            chan_code = n_channels - 1
+            subframes = None
+
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed blocksize strategy (header carries frame #)
         hdr.write(0b0111, 4)  # blocksize: 16-bit value-1 at header end
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.write(n_channels - 1, 4)  # independent channels
+        hdr.write(chan_code, 4)  # channel assignment
         hdr.write(0b100, 3)  # 16 bits per sample
         hdr.write(0, 1)  # reserved
         head = bytearray(hdr.getvalue())
@@ -523,8 +591,12 @@ def encode_flac(
         w = _BitWriter()
         for b in head:
             w.write(b, 8)
-        for ch in range(n_channels):
-            _write_subframe(w, block[:, ch], 16)
+        if subframes is not None:
+            for sw in subframes:
+                w.extend(sw)
+        else:
+            for ch in range(n_channels):
+                _write_subframe(w, block[:, ch], 16)
         w.align()
         frame = w.getvalue()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -534,10 +606,11 @@ def encode_flac(
 def decode_flac(content: bytes) -> tuple:
     """FLAC stream -> (n_channels, sample_rate, interleaved int16 LE PCM).
 
-    Decodes the fixed subset (constant/verbatim/fixed subframes,
-    independent channels, 16-bit); verifies frame CRC-8/CRC-16 and the
-    STREAMINFO MD5.  LPC / stereo decorrelation / other sample sizes raise
-    NotImplementedError into the soundfile seam."""
+    Decodes constant/verbatim/fixed/LPC subframes, independent channels
+    and all three stereo-decorrelation assignments (left/side,
+    right/side, mid/side), 16-bit; verifies frame CRC-8/CRC-16 and the
+    STREAMINFO MD5.  Non-16-bit sample sizes raise NotImplementedError
+    into the soundfile seam."""
     if content[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC magic)")
     pos = 4
@@ -601,12 +674,9 @@ def decode_flac(content: bytes) -> tuple:
         expect_crc8 = fr.read(8)
         if _crc8(content[pos : pos + header_len]) != expect_crc8:
             raise ValueError(f"frame header CRC-8 mismatch at byte {pos}")
-        if chan_code >= 8:
-            raise NotImplementedError(
-                "stereo decorrelation (L/S, R/S, M/S) not in the "
-                "independent-channel subset — soundfile seam"
-            )
-        n_ch = chan_code + 1
+        if chan_code > 10:
+            raise ValueError(f"reserved channel assignment {chan_code:#x}")
+        n_ch = 2 if chan_code >= 8 else chan_code + 1
         bps = si_bps if bps_code == 0 else _BPS_FIXED.get(bps_code)
         if bps is None:
             raise ValueError(f"reserved sample size code {bps_code}")
@@ -615,7 +685,23 @@ def decode_flac(content: bytes) -> tuple:
 
         block = np.empty((bs, n_ch), np.int64)
         for ch in range(n_ch):
-            block[:, ch] = _read_subframe(fr, bs, bps)
+            # the side (difference) channel carries one extra bit
+            extra = 1 if (
+                (chan_code == 0b1000 and ch == 1)
+                or (chan_code == 0b1001 and ch == 0)
+                or (chan_code == 0b1010 and ch == 1)
+            ) else 0
+            block[:, ch] = _read_subframe(fr, bs, bps + extra)
+        if chan_code == 0b1000:  # left/side: right = left - side
+            block = np.stack([block[:, 0], block[:, 0] - block[:, 1]], axis=1)
+        elif chan_code == 0b1001:  # right/side: left = right + side
+            block = np.stack([block[:, 1] + block[:, 0], block[:, 1]], axis=1)
+        elif chan_code == 0b1010:  # mid/side: side parity restores the LSB
+            side = block[:, 1]
+            lr_sum = (block[:, 0] << 1) | (side & 1)
+            block = np.stack(
+                [(lr_sum + side) >> 1, (lr_sum - side) >> 1], axis=1
+            )
         fr.align()
         frame_end = fr.byte_pos
         expect_crc16 = fr.read(16)

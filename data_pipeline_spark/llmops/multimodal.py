@@ -1067,20 +1067,71 @@ def _decode_gif(content: bytes) -> tuple[int, int, bytes]:
     raise ValueError("GIF contains no image block")
 
 
-def _encode_gif(w: int, h: int, rgb: bytes) -> bytes:
-    """(w, h, top-down RGB) -> non-interlaced GIF89a with an exact palette.
+def _median_cut_palette(px: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Deterministic median-cut quantizer over an (n, 3) uint8 pixel
+    array: repeatedly split the box with the largest channel range along
+    that channel at its count-weighted median, until ``n_colors`` boxes;
+    each palette entry is the box's count-weighted mean.  Classic Heckbert
+    1982 (public literature), pure numpy."""
+    colors, counts = np.unique(px, axis=0, return_counts=True)
+    boxes = [(colors, counts)]
+    while len(boxes) < n_colors:
+        spans = [
+            (b[0].max(axis=0) - b[0].min(axis=0)).max() if len(b[0]) > 1 else -1
+            for b in boxes
+        ]
+        bi = int(np.argmax(spans))
+        if spans[bi] <= 0:
+            break  # every box is a single color already
+        cols, cnts = boxes[bi]
+        ch = int(np.argmax(cols.max(axis=0) - cols.min(axis=0)))
+        order = np.argsort(cols[:, ch], kind="stable")
+        cols, cnts = cols[order], cnts[order]
+        cum = np.cumsum(cnts)
+        split = int(np.searchsorted(cum, cum[-1] / 2.0)) + 1
+        split = min(max(split, 1), len(cols) - 1)
+        boxes[bi] = (cols[:split], cnts[:split])
+        boxes.append((cols[split:], cnts[split:]))
+    pal = np.array(
+        [
+            np.round(
+                (b[0].astype(np.float64) * b[1][:, None]).sum(axis=0)
+                / b[1].sum()
+            )
+            for b in boxes
+        ],
+        np.uint8,
+    )
+    return np.unique(pal, axis=0)  # merged means can collide; also sorts
 
-    Palettizes exact colors only (<= 256 unique); true-color inputs need a
-    quantizer — PIL drops into the same seam on a production image."""
+
+def _nearest_palette_indices(px: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Exact nearest palette entry per pixel (squared euclidean, ties to
+    the lowest index), chunked so the (chunk, n_pal) distance matrix stays
+    small."""
+    out = np.empty(len(px), np.int64)
+    p = palette.astype(np.int64)
+    for i in range(0, len(px), 65536):
+        chunk = px[i : i + 65536].astype(np.int64)
+        d2 = ((chunk[:, None, :] - p[None, :, :]) ** 2).sum(axis=2)
+        out[i : i + 65536] = d2.argmin(axis=1)
+    return out
+
+
+def _encode_gif(w: int, h: int, rgb: bytes) -> bytes:
+    """(w, h, top-down RGB) -> non-interlaced GIF89a.
+
+    <= 256 unique colors palettize exactly (lossless roundtrip);
+    true-color inputs quantize through a deterministic median-cut to a
+    256-entry palette with exact nearest-color mapping — the lossy-but-
+    conventional GIF path every production encoder takes."""
     import struct
 
     px = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
     palette, inverse = np.unique(px, axis=0, return_inverse=True)
     if len(palette) > 256:
-        raise NotImplementedError(
-            f"{len(palette)} unique colors: GIF needs palette quantization "
-            "(PIL on the cluster image)"
-        )
+        palette = _median_cut_palette(px, 256)
+        inverse = _nearest_palette_indices(px, palette)
     depth = max(1, int(len(palette) - 1).bit_length())
     pal_size = 1 << depth
     pal_bytes = palette.tobytes() + b"\x00" * (3 * (pal_size - len(palette)))
@@ -1157,9 +1208,10 @@ def decode_audio(content: bytes, fmt: str = "unknown") -> tuple[int, int, bytes]
     """Decode an audio blob to (n_channels, sample_rate, int16 PCM frames).
 
     Real stdlib/numpy decoders for ``wav`` and lossless-compressed ``flac``
-    (rice-coded fixed-predictor AND LPC subframes; llmops.flac); remaining
-    compressed audio (mp3/ogg, FLAC's stereo-decorrelation extension) needs
-    codec libs not in this container — soundfile/ffmpeg drop in here."""
+    (rice-coded fixed-predictor AND LPC subframes, independent + all three
+    stereo-decorrelation channel assignments; llmops.flac); remaining
+    compressed audio (mp3/ogg, non-16-bit FLAC) needs codec libs not in
+    this container — soundfile/ffmpeg drop in here."""
     codec = _AUDIO_CODECS.get(fmt)
     if codec is None:
         raise NotImplementedError(

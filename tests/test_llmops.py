@@ -47,9 +47,10 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
         multimodal.decode_media(b"\x89PNG")  # unknown format
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"OggS", "ogg")
-    # flac decodes natively including LPC subframes (r9); the remaining
-    # seam is stereo decorrelation — left/side channel assignment (0b1000
-    # in the channel field) must route to soundfile, not mis-decode
+    # flac decodes natively including LPC subframes and all three
+    # stereo-decorrelation assignments (r9); the remaining seam is
+    # non-16-bit sample sizes — a 24-bit STREAMINFO must route to
+    # soundfile, not mis-decode
     import numpy as np
 
     from data_pipeline_spark.llmops import flac as flac_codec
@@ -57,14 +58,11 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     blob = bytearray(
         flac_codec.encode_flac(2, 8000, np.arange(128, dtype="<i2").tobytes())
     )
-    frame_start = 4 + 4 + 34
-    # byte 3 of the frame header: channel assignment (4) + bps (3) + rsvd;
-    # re-sign the CRC-8 (4 fixed header bytes + 1-byte coded frame number
-    # + 2-byte blocksize) so the seam check itself is what trips
-    blob[frame_start + 3] = (0b1000 << 4) | (blob[frame_start + 3] & 0x0F)
-    blob[frame_start + 7] = flac_codec._crc8(
-        bytes(blob[frame_start : frame_start + 7])
-    )
+    # STREAMINFO bps-1 field: 5 bits straddling bytes 12-13 of the block
+    # body (at file offset 8): ...rate(20) ch(3) bps(5)... -> set 24-bit
+    si = 8
+    blob[si + 12] = (blob[si + 12] & 0xFE) | ((24 - 1) >> 4)
+    blob[si + 13] = ((24 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
     # jpeg decodes natively now, but only baseline sequential: progressive
@@ -943,6 +941,58 @@ def test_flac_lpc_subframes_lossless_and_smaller():
     assert flac.decode_flac(flac.encode_flac(1, 16000, noise))[2] == noise
 
 
+def test_flac_stereo_decorrelation_lossless_and_chosen():
+    """Stereo decorrelation (r9): all four channel assignments roundtrip
+    byte-exactly (the mid/side transform recovers the dropped LSB from
+    side's parity; side carries 17 bits), the auto mode picks by exact
+    bit cost — mid/side on correlated stereo, never worse than pinned
+    independent — and mono/multichannel paths are untouched."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import flac
+
+    rng = np.random.RandomState(23)
+    n = 9000
+    base = (7000 * np.sin(np.arange(n) * 0.013)
+            + 2500 * np.sin(np.arange(n) * 0.0041)).astype(np.int64)
+    left = np.clip(base + rng.randint(-60, 60, n), -32768, 32767)
+    right = np.clip(base + rng.randint(-60, 60, n), -32768, 32767)
+    pcm = np.stack([left, right], axis=1).astype("<i2").tobytes()
+
+    sizes = {}
+    for mode in ("independent", "left_side", "right_side", "mid_side", None):
+        blob = flac.encode_flac(2, 44100, pcm, stereo_mode=mode)
+        assert flac.decode_flac(blob) == (2, 44100, pcm), mode
+        sizes[mode] = len(blob)
+    # near-identical channels: the side channel is tiny, so every
+    # decorrelated mode beats independent and auto picks the best
+    assert sizes[None] == min(sizes.values())
+    assert sizes["mid_side"] < sizes["independent"]
+
+    # extreme samples exercise the 17-bit side range without overflow
+    ext = np.array(
+        [[-32768, 32767], [32767, -32768], [0, -32768], [-32768, 0]] * 700,
+        "<i2",
+    ).tobytes()
+    for mode in ("left_side", "right_side", "mid_side", None):
+        assert flac.decode_flac(
+            flac.encode_flac(2, 8000, ext, stereo_mode=mode)
+        )[2] == ext, mode
+
+    # uncorrelated noise: decorrelation can't help; auto never loses to
+    # pinned independent (it considers independent among the candidates)
+    noise = rng.randint(-32768, 32768, (4096, 2)).astype("<i2").tobytes()
+    auto = flac.encode_flac(2, 16000, noise)
+    indep = flac.encode_flac(2, 16000, noise, stereo_mode="independent")
+    assert flac.decode_flac(auto)[2] == noise
+    assert len(auto) <= len(indep)
+
+    with pytest.raises(ValueError):
+        flac.encode_flac(1, 8000, b"\x00\x00", stereo_mode="mid_side")
+    with pytest.raises(ValueError):
+        flac.encode_flac(2, 8000, b"\x00" * 4, stereo_mode="banana")
+
+
 def test_flac_codec_rejects_corruption():
     """Bit flips in the frame body trip CRC-16 or the STREAMINFO MD5; a
     flipped header bit trips CRC-8 or sync; garbage is not FLAC."""
@@ -1105,7 +1155,8 @@ def test_misra_gries_exact_configuration(spark):
 def test_gif_codec_roundtrip_and_lzw():
     """decode(encode(x)) == x for palette-sized color sets, including a
     full 256-color palette, a single pixel, and dictionary-growth-heavy
-    content; >256 unique colors routes to the quantizer (PIL) seam."""
+    content; >256 unique colors quantizes through deterministic
+    median-cut (lossy, bounded, repeatable)."""
     import numpy as np
 
     rng = np.random.RandomState(11)
@@ -1121,11 +1172,42 @@ def test_gif_codec_roundtrip_and_lzw():
         blob = multimodal._encode_gif(w, h, rgb)
         assert multimodal.decode_media(blob, "gif") == (w, h, rgb)
 
-    colors = np.array([[i % 256, i // 256, 7] for i in range(300)], np.uint8)
-    with pytest.raises(NotImplementedError):
-        multimodal._encode_gif(30, 10, colors.tobytes())
     with pytest.raises(ValueError):
         multimodal.decode_media(b"NOTGIF" + b"\x00" * 20, "gif")
+
+
+def test_gif_truecolor_median_cut_quantization():
+    """>256 unique colors: the encoder quantizes with deterministic
+    median-cut + exact nearest mapping.  Pinned: palette <= 256, decode
+    shape preserved, every decoded pixel IS a palette entry, per-pixel
+    error small on a smooth gradient, and byte-identical across runs."""
+    import numpy as np
+
+    w, h = 80, 80  # 6400 px smooth gradient, ~6k unique colors
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 255 // (w - 1)), (yy * 255 // (h - 1)), (xx + yy) * 255 // (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    assert len(np.unique(rgb.reshape(-1, 3), axis=0)) > 256
+
+    blob = multimodal._encode_gif(w, h, rgb.tobytes())
+    w2, h2, out = multimodal.decode_media(blob, "gif")
+    assert (w2, h2) == (w, h)
+    dec = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+
+    pal = multimodal._median_cut_palette(rgb.reshape(-1, 3), 256)
+    assert len(pal) <= 256
+    pal_set = {tuple(p) for p in pal}
+    assert {tuple(p) for p in dec.reshape(-1, 3)} <= pal_set
+    err = np.abs(dec.astype(np.int64) - rgb.astype(np.int64))
+    assert err.mean() < 8.0 and err.max() <= 64
+    # determinism: same input -> byte-identical file
+    assert multimodal._encode_gif(w, h, rgb.tobytes()) == blob
+    # <=256 colors still roundtrips exactly (quantizer not engaged)
+    small = rgb[:4, :4]
+    blob2 = multimodal._encode_gif(4, 4, small.tobytes())
+    assert multimodal.decode_media(blob2, "gif") == (4, 4, small.tobytes())
 
 
 def test_gif_decoder_interlace_and_extensions():
