@@ -516,14 +516,40 @@ def indexed_dedup_gate(
             "band_prune=True needs a 'bands' column on the index — "
             "rebuild the sidecar with doc_shingle_index()"
         )
-    inc = doc_shingle_index(
-        incoming, id_col, text_col, n, with_bands=False
-    ).select(
-        F.col("cor_id").alias("inc_id"),
-        "h",
-        F.col("n_sh").alias("inc_n"),
-        "shingles",
-    )
+    batch_buckets: list | None = None
+    if broadcast_batch:
+        # the batch is trigger-bounded by the same contract that lets it
+        # broadcast: materialize its index rows ONCE (one tokenize job)
+        # and replay them as a LocalRelation — the exact/near/size
+        # branches below otherwise each re-tokenize the batch per
+        # trigger, and the band buckets fall out of the same rows for
+        # free (in-row bands are bit-identical to the exploded
+        # formulation; tests pin the equality)
+        batch_idx = doc_shingle_index(
+            incoming, id_col, text_col, n, with_bands=band_prune
+        )
+        rows = batch_idx.collect()
+        local = incoming.sparkSession.createDataFrame(rows, batch_idx.schema)
+        if band_prune:
+            batch_buckets = sorted(
+                {b for r in rows for b in (r.bands or [])}
+            )
+            local = local.drop("bands")
+        inc = local.select(
+            F.col("cor_id").alias("inc_id"),
+            "h",
+            F.col("n_sh").alias("inc_n"),
+            "shingles",
+        )
+    else:
+        inc = doc_shingle_index(
+            incoming, id_col, text_col, n, with_bands=False
+        ).select(
+            F.col("cor_id").alias("inc_id"),
+            "h",
+            F.col("n_sh").alias("inc_n"),
+            "shingles",
+        )
     # index side stays map-side: filter the index hash stream by the
     # BROADCAST incoming hash set, then the (tiny) surviving hashes
     # broadcast back onto the batch — the index never shuffles
@@ -535,21 +561,48 @@ def indexed_dedup_gate(
     ).select(F.col("inc_id").alias("exact_id"))
 
     near_source = index
-    if band_prune:
-        # phase 1: column-pruned (cor_id, bands) scan vs the broadcast
-        # batch buckets; phase 2 explodes shingles of the candidates only.
-        # The candidate id list is bounded by the batch's band collisions
-        # against an ALREADY-DEDUPLICATED corpus (the gate's own admission
-        # invariant: no two indexed docs are near-dups), so it broadcasts
-        # as bare ids — 8 bytes each, millions would still be ~MBs
+    if band_prune and broadcast_batch:
+        # phase 1 FUSED into the index scan: the batch's distinct band
+        # buckets (<= _INDEX_BANDS per doc, trigger-bounded by the same
+        # contract that lets the batch broadcast) collect to the driver
+        # and prune the scan IN-ROW via one arrays_overlap against the
+        # literal bucket array — band ids are salted into the bucket
+        # hash, so value membership is equivalent to the band join (a
+        # cross-band 64-bit collision only admits a false candidate,
+        # costing one Jaccard evaluation, never a wrong decision).  One
+        # index scan, zero extra joins/shuffles; the shingle explode
+        # below runs on colliding rows only.  arrays_overlap hashes the
+        # smaller side (the row's _INDEX_BANDS buckets) and probes the
+        # literal array — O(|batch buckets|) per index row, and ONE
+        # expression node, so the plan stays small (a 10-position
+        # isin/InSet OR-chain measured ~30x slower in Catalyst on the
+        # same data).  Empty `bands` arrays (shingle-less docs) simply
+        # never overlap.
+        buckets = batch_buckets
+        if not buckets:
+            near_source = index.filter(F.lit(False))
+        else:
+            # one parsed SQL expression instead of F.lit(list): building
+            # thousands of Literal nodes element-by-element over py4j
+            # measured ~2 s of pure driver time; the parser takes one call
+            lit_arr = F.expr(
+                "CAST(array(%s) AS array<bigint>)"
+                % ",".join(str(int(b)) for b in buckets)
+            )
+            near_source = index.filter(F.arrays_overlap("bands", lit_arr))
+    elif band_prune:
+        # BACKFILL path (batch too large to broadcast/collect): the same
+        # pruning as a value join — explode the index's bands, semi-join
+        # the batch buckets, semi-join the surviving ids back.  Two extra
+        # exchanges, chosen only when the batch is corpus-sized.
         inc_buckets = _batch_band_buckets(inc)
         candidates = (
             index.select("cor_id", F.explode("bands").alias("bb"))
-            .join(bc(inc_buckets), "bb", "left_semi")
+            .join(inc_buckets, "bb", "left_semi")
             .select("cor_id")
             .distinct()
         )
-        near_source = index.join(F.broadcast(candidates), "cor_id", "left_semi")
+        near_source = index.join(candidates, "cor_id", "left_semi")
 
     inc_sh = inc.select("inc_id", F.explode("shingles").alias("sh"))
     # per-doc sizes ride the exploded rows (functionally dependent on

@@ -476,11 +476,12 @@ def test_exploded_batch_buckets_equal_inrow_bands(spark):
 
 
 def test_band_pruned_gate_plan_prunes_index_columns(spark, tmp_path):
-    """Against a PERSISTED index, the pruned gate's scans stay column-
-    pruned per phase: md5 alone for the exact pass, (cor_id, bands) for
-    the collision pass, and the full shingle schema only for the
-    candidate-restricted near pass; every join broadcasts a batch-bounded
-    side."""
+    """Against a PERSISTED index, the pruned gate runs exactly TWO index
+    scans: md5 alone for the exact pass, and ONE fused near-pass scan
+    whose in-row InSet band filter sits between the scan and the shingle
+    explode (collected batch buckets — no join, no exchange, so the
+    explode runs on colliding rows only); every join broadcasts a
+    batch-bounded side."""
     from data_pipeline_spark.llmops import dedup as ld
 
     corpus, batch = _gate_fixture_docs(spark)
@@ -497,7 +498,30 @@ def test_band_pruned_gate_plan_prunes_index_columns(spark, tmp_path):
         s.read_schema for s in audit.scan_info(g) if "bidx" in s.location
     )
     assert schemas == [
-        "struct<cor_id:bigint,bands:array<bigint>>",
-        "struct<cor_id:bigint,n_sh:int,shingles:array<bigint>>",
+        "struct<cor_id:bigint,n_sh:int,shingles:array<bigint>,"
+        "bands:array<bigint>>",
         "struct<h:string>",
     ], schemas
+    # the band filter must run BEFORE the explode (that ordering IS the
+    # pruning: only colliding rows reach the generator).  In a formatted
+    # plan, node details carry the expressions and a child's id is lower
+    # than its parent's within a chain.
+    plan = audit.formatted_plan(g)
+    import re
+
+    band_filters = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Filter[^(]*\nInput[^\n]*\nCondition : [^\n]*bands",
+            plan,
+        )
+    ]
+    explodes = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Generate[^(]*\nInput[^\n]*\nArguments: explode\(shingles",
+            plan,
+        )
+    ]
+    assert band_filters and explodes, plan
+    assert min(band_filters) < min(explodes), plan
