@@ -259,18 +259,21 @@ def _encode_png(w: int, h: int, rgb: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (JFIF / ITU T.81 SOF0), stdlib + numpy only: 8x8 block DCT,
-# Annex-K quantization tables with libjpeg quality scaling, zigzag RLE,
-# canonical Huffman entropy coding.  The encoder emits 4:4:4 (no chroma
-# subsampling) with SELF-DESCRIBING Huffman tables — equal-length canonical
-# codes over exactly the symbols the scan uses, written to DHT — so the
-# decoder (this one or any spec decoder) rebuilds them from the stream;
-# transcribing the spec's suggested AC tables is unnecessary.  The decoder
-# handles baseline sequential, 8-bit, 1- or 3-component, sampling factors
-# 1x1 (what the encoder emits); progressive / subsampled / 12-bit raise
-# NotImplementedError into the documented PIL seam.  DCT/IDCT/quantization
-# are einsum over ALL blocks at once; only the entropy coder is a per-symbol
-# loop (inherently sequential, like PNG's Sub/Paeth unfilter).
+# JPEG (JFIF / ITU T.81), stdlib + numpy only: 8x8 block DCT, Annex-K
+# quantization tables with libjpeg quality scaling, zigzag RLE, canonical
+# Huffman entropy coding.  Both encoders (baseline SOF0 and the 9-scan
+# progressive SOF2 progression) emit SELF-DESCRIBING Huffman tables —
+# equal-length canonical codes over exactly the symbols each scan uses,
+# written to DHT — so the decoder (this one or any spec decoder) rebuilds
+# them from the stream; transcribing the spec's suggested AC tables is
+# unnecessary.  The decoder handles baseline AND progressive (all four
+# scan kinds: DC/AC first + successive-approximation refinement, spectral
+# selection, EOB runs), 8-bit, 1- or 3-component, integer-ratio sampling
+# factors (4:4:4 / 4:2:0 / 4:2:2); extended-sequential / lossless /
+# arithmetic / 12-bit raise NotImplementedError into the documented PIL
+# seam.  DCT/IDCT/quantization are einsum over ALL blocks at once; only
+# the entropy coder is a per-symbol loop (inherently sequential, like
+# PNG's Sub/Paeth unfilter).
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = sorted(
@@ -414,14 +417,13 @@ def _canonical_codes(symbols: set[int]) -> tuple[dict[int, tuple[int, int]], lis
     return table, bits[1:], vals
 
 
-def _encode_jpeg(
-    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444"
-) -> bytes:
-    """(w, h, top-down RGB) -> baseline JFIF bytes (8-bit; 4:4:4, or
-    MCU-interleaved 4:2:0 / 4:2:2 chroma subsampling — 4:2:0 is what
-    virtually every real-world photo uses)."""
-    import struct
-
+def _jpeg_plan(
+    w: int, h: int, rgb: bytes, quality: int, subsampling: str
+) -> tuple:
+    """Shared front half of both JPEG encoders: RGB -> YCbCr planes,
+    chroma box-downsample, MCU edge-padding, DCT, quantization.
+    Returns (samp, hmax, vmax, mcuy, mcux, qy, qc, coefs) where coefs[ci]
+    is an int64 (block rows, block cols, 8, 8) natural-order array."""
     luma_by_mode = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
     if subsampling not in luma_by_mode:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
@@ -464,6 +466,50 @@ def _encode_jpeg(
         blocks = padded.reshape(tgt_h // 8, 8, tgt_w // 8, 8).transpose(0, 2, 1, 3)
         f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - 128.0, _DCT_C)
         coefs.append(np.rint(f / q).astype(np.int64))
+    return samp, hmax, vmax, mcuy, mcux, qy, qc, coefs
+
+
+def _jpeg_headers(
+    w: int, h: int, samp: list, qy: np.ndarray, qc: np.ndarray,
+    sof_marker: int,
+) -> bytes:
+    """SOI + APP0 + DQT pair + SOF segment shared by both encoders."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = lambda q: bytes(int(q.reshape(64)[i]) for i in _ZIGZAG)  # noqa: E731
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q(qy))
+    out += seg(0xFFDB, b"\x01" + zz_q(qc))
+    out += seg(
+        sof_marker,  # 8-bit, 3 components, declared sampling
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes(
+            [
+                1, samp[0][0] << 4 | samp[0][1], 0,
+                2, samp[1][0] << 4 | samp[1][1], 1,
+                3, samp[2][0] << 4 | samp[2][1], 1,
+            ]
+        ),
+    )
+    return bytes(out)
+
+
+def _encode_jpeg(
+    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(w, h, top-down RGB) -> baseline JFIF bytes (8-bit; 4:4:4, or
+    MCU-interleaved 4:2:0 / 4:2:2 chroma subsampling — 4:2:0 is what
+    virtually every real-world photo uses)."""
+    import struct
+
+    samp, hmax, vmax, mcuy, mcux, qy, qc, coefs = _jpeg_plan(
+        w, h, rgb, quality, subsampling
+    )
 
     def mcu_blocks():
         """(ci, zigzagged block) in MCU-interleaved scan order — for 4:4:4
@@ -550,23 +596,7 @@ def _encode_jpeg(
             bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals),
         )
 
-    zz_q = lambda q: bytes(int(q.reshape(64)[i]) for i in _ZIGZAG)  # noqa: E731
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + zz_q(qy))
-    out += seg(0xFFDB, b"\x01" + zz_q(qc))
-    out += seg(
-        0xFFC0,  # SOF0 baseline, 8-bit, 3 components, declared sampling
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes(
-            [
-                1, samp[0][0] << 4 | samp[0][1], 0,
-                2, samp[1][0] << 4 | samp[1][1], 1,
-                3, samp[2][0] << 4 | samp[2][1], 1,
-            ]
-        ),
-    )
+    out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFC0))
     out += dht(0, 0, dc_tabs[0][1], dc_tabs[0][2])
     out += dht(1, 0, ac_tabs[0][1], ac_tabs[0][2])
     out += dht(0, 1, dc_tabs[1][1], dc_tabs[1][2])
@@ -577,15 +607,323 @@ def _encode_jpeg(
     return bytes(out)
 
 
-def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
-    """Baseline JFIF -> (w, h, top-down RGB buffer).
+def _encode_jpeg_progressive(
+    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(w, h, top-down RGB) -> progressive JFIF bytes (SOF2).
 
-    Supports SOF0, 8-bit, 1 or 3 components with integer-ratio sampling
+    Same plan as the baseline encoder (identical quantized coefficients,
+    so a decoder must reconstruct pixel-identical output — the
+    differential test relies on this), transmitted as a 9-scan
+    progression exercising every scan kind the decoder supports:
+    interleaved DC first (Al=1) + DC refinement, per-component AC first
+    with spectral selection (Y split 1-5 / 6-63), and per-component AC
+    refinement (Ah=1 -> Al=0).  Each scan carries its own canonical
+    Huffman tables built over exactly its symbols; EOB runs are emitted
+    with length 1 (spec-legal; the decoder handles general EOBn).
+    Progression per ITU T.81 §G.1.2 (no code consulted)."""
+    import struct
+
+    samp, hmax, vmax, mcuy, mcux, qy, qc, coefs = _jpeg_plan(
+        w, h, rgb, quality, subsampling
+    )
+    # zigzag-order coefficient vectors per block
+    zzc = [c.reshape(c.shape[0], c.shape[1], 64)[:, :, _ZIGZAG] for c in coefs]
+    tdims = []
+    for sh, sv in samp:
+        comp_h = -(-(h * sv) // vmax)
+        comp_w = -(-(w * sh) // hmax)
+        tdims.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    def mcu_iter():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for vy in range(sv):
+                        for vx in range(sh):
+                            yield ci, my * sv + vy, mx * sh + vx
+
+    # ops: ("s", tclass, tsel, symbol) huffman symbol | ("b", value, n) raw
+    def dc_first_ops(al):
+        prev = [0, 0, 0]
+        ops = []
+        for ci, by, bx in mcu_iter():
+            t = 0 if ci == 0 else 1
+            v = int(zzc[ci][by, bx, 0]) >> al  # DC: arithmetic shift
+            size, code = _magnitude(v - prev[ci])
+            prev[ci] = v
+            ops.append(("s", 0, t, size))
+            if size:
+                ops.append(("b", code, size))
+        return ops
+
+    def dc_refine_ops(al):
+        return [
+            ("b", (int(zzc[ci][by, bx, 0]) >> al) & 1, 1)
+            for ci, by, bx in mcu_iter()
+        ]
+
+    def ac_first_ops(ci, ss, se, al):
+        t = 0 if ci == 0 else 1
+        ops = []
+        tv, th = tdims[ci]
+        for by in range(tv):
+            for bx in range(th):
+                band = zzc[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(band[k])
+                    a = abs(v) >> al  # AC: truncation toward zero
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.append(("s", 1, t, 0xF0))
+                        run -= 16
+                    s, c = _magnitude(a if v > 0 else -a)
+                    ops.append(("s", 1, t, (run << 4) | s))
+                    ops.append(("b", c, s))
+                    run = 0
+                if run:
+                    ops.append(("s", 1, t, 0x00))  # EOB run of 1
+        return ops
+
+    def ac_refine_ops(ci, ss, se, ah, al):
+        t = 0 if ci == 0 else 1
+        ops = []
+        tv, th = tdims[ci]
+        for by in range(tv):
+            for bx in range(th):
+                band = zzc[ci][by, bx]
+                # queue since the last emitted symbol: ("z",) for a
+                # still-insignificant zero, ("h", bit) for a history
+                # coefficient's correction bit — the decoder consumes
+                # correction bits positionally during its skip walks, so
+                # a ZRL carries only the bits up to its 16th zero
+                queue: list = []
+                for k in range(ss, se + 1):
+                    v = int(band[k])
+                    a = abs(v)
+                    if a >> ah:  # history-nonzero at the prior precision
+                        queue.append(("h", (a >> al) & 1))
+                    elif (a >> al) == 1:  # newly significant this scan
+                        while sum(1 for q in queue if q[0] == "z") > 15:
+                            ops.append(("s", 1, t, 0xF0))
+                            zc = 0
+                            while zc < 16:
+                                it = queue.pop(0)
+                                if it[0] == "z":
+                                    zc += 1
+                                else:
+                                    ops.append(("b", it[1], 1))
+                        run = sum(1 for q in queue if q[0] == "z")
+                        ops.append(("s", 1, t, (run << 4) | 1))
+                        ops.append(("b", 1 if v > 0 else 0, 1))
+                        ops.extend(
+                            ("b", it[1], 1) for it in queue if it[0] == "h"
+                        )
+                        queue = []
+                    else:
+                        queue.append(("z",))
+                if queue:  # trailing positions need an EOB + history bits
+                    ops.append(("s", 1, t, 0x00))
+                    ops.extend(
+                        ("b", it[1], 1) for it in queue if it[0] == "h"
+                    )
+        return ops
+
+    # (components, Ss, Se, Ah, Al, ops); components as (cid, dc_sel, ac_sel)
+    all_comps = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    scan_plan = [
+        (all_comps, 0, 0, 0, 1, dc_first_ops(1)),
+        ([(1, 0, 0)], 1, 5, 0, 1, ac_first_ops(0, 1, 5, 1)),
+        ([(1, 0, 0)], 6, 63, 0, 1, ac_first_ops(0, 6, 63, 1)),
+        ([(2, 1, 1)], 1, 63, 0, 1, ac_first_ops(1, 1, 63, 1)),
+        ([(3, 1, 1)], 1, 63, 0, 1, ac_first_ops(2, 1, 63, 1)),
+        (all_comps, 0, 0, 1, 0, dc_refine_ops(0)),
+        ([(1, 0, 0)], 1, 63, 1, 0, ac_refine_ops(0, 1, 63, 1, 0)),
+        ([(2, 1, 1)], 1, 63, 1, 0, ac_refine_ops(1, 1, 63, 1, 0)),
+        ([(3, 1, 1)], 1, 63, 1, 0, ac_refine_ops(2, 1, 63, 1, 0)),
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFC2))
+    for sc, ss, se, ah, al, ops in scan_plan:
+        # canonical tables over exactly this scan's symbols, re-defined
+        # per scan (the decoder snapshots tables at each SOS)
+        syms: dict = {}
+        for op in ops:
+            if op[0] == "s":
+                syms.setdefault((op[1], op[2]), set()).add(op[3])
+        tabs = {key: _canonical_codes(s) for key, s in syms.items()}
+        for (tclass, tid), (table, bits, vals) in sorted(tabs.items()):
+            out += seg(
+                0xFFC4, bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
+            )
+        bw_ = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                hc, hl = tabs[(op[1], op[2])][0][op[3]]
+                bw_.write(hc, hl)
+            else:
+                bw_.write(op[1], op[2])
+        body = bytes([len(sc)])
+        for cid, dcs, acs in sc:
+            body += bytes([cid, dcs << 4 | acs])
+        body += bytes([ss, se, ah << 4 | al])
+        out += seg(0xFFDA, body)
+        out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_progressive_coefs(
+    scans, sampling, hmax, vmax, fw, fh, mcuy, mcux, read_symbol
+) -> dict:
+    """Accumulate a progressive JPEG's coefficients across its scans
+    (ITU T.81 §G.1.2; no code consulted) -> {component id: (block rows,
+    block cols, 64) int64 zigzag-order array}.
+
+    DC scans traverse the MCU-padded grid (interleaved when the scan has
+    several components, the component's own raster otherwise); AC scans
+    are single-component over the component's TRUE block dimensions.
+    First scans (Ah=0) decode magnitudes shifted by the point transform;
+    refinement scans (Ah>0) add one bit of precision per coefficient —
+    correction bits for already-nonzero history, run/sign symbols for
+    newly significant ones — with EOB runs in both phases."""
+    coef: dict = {}
+    tdims: dict = {}
+    for cid, (sh, sv) in sampling.items():
+        coef[cid] = np.zeros((mcuy * sv, mcux * sh, 64), np.int64)
+        comp_h = -(-(fh * sv) // vmax)  # ceil: component-resolution extent
+        comp_w = -(-(fw * sh) // hmax)
+        tdims[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+    for sc, ss, se, ah, al, data, ht in scans:
+        reader = _BitReader(data)
+        if ss == 0:  # DC scan (first or refinement)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+
+            def blocks():
+                if len(sc) > 1:  # interleaved: MCU order, padded grid
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for cid, dcs, _acs in sc:
+                                sh, sv = sampling[cid]
+                                for vy in range(sv):
+                                    for vx in range(sh):
+                                        yield (
+                                            cid, dcs,
+                                            my * sv + vy, mx * sh + vx,
+                                        )
+                else:  # non-interleaved: the component's own raster
+                    cid, dcs, _acs = sc[0]
+                    tv, th = tdims[cid]
+                    for by in range(tv):
+                        for bx in range(th):
+                            yield cid, dcs, by, bx
+
+            if ah == 0:
+                prev = {cid: 0 for cid, _d, _a in sc}
+                for cid, dcs, by, bx in blocks():
+                    size = read_symbol(reader, ht[(0, dcs)])
+                    prev[cid] += _extend(reader.read(size), size)
+                    coef[cid][by, bx, 0] = prev[cid] << al
+            else:
+                for cid, _dcs, by, bx in blocks():
+                    coef[cid][by, bx, 0] |= reader.read(1) << al
+            continue
+        # AC scan: always single-component, non-interleaved
+        if len(sc) != 1:
+            raise ValueError("progressive AC scan with multiple components")
+        cid, _dcs, acs = sc[0]
+        act = ht[(1, acs)]
+        tv, th = tdims[cid]
+        carr = coef[cid]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for by in range(tv):
+            for bx in range(th):
+                block = carr[by, bx]
+                if ah == 0:  # first scan of this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = read_symbol(reader, act)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zero coefficients
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        block[k] = _extend(reader.read(s), s) << al
+                        k += 1
+                    continue
+                # refinement: correction bits ride along every walk
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = read_symbol(reader, act)
+                        r, s = sym >> 4, sym & 0xF
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            # r == 15: ZRL skips 16 zero-history slots
+                        elif s == 1:
+                            val = p1 if reader.read(1) else m1
+                        else:
+                            raise ValueError("bad AC refinement size")
+                        while k <= se:
+                            if block[k]:
+                                if reader.read(1) and not (block[k] & p1):
+                                    block[k] += p1 if block[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise ValueError("AC refinement overflow")
+                            block[k] = val
+                        k += 1
+                if eobrun:
+                    while k <= se:  # EOB tail: history correction bits only
+                        if block[k]:
+                            if reader.read(1) and not (block[k] & p1):
+                                block[k] += p1 if block[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return coef
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
+    """Baseline (SOF0) AND progressive (SOF2) JFIF -> (w, h, top-down RGB).
+
+    Supports 8-bit, 1 or 3 components with integer-ratio sampling
     factors — 4:4:4, 4:2:0, 4:2:2 and friends decode natively via
-    MCU-interleaved block order + replication upsampling; progressive
-    (SOF2), restart intervals, or arithmetic-coded streams raise
-    NotImplementedError into the PIL seam.  Huffman tables and quant
-    tables come from the stream's own DHT/DQT.
+    MCU-interleaved block order + replication upsampling.  Progressive
+    streams decode all four scan kinds (DC/AC first + successive-
+    approximation refinement, spectral selection, EOB runs) by
+    accumulating coefficients across scans before one IDCT pass.
+    Extended-sequential/lossless/arithmetic-coded streams and restart
+    intervals raise NotImplementedError into the PIL seam.  Huffman
+    tables and quant tables come from the stream's own DHT/DQT
+    (redefinable between scans — each scan snapshots its tables).
     """
     import struct
 
@@ -595,9 +933,10 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    progressive = False
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qsel)
-    scan_comps: list[tuple[int, int, int]] = []  # (id, dcsel, acsel)
-    scan_data = None
+    # (scan_comps, Ss, Se, Ah, Al, entropy bytes, huffman snapshot)
+    scans: list[tuple] = []
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -618,12 +957,17 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                     q[_ZIGZAG[i]] = v
                 qtables[prec_id & 0xF] = q.reshape(8, 8)
                 p += 65
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+        elif marker in (
+            0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
+        ):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) decodes natively; "
-                "progressive/lossless requires PIL on the cluster image"
+                "only baseline (SOF0) and progressive (SOF2) huffman JPEG "
+                "decode natively; extended-sequential/lossless/arithmetic "
+                "requires PIL on the cluster image"
             )
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -652,7 +996,7 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                 p += 17 + nvals
         elif marker == 0xFFDA:
             ns = payload[0]
-            scan_comps = [
+            sc = [
                 (
                     payload[1 + 2 * i],
                     payload[2 + 2 * i] >> 4,
@@ -660,17 +1004,34 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                 )
                 for i in range(ns)
             ]
-            # scan data runs to the next real marker (EOI); unstuffing is
-            # the bit reader's job
-            end = len(content) - 2
-            scan_data = content[pos:end]
-            break
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            # entropy data runs to the next non-stuffed marker (0xFF00 is
+            # a stuffed data byte, repeated 0xFF are fill bytes)
+            e = pos
+            while e < len(content) - 1:
+                if content[e] != 0xFF:
+                    e += 1
+                elif content[e + 1] == 0x00:
+                    e += 2
+                elif content[e + 1] == 0xFF:
+                    e += 1
+                elif 0xD0 <= content[e + 1] <= 0xD7:
+                    raise NotImplementedError("restart markers (RSTn)")
+                else:
+                    break
+            scans.append(
+                (sc, ss, se, ahal >> 4, ahal & 0xF, content[pos:e],
+                 dict(htables))
+            )
+            pos = e
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals (DRI)")
         # APPn / COM / others: skipped
-    if sof is None or scan_data is None:
+    if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     fw, fh, nc = sof
+    scan_comps, _ss0, _se0, _ah0, _al0, scan_data, _ht0 = scans[0]
 
     def read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -691,13 +1052,33 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
             )
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    qsel = {cid: q for cid, _s, q in comps}
+
+    if progressive:
+        coef = _jpeg_progressive_coefs(
+            scans, sampling, hmax, vmax, fw, fh, mcuy, mcux, read_symbol
+        )
+        out_planes = []
+        order = []  # frame component order, not scan order
+        for cid, _s, _q in comps:
+            zz = coef[cid].astype(np.float64)
+            nat = np.zeros_like(zz)
+            nat[:, :, _ZIGZAG] = zz
+            by, bx = nat.shape[0], nat.shape[1]
+            out_planes.append(
+                nat.reshape(by, bx, 8, 8) * qtables[qsel[cid]]
+            )
+            order.append(cid)
+        return _jpeg_reconstruct(
+            fw, fh, nc, order, out_planes, sampling, hmax, vmax
+        )
+
     out_planes = []
     for cid, _dcs, _acs in scan_comps:
         sh, sv = sampling[cid]
         out_planes.append(np.zeros((mcuy * sv, mcux * sh, 8, 8), np.float64))
     reader = _BitReader(scan_data)
     prev_dc = [0] * nc
-    qsel = {cid: q for cid, _s, q in comps}
 
     def read_block(ci, cid, dcs, acs):
         dct = htables[(0, dcs)]
@@ -736,12 +1117,22 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                             ci, cid, dcs, acs
                         )
 
-    # IDCT all blocks of all components at once; upsample subsampled
-    # components back to frame resolution by pixel replication
+    return _jpeg_reconstruct(
+        fw, fh, nc, [cid for cid, _d, _a in scan_comps], out_planes,
+        sampling, hmax, vmax,
+    )
+
+
+def _jpeg_reconstruct(
+    fw, fh, nc, order, out_planes, sampling, hmax, vmax
+) -> tuple[int, int, bytes]:
+    """IDCT all blocks of all components at once; upsample subsampled
+    components back to frame resolution by pixel replication; YCbCr ->
+    RGB.  ``order``/``out_planes`` are parallel: component ids and their
+    dequantized (block rows, block cols, 8, 8) float arrays."""
     planes = []
-    for ci, (cid, _dcs, _acs) in enumerate(scan_comps):
+    for cid, cp in zip(order, out_planes):
         sh, sv = sampling[cid]
-        cp = out_planes[ci]
         sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cp, _DCT_C) + 128.0
         full = sp.transpose(0, 2, 1, 3).reshape(cp.shape[0] * 8, cp.shape[1] * 8)
         ch_ = -(-fh * sv // vmax)  # ceil: component-resolution extent

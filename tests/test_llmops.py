@@ -65,18 +65,20 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     blob[si + 13] = ((24 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
-    # jpeg decodes natively now, but only baseline sequential: progressive
-    # (SOF2) must route to the PIL seam, not mis-decode
+    # jpeg decodes baseline AND progressive natively (r9); the remaining
+    # seams are arithmetic coding (SOF9) and lossless (SOF3) — both must
+    # route to the PIL seam, not mis-decode
     import struct
 
-    progressive = (
-        b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", 11)
-        + struct.pack(">BHHB", 8, 1, 1, 1) + bytes([1, 0x11, 0])
-        + b"\xff\xd9"
-    )
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(progressive, "jpeg")
+    for sof in (b"\xff\xc9", b"\xff\xc3"):
+        blob = (
+            b"\xff\xd8"
+            + sof + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 1, 1, 1) + bytes([1, 0x11, 0])
+            + b"\xff\xd9"
+        )
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(blob, "jpeg")
 
 
 def test_jpeg_codec_roundtrip_bounded_loss():
@@ -1058,6 +1060,104 @@ def test_flac_feature_and_resize_paths(spark):
     resized = multimodal.resize_media(media, 4, 4).collect()[0]
     ch, rate, frames = multimodal.decode_audio(bytes(resized.content), "flac")
     assert (ch, rate) == (1, 8000) and len(frames) == 2 * 16
+
+
+def test_jpeg_progressive_decode_matches_baseline():
+    """Progressive JPEG (r9): the 9-scan SOF2 progression (interleaved DC
+    first + refinement, spectral-selection AC first, AC refinement with
+    EOB runs) encodes the SAME quantized coefficients as the baseline
+    encoder, so decode must be PIXEL-IDENTICAL to the baseline stream's
+    decode — a differential oracle with zero tolerance."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    cases = [
+        (16, 16, 90, "444"), (21, 13, 60, "420"), (17, 9, 75, "422"),
+        (8, 8, 95, "444"), (40, 40, 50, "420"), (1, 1, 90, "444"),
+        (9, 24, 85, "422"), (64, 48, 70, "420"), (3, 50, 90, "420"),
+    ]
+    for w, h, q, sub in cases:
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        blob = multimodal._encode_jpeg_progressive(
+            w, h, rgb, quality=q, subsampling=sub
+        )
+        base = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(w, h, rgb, quality=q, subsampling=sub)
+        )
+        assert multimodal._decode_jpeg(blob) == base, (w, h, q, sub)
+
+    # the stream is structurally progressive: SOF2 marker + 9 SOS scans
+    blob = multimodal._encode_jpeg_progressive(16, 16, bytes(16 * 16 * 3))
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob.split(b"\xff\xda")[0]
+    n_sos = 0
+    pos = 2
+    while pos + 4 <= len(blob):  # walk marker segments only
+        marker = struct.unpack_from(">H", blob, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", blob, pos + 2)
+        if marker == 0xFFDA:
+            n_sos += 1
+            # skip entropy bytes to the next marker
+            pos += 2 + length
+            while pos < len(blob) - 1 and not (
+                blob[pos] == 0xFF and blob[pos + 1] not in (0x00, 0xFF)
+            ):
+                pos += 1
+            continue
+        pos += 2 + length
+    assert n_sos == 9
+
+    # smooth gradients (long zero runs + EOB-heavy) and near-flat content
+    # (DC-dominated) exercise the run/EOB paths differently from noise
+    yy, xx = np.mgrid[0:24, 0:31]
+    grad = np.stack(
+        [xx * 8 % 256, yy * 10 % 256, (xx + yy) * 4 % 256], axis=-1
+    ).astype(np.uint8).tobytes()
+    for q in (35, 90):
+        base = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(31, 24, grad, quality=q, subsampling="420")
+        )
+        prog = multimodal._decode_jpeg(
+            multimodal._encode_jpeg_progressive(
+                31, 24, grad, quality=q, subsampling="420"
+            )
+        )
+        assert prog == base, q
+
+
+def test_jpeg_progressive_property_differential():
+    """Property: progressive decode == baseline decode over arbitrary
+    shapes, qualities and subsampling modes (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=33),
+        st.integers(min_value=1, max_value=33),
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.sampled_from([30, 60, 90]),
+        st.sampled_from(["444", "420", "422"]),
+    )
+    def check(w, h, seed, q, sub):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        base = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(w, h, rgb, quality=q, subsampling=sub)
+        )
+        prog = multimodal._decode_jpeg(
+            multimodal._encode_jpeg_progressive(
+                w, h, rgb, quality=q, subsampling=sub
+            )
+        )
+        assert prog == base
+
+    check()
 
 
 def test_jpeg_chroma_subsampling_roundtrip():
