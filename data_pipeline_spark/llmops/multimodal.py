@@ -387,6 +387,18 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return val
 
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (restart intervals)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected RSTn marker at restart interval")
+        self.pos += 2
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """JPEG magnitude coding: value -> (category size, size-bit code)."""
@@ -500,26 +512,31 @@ def _jpeg_headers(
 
 
 def _encode_jpeg(
-    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444"
+    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(w, h, top-down RGB) -> baseline JFIF bytes (8-bit; 4:4:4, or
     MCU-interleaved 4:2:0 / 4:2:2 chroma subsampling — 4:2:0 is what
-    virtually every real-world photo uses)."""
+    virtually every real-world photo uses).  ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs, resetting
+    the DC predictors — the layout every camera JPEG uses for error
+    resilience."""
     import struct
 
     samp, hmax, vmax, mcuy, mcux, qy, qc, coefs = _jpeg_plan(
         w, h, rgb, quality, subsampling
     )
+    ri = restart_interval
 
     def mcu_blocks():
-        """(ci, zigzagged block) in MCU-interleaved scan order — for 4:4:4
-        this degenerates to the per-block Y,Cb,Cr order."""
+        """(mcu index, ci, zigzagged block) in MCU-interleaved scan order —
+        for 4:4:4 this degenerates to the per-block Y,Cb,Cr order."""
         for my in range(mcuy):
             for mx in range(mcux):
                 for ci, (sh, sv) in enumerate(samp):
                     for vy in range(sv):
                         for vx in range(sh):
-                            yield ci, coefs[ci][
+                            yield my * mcux + mx, ci, coefs[ci][
                                 my * sv + vy, mx * sh + vx
                             ].reshape(64)[_ZIGZAG]
 
@@ -529,7 +546,11 @@ def _encode_jpeg(
         dc_syms = [set(), set()]
         ac_syms = [set(), set()]
         prev_dc = [0, 0, 0]
-        for ci, zz in mcu_blocks():
+        seg = 0
+        for mcu_i, ci, zz in mcu_blocks():
+            if ri and mcu_i // ri != seg:
+                seg = mcu_i // ri
+                prev_dc = [0, 0, 0]
             tsel = 0 if ci == 0 else 1
             size, _ = _magnitude(int(zz[0]) - prev_dc[ci])
             prev_dc[ci] = int(zz[0])
@@ -556,9 +577,18 @@ def _encode_jpeg(
     dc_tabs = [_canonical_codes(s) for s in dc_syms]
     ac_tabs = [_canonical_codes(s) for s in ac_syms]
 
+    scan = bytearray()
     bw_ = _BitWriter()
     prev_dc = [0, 0, 0]
-    for ci, zz in mcu_blocks():
+    seg_i = 0
+    for mcu_i, ci, zz in mcu_blocks():
+        if ri and mcu_i // ri != seg_i:
+            # close the segment: 1-padded byte alignment, then RSTn
+            scan += bw_.flush()
+            scan += bytes([0xFF, 0xD0 + (seg_i % 8)])
+            bw_ = _BitWriter()
+            seg_i = mcu_i // ri
+            prev_dc = [0, 0, 0]
         tsel = 0 if ci == 0 else 1
         dc_t, ac_t = dc_tabs[tsel][0], ac_tabs[tsel][0]
         size, code = _magnitude(int(zz[0]) - prev_dc[ci])
@@ -585,7 +615,8 @@ def _encode_jpeg(
         if run:
             hc, hl = ac_t[0x00]
             bw_.write(hc, hl)
-    scan = bw_.flush()
+    scan += bw_.flush()
+    scan = bytes(scan)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -597,6 +628,8 @@ def _encode_jpeg(
         )
 
     out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFC0))
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
     out += dht(0, 0, dc_tabs[0][1], dc_tabs[0][2])
     out += dht(1, 0, ac_tabs[0][1], ac_tabs[0][2])
     out += dht(0, 1, dc_tabs[1][1], dc_tabs[1][2])
@@ -608,7 +641,8 @@ def _encode_jpeg(
 
 
 def _encode_jpeg_progressive(
-    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444"
+    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(w, h, top-down RGB) -> progressive JFIF bytes (SOF2).
 
@@ -621,12 +655,16 @@ def _encode_jpeg_progressive(
     refinement (Ah=1 -> Al=0).  Each scan carries its own canonical
     Huffman tables built over exactly its symbols; EOB runs are emitted
     with length 1 (spec-legal; the decoder handles general EOBn).
-    Progression per ITU T.81 §G.1.2 (no code consulted)."""
+    ``restart_interval`` > 0 emits DRI + RSTn every that many restart
+    units (MCUs in the interleaved DC scans, blocks in AC scans), with
+    DC predictors reset per segment.  Progression per ITU T.81 §G.1.2
+    (no code consulted)."""
     import struct
 
     samp, hmax, vmax, mcuy, mcux, qy, qc, coefs = _jpeg_plan(
         w, h, rgb, quality, subsampling
     )
+    ri = restart_interval
     # zigzag-order coefficient vectors per block
     zzc = [c.reshape(c.shape[0], c.shape[1], 64)[:, :, _ZIGZAG] for c in coefs]
     tdims = []
@@ -635,40 +673,54 @@ def _encode_jpeg_progressive(
         comp_w = -(-(w * sh) // hmax)
         tdims.append((-(-comp_h // 8), -(-comp_w // 8)))
 
-    def mcu_iter():
+    def mcu_units():
+        """One restart unit per MCU: its (ci, by, bx) block triples."""
         for my in range(mcuy):
             for mx in range(mcux):
-                for ci, (sh, sv) in enumerate(samp):
-                    for vy in range(sv):
-                        for vx in range(sh):
-                            yield ci, my * sv + vy, mx * sh + vx
+                yield [
+                    (ci, my * sv + vy, mx * sh + vx)
+                    for ci, (sh, sv) in enumerate(samp)
+                    for vy in range(sv)
+                    for vx in range(sh)
+                ]
 
-    # ops: ("s", tclass, tsel, symbol) huffman symbol | ("b", value, n) raw
+    # emitters return list[unit ops]; a unit is one MCU (DC scans) or one
+    # block (AC scans) — the restart segmentation below splices RSTn at
+    # unit boundaries.  ops: ("s", tclass, tsel, symbol) | ("b", value, n)
     def dc_first_ops(al):
         prev = [0, 0, 0]
-        ops = []
-        for ci, by, bx in mcu_iter():
-            t = 0 if ci == 0 else 1
-            v = int(zzc[ci][by, bx, 0]) >> al  # DC: arithmetic shift
-            size, code = _magnitude(v - prev[ci])
-            prev[ci] = v
-            ops.append(("s", 0, t, size))
-            if size:
-                ops.append(("b", code, size))
-        return ops
+        units = []
+        for ui, unit in enumerate(mcu_units()):
+            if ri and ui and ui % ri == 0:
+                prev = [0, 0, 0]  # predictors reset at each restart
+            ops = []
+            for ci, by, bx in unit:
+                t = 0 if ci == 0 else 1
+                v = int(zzc[ci][by, bx, 0]) >> al  # DC: arithmetic shift
+                size, code = _magnitude(v - prev[ci])
+                prev[ci] = v
+                ops.append(("s", 0, t, size))
+                if size:
+                    ops.append(("b", code, size))
+            units.append(ops)
+        return units
 
     def dc_refine_ops(al):
         return [
-            ("b", (int(zzc[ci][by, bx, 0]) >> al) & 1, 1)
-            for ci, by, bx in mcu_iter()
+            [
+                ("b", (int(zzc[ci][by, bx, 0]) >> al) & 1, 1)
+                for ci, by, bx in unit
+            ]
+            for unit in mcu_units()
         ]
 
     def ac_first_ops(ci, ss, se, al):
         t = 0 if ci == 0 else 1
-        ops = []
+        units = []
         tv, th = tdims[ci]
         for by in range(tv):
             for bx in range(th):
+                ops = []
                 band = zzc[ci][by, bx]
                 run = 0
                 for k in range(ss, se + 1):
@@ -686,14 +738,16 @@ def _encode_jpeg_progressive(
                     run = 0
                 if run:
                     ops.append(("s", 1, t, 0x00))  # EOB run of 1
-        return ops
+                units.append(ops)
+        return units
 
     def ac_refine_ops(ci, ss, se, ah, al):
         t = 0 if ci == 0 else 1
-        ops = []
+        units = []
         tv, th = tdims[ci]
         for by in range(tv):
             for bx in range(th):
+                ops = []
                 band = zzc[ci][by, bx]
                 # queue since the last emitted symbol: ("z",) for a
                 # still-insignificant zero, ("h", bit) for a history
@@ -730,9 +784,10 @@ def _encode_jpeg_progressive(
                     ops.extend(
                         ("b", it[1], 1) for it in queue if it[0] == "h"
                     )
-        return ops
+                units.append(ops)
+        return units
 
-    # (components, Ss, Se, Ah, Al, ops); components as (cid, dc_sel, ac_sel)
+    # (components, Ss, Se, Ah, Al, unit ops); comps as (cid, dc, ac sel)
     all_comps = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
     scan_plan = [
         (all_comps, 0, 0, 0, 1, dc_first_ops(1)),
@@ -750,31 +805,45 @@ def _encode_jpeg_progressive(
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFC2))
-    for sc, ss, se, ah, al, ops in scan_plan:
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
+    for sc, ss, se, ah, al, units in scan_plan:
         # canonical tables over exactly this scan's symbols, re-defined
         # per scan (the decoder snapshots tables at each SOS)
         syms: dict = {}
-        for op in ops:
-            if op[0] == "s":
-                syms.setdefault((op[1], op[2]), set()).add(op[3])
+        for ops in units:
+            for op in ops:
+                if op[0] == "s":
+                    syms.setdefault((op[1], op[2]), set()).add(op[3])
         tabs = {key: _canonical_codes(s) for key, s in syms.items()}
         for (tclass, tid), (table, bits, vals) in sorted(tabs.items()):
             out += seg(
                 0xFFC4, bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
             )
-        bw_ = _BitWriter()
-        for op in ops:
-            if op[0] == "s":
-                hc, hl = tabs[(op[1], op[2])][0][op[3]]
-                bw_.write(hc, hl)
-            else:
-                bw_.write(op[1], op[2])
         body = bytes([len(sc)])
         for cid, dcs, acs in sc:
             body += bytes([cid, dcs << 4 | acs])
         body += bytes([ss, se, ah << 4 | al])
         out += seg(0xFFDA, body)
-        out += bw_.flush()
+        # restart segmentation: chunk the units, 1-pad-align each chunk,
+        # splice RSTn between chunks (marker count restarts per scan)
+        chunks = (
+            [units]
+            if not ri
+            else [units[i : i + ri] for i in range(0, len(units), ri)]
+        )
+        for gi, chunk in enumerate(chunks):
+            bw_ = _BitWriter()
+            for ops in chunk:
+                for op in ops:
+                    if op[0] == "s":
+                        hc, hl = tabs[(op[1], op[2])][0][op[3]]
+                        bw_.write(hc, hl)
+                    else:
+                        bw_.write(op[1], op[2])
+            if gi:
+                out += bytes([0xFF, 0xD0 + ((gi - 1) % 8)])
+            out += bw_.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -800,40 +869,43 @@ def _jpeg_progressive_coefs(
         comp_h = -(-(fh * sv) // vmax)  # ceil: component-resolution extent
         comp_w = -(-(fw * sh) // hmax)
         tdims[cid] = (-(-comp_h // 8), -(-comp_w // 8))
-    for sc, ss, se, ah, al, data, ht in scans:
+    for sc, ss, se, ah, al, data, ht, dri in scans:
         reader = _BitReader(data)
         if ss == 0:  # DC scan (first or refinement)
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
 
-            def blocks():
+            def units():
+                """Restart units: one MCU (interleaved) or one block."""
                 if len(sc) > 1:  # interleaved: MCU order, padded grid
                     for my in range(mcuy):
                         for mx in range(mcux):
-                            for cid, dcs, _acs in sc:
-                                sh, sv = sampling[cid]
-                                for vy in range(sv):
-                                    for vx in range(sh):
-                                        yield (
-                                            cid, dcs,
-                                            my * sv + vy, mx * sh + vx,
-                                        )
+                            yield [
+                                (cid, dcs, my * sv + vy, mx * sh + vx)
+                                for cid, dcs, _acs in sc
+                                for sh, sv in (sampling[cid],)
+                                for vy in range(sv)
+                                for vx in range(sh)
+                            ]
                 else:  # non-interleaved: the component's own raster
                     cid, dcs, _acs = sc[0]
                     tv, th = tdims[cid]
                     for by in range(tv):
                         for bx in range(th):
-                            yield cid, dcs, by, bx
+                            yield [(cid, dcs, by, bx)]
 
-            if ah == 0:
-                prev = {cid: 0 for cid, _d, _a in sc}
-                for cid, dcs, by, bx in blocks():
-                    size = read_symbol(reader, ht[(0, dcs)])
-                    prev[cid] += _extend(reader.read(size), size)
-                    coef[cid][by, bx, 0] = prev[cid] << al
-            else:
-                for cid, _dcs, by, bx in blocks():
-                    coef[cid][by, bx, 0] |= reader.read(1) << al
+            prev = {cid: 0 for cid, _d, _a in sc}
+            for ui, unit in enumerate(units()):
+                if dri and ui and ui % dri == 0:
+                    reader.restart()
+                    prev = {cid: 0 for cid, _d, _a in sc}
+                for cid, dcs, by, bx in unit:
+                    if ah == 0:
+                        size = read_symbol(reader, ht[(0, dcs)])
+                        prev[cid] += _extend(reader.read(size), size)
+                        coef[cid][by, bx, 0] = prev[cid] << al
+                    else:
+                        coef[cid][by, bx, 0] |= reader.read(1) << al
             continue
         # AC scan: always single-component, non-interleaved
         if len(sc) != 1:
@@ -846,6 +918,10 @@ def _jpeg_progressive_coefs(
         p1, m1 = 1 << al, -(1 << al)
         for by in range(tv):
             for bx in range(th):
+                bi = by * th + bx
+                if dri and bi and bi % dri == 0:
+                    reader.restart()  # EOB runs cannot cross a restart
+                    eobrun = 0
                 block = carr[by, bx]
                 if ah == 0:  # first scan of this band
                     if eobrun:
@@ -920,10 +996,12 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
     streams decode all four scan kinds (DC/AC first + successive-
     approximation refinement, spectral selection, EOB runs) by
     accumulating coefficients across scans before one IDCT pass.
-    Extended-sequential/lossless/arithmetic-coded streams and restart
-    intervals raise NotImplementedError into the PIL seam.  Huffman
-    tables and quant tables come from the stream's own DHT/DQT
-    (redefinable between scans — each scan snapshots its tables).
+    Restart intervals (DRI/RSTn — what camera JPEGs emit) decode in both
+    layouts: byte-align + predictor/EOB-run reset per segment.
+    Extended-sequential/lossless/arithmetic-coded streams raise
+    NotImplementedError into the PIL seam.  Huffman tables and quant
+    tables come from the stream's own DHT/DQT (redefinable between
+    scans — each scan snapshots its tables).
     """
     import struct
 
@@ -934,8 +1012,9 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     progressive = False
+    dri = 0  # restart interval in MCUs (0 = none); redefinable per scan
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qsel)
-    # (scan_comps, Ss, Se, Ah, Al, entropy bytes, huffman snapshot)
+    # (scan_comps, Ss, Se, Ah, Al, entropy, huffman snapshot, dri)
     scans: list[tuple] = []
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
@@ -1007,7 +1086,8 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
             # entropy data runs to the next non-stuffed marker (0xFF00 is
-            # a stuffed data byte, repeated 0xFF are fill bytes)
+            # a stuffed data byte, repeated 0xFF are fill bytes, RSTn are
+            # part of the scan when a restart interval is active)
             e = pos
             while e < len(content) - 1:
                 if content[e] != 0xFF:
@@ -1017,21 +1097,21 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                 elif content[e + 1] == 0xFF:
                     e += 1
                 elif 0xD0 <= content[e + 1] <= 0xD7:
-                    raise NotImplementedError("restart markers (RSTn)")
+                    e += 2
                 else:
                     break
             scans.append(
                 (sc, ss, se, ahal >> 4, ahal & 0xF, content[pos:e],
-                 dict(htables))
+                 dict(htables), dri)
             )
             pos = e
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals (DRI)")
+            (dri,) = struct.unpack_from(">H", payload, 0)
         # APPn / COM / others: skipped
     if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     fw, fh, nc = sof
-    scan_comps, _ss0, _se0, _ah0, _al0, scan_data, _ht0 = scans[0]
+    scan_comps, _ss0, _se0, _ah0, _al0, scan_data, _ht0, scan_dri = scans[0]
 
     def read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -1109,6 +1189,10 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
 
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if scan_dri and mcu_i and mcu_i % scan_dri == 0:
+                reader.restart()  # byte-align + RSTn; DC predictors reset
+                prev_dc[:] = [0] * nc
             for ci, (cid, dcs, acs) in enumerate(scan_comps):
                 sh, sv = sampling[cid]
                 for vy in range(sv):

@@ -1128,6 +1128,46 @@ def test_jpeg_progressive_decode_matches_baseline():
         assert prog == base, q
 
 
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI/RSTn (r9): restart markers reset the DC predictors and
+    byte-align the entropy stream but change no coefficients, so decode
+    with any restart interval must be pixel-identical to the unmarked
+    stream — for BOTH the baseline and progressive layouts (progressive
+    restarts per MCU in DC scans and per block in AC scans, with EOB
+    runs never crossing a boundary).  Camera JPEGs virtually always
+    carry DRI, so this closes a real-world decode gap."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    for w, h, q, sub in [(21, 13, 60, "420"), (40, 40, 80, "444"),
+                         (17, 9, 75, "422")]:
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        ref = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(w, h, rgb, quality=q, subsampling=sub)
+        )
+        for ri in (1, 3, 7, 100):
+            base = multimodal._encode_jpeg(
+                w, h, rgb, quality=q, subsampling=sub, restart_interval=ri
+            )
+            prog = multimodal._encode_jpeg_progressive(
+                w, h, rgb, quality=q, subsampling=sub, restart_interval=ri
+            )
+            assert multimodal._decode_jpeg(base) == ref, ("base", ri)
+            assert multimodal._decode_jpeg(prog) == ref, ("prog", ri)
+
+    # streams with ri=2 really contain DRI + cycling RSTn markers
+    blob = multimodal._encode_jpeg(
+        32, 32, bytes(32 * 32 * 3), restart_interval=1
+    )
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob and b"\xff\xd1" in blob
+
+    # a clobbered restart marker is a hard error, not a mis-decode
+    marred = bytearray(blob)
+    marred[blob.index(b"\xff\xd0") + 1] = 0xD9  # RST0 -> EOI mid-scan
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg(bytes(marred))
+
+
 def test_jpeg_progressive_property_differential():
     """Property: progressive decode == baseline decode over arbitrary
     shapes, qualities and subsampling modes (hypothesis-driven)."""
