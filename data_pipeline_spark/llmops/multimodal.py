@@ -1241,14 +1241,17 @@ def _jpeg_reconstruct(
 # ---------------------------------------------------------------------------
 # Real TIFF codec (stdlib struct only): uncompressed strip-based baseline
 # TIFF, both byte orders on decode (II little- and MM big-endian), 8-bit
-# RGB and grayscale.  Compressed TIFF variants (LZW/deflate/packbits) and
-# tiled layouts raise into the PIL seam.
+# RGB and grayscale — plus WhiteIsZero inversion, palette images via the
+# ColorMap tag, and planar (PlanarConfiguration=2) RGB reassembly.
+# Compressed TIFF variants (LZW/deflate/packbits), tiled layouts, and
+# CMYK/YCbCr photometrics raise into the PIL seam.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar_config",
+    320: "color_map",
 }
 
 
@@ -1296,29 +1299,39 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
     bits = tags.get("bits", [8])
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise NotImplementedError("only 8-bit gray/RGB TIFF supported")
-    # explicit seams for layouts this decoder would otherwise garble:
-    # WhiteIsZero (photometric 0) decodes inverted, palette (3) needs the
-    # color map, and planar (PlanarConfiguration 2) stores RRR..GGG..BBB
-    # instead of interleaved RGB — all route to the PIL seam like the
-    # module's other unsupported variants.
-    if tags.get("photometric", [1 if spp == 1 else 2])[0] not in (1, 2):
+    photometric = tags.get("photometric", [1 if spp == 1 else 2])[0]
+    # 0 = WhiteIsZero (inverted gray), 1 = BlackIsZero, 2 = RGB,
+    # 3 = palette via the ColorMap tag; anything else (CMYK, YCbCr,
+    # CIELab) routes to the PIL seam like the module's other variants
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(
-            "TIFF photometric != BlackIsZero/RGB needs PIL on the cluster "
-            "image"
+            "TIFF photometric beyond gray/RGB/palette needs PIL on the "
+            "cluster image"
         )
-    if tags.get("planar_config", [1])[0] != 1:
-        raise NotImplementedError(
-            "planar (PlanarConfiguration=2) TIFF needs PIL on the cluster "
-            "image; chunky interleaved decodes natively"
-        )
+    if photometric == 3 and (spp != 1 or "color_map" not in tags):
+        raise ValueError("palette TIFF needs spp=1 and a ColorMap tag")
     raw = b"".join(
         content[o : o + n]
         for o, n in zip(tags["strip_offsets"], tags["strip_counts"])
     )
     if len(raw) < w * h * spp:
         raise ValueError("truncated TIFF strip data")
-    px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
-    if spp == 1:
+    if tags.get("planar_config", [1])[0] == 2 and spp == 3:
+        # planar: all R strips, then G, then B — each plane w*h bytes
+        plane = np.frombuffer(raw, np.uint8, 3 * w * h).reshape(3, h, w)
+        px = plane.transpose(1, 2, 0)
+    else:
+        px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
+    if photometric == 0:
+        px = 255 - px
+    if photometric == 3:
+        # ColorMap: 3 * 2^bits 16-bit values (all R, all G, all B),
+        # scaled to 8 bits by the conventional >> 8
+        cmap = np.asarray(tags["color_map"], np.uint16)
+        n_pal = len(cmap) // 3
+        lut = (cmap.reshape(3, n_pal).T >> 8).astype(np.uint8)
+        px = lut[px.reshape(h, w)]
+    elif spp == 1:
         px = np.repeat(px, 3, axis=2)
     return w, h, px.tobytes()
 

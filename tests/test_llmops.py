@@ -1517,6 +1517,89 @@ def test_tiff_codec_roundtrip_and_variants():
         multimodal.decode_media(b"XX" + bytes(20), "tiff")
 
 
+def _tiff_le(entries_spec, trailer: bytes) -> bytes:
+    """Little-endian single-IFD TIFF from (tag, type, count, value)
+    4-byte-value entries plus raw trailing bytes at a known offset."""
+    import struct
+
+    n = len(entries_spec)
+    blob = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", n)
+    for tag, ttype, count, value in entries_spec:
+        blob += struct.pack("<HHII", tag, ttype, count, value)
+    blob += struct.pack("<I", 0)
+    return blob + trailer
+
+
+def test_tiff_whiteiszero_palette_and_planar_decode():
+    """r9: the three layouts that previously routed to the PIL seam now
+    decode natively — WhiteIsZero grayscale inverts, palette images map
+    through the 16-bit ColorMap (>> 8), and planar RGB reassembles the
+    RRR..GGG..BBB planes; photometrics beyond gray/RGB/palette (CMYK,
+    YCbCr) still raise."""
+    import struct
+
+    import numpy as np
+
+    # WhiteIsZero grayscale: 0 must decode as white
+    w, h = 3, 2
+    gray = bytes([0, 64, 128, 192, 255, 10])
+    hdr = 8 + 2 + 12 * 8 + 4
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 0), (273, 4, 1, hdr), (277, 3, 1, 1),
+        (279, 4, 1, len(gray)),
+    ]
+    got = multimodal.decode_media(_tiff_le(ents, gray), "tiff")
+    expect = b"".join(bytes([255 - v] * 3) for v in gray)
+    assert got == (w, h, expect)
+
+    # palette: indices map through a 3*256 SHORT ColorMap, 16 -> 8 bit
+    idxs = bytes([0, 1, 2, 255, 1, 0])
+    cmap = np.zeros(3 * 256, np.uint16)
+    cmap[0:256] = np.arange(256) * 257       # R ramp (v*257 >> 8 == v)
+    cmap[256:512] = (255 - np.arange(256)) * 257  # G inverse ramp
+    cmap[512:768] = 7 * 257                  # B constant
+    hdr = 8 + 2 + 12 * 9 + 4
+    cmap_off = hdr + len(idxs)
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 3), (273, 4, 1, hdr), (277, 3, 1, 1),
+        (279, 4, 1, len(idxs)), (320, 3, 768, cmap_off),
+    ]
+    got = multimodal.decode_media(
+        _tiff_le(ents, idxs + cmap.astype("<u2").tobytes()), "tiff"
+    )
+    expect = b"".join(bytes([i, 255 - i, 7]) for i in idxs)
+    assert got == (w, h, expect)
+
+    # planar RGB: three full planes, one strip each
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    planes = rgb.transpose(2, 0, 1).tobytes()  # RRR.. GGG.. BBB..
+    hdr = 8 + 2 + 12 * 9 + 4
+    strip_tbl_off = hdr + len(planes)
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 2), (273, 4, 3, strip_tbl_off), (277, 3, 1, 3),
+        (279, 4, 3, strip_tbl_off + 12), (284, 3, 1, 2),
+    ]
+    strip_offsets = struct.pack("<3I", hdr, hdr + w * h, hdr + 2 * w * h)
+    strip_counts = struct.pack("<3I", w * h, w * h, w * h)
+    got = multimodal.decode_media(
+        _tiff_le(ents, planes + strip_offsets + strip_counts), "tiff"
+    )
+    assert got == (w, h, rgb.tobytes())
+
+    # YCbCr (6) still routes to the seam
+    hdr = 8 + 2 + 12 * 8 + 4
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 6), (273, 4, 1, hdr), (277, 3, 1, 1),
+        (279, 4, 1, len(gray)),
+    ]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(_tiff_le(ents, gray), "tiff")
+
+
 def test_misra_gries_by_group_guarantee_and_exactness(spark):
     """Per-group: each group's heavy item (freq > n_g/(k+1)) survives
     with a lower-bound weight under adversarial partitioning; the exact
