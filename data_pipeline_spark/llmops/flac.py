@@ -1,7 +1,7 @@
 """Real FLAC codec (encode + decode), stdlib + numpy only.
 
 Implements the lossless subset a data pipeline meets in practice for
-16-bit PCM: STREAMINFO metadata, fixed-blocksize frames, independent
+8/16/24-bit PCM: STREAMINFO metadata, fixed-blocksize frames, independent
 channels AND all three stereo-decorrelation assignments (left/side,
 right/side, mid/side), constant / verbatim / fixed-predictor (orders
 0-4) / LPC (orders 1-8 on encode, 1-32 on decode) subframes with
@@ -19,9 +19,11 @@ and the stereo transforms are exactly invertible (side = l - r carries
 parity), so every path is lossless.
 
 Out-of-subset streams raise NotImplementedError into the documented
-soundfile/ffmpeg seam (llmops.multimodal.decode_audio): non-16-bit
-sample sizes.  Everything this encoder emits, this decoder decodes —
-and vice versa for any 16-bit FLAC file.
+soundfile/ffmpeg seam (llmops.multimodal.decode_audio): 12/20/32-bit
+sample sizes and mixed-width frames.  Everything this encoder emits,
+this decoder decodes — and vice versa for any 8/16/24-bit FLAC file
+(decode_flac(dtype="native") is bit-exact; the default int16 output
+normalizes 8- and 24-bit the way soundfile's dtype='int16' does).
 
 Scale note: like the PNG unfilter and the JPEG entropy coder, the Rice
 coder is an inherently sequential bit loop — correctness-grade in this
@@ -490,6 +492,39 @@ _BPS_FIXED = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 # frame-header channel-assignment codes for the stereo transforms
 _STEREO_MODES = {"left_side": 0b1000, "right_side": 0b1001, "mid_side": 0b1010}
+# frame-header sample-size codes for the supported widths
+_BPS_CODES = {8: 0b001, 16: 0b100, 24: 0b110}
+
+
+def _pcm_to_samples(frames: bytes, bits: int) -> np.ndarray:
+    """Packed little-endian signed PCM at 8/16/24 bits -> flat int64."""
+    if bits == 8:
+        return np.frombuffer(frames, np.int8).astype(np.int64)
+    if bits == 16:
+        return np.frombuffer(frames, "<i2").astype(np.int64)
+    if bits == 24:
+        if len(frames) % 3:
+            raise ValueError("24-bit PCM length not a multiple of 3")
+        b = np.frombuffer(frames, np.uint8).astype(np.int64)
+        u = b[0::3] | (b[1::3] << 8) | (b[2::3] << 16)
+        return u - ((u >> 23) << 24)  # sign-extend bit 23
+    raise ValueError(f"unsupported PCM width {bits}")
+
+
+def _samples_to_pcm(arr: np.ndarray, bits: int) -> bytes:
+    """Flat int64 samples -> packed little-endian signed PCM bytes."""
+    if bits == 8:
+        return arr.astype(np.int8).tobytes()
+    if bits == 16:
+        return arr.astype("<i2").tobytes()
+    if bits == 24:
+        u = arr & 0xFFFFFF
+        out = np.empty((len(arr), 3), np.uint8)
+        out[:, 0] = u & 0xFF
+        out[:, 1] = (u >> 8) & 0xFF
+        out[:, 2] = (u >> 16) & 0xFF
+        return out.tobytes()
+    raise ValueError(f"unsupported PCM width {bits}")
 
 
 def encode_flac(
@@ -498,24 +533,28 @@ def encode_flac(
     frames: bytes,
     blocksize: int = 4096,
     stereo_mode: str | None = None,
+    bits_per_sample: int = 16,
 ) -> bytes:
-    """16-bit interleaved little-endian PCM -> FLAC stream (fLaC magic +
-    STREAMINFO with real MD5 + fixed-blocksize frames).  Stereo input
-    picks per frame among independent / left-side / right-side / mid-side
-    by exact summed subframe bit cost (``stereo_mode`` pins one:
-    "independent", "left_side", "right_side", "mid_side").  Lossless:
-    decode_flac inverts it byte-exactly."""
+    """Interleaved little-endian signed PCM (8/16/24-bit; default 16) ->
+    FLAC stream (fLaC magic + STREAMINFO with real MD5 + fixed-blocksize
+    frames).  Stereo input picks per frame among independent / left-side
+    / right-side / mid-side by exact summed subframe bit cost
+    (``stereo_mode`` pins one: "independent", "left_side", "right_side",
+    "mid_side").  Lossless: decode_flac inverts it byte-exactly."""
     if n_channels < 1 or n_channels > 8:
         raise ValueError(f"channels out of range: {n_channels}")
+    if bits_per_sample not in _BPS_CODES:
+        raise ValueError(f"unsupported bits_per_sample {bits_per_sample}")
     if stereo_mode is not None:
         if n_channels != 2:
             raise ValueError("stereo_mode requires exactly 2 channels")
         if stereo_mode != "independent" and stereo_mode not in _STEREO_MODES:
             raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
-    pcm = np.frombuffer(frames, "<i2")
+    bps = bits_per_sample
+    pcm = _pcm_to_samples(frames, bps)
     if len(pcm) % n_channels:
         raise ValueError("PCM length not a multiple of channel count")
-    samples = pcm.reshape(-1, n_channels).astype(np.int64)
+    samples = pcm.reshape(-1, n_channels)
     total = len(samples)
     md5 = hashlib.md5(frames).digest()
 
@@ -528,7 +567,7 @@ def encode_flac(
     info.write(0, 24)  # max framesize unknown
     info.write(sample_rate, 20)
     info.write(n_channels - 1, 3)
-    info.write(15, 5)  # bps - 1
+    info.write(bps - 1, 5)
     info.write(total, 36)
     out += struct.pack(">I", (1 << 31) | 34)[0:4]
     out += info.getvalue() + md5
@@ -549,10 +588,10 @@ def encode_flac(
                 _write_subframe(sw, sig, bps)
                 return sw
 
-            wl, wr = _sub(left, 16), _sub(right, 16)
+            wl, wr = _sub(left, bps), _sub(right, bps)
             candidates = [(wl.bit_length + wr.bit_length, 0, 0b0001, (wl, wr))]
             if stereo_mode in (None, "left_side", "right_side", "mid_side"):
-                ws = _sub(side, 17)
+                ws = _sub(side, bps + 1)
                 if stereo_mode in (None, "left_side"):
                     candidates.append(
                         (wl.bit_length + ws.bit_length, 1, 0b1000, (wl, ws))
@@ -562,7 +601,7 @@ def encode_flac(
                         (ws.bit_length + wr.bit_length, 2, 0b1001, (ws, wr))
                     )
                 if stereo_mode in (None, "mid_side"):
-                    wm = _sub(mid, 16)
+                    wm = _sub(mid, bps)
                     candidates.append(
                         (wm.bit_length + ws.bit_length, 3, 0b1010, (wm, ws))
                     )
@@ -581,7 +620,7 @@ def encode_flac(
         hdr.write(0b0111, 4)  # blocksize: 16-bit value-1 at header end
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
         hdr.write(chan_code, 4)  # channel assignment
-        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(_BPS_CODES[bps], 3)  # sample size code
         hdr.write(0, 1)  # reserved
         head = bytearray(hdr.getvalue())
         head += _utf8_encode_num(fi)
@@ -596,21 +635,28 @@ def encode_flac(
                 w.extend(sw)
         else:
             for ch in range(n_channels):
-                _write_subframe(w, block[:, ch], 16)
+                _write_subframe(w, block[:, ch], bps)
         w.align()
         frame = w.getvalue()
         out += frame + struct.pack(">H", _crc16(frame))
     return bytes(out)
 
 
-def decode_flac(content: bytes) -> tuple:
+def decode_flac(content: bytes, dtype: str = "int16") -> tuple:
     """FLAC stream -> (n_channels, sample_rate, interleaved int16 LE PCM).
 
     Decodes constant/verbatim/fixed/LPC subframes, independent channels
     and all three stereo-decorrelation assignments (left/side,
-    right/side, mid/side), 16-bit; verifies frame CRC-8/CRC-16 and the
-    STREAMINFO MD5.  Non-16-bit sample sizes raise NotImplementedError
-    into the soundfile seam."""
+    right/side, mid/side) at 8/16/24 bits per sample; verifies frame
+    CRC-8/CRC-16 and the STREAMINFO MD5 (over the NATIVE-width packing,
+    before any conversion).  Non-16-bit streams normalize to int16 the
+    way soundfile's dtype='int16' does — 8-bit shifts up, 24-bit shifts
+    down (lossy by the discarded low byte, as any 16-bit sink must be).
+    ``dtype="native"`` instead returns (channels, rate, native-width
+    packed PCM bytes, bits_per_sample) losslessly.  Other sample sizes
+    (12/20/32-bit) raise NotImplementedError into the soundfile seam."""
+    if dtype not in ("int16", "native"):
+        raise ValueError(f"unsupported dtype {dtype!r}")
     if content[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC magic)")
     pos = 4
@@ -636,9 +682,10 @@ def decode_flac(content: bytes) -> tuple:
     si_bps = r.read(5) + 1
     total = r.read(36)
     si_md5 = streaminfo[18:34]
-    if si_bps != 16:
+    if si_bps not in _BPS_CODES:
         raise NotImplementedError(
-            f"{si_bps}-bit FLAC not in the 16-bit subset — soundfile seam"
+            f"{si_bps}-bit FLAC not in the 8/16/24-bit subset — "
+            "soundfile seam"
         )
 
     chunks: list = []
@@ -680,8 +727,10 @@ def decode_flac(content: bytes) -> tuple:
         bps = si_bps if bps_code == 0 else _BPS_FIXED.get(bps_code)
         if bps is None:
             raise ValueError(f"reserved sample size code {bps_code}")
-        if bps != 16:
-            raise NotImplementedError("non-16-bit frame — soundfile seam")
+        if bps != si_bps:
+            raise NotImplementedError(
+                "mixed-width FLAC frames — soundfile seam"
+            )
 
         block = np.empty((bs, n_ch), np.int64)
         for ch in range(n_ch):
@@ -716,7 +765,13 @@ def decode_flac(content: bytes) -> tuple:
         if chunks
         else np.empty((0, si_channels), np.int64)
     )
-    frames = pcm.astype("<i2").tobytes()
-    if si_md5 != b"\x00" * 16 and hashlib.md5(frames).digest() != si_md5:
+    native = _samples_to_pcm(pcm.ravel(), si_bps)
+    if si_md5 != b"\x00" * 16 and hashlib.md5(native).digest() != si_md5:
         raise ValueError("decoded PCM fails the STREAMINFO MD5 check")
-    return si_channels, si_rate, frames
+    if dtype == "native":
+        return si_channels, si_rate, native, si_bps
+    if si_bps == 8:
+        pcm = pcm << 8
+    elif si_bps == 24:
+        pcm = pcm >> 8  # arithmetic: what soundfile dtype='int16' yields
+    return si_channels, si_rate, pcm.astype("<i2").tobytes()

@@ -1697,9 +1697,10 @@ def decode_audio(content: bytes, fmt: str = "unknown") -> tuple[int, int, bytes]
 
     Real stdlib/numpy decoders for ``wav`` and lossless-compressed ``flac``
     (rice-coded fixed-predictor AND LPC subframes, independent + all three
-    stereo-decorrelation channel assignments; llmops.flac); remaining
-    compressed audio (mp3/ogg, non-16-bit FLAC) needs codec libs not in
-    this container — soundfile/ffmpeg drop in here."""
+    stereo-decorrelation channel assignments, 8/16/24-bit widths
+    normalized to int16; llmops.flac); remaining compressed audio
+    (mp3/ogg, 12/20/32-bit FLAC) needs codec libs not in this container —
+    soundfile/ffmpeg drop in here."""
     codec = _AUDIO_CODECS.get(fmt)
     if codec is None:
         raise NotImplementedError(

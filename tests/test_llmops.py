@@ -47,9 +47,9 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
         multimodal.decode_media(b"\x89PNG")  # unknown format
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"OggS", "ogg")
-    # flac decodes natively including LPC subframes and all three
-    # stereo-decorrelation assignments (r9); the remaining seam is
-    # non-16-bit sample sizes — a 24-bit STREAMINFO must route to
+    # flac decodes natively including LPC subframes, all three
+    # stereo-decorrelation assignments, and 8/16/24-bit widths (r9); the
+    # remaining seam is 12/20/32-bit — a 20-bit STREAMINFO must route to
     # soundfile, not mis-decode
     import numpy as np
 
@@ -59,10 +59,10 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
         flac_codec.encode_flac(2, 8000, np.arange(128, dtype="<i2").tobytes())
     )
     # STREAMINFO bps-1 field: 5 bits straddling bytes 12-13 of the block
-    # body (at file offset 8): ...rate(20) ch(3) bps(5)... -> set 24-bit
+    # body (at file offset 8): ...rate(20) ch(3) bps(5)... -> set 20-bit
     si = 8
-    blob[si + 12] = (blob[si + 12] & 0xFE) | ((24 - 1) >> 4)
-    blob[si + 13] = ((24 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
+    blob[si + 12] = (blob[si + 12] & 0xFE) | ((20 - 1) >> 4)
+    blob[si + 13] = ((20 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
     # jpeg decodes baseline AND progressive natively (r9); the remaining
@@ -993,6 +993,58 @@ def test_flac_stereo_decorrelation_lossless_and_chosen():
         flac.encode_flac(1, 8000, b"\x00\x00", stereo_mode="mid_side")
     with pytest.raises(ValueError):
         flac.encode_flac(2, 8000, b"\x00" * 4, stereo_mode="banana")
+
+
+def test_flac_8_and_24_bit_widths():
+    """8/16/24-bit FLAC (r9): dtype='native' roundtrips bit-exactly at
+    every width (MD5 verified over the native packing), the default
+    int16 output normalizes like soundfile (8-bit << 8, 24-bit >> 8),
+    stereo decorrelation carries the 25-bit side channel at 24-bit
+    extremes, and 12/20-bit widths stay on the soundfile seam."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import flac
+
+    rng = np.random.RandomState(31)
+    n = 6000
+    base = (800_000 * np.sin(np.arange(n) * 0.011)).astype(np.int64)
+    l = np.clip(base + rng.randint(-400, 400, n), -(1 << 23), (1 << 23) - 1)
+    r = np.clip(base + rng.randint(-400, 400, n), -(1 << 23), (1 << 23) - 1)
+    pcm24 = flac._samples_to_pcm(np.stack([l, r], 1).ravel(), 24)
+    blob = flac.encode_flac(2, 48000, pcm24, bits_per_sample=24)
+    assert flac.decode_flac(blob, dtype="native") == (2, 48000, pcm24, 24)
+    ref16 = (np.stack([l, r], 1).ravel() >> 8).astype("<i2").tobytes()
+    assert flac.decode_flac(blob) == (2, 48000, ref16)
+    # 24-bit compresses: correlated content well under raw size
+    assert len(blob) < len(pcm24) // 2
+
+    s8 = rng.randint(-128, 128, 5000).astype(np.int64)
+    pcm8 = flac._samples_to_pcm(s8, 8)
+    blob8 = flac.encode_flac(1, 8000, pcm8, bits_per_sample=8)
+    assert flac.decode_flac(blob8, dtype="native") == (1, 8000, pcm8, 8)
+    assert flac.decode_flac(blob8)[2] == (s8 << 8).astype("<i2").tobytes()
+
+    # full-scale 24-bit stereo exercises the 25-bit side channel
+    ext = np.array(
+        [[-(1 << 23), (1 << 23) - 1], [(1 << 23) - 1, -(1 << 23)]] * 800,
+        np.int64,
+    )
+    pcm = flac._samples_to_pcm(ext.ravel(), 24)
+    for mode in (None, "left_side", "right_side", "mid_side"):
+        b = flac.encode_flac(2, 44100, pcm, bits_per_sample=24,
+                             stereo_mode=mode)
+        assert flac.decode_flac(b, dtype="native")[2] == pcm, mode
+
+    # a corrupted 24-bit stream still trips MD5/CRC, not a mis-decode
+    marred = bytearray(blob)
+    marred[-4] ^= 0x10
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(marred))
+
+    with pytest.raises(ValueError):
+        flac.encode_flac(1, 8000, b"\x00\x00", bits_per_sample=12)
+    with pytest.raises(ValueError):
+        flac.decode_flac(blob, dtype="float32")
 
 
 def test_flac_codec_rejects_corruption():
