@@ -1243,16 +1243,91 @@ def _jpeg_reconstruct(
 # TIFF, both byte orders on decode (II little- and MM big-endian), 8-bit
 # RGB and grayscale — plus WhiteIsZero inversion, palette images via the
 # ColorMap tag, and planar (PlanarConfiguration=2) RGB reassembly.
-# Compressed TIFF variants (LZW/deflate/packbits), tiled layouts, and
-# CMYK/YCbCr photometrics raise into the PIL seam.
+# LZW (MSB-first early-change), deflate (zlib) and PackBits strips
+# decompress natively, with the horizontal predictor undone post-decode.
+# JPEG-in-TIFF/CCITT compression, tiled layouts, and CMYK/YCbCr
+# photometrics raise into the PIL seam.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar_config",
-    320: "color_map",
+    317: "predictor", 320: "color_map",
 }
+
+
+def _tiff_unpackbits(data: bytes) -> bytes:
+    """PackBits RLE (compression 32773): n<128 -> n+1 literals, n>128 ->
+    byte repeated 257-n times, n==128 no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW (compression 5): MSB-first variable-width codes with
+    ClearCode 256 / EOI 257 and the spec's EARLY code-width change (the
+    width grows when the next free code reaches 2^width - 1) — distinct
+    from GIF's LSB-first late-change LZW."""
+    out = bytearray()
+    table: list = []
+    width = 9
+    prev: bytes | None = None
+    nxt = 258
+    acc = 0
+    nbits = 0
+
+    def reset():
+        nonlocal table, width, prev, nxt
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+        nxt = 258
+
+    reset()
+    for b in data:
+        acc = (acc << 8) | b
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad initial TIFF LZW code")
+                entry = table[code]
+            elif code < nxt:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                nxt += 1
+            elif code == nxt:
+                entry = prev + prev[:1]
+                table.append(entry)
+                nxt += 1
+            else:
+                raise ValueError("bad TIFF LZW code")
+            out += entry
+            prev = entry
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)  # tolerant of a missing EOI (writers vary)
 
 
 def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
@@ -1289,10 +1364,26 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
     for req in ("width", "height", "strip_offsets", "strip_counts"):
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
-    if tags.get("compression", [1])[0] != 1:
+    compression = tags.get("compression", [1])[0]
+    if compression == 1:
+        unstrip = lambda s: s  # noqa: E731
+    elif compression == 5:
+        unstrip = _tiff_lzw_decode
+    elif compression in (8, 32946):  # Adobe / legacy deflate
+        import zlib
+
+        unstrip = zlib.decompress
+    elif compression == 32773:
+        unstrip = _tiff_unpackbits
+    else:
         raise NotImplementedError(
-            "compressed TIFF (LZW/deflate/packbits) needs PIL on the "
-            "cluster image; uncompressed strips decode natively"
+            "TIFF compression beyond none/LZW/deflate/PackBits (e.g. "
+            "JPEG-in-TIFF, CCITT fax) needs PIL on the cluster image"
+        )
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            "TIFF predictor beyond none/horizontal needs PIL"
         )
     w, h = tags["width"][0], tags["height"][0]
     spp = tags.get("spp", [1])[0]
@@ -1311,7 +1402,7 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
     if photometric == 3 and (spp != 1 or "color_map" not in tags):
         raise ValueError("palette TIFF needs spp=1 and a ColorMap tag")
     raw = b"".join(
-        content[o : o + n]
+        unstrip(content[o : o + n])
         for o, n in zip(tags["strip_offsets"], tags["strip_counts"])
     )
     if len(raw) < w * h * spp:
@@ -1322,6 +1413,9 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
         px = plane.transpose(1, 2, 0)
     else:
         px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: undo per row, per channel (mod 256)
+        px = np.cumsum(px.astype(np.uint8), axis=1, dtype=np.uint8)
     if photometric == 0:
         px = 255 - px
     if photometric == 3:

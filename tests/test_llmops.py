@@ -1560,11 +1560,11 @@ def test_tiff_codec_roundtrip_and_variants():
     expect = b"".join(bytes([v, v, v]) for v in gray)
     assert multimodal.decode_media(blob, "tiff") == (w, h, expect)
 
-    lzw = bytearray(multimodal._encode_tiff(2, 2, bytes(12)))
-    idx = lzw.find(struct.pack("<HHI", 259, 3, 1))
-    lzw[idx + 8] = 5  # compression = LZW
+    jpg = bytearray(multimodal._encode_tiff(2, 2, bytes(12)))
+    idx = jpg.find(struct.pack("<HHI", 259, 3, 1))
+    jpg[idx + 8] = 7  # compression = JPEG-in-TIFF: still the PIL seam
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(bytes(lzw), "tiff")
+        multimodal.decode_media(bytes(jpg), "tiff")
     with pytest.raises(ValueError):
         multimodal.decode_media(b"XX" + bytes(20), "tiff")
 
@@ -1650,6 +1650,118 @@ def test_tiff_whiteiszero_palette_and_planar_decode():
     ]
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(_tiff_le(ents, gray), "tiff")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Test-local TIFF LZW encoder (MSB-first, early width change: the
+    decoder's width grows when its next free code hits 2^w - 1, so the
+    encoder grows when ITS next free code hits 2^w — one entry ahead).
+    Emits Clear at table exhaustion (4094) per TIFF6."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    emit(256, width)
+    s = b""
+    for ch in data:
+        c = bytes([ch])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s], width)
+        table[s + c] = nxt
+        nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        s = c
+        if nxt == 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+    if s:
+        emit(table[s], width)
+    emit(257, width)
+    if nbits:
+        emit(0, 8 - nbits)
+    return bytes(out)
+
+
+def test_tiff_compressed_strips_decode():
+    """r9: LZW / deflate / PackBits strips and the horizontal predictor
+    decode natively.  The LZW decoder is pinned against a HAND-COMPUTED
+    9-bit stream (independent of any encoder), deflate against stdlib
+    zlib output, PackBits against a hand-built run layout; a width-
+    crossing LZW roundtrip and predictor+deflate compose on real images.
+    JPEG-in-TIFF still routes to the PIL seam."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # hand-computed LZW: codes 256,65,258,65,257 @9 bits <=> b"AAAA"
+    bits = 0
+    for code in (256, 65, 258, 65, 257):
+        bits = (bits << 9) | code
+    stream = (bits << 3).to_bytes(6, "big")  # 45 bits + 3 pad
+    assert multimodal._tiff_lzw_decode(stream) == b"AAAA"
+
+    # roundtrip across the 511/1023 width changes and a mid-stream Clear
+    rng = np.random.RandomState(6)
+    blob = rng.randint(0, 8, 20000).astype(np.uint8).tobytes()  # compressible
+    assert multimodal._tiff_lzw_decode(_tiff_lzw_encode(blob)) == blob
+
+    # PackBits: literals + runs + the 128 no-op
+    pb = bytes([2, 10, 20, 30, 0x80, 0xFE, 7, 0, 99])  # 3 lit, nop, 3x7, 1 lit
+    assert multimodal._tiff_unpackbits(pb) == bytes([10, 20, 30, 7, 7, 7, 99])
+
+    # full files: same pixel content through all three codecs + predictor
+    w, h = 9, 5
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    raw = rgb.tobytes()
+    diffed = np.diff(
+        rgb.astype(np.int16), axis=1, prepend=np.zeros((h, 1, 3), np.int16)
+    ).astype(np.uint8).tobytes()  # first pixel raw, rest horizontal deltas
+    cases = [
+        (5, _tiff_lzw_encode(raw), 1, raw),
+        (8, zlib.compress(raw), 1, raw),
+        (32773, raw, 1, None),  # PackBits all-literal runs built below
+        (8, zlib.compress(diffed), 2, raw),  # deflate + horizontal predictor
+    ]
+    # build the PackBits strip: chunks of <=128 literal bytes
+    pb_strip = b"".join(
+        bytes([len(raw[i : i + 128]) - 1]) + raw[i : i + 128]
+        for i in range(0, len(raw), 128)
+    )
+    cases[2] = (32773, pb_strip, 1, raw)
+    for comp, strip, pred, expect in cases:
+        hdr = 8 + 2 + 12 * 9 + 4
+        ents = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, comp), (262, 3, 1, 2), (273, 4, 1, hdr),
+            (277, 3, 1, 3), (279, 4, 1, len(strip)), (317, 3, 1, pred),
+        ]
+        got = multimodal.decode_media(_tiff_le(ents, strip), "tiff")
+        assert got == (w, h, expect), (comp, pred)
+
+    # JPEG-in-TIFF (compression 7) keeps the seam
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 7),
+        (273, 4, 1, 0), (277, 3, 1, 3), (279, 4, 1, 1),
+    ]
+    hdr = 8 + 2 + 12 * 7 + 4
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(_tiff_le(ents, b"\x00"), "tiff")
 
 
 def test_misra_gries_by_group_guarantee_and_exactness(spark):
