@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "gapfill_interpolated_series",
+    # r9 late addition: the progressive/restart JPEG differential runs the
+    # four-way codec comparison distributed (codec-bound, row-capped)
+    "multimodal_jpeg_differential",
 ]
 
 

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -2594,3 +2595,71 @@ def verify_audio_roundtrip(media_with_text: DataFrame) -> DataFrame:
             )
 
     return media_with_text.mapInPandas(run, schema=AUDIO_VERIFY_SCHEMA)
+
+
+JPEG_DIFFERENTIAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("img_w", LongType()),
+        StructField("img_h", LongType()),
+        StructField("progressive_match", IntegerType()),
+        StructField("restart_match", IntegerType()),
+    ]
+)
+
+
+def jpeg_progressive_differential(
+    df: DataFrame, id_col: str, text_col: str, w: int = 24, h: int = 16
+) -> DataFrame:
+    """Per row: derive a deterministic w x h RGB image from the text
+    bytes (cycled; empty text -> black), encode it as baseline JPEG, as
+    a 9-scan progressive JPEG, and as both layouts with a restart
+    interval — then decode all four inside the same Arrow batch and flag
+    whether the progressive and restart decodes are PIXEL-IDENTICAL to
+    the baseline decode (they transmit identical quantized coefficients,
+    so any mismatch is a codec bug).  The flags and fixed dimensions are
+    SQL-derivable, giving the differential property a DuckDB oracle the
+    driver can hash-verify."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pm, rm = [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8") or b"\x00"
+                px = np.frombuffer(raw, np.uint8)
+                rgb = np.resize(px, (h, w, 3)).tobytes()
+                base = _decode_jpeg(
+                    _encode_jpeg(w, h, rgb, quality=75, subsampling="420")
+                )
+                prog = _decode_jpeg(
+                    _encode_jpeg_progressive(
+                        w, h, rgb, quality=75, subsampling="420"
+                    )
+                )
+                base_ri = _decode_jpeg(
+                    _encode_jpeg(
+                        w, h, rgb, quality=75, subsampling="420",
+                        restart_interval=1,
+                    )
+                )
+                prog_ri = _decode_jpeg(
+                    _encode_jpeg_progressive(
+                        w, h, rgb, quality=75, subsampling="420",
+                        restart_interval=2,
+                    )
+                )
+                pm.append(int(prog == base))
+                rm.append(int(base_ri == base and prog_ri == base))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].reset_index(drop=True),
+                    "img_w": w,
+                    "img_h": h,
+                    "progressive_match": pm,
+                    "restart_match": rm,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=JPEG_DIFFERENTIAL_SCHEMA
+    )

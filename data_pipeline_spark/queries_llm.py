@@ -710,6 +710,38 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_differential",
+    """
+    SELECT doc_id AS media_id,
+           CAST(24 AS BIGINT) AS img_w,
+           CAST(16 AS BIGINT) AS img_h,
+           1 AS progressive_match,
+           1 AS restart_match
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+    doc="Progressive-JPEG + restart-interval differential at query level: "
+    "per document, a deterministic 24x16 RGB image (text bytes cycled) "
+    "is encoded baseline, 9-scan progressive (SOF2), and both layouts "
+    "with restart markers, then all four decode inside one Arrow batch.  "
+    "Progressive and restart streams transmit IDENTICAL quantized "
+    "coefficients, so their decodes must match the baseline decode "
+    "pixel-for-pixel; the match flags are SQL constants the oracle "
+    "hash-verifies — any codec divergence flips a flag and fails the "
+    "driver comparison.  Kernel is mapInPandas over a repartitioned "
+    "subset (codec cost, not data volume, bounds the row count).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return multimodal.jpeg_progressive_differential(docs, "doc_id", "text")
+
+
+@register(
     "lsh_ann_neardup",
     None,  # approximate (bucketed recall): rows-only check
     doc="Multi-table hyperplane-LSH bucketed near-dup search — the 100 TB "
