@@ -20,6 +20,7 @@ PICK = [
     ("q21_waiting_suppliers", "multi-EXISTS as per-order window sets, no self-join"),
     ("trailing_7d_user_spend", "event-time RANGE frame on integer microseconds"),
     ("persisted_index_dedup_gate", "ingest gate off the parquet index sidecar: batch sides broadcast, index never shuffles, exact pass column-prunes to the md5 alone"),
+    ("banded_index_dedup_gate", "band-pruned steady-state gate: ONE fused index scan, in-row arrays_overlap collision filter BEFORE the shingle explode (O(candidates) explode), zero extra exchanges"),
     ("zorder_curve_keys", "Morton layout keys: one-row span stats broadcast back (BNL), single shuffle = the stats agg — the fact never moves"),
 ]
 
