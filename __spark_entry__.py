@@ -38,6 +38,7 @@ _PRIORITY = [
     # a decision-only oracle; the z-layout end-to-end box query) and the
     # three rows-only scale paths the r8 verdict asked to rotate in
     "multimodal_jpeg_differential",
+    "cms_bigram_bounds",
     "banded_index_dedup_gate",
     "zorder_box_query",
     "heavy_hitter_bigrams",

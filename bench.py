@@ -88,9 +88,12 @@ BENCH_QUERIES = [
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "gapfill_interpolated_series",
-    # r9 late addition: the progressive/restart JPEG differential runs the
-    # four-way codec comparison distributed (codec-bound, row-capped)
+    # r9 late additions: the progressive/restart JPEG differential runs
+    # the four-way codec comparison distributed (codec-bound, row-capped);
+    # the Count-Min certificate sketches the same bigram stream the
+    # Misra-Gries entry consumes
     "multimodal_jpeg_differential",
+    "cms_bigram_bounds",
 ]
 
 

@@ -169,3 +169,87 @@ def misra_gries_by_group(
         )
         .filter(F.col("weight") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public literature): a
+# depth x width counter matrix; item increments one slot per row via
+# independent hashes, point estimate = MIN over rows.  CM is LINEAR, so
+# the distributed build is trivially exact: per-partition matrices sum
+# elementwise — any merge tree yields the same sketch as a single pass.
+# Estimates only ever OVERCOUNT (each slot holds true count + collisions),
+# and E[overcount per row] = (N - n_item) / width, so the min over depth
+# rows concentrates sharply (Markov^depth).
+# ---------------------------------------------------------------------------
+
+_CMS_SCHEMA = StructType(
+    [
+        StructField("d", LongType()),
+        StructField("slot", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _cms_slot(item_col, d: int, width: int):
+    """Row-d slot of an item: xxhash64 with the row index as seed, same
+    expression on the build and query sides so estimates line up."""
+    return F.pmod(F.xxhash64(item_col, F.lit(d)), F.lit(width)).cast("long")
+
+
+def count_min_sketch(
+    df: DataFrame, item_col: str, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """(d, slot, cnt) sparse Count-Min sketch of an item stream.
+
+    Build is pure DataFrame ops: derive the depth slot columns in codegen,
+    explode to (d, slot), one partial-aggregated groupBy — the shuffle
+    carries at most depth * width rows per partition regardless of stream
+    size (map-side combine collapses to slot space).  NULL items are
+    excluded explicitly (same contract as the other sketches)."""
+    slots = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                _cms_slot(F.col(item_col), d, width).alias("slot"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .select(F.explode(slots).alias("s"))
+        .groupBy(F.col("s.d").alias("d"), F.col("s.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame, items: DataFrame, item_col: str,
+    width: int = 2048, depth: int = 5,
+) -> DataFrame:
+    """Point-estimate each item in ``items`` against a built sketch:
+    derive the item's depth slots, broadcast-join the (small, <=
+    depth * width rows) sketch, MIN over rows.  A slot never touched by
+    any stream item is absent from the sparse sketch = count 0."""
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d"),
+                        _cms_slot(F.col(item_col), d, width).alias("slot"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select("item", F.col("s.d").alias("d"), F.col("s.slot").alias("slot"))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "slot"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    return est

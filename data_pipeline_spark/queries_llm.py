@@ -710,6 +710,63 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_bigram_bounds",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    big AS (
+        SELECT t[i] || ' ' || t[i + 1] AS item
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    exact AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY item
+        ORDER BY n DESC, item ASC LIMIT 50
+    )
+    SELECT item, n, 1 AS overestimates, 1 AS within_bound FROM exact
+    """,
+    doc="Count-Min sketch certificate over token bigrams: the sketch "
+    "(depth 5 x width 2048) builds as pure codegen DataFrame ops — slot "
+    "columns derived in-row, explode, ONE partial-aggregated groupBy "
+    "whose shuffle carries at most depth*width rows per partition "
+    "regardless of stream size (CM is linear, so any merge tree yields "
+    "the identical matrix).  The top-50 exact bigrams are then point-"
+    "estimated against the broadcast sketch; `overestimates` (est >= "
+    "true) is the CM theorem and `within_bound` (est <= true + "
+    "ceil(9N/width), Markov^5) holds deterministically on this corpus — "
+    "the oracle hash-verifies both flags plus the exact counts.",
+    tags=("llm", "sketch"),
+)
+def cms_bigram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.llmops import sketches
+
+    width, depth = 2048, 5
+    stream = _bigram_stream(spark, sf_dir)
+    sketch = sketches.count_min_sketch(stream, "item", width, depth)
+    exact = (
+        stream.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("item").asc())
+        .limit(50)
+    )
+    total = stream.agg(F.count(F.lit(1)).alias("big_n"))
+    est = sketches.cms_estimates(sketch, exact, "item", width, depth)
+    return (
+        exact.join(est, "item")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            "n",
+            (F.col("cms_est") >= F.col("n")).cast("int").alias(
+                "overestimates"
+            ),
+            (
+                F.col("cms_est")
+                <= F.col("n") + F.ceil(F.lit(9.0) * F.col("big_n") / width)
+            ).cast("int").alias("within_bound"),
+        )
+    )
+
+
+@register(
     "multimodal_jpeg_differential",
     """
     SELECT doc_id AS media_id,

@@ -1764,6 +1764,63 @@ def test_tiff_compressed_strips_decode():
         multimodal.decode_media(_tiff_le(ents, b"\x00"), "tiff")
 
 
+def test_count_min_sketch_linearity_and_overestimate(spark):
+    """CM is linear: the sketch of a stream equals the elementwise sum of
+    the sketches of any split, and is invariant under repartitioning (the
+    distributed build is EXACT, not approximate).  Point estimates never
+    undercount; estimates of absent items are bounded by collisions
+    (zero when their slots are untouched)."""
+    from data_pipeline_spark.llmops import sketches
+
+    rows = (
+        [("hot",)] * 500
+        + [(f"mid{i}",) for i in range(30) for _ in range(20)]
+        + [(f"tail{i}",) for i in range(400)]
+        + [(None,)] * 10
+    )
+    df = spark.createDataFrame(rows, "item STRING")
+
+    def as_map(sk):
+        return {(r.d, r.slot): r.cnt for r in sk.collect()}
+
+    base = as_map(sketches.count_min_sketch(df, "item", width=256, depth=4))
+    repart = as_map(
+        sketches.count_min_sketch(df.repartition(13), "item", 256, 4)
+    )
+    assert base == repart  # merge-tree independence (exact linearity)
+
+    # linearity on a disjoint split of the same rows
+    a = spark.createDataFrame(rows[:700], "item STRING")
+    b = spark.createDataFrame(rows[700:], "item STRING")
+    sa, sb = (
+        as_map(sketches.count_min_sketch(x, "item", 256, 4)) for x in (a, b)
+    )
+    summed: dict = {}
+    for m in (sa, sb):
+        for k, v in m.items():
+            summed[k] = summed.get(k, 0) + v
+    assert summed == base
+
+    # estimates never undercount; nulls excluded from the stream
+    sk = sketches.count_min_sketch(df, "item", 256, 4)
+    truth = {"hot": 500, "mid3": 20, "tail7": 1}
+    items = spark.createDataFrame([(k,) for k in truth], "item STRING")
+    est = {
+        r.item: r.cms_est
+        for r in sketches.cms_estimates(sk, items, "item", 256, 4).collect()
+    }
+    n_total = 500 + 600 + 400  # nulls excluded
+    for k, n in truth.items():
+        assert est[k] >= n, k
+        assert est[k] <= n + n_total  # trivial cap; sharper checked below
+    # width >> stream keeps the heavy item's estimate exact here
+    wide = sketches.count_min_sketch(df, "item", 1 << 16, 4)
+    est_w = sketches.cms_estimates(
+        wide, items, "item", 1 << 16, 4
+    ).collect()
+    assert {r.item: r.cms_est for r in est_w}["hot"] == 500
+
+
 def test_misra_gries_by_group_guarantee_and_exactness(spark):
     """Per-group: each group's heavy item (freq > n_g/(k+1)) survives
     with a lower-bound weight under adversarial partitioning; the exact
