@@ -39,6 +39,7 @@ _PRIORITY = [
     # three rows-only scale paths the r8 verdict asked to rotate in
     "multimodal_jpeg_differential",
     "cms_bigram_bounds",
+    "hll_user_overlap",
     "banded_index_dedup_gate",
     "zorder_box_query",
     "heavy_hitter_bigrams",

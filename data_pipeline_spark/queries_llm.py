@@ -1681,6 +1681,71 @@ def approx_distinct_users_scale_path(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "hll_user_overlap",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    per AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+    ov AS (
+        SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_ov
+        FROM d x JOIN d y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT pa.event_type AS type_a, pb.event_type AS type_b,
+           CAST(pa.n AS BIGINT) AS users_a,
+           CAST(pb.n AS BIGINT) AS users_b,
+           CAST(pa.n + pb.n - coalesce(ov.n_ov, 0) AS BIGINT)
+               AS users_union,
+           CAST(coalesce(ov.n_ov, 0) AS BIGINT) AS users_overlap_est
+    FROM per pa
+    JOIN per pb ON pa.event_type < pb.event_type
+    LEFT JOIN ov ON ov.ta = pa.event_type AND ov.tb = pb.event_type
+    ORDER BY 1, 2
+    """,
+    doc="Sketch SET ALGEBRA — the audience-overlap pattern at 100 TB: one "
+    "fixed-size DataSketches HLL per event_type (hll_sketch_agg, "
+    "JVM-native, map-side merged), then every type pair's union "
+    "cardinality via hll_union on the two sketches and the intersection "
+    "by inclusion-exclusion (|A|+|B|-|A union B|, floored at 0).  The "
+    "pairwise join runs over the HANDFUL of per-group sketches (never "
+    "the user stream), so overlap across N groups costs O(N^2) sketch "
+    "merges instead of N^2 distinct-count shuffles.  At this table's "
+    "per-type cardinalities the lgK=14 sketch stays in DataSketches' "
+    "exact sparse mode, so the SQL oracle checks true counts — the same "
+    "exact-configuration certification the other sketches carry; at "
+    "100 TB the identical plan degrades gracefully to ~1% estimates.",
+    tags=("A-ext", "scale-path", "sketch"),
+)
+def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_a = F.round(F.hll_sketch_estimate("sk_a")).cast("bigint")
+    est_b = F.round(F.hll_sketch_estimate("sk_b")).cast("bigint")
+    est_u = F.round(
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    ).cast("bigint")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.alias("users_a"),
+        est_b.alias("users_b"),
+        est_u.alias("users_union"),
+        F.greatest(
+            est_a + est_b - est_u, F.lit(0).cast("bigint")
+        ).alias("users_overlap_est"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
     "approx_doc_length_quantiles",
     None,  # rows-only: GK-sketch quantiles are engine-specific
     doc="Streaming-mergeable quantiles (Greenwald-Khanna, accuracy 1e4): "
