@@ -720,6 +720,64 @@ def test_dedup_gated_ingest_across_batches(spark, tmp_path):
     assert final == [1, 2, 12, 20]  # 21 rejected as an exact corpus dup
 
 
+def test_streaming_count_min_matches_batch_exactly(spark, tmp_path):
+    """Streaming CM accumulation == the batch sketch BYTE-FOR-BYTE: CM is
+    linear, so summing per-trigger partials is the all-data sketch, not
+    an approximation of it.  Also pins trigger-replay idempotence: a
+    re-run batch overwrites its own partition instead of double-counting."""
+    from data_pipeline_spark.llmops import textstats
+    from data_pipeline_spark.llmops.sketches import count_min_sketch
+    from data_pipeline_spark.streaming.sketch import CountMinStreamSink
+
+    src = tmp_path / "cms_src"
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(str(src))  # 4 files -> 4 triggers
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    toks = stream.select(F.explode(textstats.tokens("text")).alias("item"))
+    sink = CountMinStreamSink(
+        str(tmp_path / "cms_out"), "item", width=512, depth=4
+    )
+    q = (
+        toks.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r.d, r.slot): r.cnt for r in sink.sketch(spark).collect()}
+    batch_toks = docs.select(
+        F.explode(textstats.tokens("text")).alias("item")
+    )
+    want = {
+        (r.d, r.slot): r.cnt
+        for r in count_min_sketch(batch_toks, "item", 512, 4).collect()
+    }
+    assert streamed == want and len(streamed) > 0
+
+    # replay idempotence, driven directly through the sink callable
+    sink2 = CountMinStreamSink(str(tmp_path / "cms_replay"), "item", 256, 3)
+    d1 = spark.createDataFrame([("a",), ("b",), ("a",)], "item STRING")
+    d2 = spark.createDataFrame([("b",), ("c",)], "item STRING")
+    sink2(d1, 0)
+    sink2(d2, 1)
+    before = {(r.d, r.slot): r.cnt for r in sink2.sketch(spark).collect()}
+    sink2(d2, 1)  # trigger replay: same batch id, same content
+    after = {(r.d, r.slot): r.cnt for r in sink2.sketch(spark).collect()}
+    assert after == before
+    # and the replayed store still equals the one-shot batch sketch
+    union = d1.unionByName(d2)
+    want2 = {
+        (r.d, r.slot): r.cnt
+        for r in count_min_sketch(union, "item", 256, 3).collect()
+    }
+    assert after == want2
+
+
 def test_streaming_locf_gapfill_matches_batch(spark, tmp_path):
     """Streaming LOCF gap-fill == the batch gapfill_interpolate's LOCF
     columns over every CLOSED bucket (the stream's final per-key bucket
