@@ -431,12 +431,20 @@ def _canonical_codes(symbols: set[int]) -> tuple[dict[int, tuple[int, int]], lis
 
 
 def _jpeg_plan(
-    w: int, h: int, rgb: bytes, quality: int, subsampling: str
+    w: int, h: int, rgb: bytes, quality: int, subsampling: str,
+    precision: int = 8,
 ) -> tuple:
     """Shared front half of both JPEG encoders: RGB -> YCbCr planes,
     chroma box-downsample, MCU edge-padding, DCT, quantization.
     Returns (samp, hmax, vmax, mcuy, mcux, qy, qc, coefs) where coefs[ci]
-    is an int64 (block rows, block cols, 8, 8) natural-order array."""
+    is an int64 (block rows, block cols, 8, 8) natural-order array.
+
+    ``precision=12`` scales the 8-bit input samples and the Annex-K
+    quantization tables by the same 2^4, so the QUANTIZED COEFFICIENTS
+    are bit-identical to the 8-bit plan's — which makes the 12-bit
+    pipeline differentially testable against the 8-bit one with zero
+    tolerance (scaling commutes exactly through the linear DCT and the
+    float64 color transform)."""
     luma_by_mode = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
     if subsampling not in luma_by_mode:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
@@ -446,13 +454,18 @@ def _jpeg_plan(
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
 
-    qy, qc = _jpeg_qtables(quality)
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported JPEG precision {precision}")
+    scale = 1 << (precision - 8)
+    center = 128.0 * scale
+    qy, qc = (q * scale for q in _jpeg_qtables(quality))
     px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+    px = px * scale  # 8-bit content carried in the wider sample range
     r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
     planes = [
         0.299 * r + 0.587 * g + 0.114 * b,
-        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + center,
+        0.5 * r - 0.418688 * g - 0.081312 * b + center,
     ]
     quant = [qy, qc, qc]
 
@@ -477,30 +490,39 @@ def _jpeg_plan(
             mode="edge",
         )
         blocks = padded.reshape(tgt_h // 8, 8, tgt_w // 8, 8).transpose(0, 2, 1, 3)
-        f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - 128.0, _DCT_C)
+        f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - center, _DCT_C)
         coefs.append(np.rint(f / q).astype(np.int64))
     return samp, hmax, vmax, mcuy, mcux, qy, qc, coefs
 
 
 def _jpeg_headers(
     w: int, h: int, samp: list, qy: np.ndarray, qc: np.ndarray,
-    sof_marker: int,
+    sof_marker: int, precision: int = 8,
 ) -> bytes:
-    """SOI + APP0 + DQT pair + SOF segment shared by both encoders."""
+    """SOI + APP0 + DQT pair + SOF segment shared by both encoders.
+    12-bit precision writes 16-bit quantization tables (DQT Pq=1)."""
     import struct
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    zz_q = lambda q: bytes(int(q.reshape(64)[i]) for i in _ZIGZAG)  # noqa: E731
+    wide = bool(np.any(qy > 255) or np.any(qc > 255))
+
+    def zz_q(q: np.ndarray) -> bytes:
+        vals = [int(q.reshape(64)[i]) for i in _ZIGZAG]
+        if wide:
+            return struct.pack(">64H", *vals)
+        return bytes(vals)
+
+    pq = 0x10 if wide else 0x00
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + zz_q(qy))
-    out += seg(0xFFDB, b"\x01" + zz_q(qc))
+    out += seg(0xFFDB, bytes([pq | 0]) + zz_q(qy))
+    out += seg(0xFFDB, bytes([pq | 1]) + zz_q(qc))
     out += seg(
-        sof_marker,  # 8-bit, 3 components, declared sampling
-        struct.pack(">BHHB", 8, h, w, 3)
+        sof_marker,  # declared precision, 3 components, declared sampling
+        struct.pack(">BHHB", precision, h, w, 3)
         + bytes(
             [
                 1, samp[0][0] << 4 | samp[0][1], 0,
@@ -514,7 +536,7 @@ def _jpeg_headers(
 
 def _encode_jpeg(
     w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444",
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """(w, h, top-down RGB) -> baseline JFIF bytes (8-bit; 4:4:4, or
     MCU-interleaved 4:2:0 / 4:2:2 chroma subsampling — 4:2:0 is what
@@ -525,7 +547,7 @@ def _encode_jpeg(
     import struct
 
     samp, hmax, vmax, mcuy, mcux, qy, qc, coefs = _jpeg_plan(
-        w, h, rgb, quality, subsampling
+        w, h, rgb, quality, subsampling, precision
     )
     ri = restart_interval
 
@@ -628,7 +650,10 @@ def _encode_jpeg(
             bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals),
         )
 
-    out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFC0))
+    # 12-bit sequential is SOF1 (extended sequential); baseline SOF0 is
+    # 8-bit-only by spec
+    sof = 0xFFC0 if precision == 8 else 0xFFC1
+    out = bytearray(_jpeg_headers(w, h, samp, qy, qc, sof, precision))
     if ri:
         out += seg(0xFFDD, struct.pack(">H", ri))
     out += dht(0, 0, dc_tabs[0][1], dc_tabs[0][2])
@@ -643,7 +668,7 @@ def _encode_jpeg(
 
 def _encode_jpeg_progressive(
     w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444",
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """(w, h, top-down RGB) -> progressive JFIF bytes (SOF2).
 
@@ -663,7 +688,7 @@ def _encode_jpeg_progressive(
     import struct
 
     samp, hmax, vmax, mcuy, mcux, qy, qc, coefs = _jpeg_plan(
-        w, h, rgb, quality, subsampling
+        w, h, rgb, quality, subsampling, precision
     )
     ri = restart_interval
     # zigzag-order coefficient vectors per block
@@ -805,7 +830,7 @@ def _encode_jpeg_progressive(
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFC2))
+    out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFC2, precision))
     if ri:
         out += seg(0xFFDD, struct.pack(">H", ri))
     for sc, ss, se, ah, al, units in scan_plan:
@@ -1030,32 +1055,38 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
             p = 0
             while p < len(payload):
                 prec_id = payload[p]
-                if prec_id >> 4:
-                    raise NotImplementedError("16-bit quant tables")
                 q = np.zeros(64)
-                for i, v in enumerate(payload[p + 1 : p + 65]):
+                if prec_id >> 4:  # Pq=1: 16-bit table values (12-bit JPEG)
+                    vals = struct.unpack_from(">64H", payload, p + 1)
+                    step = 129
+                else:
+                    vals = payload[p + 1 : p + 65]
+                    step = 65
+                for i, v in enumerate(vals):
                     q[_ZIGZAG[i]] = v
                 qtables[prec_id & 0xF] = q.reshape(8, 8)
-                p += 65
+                p += step
         elif marker in (
-            0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
             0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             raise NotImplementedError(
-                "only baseline (SOF0) and progressive (SOF2) huffman JPEG "
-                "decode natively; extended-sequential/lossless/arithmetic "
+                "only huffman sequential (SOF0/SOF1) and progressive "
+                "(SOF2) JPEG decode natively; lossless/arithmetic "
                 "requires PIL on the cluster image"
             )
-        elif marker in (0xFFC0, 0xFFC2):
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise NotImplementedError("12-bit JPEG")
+            if prec == 12 and marker == 0xFFC0:
+                raise ValueError("baseline SOF0 is 8-bit-only by spec")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit JPEG")
             comps = [  # component triples follow the 6-byte frame header
                 (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
                 for i in range(nc)
             ]
-            sof = (fw, fh, nc)
+            sof = (fw, fh, nc, prec)
         elif marker == 0xFFC4:
             p = 0
             while p < len(payload):
@@ -1111,7 +1142,7 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
         # APPn / COM / others: skipped
     if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    fw, fh, nc = sof
+    fw, fh, nc, prec = sof
     scan_comps, _ss0, _se0, _ah0, _al0, scan_data, _ht0, scan_dri = scans[0]
 
     def read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -1151,7 +1182,7 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
             )
             order.append(cid)
         return _jpeg_reconstruct(
-            fw, fh, nc, order, out_planes, sampling, hmax, vmax
+            fw, fh, nc, order, out_planes, sampling, hmax, vmax, prec
         )
 
     out_planes = []
@@ -1204,21 +1235,25 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
 
     return _jpeg_reconstruct(
         fw, fh, nc, [cid for cid, _d, _a in scan_comps], out_planes,
-        sampling, hmax, vmax,
+        sampling, hmax, vmax, prec,
     )
 
 
 def _jpeg_reconstruct(
-    fw, fh, nc, order, out_planes, sampling, hmax, vmax
+    fw, fh, nc, order, out_planes, sampling, hmax, vmax, prec: int = 8
 ) -> tuple[int, int, bytes]:
     """IDCT all blocks of all components at once; upsample subsampled
     components back to frame resolution by pixel replication; YCbCr ->
     RGB.  ``order``/``out_planes`` are parallel: component ids and their
-    dequantized (block rows, block cols, 8, 8) float arrays."""
+    dequantized (block rows, block cols, 8, 8) float arrays.  12-bit
+    samples (level shift 2048) normalize to 8-bit output by the exact
+    float scale 1/16 — the linear color transform commutes with it."""
+    center = float(1 << (prec - 1))
+    down = float(1 << (prec - 8))
     planes = []
     for cid, cp in zip(order, out_planes):
         sh, sv = sampling[cid]
-        sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cp, _DCT_C) + 128.0
+        sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cp, _DCT_C) + center
         full = sp.transpose(0, 2, 1, 3).reshape(cp.shape[0] * 8, cp.shape[1] * 8)
         ch_ = -(-fh * sv // vmax)  # ceil: component-resolution extent
         cw_ = -(-fw * sh // hmax)
@@ -1229,14 +1264,16 @@ def _jpeg_reconstruct(
             )
         planes.append(comp[:fh, :fw])
     if nc == 1:
-        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        y = np.clip(np.rint(planes[0] / down), 0, 255).astype(np.uint8)
         return fw, fh, np.repeat(y[:, :, None], 3, axis=2).tobytes()
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    y, cb, cr = planes[0], planes[1] - center, planes[2] - center
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=2,
     )
-    return fw, fh, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+    return fw, fh, np.clip(
+        np.rint(rgb / down), 0, 255
+    ).astype(np.uint8).tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -1220,6 +1220,66 @@ def test_jpeg_restart_intervals_decode_identically():
         multimodal._decode_jpeg(bytes(marred))
 
 
+def test_jpeg_12bit_matches_8bit_pipeline_exactly():
+    """12-bit JPEG (r9): SOF1 extended-sequential and 12-bit progressive
+    streams with 16-bit DQT tables.  The encoder scales samples and
+    quantization tables by the same 2^4, so quantized coefficients are
+    bit-identical to the 8-bit plan and the 12-bit decode (level shift
+    2048, exact /16 normalization commuting through the linear color
+    transform) must be PIXEL-IDENTICAL to the 8-bit pipeline — another
+    zero-tolerance differential, covering sequential, progressive and
+    restart-marker layouts."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    for w, h, q, sub in [(16, 16, 90, "444"), (21, 13, 60, "420"),
+                         (17, 9, 75, "422")]:
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        ref = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(w, h, rgb, quality=q, subsampling=sub)
+        )
+        for blob in (
+            multimodal._encode_jpeg(
+                w, h, rgb, quality=q, subsampling=sub, precision=12
+            ),
+            multimodal._encode_jpeg_progressive(
+                w, h, rgb, quality=q, subsampling=sub, precision=12
+            ),
+            multimodal._encode_jpeg(
+                w, h, rgb, quality=q, subsampling=sub, precision=12,
+                restart_interval=3,
+            ),
+        ):
+            assert multimodal._decode_jpeg(blob) == ref, (w, h, q, sub)
+
+    # structure: SOF1 marker, 16-bit DQT (Pq=1), SOF precision byte 12
+    blob = multimodal._encode_jpeg(8, 8, bytes(192), precision=12)
+    assert b"\xff\xc1" in blob
+    dqt = blob.index(b"\xff\xdb")
+    assert blob[dqt + 4] >> 4 == 1
+    sof = blob.index(b"\xff\xc1")
+    assert blob[sof + 4] == 12
+
+    # 8-bit content must not regress; SOF0 stays 8-bit-only by spec
+    with pytest.raises(ValueError):
+        multimodal._encode_jpeg(8, 8, bytes(192), precision=10)
+    hacked = bytearray(multimodal._encode_jpeg(8, 8, bytes(192)))
+    s0 = hacked.index(b"\xff\xc0")
+    hacked[s0 + 4] = 12  # claim 12-bit inside SOF0
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg(bytes(hacked))
+    # 16-bit precision keeps the PIL seam
+    sixteen = (
+        b"\xff\xd8" + b"\xff\xc1" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 16, 1, 1, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_jpeg(sixteen)
+
+
 def test_jpeg_progressive_property_differential():
     """Property: progressive decode == baseline decode over arbitrary
     shapes, qualities and subsampling modes (hypothesis-driven)."""
