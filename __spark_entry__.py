@@ -37,6 +37,7 @@ _PRIORITY = [
     # never driver-checked: the two new r9 entries (band-pruned gate with
     # a decision-only oracle; the z-layout end-to-end box query) and the
     # three rows-only scale paths the r8 verdict asked to rotate in
+    "bloom_prefilter_decontamination",
     "multimodal_jpeg_differential",
     "cms_bigram_bounds",
     "hll_user_overlap",

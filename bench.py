@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     # Misra-Gries entry consumes
     "multimodal_jpeg_differential",
     "cms_bigram_bounds",
+    # the Bloom-prefiltered decontamination (broadcast-bitmap gate + exact
+    # verify) benches against eval_decontamination's exact-broadcast form
+    "bloom_prefilter_decontamination",
 ]
 
 

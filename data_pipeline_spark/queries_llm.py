@@ -2619,3 +2619,51 @@ def grouped_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "item", "weight")
     )
+
+
+@register(
+    "bloom_prefilter_decontamination",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,3) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        FROM toks
+        QUALIFY shingle IS NOT NULL
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+    WHERE s.doc_id % 89 <> 0
+    GROUP BY s.doc_id
+    """,
+    doc="Bloom-prefiltered 5-gram decontamination, certified against the "
+    "PLAIN exact SQL: because a Bloom filter has no false negatives, "
+    "broadcast-bitmap prefilter + exact verify of the survivors is "
+    "result-identical to the exact join — any missed member breaks the "
+    "driver hash.  The eval side compresses to a 128 KiB bitmap (vs its "
+    "full distinct-shingle string set), the corpus stream is gated "
+    "map-side by a vectorized probe (KM double hashing, positions in "
+    "codegen), and only the surviving minority reaches the exact "
+    "broadcast semi-join.  At 100 TB this is the decontamination plan "
+    "when the blocklist outgrows an exact broadcast.",
+    tags=("llm", "dedup", "decontamination", "scale-path"),
+)
+def bloom_prefilter_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_pipeline_spark.llmops import bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 89 == 0)
+    train = docs.filter(F.col("doc_id") % 89 != 0)
+    return bloom.bloom_decontaminate(
+        train, eval_df, "doc_id", "text", n=5, m_bits=1 << 20, k=5
+    )
