@@ -38,6 +38,7 @@ _PRIORITY = [
     # a decision-only oracle; the z-layout end-to-end box query) and the
     # three rows-only scale paths the r8 verdict asked to rotate in
     "bloom_prefilter_decontamination",
+    "session_window_sessions",
     "multimodal_jpeg_differential",
     "cms_bigram_bounds",
     "hll_user_overlap",

@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     # the Bloom-prefiltered decontamination (broadcast-bitmap gate + exact
     # verify) benches against eval_decontamination's exact-broadcast form
     "bloom_prefilter_decontamination",
+    # native session_window sessionization benches against the lag/cumsum
+    # sessionize_events entry (same semantics, different physical plan)
+    "session_window_sessions",
 ]
 
 

@@ -629,6 +629,47 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch(ts) AS e,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                         OR lag(epoch(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, e,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS sid
+        FROM flagged
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(FLOOR(MIN(e)) AS BIGINT) AS session_start,
+           CAST(FLOOR(MAX(e)) AS BIGINT) AS session_end
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessionization through the NATIVE session_window "
+    "operator — the same expression Structured Streaming runs with a "
+    "watermark (streaming/sessions.py; batch/streaming parity is pinned "
+    "in tests).  Boundary semantics match the cumsum form exactly: Spark "
+    "merges ADJACENT session windows, so an inter-event gap equal to the "
+    "threshold stays one session and a split needs diff > gap — pinned by "
+    "a boundary test, and the oracle carries the same > rule.  One "
+    "shuffle on user_id; streaming state is one row per open session.",
+    tags=("A-ext", "T2", "streaming"),
+)
+def session_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.streaming.sessions import session_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_aggregate(ev, "ts", "user_id", gap_seconds=1800)
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window average (exact scaled-long arithmetic)
 # ---------------------------------------------------------------------------
