@@ -39,6 +39,7 @@ _PRIORITY = [
     # three rows-only scale paths the r8 verdict asked to rotate in
     "bloom_prefilter_decontamination",
     "session_window_sessions",
+    "weighted_sample_topk",
     "multimodal_jpeg_differential",
     "cms_bigram_bounds",
     "hll_user_overlap",

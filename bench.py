@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     # native session_window sessionization benches against the lag/cumsum
     # sessionize_events entry (same semantics, different physical plan)
     "session_window_sessions",
+    # A-ES weighted sampling: TakeOrderedAndProject top-k, no sort shuffle
+    "weighted_sample_topk",
 ]
 
 

@@ -2667,3 +2667,40 @@ def bloom_prefilter_decontamination(
     return bloom.bloom_decontaminate(
         train, eval_df, "doc_id", "text", n=5, m_bits=1 << 20, k=5
     )
+
+
+@register(
+    "weighted_sample_topk",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / 1152921504606846976.0)) / n_chars DESC,
+             doc_id
+    LIMIT 100
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis, "
+    "IPL 2006): each item draws key u^(1/w) from a uniform u and the "
+    "top-k keys are the sample — here ranked by the monotone-equivalent "
+    "ln(u)/w with u derived from md5(doc_id) (60-bit fixed point), so "
+    "the draw is reproducible on any engine and the oracle runs the "
+    "identical arithmetic.  Spark executes this as TakeOrderedAndProject "
+    "(per-partition top-k + k-row merge, no global sort shuffle) — the "
+    "one-pass distributed reservoir: weighting docs by n_chars makes the "
+    "sample token-budget-proportional, the carving step after "
+    "temperature_mix_sampling decides per-source rates.",
+    tags=("llm", "sampling", "scale-path"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.orderBy(key.desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -106,3 +106,45 @@ def test_bloom_prefilter_equals_exact_decontaminate(spark):
 def test_optimal_params_sizing(n, p):
     m, k = bloom.optimal_params(n, p)
     assert bloom.expected_fp_rate(n, m, k) <= p * 1.1
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis) properties — colocated with the
+# other sampling/sketch primitives added this round
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_favors_heavy_items(spark):
+    """A-ES inclusion shares track weights: items with weight 9 should take
+    roughly 9x the slots of weight-1 items in the top-k (bounded loosely —
+    the draw is deterministic but the bound holds by construction)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 1, 9).otherwise(1).alias("w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    top = df.orderBy((F.log(u) / F.col("w")).desc(), "id").limit(1000)
+    odd_share = top.filter(F.col("id") % 2 == 1).count() / 1000
+    assert 0.75 <= odd_share <= 0.95  # ~0.9 expected at w-ratio 9:1
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    """The catalog query must run as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), not a global sort shuffle."""
+    import contextlib
+    import io
+
+    import data_pipeline_spark.queries_llm  # noqa: F401  (registers)
+    from data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["weighted_sample_topk"].spark(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()
