@@ -40,6 +40,7 @@ _PRIORITY = [
     "bloom_prefilter_decontamination",
     "session_window_sessions",
     "weighted_sample_topk",
+    "duplicate_span_stats",
     "multimodal_jpeg_differential",
     "cms_bigram_bounds",
     "hll_user_overlap",

@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "session_window_sessions",
     # A-ES weighted sampling: TakeOrderedAndProject top-k, no sort shuffle
     "weighted_sample_topk",
+    # overlapping-window substring dedup (span union) benches alongside the
+    # non-overlapping segment_dedup_stats form
+    "duplicate_span_stats",
 ]
 
 

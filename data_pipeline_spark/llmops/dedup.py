@@ -1330,3 +1330,81 @@ def connected_components_star(
         "node", F.col("node").alias("component")
     )
     return _attach_singletons(labels.union(roots), nodes, id_col)
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Inter-document duplicate-SPAN statistics: per document, how many of
+    its tokens sit inside a token window that also occurs verbatim in some
+    OTHER document (the overlapping-n-gram formulation of substring dedup
+    from the training-data-dedup literature — cf. the ExactSubstr
+    procedure of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022, public literature).  Differs from
+    ``segment_dup_stats``: segments are non-overlapping fixed blocks
+    (cheap, position-insensitive), while spans here are maximal unions of
+    OVERLAPPING duplicated n-gram windows, so a copied passage is measured
+    at its true extent regardless of alignment.
+
+    Output: (id, n_tokens, n_dup_spans, dup_tokens, dup_fraction) with
+    zero-filled rows for clean documents.  Integer logic throughout; the
+    one double division is engine-reproducible.
+
+    Scale shape: positions ride the gram stream in-row (posexplode of the
+    in-row n-gram array); the shuffle key is md5(gram) — fixed 32-byte
+    rows, never the gram text.  Duplicate grams are found by groupBy +
+    join-back (two linear shuffles) rather than a posting-list expansion:
+    a boilerplate gram shared by a million documents contributes one
+    counter row and a million join probes, never an in-row million-entry
+    list, so flood grams cannot blow worker memory.  Span merging is one
+    per-doc window over the FLAGGED positions only (duplicated-content-
+    sized, not corpus-sized): cumulative max-end interval union.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_spark.llmops.textstats import word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(tokens(text_col), n)).alias("pos", "g"),
+    ).select(id_col, "pos", F.md5("g").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = grams.join(dup, "h").select(id_col, "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = flagged.withColumn("e", F.col("pos") + F.lit(n - 1)).withColumn(
+        "prev_e", F.max("e").over(w_prev)
+    )
+    new_span = F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e"))
+    contrib = (
+        F.when(new_span, F.lit(n))
+        .when(F.col("e") > F.col("prev_e"), F.col("e") - F.col("prev_e"))
+        .otherwise(F.lit(0))
+    )
+    per = spans.groupBy(id_col).agg(
+        F.sum(new_span.cast("long")).alias("n_dup_spans"),
+        F.sum(contrib).alias("dup_tokens"),
+    )
+    nt = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    return nt.join(per, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_fraction"),
+    )

@@ -2704,3 +2704,67 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "duplicate_span_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               w || ' ' || lead(w,1) OVER w1 || ' ' || lead(w,2) OVER w1
+                 || ' ' || lead(w,3) OVER w1 || ' ' || lead(w,4) OVER w1
+                 || ' ' || lead(w,5) OVER w1 || ' ' || lead(w,6) OVER w1
+                 || ' ' || lead(w,7) OVER w1 AS g
+        FROM toks
+        WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY g IS NOT NULL
+    ),
+    dupg AS (
+        SELECT md5(g) AS h FROM grams GROUP BY md5(g)
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dupg d ON md5(g.g) = d.h
+    ),
+    spans AS (
+        SELECT doc_id, pos, pos + 7 AS e,
+               MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_e
+        FROM flagged
+    ),
+    per AS (
+        SELECT doc_id,
+               SUM(CASE WHEN prev_e IS NULL OR pos > prev_e
+                        THEN 1 ELSE 0 END) AS n_dup_spans,
+               SUM(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 8
+                        WHEN e > prev_e THEN e - prev_e ELSE 0 END)
+                   AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           COALESCE(per.dup_tokens, 0)
+               / CAST(len(string_split(d.text,' ')) AS DOUBLE) AS dup_fraction
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc="Duplicate-SPAN statistics (overlapping 8-gram windows, maximal "
+    "span union): the substring-level dedup measurement from the "
+    "training-data-dedup literature, complementing segment_dedup_stats' "
+    "non-overlapping blocks — a copied passage is measured at its true "
+    "extent regardless of block alignment.  Shuffle key is md5(gram) "
+    "(fixed 32-byte rows); duplicates found by groupBy + join-back (two "
+    "linear shuffles, flood-gram-safe — no posting lists); span merge is "
+    "a per-doc cumulative-max window over flagged positions only.",
+    tags=("llm", "dedup", "scale-path"),
+)
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ld.duplicate_span_stats(docs, "doc_id", "text", n=8)

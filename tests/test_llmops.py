@@ -1911,3 +1911,50 @@ def test_misra_gries_by_group_guarantee_and_exactness(spark):
         for r in sketches.misra_gries_by_group(df, "g", "item", k=10**6).collect()
     }
     assert mg == exact
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """Crafted corpus pins the span rules: overlapping duplicated windows
+    merge into one maximal span; within-doc repetition alone is NOT
+    flagged (inter-document definition); clean docs zero-fill."""
+    from data_pipeline_spark.llmops.dedup import duplicate_span_stats
+
+    shared = "a b c d e f g h i j"          # 10 tokens shared verbatim
+    rows = [
+        (1, shared + " unique1 tail1 x1 y1"),
+        (2, "lead2 " + shared + " unique2"),
+        (3, "p q r p q r p q r p q r p q r p q r p q r p q r"),  # self-repeat only
+        (4, "entirely clean document with no duplicated window at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_span_stats(df, "doc_id", "text", n=8).collect()
+    }
+    # doc 1: shared tokens 0..9 -> three overlapping 8-gram starts (0,1,2)
+    # merge to ONE span covering 10 tokens
+    assert got[1] == (14, 1, 10)
+    # doc 2: same passage at offset 1 -> same single 10-token span
+    assert got[2] == (12, 1, 10)
+    # doc 3: 8-grams repeat within the doc but occur in no OTHER doc
+    assert got[3] == (24, 0, 0)
+    assert got[4] == (9, 0, 0)
+
+
+def test_duplicate_span_stats_disjoint_spans(spark):
+    """Two copied passages separated by unique text count as two spans."""
+    from data_pipeline_spark.llmops.dedup import duplicate_span_stats
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, s1 + " gapx gapy gapz " + s2),
+        (2, s1 + " other filler words entirely " + s2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_span_stats(df, "doc_id", "text", n=8).collect()
+    }
+    assert got[1] == (2, 16)
+    assert got[2] == (2, 16)
