@@ -76,3 +76,66 @@ class CountMinStreamSink:
             .groupBy("d", "slot")
             .agg(F.sum("cnt").alias("cnt"))
         )
+
+
+class HllStreamSink:
+    """foreachBatch sink accumulating per-key HLL distinct-count sketches.
+
+    The max-merge analogue of ``CountMinStreamSink``: HLL registers merge
+    by elementwise MAX, so the union of per-trigger partial sketches IS
+    the sketch of all data — streaming parity is exact by algebra, like
+    CM's sum-linearity.  Union is additionally IDEMPOTENT (max(x, x) = x),
+    so a replayed trigger could not corrupt the estimate even without the
+    partition-overwrite pattern; it is kept anyway so the store stays
+    byte-deterministic.
+
+    Per trigger the partial is one DataSketches HLL binary per key
+    (Spark's native ``hll_sketch_agg``), written to a ``batch_id=N``
+    partition with dynamic overwrite; ``estimates`` folds the store with
+    ``hll_union_agg`` — state per key is the 2^lg_k register array, never
+    the item stream.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        key_cols: list[str],
+        item_col: str,
+        lg_k: int = 14,
+    ) -> None:
+        self.out_dir = out_dir
+        self.key_cols = list(key_cols)
+        self.item_col = item_col
+        self.lg_k = lg_k
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(*self.key_cols).agg(
+            F.hll_sketch_agg(self.item_col, F.lit(self.lg_k)).alias("sk")
+        )
+        (
+            partial.withColumn("batch_id", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.out_dir)
+        )
+
+    def sketches(self, spark: SparkSession) -> DataFrame:
+        """(keys..., sk) — the per-key union of all trigger partials."""
+        if not os.path.isdir(self.out_dir):
+            raise FileNotFoundError(self.out_dir)
+        return (
+            spark.read.parquet(self.out_dir)
+            .groupBy(*self.key_cols)
+            .agg(F.hll_union_agg("sk", F.lit(False)).alias("sk"))
+        )
+
+    def estimates(self, spark: SparkSession) -> DataFrame:
+        """(keys..., distinct_estimate) from the accumulated store."""
+        return self.sketches(spark).select(
+            *self.key_cols,
+            F.round(F.hll_sketch_estimate("sk"))
+            .cast("bigint")
+            .alias("distinct_estimate"),
+        )

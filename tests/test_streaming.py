@@ -822,3 +822,67 @@ def test_streaming_locf_gapfill_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert any(gap for (_n, gap, _v) in got.values())  # gaps exercised
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Streaming per-key HLL accumulation == the batch sketch's estimates:
+    HLL registers merge by MAX, so unioning per-trigger partials is the
+    all-data sketch.  Replay idempotence holds by max-idempotence on top
+    of the partition-overwrite pattern."""
+    from data_pipeline_spark.streaming.sketch import HllStreamSink
+
+    src = tmp_path / "hll_src"
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id"
+    )
+    events.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = HllStreamSink(
+        str(tmp_path / "hll_out"), ["event_type"], "user_id", lg_k=12
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: r.distinct_estimate
+        for r in sink.estimates(spark).collect()
+    }
+    want = {
+        r.event_type: r.est
+        for r in events.groupBy("event_type")
+        .agg(
+            F.round(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                )
+            )
+            .cast("bigint")
+            .alias("est")
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # trigger replay: same batch id rewrites its partition; estimates stable
+    d2 = events.limit(50)
+    sink(d2, 99)
+    first = {
+        r.event_type: r.distinct_estimate
+        for r in sink.estimates(spark).collect()
+    }
+    sink(d2, 99)
+    again = {
+        r.event_type: r.distinct_estimate
+        for r in sink.estimates(spark).collect()
+    }
+    assert first == again
