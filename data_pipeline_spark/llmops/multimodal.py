@@ -1066,14 +1066,17 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                     q[_ZIGZAG[i]] = v
                 qtables[prec_id & 0xF] = q.reshape(8, 8)
                 p += step
+        elif marker == 0xFFC3:
+            # lossless (SOF3): predictive sample coding, own decode path
+            return _decode_jpeg_lossless(content)
         elif marker in (
-            0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            0xFFC5, 0xFFC6, 0xFFC7,
             0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             raise NotImplementedError(
-                "only huffman sequential (SOF0/SOF1) and progressive "
-                "(SOF2) JPEG decode natively; lossless/arithmetic "
-                "requires PIL on the cluster image"
+                "only huffman sequential (SOF0/SOF1), progressive (SOF2) "
+                "and lossless (SOF3) JPEG decode natively; differential/"
+                "arithmetic requires PIL on the cluster image"
             )
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
@@ -1237,6 +1240,244 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
         fw, fh, nc, [cid for cid, _d, _a in scan_comps], out_planes,
         sampling, hmax, vmax, prec,
     )
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, ITU T.81 Annex H): predictive coding of SAMPLES, no
+# DCT and no quantization — the roundtrip is byte-exact by construction,
+# which is why DNG/medical imaging stacks use it.  Components are coded
+# directly (no YCbCr transform; lossless JPEG conventionally carries the
+# source color space), interleaved one sample per component per MCU, with
+# the DC-style Huffman(category) + magnitude-bits entropy coding over the
+# prediction differences.
+# ---------------------------------------------------------------------------
+
+_LL_INTERIOR = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+
+def _ll_predictions(s: np.ndarray, predictor: int) -> np.ndarray:
+    """T.81 H.1.2 prediction plane for a fully-known sample plane
+    (vectorized; the decoder recomputes the same rules causally).
+    First sample: 2^(P-1); rest of first line: Pa; first column: Pb."""
+    a = np.empty_like(s)
+    b = np.empty_like(s)
+    c = np.empty_like(s)
+    a[:, 1:] = s[:, :-1]
+    a[:, 0] = 0
+    b[1:, :] = s[:-1, :]
+    b[0, :] = 0
+    c[1:, 1:] = s[:-1, :-1]
+    c[0, :] = 0
+    c[:, 0] = 0
+    pred = _LL_INTERIOR[predictor](a, b, c)
+    pred[0, 1:] = s[0, :-1]   # first line: left neighbor
+    if s.shape[0] > 1:
+        pred[1:, 0] = s[:-1, 0]  # first column: above neighbor
+    pred[0, 0] = 128          # 2^(P-1) at P=8
+    return pred
+
+
+def _encode_jpeg_lossless(
+    w: int, h: int, rgb: bytes, predictor: int = 4
+) -> bytes:
+    """(w, h, top-down RGB) -> lossless JFIF bytes (SOF3, 8-bit, RGB
+    components coded directly, self-describing Huffman table)."""
+    import struct
+
+    if predictor not in _LL_INTERIOR:
+        raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
+    px = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.int32)
+    )
+    diffs = np.stack(
+        [
+            px[:, :, ci] - _ll_predictions(px[:, :, ci], predictor)
+            for ci in range(3)
+        ],
+        axis=2,
+    )  # (h, w, 3) interleaved scan order
+    flat = diffs.reshape(-1)
+    mags = [_magnitude(int(v)) for v in flat]
+    table, bits, vals = _canonical_codes({m[0] for m in mags})
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    sof3 = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
+        struct.pack(">BBB", cid, 0x11, 0) for cid in (1, 2, 3)
+    )
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
+    sos = (
+        struct.pack(">B", 3)
+        + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+        + struct.pack(">BBB", predictor, 0, 0)  # Ss=predictor, Se=0, AhAl=0
+    )
+    writer = _BitWriter()
+    for ssss, extra in mags:
+        code, ln = table[ssss]
+        writer.write(code, ln)
+        if ssss:
+            writer.write(extra, ssss)
+    return (
+        b"\xff\xd8"
+        + seg(0xFFC3, sof3)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + writer.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _decode_jpeg_lossless(content: bytes) -> tuple[int, int, bytes]:
+    """Lossless JPEG (SOF3) -> (w, h, top-down RGB), byte-exact.
+
+    Supports 8-bit precision, 1 or 3 non-subsampled components, all seven
+    T.81 predictors, and a point transform of 0; restart intervals and
+    16-bit precision raise named errors into the PIL seam.  Arithmetic is
+    modulo 65536 per H.1.2.1, so decode reproduces the encoder's samples
+    exactly for any conforming stream.
+    """
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    htables: dict[int, dict[tuple[int, int], int]] = {}
+    sof = None
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack_from(">H", content, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        payload = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFC3:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit lossless JPEG requires PIL on the "
+                    "cluster image"
+                )
+            comps = [
+                (payload[6 + 3 * i], payload[7 + 3 * i])
+                for i in range(nc)
+            ]
+            if any(samp != 0x11 for _, samp in comps):
+                raise NotImplementedError(
+                    "subsampled lossless JPEG components"
+                )
+            sof = (fw, fh, nc)
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tc_id = payload[p]
+                bits = payload[p + 1 : p + 17]
+                nvals = sum(bits)
+                vals = payload[p + 17 : p + 17 + nvals]
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                vi = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                htables[tc_id & 0xF] = table
+                p += 17 + nvals
+        elif marker == 0xFFDD:
+            (dri,) = struct.unpack_from(">H", payload, 0)
+            if dri:
+                raise NotImplementedError(
+                    "restart intervals in lossless JPEG"
+                )
+        elif marker == 0xFFDA:
+            ns = payload[0]
+            sel = [
+                (payload[1 + 2 * i], payload[2 + 2 * i] >> 4)
+                for i in range(ns)
+            ]
+            predictor = payload[1 + 2 * ns]
+            al = payload[3 + 2 * ns] & 0xF
+            if al:
+                raise NotImplementedError(
+                    "lossless JPEG point transform (Al != 0)"
+                )
+            e = pos
+            while e < len(content) - 1:
+                if content[e] != 0xFF:
+                    e += 1
+                elif content[e + 1] == 0x00:
+                    e += 2
+                elif content[e + 1] == 0xFF:
+                    e += 1
+                else:
+                    break
+            scan = (sel, predictor, content[pos:e])
+            pos = e
+    if sof is None or scan is None:
+        raise ValueError("lossless JPEG missing SOF3/SOS")
+    fw, fh, nc = sof
+    sel, predictor, data = scan
+    if predictor not in _LL_INTERIOR:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    tables = [htables[t] for _, t in sel]
+
+    def read_symbol(reader: _BitReader, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | reader.read(1)
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code in lossless scan")
+
+    reader = _BitReader(data)
+    planes = [np.zeros((fh, fw), dtype=np.int32) for _ in range(nc)]
+    for y in range(fh):
+        for x in range(fw):
+            for ci in range(nc):
+                s = planes[ci]
+                ssss = read_symbol(reader, tables[ci])
+                diff = 32768 if ssss == 16 else _extend(
+                    reader.read(ssss), ssss
+                )
+                if y == 0 and x == 0:
+                    pred = 128
+                elif y == 0:
+                    pred = int(s[0, x - 1])
+                elif x == 0:
+                    pred = int(s[y - 1, 0])
+                else:
+                    pred = int(
+                        _LL_INTERIOR[predictor](
+                            int(s[y, x - 1]),
+                            int(s[y - 1, x]),
+                            int(s[y - 1, x - 1]),
+                        )
+                    )
+                s[y, x] = (pred + diff) & 0xFFFF
+    if nc == 1:
+        out = np.repeat(
+            planes[0].astype(np.uint8)[:, :, None], 3, axis=2
+        )
+    else:
+        out = np.stack(
+            [p.astype(np.uint8) for p in planes], axis=2
+        )
+    return fw, fh, out.tobytes()
 
 
 def _jpeg_reconstruct(
@@ -2641,6 +2882,7 @@ JPEG_DIFFERENTIAL_SCHEMA = StructType(
         StructField("img_h", LongType()),
         StructField("progressive_match", IntegerType()),
         StructField("restart_match", IntegerType()),
+        StructField("lossless_match", IntegerType()),
     ]
 )
 
@@ -2660,8 +2902,8 @@ def jpeg_progressive_differential(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pm, rm = [], []
-            for t in pdf[text_col]:
+            pm, rm, lm = [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
                 raw = (t or "").encode("utf-8") or b"\x00"
                 px = np.frombuffer(raw, np.uint8)
                 rgb = np.resize(px, (h, w, 3)).tobytes()
@@ -2687,6 +2929,15 @@ def jpeg_progressive_differential(
                 )
                 pm.append(int(prog == base))
                 rm.append(int(base_ri == base and prog_ri == base))
+                # lossless (SOF3) must reproduce the ORIGINAL pixels
+                # byte-exactly (no quantization); predictor cycles per
+                # row so all seven T.81 predictors stay driver-covered
+                ll = _decode_jpeg(
+                    _encode_jpeg_lossless(
+                        w, h, rgb, predictor=1 + int(rid) % 7
+                    )
+                )
+                lm.append(int(ll == (w, h, rgb)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].reset_index(drop=True),
@@ -2694,6 +2945,7 @@ def jpeg_progressive_differential(
                     "img_h": h,
                     "progressive_match": pm,
                     "restart_match": rm,
+                    "lossless_match": lm,
                 }
             )
 

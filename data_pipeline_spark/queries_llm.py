@@ -773,11 +773,15 @@ def cms_bigram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(24 AS BIGINT) AS img_w,
            CAST(16 AS BIGINT) AS img_h,
            1 AS progressive_match,
-           1 AS restart_match
+           1 AS restart_match,
+           1 AS lossless_match
     FROM documents
     WHERE doc_id % 25 = 0
     """,
-    doc="Progressive-JPEG + restart-interval differential at query level: "
+    doc="Progressive + restart + LOSSLESS (SOF3) JPEG differential at "
+    "query level: the lossless leg must reproduce the ORIGINAL pixels "
+    "byte-exactly (predictor cycles over all seven T.81 choices by row). "
+    "Progressive-JPEG + restart-interval differential at query level: "
     "per document, a deterministic 24x16 RGB image (text bytes cycled) "
     "is encoded baseline, 9-scan progressive (SOF2), and both layouts "
     "with restart markers, then all four decode inside one Arrow batch.  "

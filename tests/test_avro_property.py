@@ -249,3 +249,31 @@ def test_jpeg_property_roundtrip_shape_and_bounded_error(params):
     rms = float(np.sqrt((err ** 2).mean()))
     cap = _jpeg_derived_rms_cap(quality)
     assert rms <= cap, (w, h, quality, subsampling, rms, cap)
+
+
+_ll_img = st.tuples(
+    st.integers(min_value=1, max_value=24),         # width
+    st.integers(min_value=1, max_value=24),         # height
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.integers(min_value=1, max_value=7),          # T.81 predictor
+)
+
+
+@example((21, 13, 4, 4))
+@settings(max_examples=200, deadline=None)
+@given(_ll_img)
+def test_jpeg_lossless_property_byte_exact(params):
+    """Lossless JPEG (SOF3) roundtrips BYTE-EXACTLY for every predictor,
+    shape and content — no error envelope at all: predictive coding has
+    no quantization, so any mismatch is a codec bug by definition."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import multimodal as mm
+
+    w, h, seed, predictor = params
+    rng = np.random.RandomState(seed % (2**32))
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+    enc = mm._encode_jpeg_lossless(w, h, rgb, predictor=predictor)
+    w2, h2, out = mm._decode_jpeg(enc)
+    assert (w2, h2) == (w, h)
+    assert out == rgb
