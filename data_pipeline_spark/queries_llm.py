@@ -2772,3 +2772,80 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ld.duplicate_span_stats(docs, "doc_id", "text", n=8)
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    split AS (
+        SELECT doc_id, component,
+               ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS bucket
+        FROM comp
+    )
+    SELECT doc_id, component,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM split
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: the assignment unit is the "
+    "near-dup CLUSTER, not the document — hashing doc ids directly puts "
+    "near-copies of the same page on both sides of the split, inflating "
+    "eval (the contamination mode eval_decontamination measures after "
+    "the fact; this query prevents it by construction).  Composition of "
+    "existing primitives: Jaccard>=0.8 pair graph -> connected "
+    "components -> split by md5(component) 60-bit fixed point into "
+    "90/5/5.  Every member of a cluster shares its component's hash, so "
+    "cluster cohesion is structural, not probabilistic; the hash is "
+    "engine-reproducible (same md5 arithmetic as weighted_sample_topk) "
+    "so reshuffling, re-partitioning or re-running can never move a "
+    "document across the split — the property that makes incremental "
+    "corpus refreshes append-safe.",
+    tags=("llm", "dedup", "sampling", "iterative"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = ld.connected_components(pairs, docs, "doc_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
