@@ -83,6 +83,16 @@ def misra_gries_heavy_hitters(
     ).filter(F.col(item_col).isNotNull()).mapInPandas(
         run, schema=_SUMMARY_SCHEMA
     )
+    return mg_merge(partials, k)
+
+
+def mg_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Merge Misra-Gries partial summaries — (item, weight) rows from any
+    number of capacity-k sketches — with the mergeable-summaries
+    reduction: sum matching counters, subtract the (k+1)-th largest
+    merged weight, keep positive.  The n/(k+1) guarantee composes under
+    ANY merge tree (partition fan-in, per-trigger accumulation), which is
+    what makes the streaming sink's per-batch partials safe to fold."""
     merged = partials.groupBy("item").agg(F.sum("weight").alias("weight"))
     # final reduction: d = the (k+1)-th largest merged weight (0 when the
     # merge already fits) via a top-(k+1) limit — no global window

@@ -139,3 +139,51 @@ class HllStreamSink:
             .cast("bigint")
             .alias("distinct_estimate"),
         )
+
+
+class MisraGriesStreamSink:
+    """foreachBatch sink accumulating a Misra-Gries heavy-hitter summary.
+
+    Completes the streaming sketch family (CM: sum-linear, HLL:
+    max-merge): MG is a MERGEABLE SUMMARY (Agarwal et al., PODS 2012) —
+    per trigger the sink condenses the batch to a capacity-k summary
+    (<= k rows regardless of batch size) into its own ``batch_id=N``
+    partition with dynamic overwrite (trigger replay rewrites the same
+    partition with identical deterministic content); ``summary`` folds
+    the store with the same reduction the batch sketch uses for its
+    per-partition partials, so the n/(k+1) guarantee holds over the
+    FULL stream n under any trigger slicing.  Unlike CM/HLL the fold is
+    not byte-identical to the one-shot batch sketch in general (the
+    merge tree differs), but in the k >= |distinct| limit no counter is
+    ever pruned anywhere in either tree and both equal the exact
+    GROUP BY — the exact-parity configuration the test pins.
+    """
+
+    def __init__(self, out_dir: str, item_col: str, k: int = 50) -> None:
+        self.out_dir = out_dir
+        self.item_col = item_col
+        self.k = k
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from data_pipeline_spark.llmops.sketches import (
+            misra_gries_heavy_hitters,
+        )
+
+        partial = misra_gries_heavy_hitters(batch_df, self.item_col, self.k)
+        (
+            partial.withColumn("batch_id", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.out_dir)
+        )
+
+    def summary(self, spark: SparkSession) -> DataFrame:
+        """(item, weight): the accumulated heavy-hitter summary — weights
+        are lower bounds within n/(k+1) of true stream-wide counts."""
+        from data_pipeline_spark.llmops.sketches import mg_merge
+
+        if not os.path.isdir(self.out_dir):
+            raise FileNotFoundError(self.out_dir)
+        return mg_merge(spark.read.parquet(self.out_dir), self.k)

@@ -65,12 +65,13 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     blob[si + 13] = ((20 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
-    # jpeg decodes baseline AND progressive natively (r9); the remaining
-    # seams are arithmetic coding (SOF9) and lossless (SOF3) — both must
-    # route to the PIL seam, not mis-decode
+    # jpeg decodes baseline, progressive AND lossless (SOF3) natively
+    # (r9); the remaining seams are arithmetic coding (SOF9) and the
+    # differential modes (SOF5) — both must route to the PIL seam, not
+    # mis-decode
     import struct
 
-    for sof in (b"\xff\xc9", b"\xff\xc3"):
+    for sof in (b"\xff\xc9", b"\xff\xc5"):
         blob = (
             b"\xff\xd8"
             + sof + struct.pack(">H", 11)

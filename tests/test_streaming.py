@@ -886,3 +886,89 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         for r in sink.estimates(spark).collect()
     }
     assert first == again
+
+
+def test_streaming_misra_gries_parity_and_guarantee(spark, tmp_path):
+    """Streaming MG accumulation: (a) in the k >= |distinct| limit the
+    folded summary equals the exact batch GROUP BY (no counter pruned in
+    either merge tree); (b) at small k over a heavy-tailed token stream
+    the mergeable-summaries guarantee holds for the FULL stream n —
+    every item with true count > n/(k+1) surfaces, and every reported
+    weight is a lower bound within n/(k+1); (c) trigger replay is
+    idempotent via the partition-overwrite pattern."""
+    from data_pipeline_spark.llmops import textstats
+    from data_pipeline_spark.streaming.sketch import MisraGriesStreamSink
+
+    # (a) exact limit: event_type domain is tiny vs k=50
+    src = tmp_path / "mg_src"
+    events = load_table(spark, SF_SMOKE, "events").select("event_type")
+    events.repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = MisraGriesStreamSink(str(tmp_path / "mg_out"), "event_type", k=50)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.item: r.weight for r in sink.summary(spark).collect()}
+    want = {
+        r.event_type: r.cnt
+        for r in events.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # (b) small-k guarantee over a token stream sliced into 4 triggers
+    src2 = tmp_path / "mg_tok_src"
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    docs.repartition(4).write.parquet(str(src2))
+    tok_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src2))
+    )
+    toks = tok_stream.select(F.explode(textstats.tokens("text")).alias("item"))
+    k = 20
+    sink2 = MisraGriesStreamSink(str(tmp_path / "mg_tok_out"), "item", k=k)
+    q2 = (
+        toks.writeStream.foreachBatch(sink2)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mg_tok_ckpt"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    est = {r.item: r.weight for r in sink2.summary(spark).collect()}
+    assert 0 < len(est) <= k
+    exact = {
+        r.item: r.cnt
+        for r in docs.select(
+            F.explode(textstats.tokens("text")).alias("item")
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(exact.values())
+    bound = n / (k + 1)
+    for item, true_cnt in exact.items():
+        if true_cnt > bound:
+            assert item in est, f"heavy item {item!r} missing"
+    for item, w in est.items():
+        assert w <= exact[item], "MG weight must be a lower bound"
+        assert exact[item] - w <= bound, "undercount exceeds n/(k+1)"
+
+    # (c) replay idempotence, driven directly through the sink callable
+    d2 = spark.createDataFrame([("x",), ("y",), ("x",)], "event_type STRING")
+    sink(d2, 99)
+    first = {r.item: r.weight for r in sink.summary(spark).collect()}
+    sink(d2, 99)
+    again = {r.item: r.weight for r in sink.summary(spark).collect()}
+    assert first == again and first["x"] == want.get("x", 0) + 2
