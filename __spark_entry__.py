@@ -34,9 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining window; the rest follow.
 _PRIORITY = [
     # -- r9 evidence targets -------------------------------------------------
-    # never driver-checked: the two new r9 entries (band-pruned gate with
-    # a decision-only oracle; the z-layout end-to-end box query) and the
-    # three rows-only scale paths the r8 verdict asked to rotate in
+    # never driver-checked: the late-r9 entries (leakage-safe split over
+    # near-dup components; the bucketed no-equi-key interval join), the two
+    # earlier r9 entries (band-pruned gate with a decision-only oracle; the
+    # z-layout end-to-end box query) and the three rows-only scale paths
+    # the r8 verdict asked to rotate in
+    "leakage_safe_split",
+    "incident_window_counts",
     "bloom_prefilter_decontamination",
     "session_window_sessions",
     "weighted_sample_topk",

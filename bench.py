@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     # overlapping-window substring dedup (span union) benches alongside the
     # non-overlapping segment_dedup_stats form
     "duplicate_span_stats",
+    # bucketed no-equi-key interval join: hash-keyed containment vs the
+    # BroadcastNestedLoop shape a theta join would plan
+    "incident_window_counts",
+    # cluster-cohesive train/val/test split (near-dup CC + component hash)
+    "leakage_safe_split",
 ]
 
 

@@ -210,3 +210,75 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *[F.col("__rf")[c].alias(c) for c in right_cols],
     )
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join with NO equi key (``start <= pt < end``),
+    decomposed to an equi join so Spark never falls back to a
+    BroadcastNestedLoop/cartesian plan.
+
+    Each interval is exploded in-row to the fixed-width time buckets it
+    overlaps (``F.sequence`` — no shuffle, replication factor =
+    ceil(interval length / bucket width)); each point computes its single
+    bucket; the join runs as a HASH join on bucket equality with the
+    exact containment predicate as residual filter.  A point's one
+    bucket can match an interval at most once, so no post-join dedup is
+    needed — the result equals the theta join row-for-row.
+
+    At 100 TB this is the difference between a per-task cartesian
+    (points x intervals) and a shuffle keyed on time locality; pick
+    ``bucket_seconds`` near the typical interval length so replication
+    stays O(1) per interval while each bucket's point population stays
+    bounded.  Skewed buckets (a flash-crowd hour) are AQE-splittable
+    like any hash-join key.
+
+    ``how`` supports "inner" (default) and "left_outer" semantics for
+    the POINTS side (unmatched points kept with NULL interval columns).
+    """
+    us = F.lit(int(bucket_seconds) * 1_000_000)
+    pt = F.unix_micros(F.col(point_ts))
+    p = points.withColumn("__bkt", F.floor(pt / us))
+    # end is exclusive: an interval ending exactly on a bucket boundary
+    # does not overlap that bucket (sequence upper bound uses end - 1us);
+    # empty/NULL intervals drop out (sequence of NULL is NULL, explode
+    # drops it; end <= start guarded so sequence cannot run descending)
+    ivs = intervals.filter(F.col(end_col) > F.col(start_col))
+    ivs = ivs.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / us),
+                F.floor((F.unix_micros(F.col(end_col)) - F.lit(1)) / us),
+            )
+        ),
+    )
+    contained = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) < F.col(end_col)
+    )
+    if how == "inner":
+        return p.join(ivs, on=["__bkt"], how="inner").filter(contained).drop(
+            "__bkt"
+        )
+    if how == "left_outer":
+        # synthetic row id so duplicate point rows keep independent fates
+        # (an all-columns anti-join would drop every copy once one matched)
+        pid = p.withColumn("__pid", F.monotonically_increasing_id())
+        matched = pid.join(ivs, on=["__bkt"], how="inner").filter(contained)
+        unmatched = pid.join(
+            matched.select("__pid"), on="__pid", how="left_anti"
+        )
+        return (
+            matched.drop("__bkt", "__pid")
+            .unionByName(
+                unmatched.drop("__bkt", "__pid"), allowMissingColumns=True
+            )
+        )
+    raise ValueError(f"unsupported how={how!r}")

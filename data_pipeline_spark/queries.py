@@ -332,6 +332,50 @@ def shipped_within_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incident_window_counts",
+    """
+    WITH incidents AS (
+        SELECT event_id AS incident_id, ts AS w_start,
+               ts + INTERVAL 6 HOUR AS w_end
+        FROM events WHERE event_id % 997 = 0
+    )
+    SELECT i.incident_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN incidents i
+      ON e.ts >= i.w_start AND e.ts < i.w_end
+    GROUP BY i.incident_id
+    """,
+    doc="Pure interval containment with NO equi key — the join shape "
+    "Spark plans as BroadcastNestedLoop (per-task cartesian) if written "
+    "as a theta join.  interval_bucket_join decomposes each window into "
+    "the fixed-width time buckets it overlaps (in-row sequence+explode, "
+    "replication = window/bucket <= 2 here) and hash-joins points on "
+    "their single bucket with exact containment as residual — "
+    "row-identical to the theta join (a point's one bucket matches an "
+    "interval at most once, so no dedup step), but keyed, AQE-splittable "
+    "and shuffle-bounded at 100 TB.  The plan test pins the absence of "
+    "BroadcastNestedLoop/CartesianProduct.",
+    tags=("J3", "scale-path"),
+)
+def incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+    )
+    points = ev.select("ts", "user_id")
+    joined = joins.interval_bucket_join(
+        points, incidents, "ts", "w_start", "w_end", bucket_seconds=21600
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Priority queue head (O2)
 # ---------------------------------------------------------------------------

@@ -407,3 +407,19 @@ def test_zorder_key_broadcasts_stats_no_fact_shuffle(spark):
 
     shuffles = _re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1, plan
+
+
+def test_interval_bucket_join_never_nested_loop(spark):
+    """The no-equi-key containment join must plan as HASH joins on the
+    bucket key — a theta-join formulation would be BroadcastNestedLoop
+    (per-task cartesian), the shape that cannot survive 100 TB."""
+    df = _q("incident_window_counts", spark)
+    strategies = audit.join_strategies(df)
+    assert strategies, audit.formatted_plan(df)
+    assert all(
+        s in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+        for s in strategies
+    ), strategies
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

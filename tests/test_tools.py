@@ -402,3 +402,60 @@ def test_binlog_multi_file_timestamps_do_not_leak(spark):
     assert got[("users", "insert")] == 1500000000
     assert got[("orders", "delete")] is None  # not 1500000000
     assert got[("users", "update")] == 1600000000
+
+
+def test_interval_bucket_join_semantics(spark):
+    """Bucket decomposition == the theta join row-for-row: boundary
+    inclusivity (start in, end out), intervals spanning many buckets,
+    overlapping intervals multiplying a point, empty and NULL intervals
+    dropping out, and left_outer keeping each copy of duplicate
+    unmatched points."""
+    from data_pipeline_spark.operators.joins import interval_bucket_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),  # == start of A: included
+            (2, "2024-01-01 05:59:59"),  # inside A
+            (3, "2024-01-01 06:00:00"),  # == end of A: excluded, in B
+            (4, "2024-01-02 01:30:00"),  # inside long C only
+            (5, "2024-01-09 00:00:00"),  # matches nothing
+            (6, None),                   # NULL ts: matches nothing
+            (5, "2024-01-09 00:00:00"),  # duplicate unmatched point
+        ],
+        "pid LONG, ts STRING",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    ivs = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", "2024-01-01 06:00:00"),
+            ("B", "2024-01-01 05:00:00", "2024-01-01 07:00:00"),  # overlaps A
+            ("C", "2024-01-01 20:00:00", "2024-01-03 00:00:00"),  # 28h: 5 buckets
+            ("E", "2024-01-05 00:00:00", "2024-01-05 00:00:00"),  # empty
+            ("N", None, "2024-01-06 00:00:00"),                   # NULL start
+        ],
+        "iid STRING, s STRING, e STRING",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_bucket_join(
+            pts, ivs, "ts", "s", "e", bucket_seconds=21600
+        ).collect()
+    )
+    theta = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs, (pts.ts >= ivs.s) & (pts.ts < ivs.e), "inner"
+        ).collect()
+    )
+    assert got == theta == [(1, "A"), (2, "A"), (2, "B"), (3, "B"), (4, "C")]
+
+    outer = interval_bucket_join(
+        pts, ivs, "ts", "s", "e", bucket_seconds=21600, how="left_outer"
+    ).collect()
+    assert sorted((r.pid, r.iid) for r in outer) == [
+        (1, "A"), (2, "A"), (2, "B"), (3, "B"), (4, "C"),
+        (5, None), (5, None), (6, None),
+    ]
