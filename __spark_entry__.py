@@ -41,6 +41,7 @@ _PRIORITY = [
     # the r8 verdict asked to rotate in
     "leakage_safe_split",
     "incident_window_counts",
+    "doc_chunking",
     "bloom_prefilter_decontamination",
     "session_window_sessions",
     "weighted_sample_topk",

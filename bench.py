@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "incident_window_counts",
     # cluster-cohesive train/val/test split (near-dup CC + component hash)
     "leakage_safe_split",
+    # in-row stride-windowed chunker (zero-shuffle preprocessing path)
+    "doc_chunking",
 ]
 
 

@@ -2849,3 +2849,65 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@register(
+    "doc_chunking",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(floor((len(toks) - 1) / 40) AS INT))) AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least(50, len(toks) - chunk_idx * 40) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(
+               list_slice(toks, chunk_idx * 40 + 1, chunk_idx * 40 + 50),
+               ' ') AS chunk_text
+    FROM s
+    """,
+    doc="Stride-windowed document chunking (50-token windows, stride 40 — "
+    "10-token overlap): the preprocessing step that turns variable-length "
+    "documents into model-window-sized training/retrieval units while the "
+    "overlap preserves cross-boundary context.  Entirely IN-ROW "
+    "(split -> sequence of starts -> posexplode -> slice): zero shuffles, "
+    "zero UDFs, embarrassingly parallel over 100 TB, and (doc_id, "
+    "chunk_idx) is a deterministic key so re-runs, retries and "
+    "incremental refreshes produce identical chunk identities — the "
+    "property downstream dedup and embedding caches key on.",
+    tags=("llm", "textstats", "scale-path"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 50, 40
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    with_toks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.sequence(
+            F.lit(0),
+            F.floor((F.size(toks) - 1) / F.lit(stride)).cast("int"),
+        ).alias("starts"),
+    )
+    return with_toks.select(
+        "doc_id",
+        F.posexplode("starts").alias("chunk_idx", "__s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.least(
+            F.lit(size), F.size("toks") - F.col("chunk_idx") * stride
+        )
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size),
+            " ",
+        ).alias("chunk_text"),
+    )

