@@ -1069,14 +1069,22 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xFFC3:
             # lossless (SOF3): predictive sample coding, own decode path
             return _decode_jpeg_lossless(content)
+        elif marker == 0xFFC9:
+            # sequential arithmetic (SOF9): QM-coder path, own module
+            from data_pipeline_spark.llmops.jpeg_arith import (
+                decode_jpeg_arithmetic,
+            )
+
+            return decode_jpeg_arithmetic(content)
         elif marker in (
             0xFFC5, 0xFFC6, 0xFFC7,
-            0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
+            0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             raise NotImplementedError(
-                "only huffman sequential (SOF0/SOF1), progressive (SOF2) "
-                "and lossless (SOF3) JPEG decode natively; differential/"
-                "arithmetic requires PIL on the cluster image"
+                "huffman sequential (SOF0/SOF1), progressive (SOF2), "
+                "lossless (SOF3) and sequential arithmetic (SOF9) JPEG "
+                "decode natively; differential/progressive-arithmetic "
+                "requires PIL on the cluster image"
             )
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
@@ -2883,6 +2891,7 @@ JPEG_DIFFERENTIAL_SCHEMA = StructType(
         StructField("progressive_match", IntegerType()),
         StructField("restart_match", IntegerType()),
         StructField("lossless_match", IntegerType()),
+        StructField("arithmetic_match", IntegerType()),
     ]
 )
 
@@ -2902,7 +2911,7 @@ def jpeg_progressive_differential(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pm, rm, lm = [], [], []
+            pm, rm, lm, am = [], [], [], []
             for rid, t in zip(pdf[id_col], pdf[text_col]):
                 raw = (t or "").encode("utf-8") or b"\x00"
                 px = np.frombuffer(raw, np.uint8)
@@ -2938,6 +2947,22 @@ def jpeg_progressive_differential(
                     )
                 )
                 lm.append(int(ll == (w, h, rgb)))
+                # sequential arithmetic (SOF9) transmits the same
+                # quantized coefficients through the QM coder; restart
+                # interval cycles per row so segmented re-init stays
+                # driver-covered
+                from data_pipeline_spark.llmops.jpeg_arith import (
+                    decode_jpeg_arithmetic,
+                    encode_jpeg_arithmetic,
+                )
+
+                ar = decode_jpeg_arithmetic(
+                    encode_jpeg_arithmetic(
+                        w, h, rgb, quality=75, subsampling="420",
+                        restart_interval=int(rid) % 3,
+                    )
+                )
+                am.append(int(ar == base))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].reset_index(drop=True),
@@ -2946,6 +2971,7 @@ def jpeg_progressive_differential(
                     "progressive_match": pm,
                     "restart_match": rm,
                     "lossless_match": lm,
+                    "arithmetic_match": am,
                 }
             )
 

@@ -774,11 +774,13 @@ def cms_bigram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 AS BIGINT) AS img_h,
            1 AS progressive_match,
            1 AS restart_match,
-           1 AS lossless_match
+           1 AS lossless_match,
+           1 AS arithmetic_match
     FROM documents
     WHERE doc_id % 25 = 0
     """,
-    doc="Progressive + restart + LOSSLESS (SOF3) JPEG differential at "
+    doc="Progressive + restart + lossless (SOF3) + ARITHMETIC (SOF9) "
+    "JPEG differential at "
     "query level: the lossless leg must reproduce the ORIGINAL pixels "
     "byte-exactly (predictor cycles over all seven T.81 choices by row). "
     "Progressive-JPEG + restart-interval differential at query level: "

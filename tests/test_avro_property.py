@@ -277,3 +277,52 @@ def test_jpeg_lossless_property_byte_exact(params):
     w2, h2, out = mm._decode_jpeg(enc)
     assert (w2, h2) == (w, h)
     assert out == rgb
+
+
+_arith_img = st.tuples(
+    st.integers(min_value=1, max_value=40),         # width
+    st.integers(min_value=1, max_value=40),         # height
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.sampled_from([50, 75, 90, 95]),              # quality
+    st.sampled_from(["444", "420", "422"]),         # subsampling
+    st.sampled_from([0, 0, 1, 3]),                  # restart interval
+)
+
+
+@example((21, 13, 4, 60, "420", 0))  # the r8 shape, pinned here too
+@example((1, 1, 0, 95, "420", 1))
+@settings(max_examples=150, deadline=None)
+@given(_arith_img)
+def test_jpeg_arithmetic_property_pixel_identical(params):
+    """Arithmetic (SOF9) and Huffman entropy coding carry the SAME
+    quantized coefficients, so their decodes must match pixel-for-pixel
+    with ZERO tolerance on every shape/quality/subsampling/restart
+    combination — any divergence is a QM-coder or statistical-model bug
+    by definition (the strongest oracle available without a foreign
+    arithmetic-capable decoder in the sandbox)."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import multimodal as mm
+    from data_pipeline_spark.llmops.jpeg_arith import (
+        decode_jpeg_arithmetic,
+        encode_jpeg_arithmetic,
+    )
+
+    w, h, seed, quality, subsampling, ri = params
+    rng = np.random.RandomState(seed % (2**32))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 9 + yy * 5) % 256).astype(np.uint8)
+    noise = rng.randint(0, 64, size=(h, w), dtype=np.uint8)
+    rgb = np.stack(
+        [base, (base + noise) % 256, noise * 3 % 256], axis=2
+    ).astype(np.uint8)
+
+    blob_h = mm._encode_jpeg(
+        w, h, rgb.tobytes(), quality=quality, subsampling=subsampling,
+        restart_interval=ri,
+    )
+    blob_a = encode_jpeg_arithmetic(
+        w, h, rgb.tobytes(), quality=quality, subsampling=subsampling,
+        restart_interval=ri,
+    )
+    assert mm._decode_jpeg(blob_h) == decode_jpeg_arithmetic(blob_a)

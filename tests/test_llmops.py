@@ -65,13 +65,13 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     blob[si + 13] = ((20 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
-    # jpeg decodes baseline, progressive AND lossless (SOF3) natively
-    # (r9); the remaining seams are arithmetic coding (SOF9) and the
-    # differential modes (SOF5) — both must route to the PIL seam, not
-    # mis-decode
+    # jpeg decodes baseline, progressive, lossless (SOF3) AND sequential
+    # arithmetic (SOF9) natively (r9); the remaining seams are
+    # progressive arithmetic (SOF10) and the differential modes (SOF5) —
+    # both must route to the PIL seam, not mis-decode
     import struct
 
-    for sof in (b"\xff\xc9", b"\xff\xc5"):
+    for sof in (b"\xff\xca", b"\xff\xc5"):
         blob = (
             b"\xff\xd8"
             + sof + struct.pack(">H", 11)
@@ -2041,3 +2041,75 @@ def test_doc_chunking_windows_and_overlap(spark):
     assert c2 == [f"w{i}" for i in range(80, 90)]
     # 10-token overlap between consecutive windows
     assert c0[-10:] == c1[:10]
+
+
+def test_jpeg_arithmetic_differential_and_integration():
+    """Sequential arithmetic JPEG (SOF9): the QM coder transmits the SAME
+    quantized coefficients as the Huffman encoder, so decode must be
+    pixel-IDENTICAL (zero tolerance) across shapes, qualities,
+    subsampling modes and restart intervals; the arithmetic stream is
+    also consistently smaller (the documented ~10-25% SOF9 advantage);
+    and decode_media dispatches SOF9 streams natively."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import multimodal
+    from data_pipeline_spark.llmops.jpeg_arith import (
+        decode_jpeg_arithmetic,
+        encode_jpeg_arithmetic,
+    )
+
+    rng = np.random.default_rng(3)
+    for (w, h, q, sub, ri) in [
+        (16, 16, 90, "444", 0),
+        (24, 16, 75, "420", 0),
+        (21, 13, 60, "420", 0),  # the non-MCU-aligned shape from r8's flag
+        (32, 24, 85, "422", 2),
+        (8, 8, 50, "444", 0),
+        (64, 48, 90, "420", 3),
+    ]:
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        base = (x * 7 + y * 13) % 256
+        rgb = (
+            np.stack([base, 255 - base, (base * 2) % 256], axis=-1) % 256
+        ).astype(np.int32)
+        rgb = ((rgb + rng.integers(0, 30, rgb.shape)) % 256).astype(np.uint8)
+        blob_h = multimodal._encode_jpeg(
+            w, h, rgb.tobytes(), q, sub, restart_interval=ri
+        )
+        blob_a = encode_jpeg_arithmetic(
+            w, h, rgb.tobytes(), q, sub, restart_interval=ri
+        )
+        assert multimodal._decode_jpeg(blob_h) == decode_jpeg_arithmetic(
+            blob_a
+        ), f"{w}x{h} q{q} {sub} ri{ri}: arithmetic decode diverges"
+        assert len(blob_a) < len(blob_h), "SOF9 should beat Huffman size"
+        # decode_media dispatches on the SOF9 marker
+        assert multimodal.decode_media(blob_a, "jpeg") == decode_jpeg_arithmetic(
+            blob_a
+        )
+
+
+def test_qm_coder_pair_roundtrip_deterministic():
+    """The QM arithmetic coder pair roundtrips adversarial decision
+    streams exactly — exercises carry resolution, 0xFF stuffing, stacked
+    bytes, conditional exchange and the full 113-state estimation walk."""
+    import random
+
+    from data_pipeline_spark.llmops.jpeg_arith import QMDecoder, QMEncoder
+
+    random.seed(13)
+    for n_ctx, n, pbias in [
+        (1, 1, 0.5), (1, 50000, 0.5), (3, 20000, 0.01),
+        (16, 20000, 0.99), (64, 5000, 0.1), (2, 7, 0.9),
+    ]:
+        bits = [1 if random.random() < pbias else 0 for _ in range(n)]
+        ctxs = [random.randrange(n_ctx) for _ in range(n)]
+        enc = QMEncoder()
+        st_e = bytearray(n_ctx)
+        for b, cx in zip(bits, ctxs):
+            enc.code(st_e, cx, b)
+        data = enc.flush()
+        dec = QMDecoder(data)
+        st_d = bytearray(n_ctx)
+        assert [dec.decode(st_d, cx) for cx in ctxs] == bits
+        assert st_e == st_d  # estimation walks stayed in lockstep
