@@ -347,14 +347,16 @@ def _decode_dc(dec, st, ctx, lo, hi):
     return (-mag if sign else mag), nxt
 
 
-def _code_ac(enc, st, fixed, zz, kx, se=63):
-    """Code the AC coefficients of one zigzagged block."""
-    ke = 0
-    for k in range(se, 0, -1):
+def _code_ac(enc, st, fixed, zz, kx, ss=1, se=63):
+    """Code the AC coefficients of one zigzagged block (band ss..se; the
+    progressive first-scan path passes point-transformed values and its
+    spectral band, the sequential path the raw 1..63 band)."""
+    ke = ss - 1
+    for k in range(se, ss - 1, -1):
         if zz[k]:
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.code(st, base, 0)  # not end-of-block
@@ -394,10 +396,11 @@ def _code_ac(enc, st, fixed, zz, kx, se=63):
         enc.code(st, 3 * (k - 1), 1)  # end-of-block
 
 
-def _decode_ac(dec, st, fixed, kx, se=63):
-    """Decode one block's AC coefficients -> zigzag list of 64 ints."""
+def _decode_ac(dec, st, fixed, kx, ss=1, se=63):
+    """Decode one block's AC coefficients -> zigzag list of 64 ints
+    (band ss..se; values carry no point transform — callers scale)."""
     zz = [0] * 64
-    k = 1
+    k = ss
     while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):
@@ -574,10 +577,8 @@ def decode_jpeg_arithmetic(content: bytes) -> tuple[int, int, bytes]:
             ]
             sof = (fw, fh, nc)
         elif marker == 0xFFCA:
-            raise NotImplementedError(
-                "progressive arithmetic JPEG (SOF10) requires PIL on the "
-                "cluster image"
-            )
+            # progressive arithmetic: own multi-scan accumulation path
+            return decode_jpeg_arithmetic_progressive(content)
         elif marker == 0xFFCC:
             p = 0
             while p + 1 < len(payload):
@@ -706,4 +707,408 @@ def decode_jpeg_arithmetic(content: bytes) -> tuple[int, int, bytes]:
     return _jpeg_reconstruct(
         fw, fh, nc, [cid for cid, _d, _a in scan_comps], out_planes,
         sampling, hmax, vmax, 8,
+    )
+
+
+def _code_ac_refine(enc, st, fixed, band, ah, al, ss, se):
+    """Code one block's AC successive-approximation refinement (Annex
+    G.2 / Figure G.10 mirror of the decoder walk): correction bits for
+    history-nonzero coefficients, a significance decision per still-zero
+    position, EOB decisions only at positions past the previous stage's
+    end-of-block."""
+    hist = [0] * 64
+    cur = [0] * 64
+    for k in range(ss, se + 1):
+        v = int(band[k])
+        a = -v if v < 0 else v
+        hist[k] = a >> ah
+        cur[k] = a >> al
+    kex = ss - 1
+    for k in range(se, ss - 1, -1):
+        if hist[k]:
+            kex = k
+            break
+    ke = ss - 1
+    for k in range(se, ss - 1, -1):
+        if cur[k]:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.code(st, base, 0)  # not end-of-block yet
+        while True:
+            if hist[k]:
+                enc.code(st, base + 2, cur[k] & 1)
+                break
+            if cur[k]:
+                enc.code(st, base + 1, 1)
+                enc.code(fixed, 0, 1 if int(band[k]) < 0 else 0)
+                break
+            enc.code(st, base + 1, 0)
+            base += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.code(st, 3 * ke, 1)  # decoder's next outer check is at ke+1
+
+
+def _decode_ac_refine(dec, st, fixed, coefs, ah, al, ss, se):
+    """Refine one block's AC band in place (mirror of _code_ac_refine)."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = ss - 1
+    for k in range(se, ss - 1, -1):
+        if coefs[k]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            break  # end-of-block
+        while True:
+            if coefs[k]:
+                if dec.decode(st, base + 2):
+                    coefs[k] += m1 if coefs[k] < 0 else p1
+                break
+            if dec.decode(st, base + 1):
+                coefs[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("AC refinement index overflow")
+        k += 1
+
+
+def encode_jpeg_arithmetic_progressive(
+    w: int, h: int, rgb: bytes, quality: int = 90, subsampling: str = "444",
+) -> bytes:
+    """(w, h, top-down RGB) -> progressive arithmetic JFIF (SOF10) with
+    the same 9-scan progression as the Huffman progressive encoder —
+    interleaved DC first (Al=1) + refinement, per-component spectral AC
+    first scans (Al=1) and AC refinements (Ah=1 -> Al=0) — carrying the
+    SAME quantized coefficients, so decode must be pixel-identical to
+    the baseline decode.  Statistics and the QM coder restart at every
+    scan per T.81."""
+    from data_pipeline_spark.llmops.multimodal import (
+        _ZIGZAG,
+        _jpeg_headers,
+        _jpeg_plan,
+    )
+
+    samp, hmax, vmax, mcuy, mcux, qy, qc, coefs = _jpeg_plan(
+        w, h, rgb, quality, subsampling, 8
+    )
+    zzc = [
+        c.reshape(c.shape[0], c.shape[1], 64)[:, :, _ZIGZAG].astype(np.int64)
+        for c in coefs
+    ]
+    tdims = []
+    for sh, sv in samp:
+        comp_h = -(-(h * sv) // vmax)
+        comp_w = -(-(w * sh) // hmax)
+        tdims.append((-(-comp_h // 8), -(-comp_w // 8)))
+    dc_l, dc_u = _DC_COND_DEFAULT
+    lo, hi = (1 << dc_l) >> 1, (1 << dc_u) >> 1
+    kx = _AC_COND_DEFAULT
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(_jpeg_headers(w, h, samp, qy, qc, 0xFFCA, 8))
+    out += seg(
+        0xFFCC,
+        bytes(
+            [0x00, (dc_u << 4) | dc_l, 0x01, (dc_u << 4) | dc_l,
+             0x10, kx, 0x11, kx]
+        ),
+    )
+
+    all_comps = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    scan_plan = [
+        (all_comps, 0, 0, 0, 1),
+        ([(1, 0, 0)], 1, 5, 0, 1),
+        ([(1, 0, 0)], 6, 63, 0, 1),
+        ([(2, 1, 1)], 1, 63, 0, 1),
+        ([(3, 1, 1)], 1, 63, 0, 1),
+        (all_comps, 0, 0, 1, 0),
+        ([(1, 0, 0)], 1, 63, 1, 0),
+        ([(2, 1, 1)], 1, 63, 1, 0),
+        ([(3, 1, 1)], 1, 63, 1, 0),
+    ]
+    for sc, ss, se, ah, al in scan_plan:
+        body = bytes([len(sc)])
+        for cid, dcs, acs in sc:
+            body += bytes([cid, dcs << 4 | acs])
+        body += bytes([ss, se, ah << 4 | al])
+        out += seg(0xFFDA, body)
+        enc = QMEncoder()
+        fixed = bytearray([113])
+        if ss == 0 and ah == 0:  # DC first, interleaved
+            dc_st = [bytearray(49), bytearray(49)]
+            dc_ctx = {cid: 0 for cid, _d, _a in sc}
+            prev = {cid: 0 for cid, _d, _a in sc}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, dcs, _acs in sc:
+                        ci = cid - 1
+                        sh, sv = samp[ci]
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                v = int(
+                                    zzc[ci][my * sv + vy, mx * sh + vx, 0]
+                                ) >> al
+                                dc_ctx[cid] = _code_dc(
+                                    enc, dc_st[dcs], dc_ctx[cid],
+                                    v - prev[cid], lo, hi,
+                                )
+                                prev[cid] = v
+        elif ss == 0:  # DC refinement: one fixed-context bit per block
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, _dcs, _acs in sc:
+                        ci = cid - 1
+                        sh, sv = samp[ci]
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                bit = (
+                                    int(
+                                        zzc[ci][
+                                            my * sv + vy, mx * sh + vx, 0
+                                        ]
+                                    ) >> al
+                                ) & 1
+                                enc.code(fixed, 0, bit)
+        else:  # AC scans: single component over its true block raster
+            (cid, _dcs, acs) = sc[0]
+            ci = cid - 1
+            ac_st = bytearray(245)
+            tv, th = tdims[ci]
+            for by in range(tv):
+                for bx in range(th):
+                    band = zzc[ci][by, bx]
+                    if ah == 0:
+                        scaled = [0] * 64
+                        for k in range(ss, se + 1):
+                            v = int(band[k])
+                            a = (-v if v < 0 else v) >> al
+                            scaled[k] = -a if v < 0 else a
+                        _code_ac(enc, ac_st, fixed, scaled, kx, ss, se)
+                    else:
+                        _code_ac_refine(
+                            enc, ac_st, fixed, band, ah, al, ss, se
+                        )
+        out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_arithmetic_progressive(content: bytes) -> tuple[int, int, bytes]:
+    """Progressive arithmetic JPEG (SOF10) -> (w, h, top-down RGB):
+    accumulates coefficients across DC/AC first and refinement scans
+    (each with a fresh QM decoder and statistics, per T.81), then one
+    dequantize + IDCT pass.  Restart intervals inside progressive
+    arithmetic scans raise by name (not emitted by this encoder)."""
+    from data_pipeline_spark.llmops.multimodal import (
+        _ZIGZAG,
+        _jpeg_reconstruct,
+    )
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    sof = None
+    comps: list[tuple[int, int, int]] = []
+    dc_cond = {0: _DC_COND_DEFAULT, 1: _DC_COND_DEFAULT}
+    ac_cond = {0: _AC_COND_DEFAULT, 1: _AC_COND_DEFAULT}
+    dri = 0
+    scans: list[tuple] = []
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack_from(">H", content, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        payload = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(payload):
+                prec_id = payload[p]
+                if prec_id >> 4:
+                    raise NotImplementedError(
+                        "12-bit arithmetic JPEG requires PIL"
+                    )
+                q = np.zeros(64)
+                for i, v in enumerate(payload[p + 1 : p + 65]):
+                    q[_ZIGZAG[i]] = v
+                qtables[prec_id & 0xF] = q.reshape(8, 8)
+                p += 65
+        elif marker == 0xFFCA:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit arithmetic JPEG")
+            comps = [
+                (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
+                for i in range(nc)
+            ]
+            sof = (fw, fh, nc)
+        elif marker == 0xFFCC:
+            p = 0
+            while p + 1 < len(payload):
+                tc, tb = payload[p] >> 4, payload[p] & 0xF
+                if tb > 1:
+                    raise NotImplementedError("conditioning table id > 1")
+                if tc == 0:
+                    dc_cond[tb] = (payload[p + 1] & 0xF, payload[p + 1] >> 4)
+                else:
+                    ac_cond[tb] = payload[p + 1]
+                p += 2
+        elif marker == 0xFFDD:
+            (dri,) = struct.unpack_from(">H", payload, 0)
+            if dri:
+                raise NotImplementedError(
+                    "restart intervals in progressive arithmetic JPEG"
+                )
+        elif marker == 0xFFDA:
+            ns = payload[0]
+            sc = [
+                (
+                    payload[1 + 2 * i],
+                    payload[2 + 2 * i] >> 4,
+                    payload[2 + 2 * i] & 0xF,
+                )
+                for i in range(ns)
+            ]
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            e = pos
+            while e < len(content) - 1:
+                if content[e] != 0xFF:
+                    e += 1
+                elif content[e + 1] in (0x00, 0xFF):
+                    e += 2 if content[e + 1] == 0x00 else 1
+                else:
+                    break
+            scans.append(
+                (sc, ss, se, ahal >> 4, ahal & 0xF, content[pos:e],
+                 dict(dc_cond), dict(ac_cond))
+            )
+            pos = e
+    if sof is None or not scans:
+        raise ValueError("progressive arithmetic JPEG missing SOF10/SOS")
+    fw, fh, nc = sof
+    sampling = {cid: (s >> 4, s & 0xF) for cid, s, _q in comps}
+    hmax = max(sh for sh, _sv in sampling.values())
+    vmax = max(sv for _sh, sv in sampling.values())
+    for sh, sv in sampling.values():
+        if sh < 1 or sv < 1 or hmax % sh or vmax % sv:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {sh}x{sv} needs PIL"
+            )
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    qsel = {cid: q for cid, _s, q in comps}
+
+    coef: dict = {}
+    tdims: dict = {}
+    for cid, (sh, sv) in sampling.items():
+        coef[cid] = np.zeros((mcuy * sv, mcux * sh, 64), np.int64)
+        comp_h = -(-(fh * sv) // vmax)
+        comp_w = -(-(fw * sh) // hmax)
+        tdims[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+
+    for sc, ss, se, ah, al, data, dcc, acc in scans:
+        dec = QMDecoder(data)
+        fixed = bytearray([113])
+        if ss == 0 and ah == 0:  # DC first
+            dc_st = [bytearray(49), bytearray(49)]
+            dc_ctx = {cid: 0 for cid, _d, _a in sc}
+            prev = {cid: 0 for cid, _d, _a in sc}
+
+            def dc_units():
+                if len(sc) > 1:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for cid, dcs, _acs in sc:
+                                sh, sv = sampling[cid]
+                                for vy in range(sv):
+                                    for vx in range(sh):
+                                        yield (
+                                            cid, dcs,
+                                            my * sv + vy, mx * sh + vx,
+                                        )
+                else:
+                    cid, dcs, _acs = sc[0]
+                    tv, th = tdims[cid]
+                    for by in range(tv):
+                        for bx in range(th):
+                            yield (cid, dcs, by, bx)
+
+            for cid, dcs, by, bx in dc_units():
+                dc_l, dc_u = dcc[dcs]
+                lo, hi = (1 << dc_l) >> 1, (1 << dc_u) >> 1
+                diff, dc_ctx[cid] = _decode_dc(
+                    dec, dc_st[dcs], dc_ctx[cid], lo, hi
+                )
+                prev[cid] += diff
+                coef[cid][by, bx, 0] = prev[cid] << al
+        elif ss == 0:  # DC refinement
+            if len(sc) > 1:
+                order = (
+                    (cid, my * sv + vy, mx * sh + vx)
+                    for my in range(mcuy)
+                    for mx in range(mcux)
+                    for cid, _d, _a in sc
+                    for sh, sv in (sampling[cid],)
+                    for vy in range(sv)
+                    for vx in range(sh)
+                )
+            else:
+                cid0 = sc[0][0]
+                order = (
+                    (cid0, by, bx)
+                    for by in range(tdims[cid0][0])
+                    for bx in range(tdims[cid0][1])
+                )
+            for cid, by, bx in order:
+                if dec.decode(fixed, 0):
+                    coef[cid][by, bx, 0] |= 1 << al
+        else:  # AC scans: single component
+            if len(sc) != 1:
+                raise ValueError("progressive AC scan with multiple comps")
+            cid, _dcs, acs = sc[0]
+            kx = acc[acs]
+            ac_st = bytearray(245)
+            tv, th = tdims[cid]
+            carr = coef[cid]
+            for by in range(tv):
+                for bx in range(th):
+                    block = carr[by, bx]
+                    if ah == 0:
+                        zz = _decode_ac(dec, ac_st, fixed, kx, ss, se)
+                        for k in range(ss, se + 1):
+                            if zz[k]:
+                                block[k] = zz[k] << al
+                    else:
+                        _decode_ac_refine(
+                            dec, ac_st, fixed, block, ah, al, ss, se
+                        )
+
+    out_planes = []
+    order = []
+    for cid, _s, _q in comps:
+        zz = coef[cid].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz
+        by, bx = nat.shape[0], nat.shape[1]
+        out_planes.append(nat.reshape(by, bx, 8, 8) * qtables[qsel[cid]])
+        order.append(cid)
+    return _jpeg_reconstruct(
+        fw, fh, nc, order, out_planes, sampling, hmax, vmax, 8
     )

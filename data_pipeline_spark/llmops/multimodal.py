@@ -1076,15 +1076,22 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
             )
 
             return decode_jpeg_arithmetic(content)
+        elif marker == 0xFFCA:
+            # progressive arithmetic (SOF10): QM coder + scan accumulation
+            from data_pipeline_spark.llmops.jpeg_arith import (
+                decode_jpeg_arithmetic_progressive,
+            )
+
+            return decode_jpeg_arithmetic_progressive(content)
         elif marker in (
-            0xFFC5, 0xFFC6, 0xFFC7,
-            0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
+            0xFFC5, 0xFFC6, 0xFFC7, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             raise NotImplementedError(
                 "huffman sequential (SOF0/SOF1), progressive (SOF2), "
-                "lossless (SOF3) and sequential arithmetic (SOF9) JPEG "
-                "decode natively; differential/progressive-arithmetic "
-                "requires PIL on the cluster image"
+                "lossless (SOF3), sequential arithmetic (SOF9) and "
+                "progressive arithmetic (SOF10) JPEG decode natively; "
+                "differential/lossless-arithmetic requires PIL on the "
+                "cluster image"
             )
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
@@ -2947,13 +2954,15 @@ def jpeg_progressive_differential(
                     )
                 )
                 lm.append(int(ll == (w, h, rgb)))
-                # sequential arithmetic (SOF9) transmits the same
-                # quantized coefficients through the QM coder; restart
-                # interval cycles per row so segmented re-init stays
-                # driver-covered
+                # arithmetic coding (SOF9 sequential + SOF10 progressive)
+                # transmits the same quantized coefficients through the
+                # QM coder; the sequential leg's restart interval cycles
+                # per row so segmented re-init stays driver-covered
                 from data_pipeline_spark.llmops.jpeg_arith import (
                     decode_jpeg_arithmetic,
+                    decode_jpeg_arithmetic_progressive,
                     encode_jpeg_arithmetic,
+                    encode_jpeg_arithmetic_progressive,
                 )
 
                 ar = decode_jpeg_arithmetic(
@@ -2962,7 +2971,12 @@ def jpeg_progressive_differential(
                         restart_interval=int(rid) % 3,
                     )
                 )
-                am.append(int(ar == base))
+                ar_prog = decode_jpeg_arithmetic_progressive(
+                    encode_jpeg_arithmetic_progressive(
+                        w, h, rgb, quality=75, subsampling="420"
+                    )
+                )
+                am.append(int(ar == base and ar_prog == base))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].reset_index(drop=True),

@@ -325,4 +325,16 @@ def test_jpeg_arithmetic_property_pixel_identical(params):
         w, h, rgb.tobytes(), quality=quality, subsampling=subsampling,
         restart_interval=ri,
     )
-    assert mm._decode_jpeg(blob_h) == decode_jpeg_arithmetic(blob_a)
+    ref = mm._decode_jpeg(blob_h)
+    assert ref == decode_jpeg_arithmetic(blob_a)
+    # progressive arithmetic (SOF10): same coefficients through the
+    # 9-scan successive-approximation progression, same zero tolerance
+    from data_pipeline_spark.llmops.jpeg_arith import (
+        decode_jpeg_arithmetic_progressive,
+        encode_jpeg_arithmetic_progressive,
+    )
+
+    blob_p = encode_jpeg_arithmetic_progressive(
+        w, h, rgb.tobytes(), quality=quality, subsampling=subsampling
+    )
+    assert ref == decode_jpeg_arithmetic_progressive(blob_p)

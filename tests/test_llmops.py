@@ -65,13 +65,14 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     blob[si + 13] = ((20 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
-    # jpeg decodes baseline, progressive, lossless (SOF3) AND sequential
-    # arithmetic (SOF9) natively (r9); the remaining seams are
-    # progressive arithmetic (SOF10) and the differential modes (SOF5) —
-    # both must route to the PIL seam, not mis-decode
+    # jpeg decodes baseline, progressive, lossless (SOF3), sequential
+    # arithmetic (SOF9) AND progressive arithmetic (SOF10) natively
+    # (r9); the remaining seams are lossless arithmetic (SOF11) and the
+    # differential modes (SOF5) — both must route to the PIL seam, not
+    # mis-decode
     import struct
 
-    for sof in (b"\xff\xca", b"\xff\xc5"):
+    for sof in (b"\xff\xcb", b"\xff\xc5"):
         blob = (
             b"\xff\xd8"
             + sof + struct.pack(">H", 11)
@@ -2113,3 +2114,39 @@ def test_qm_coder_pair_roundtrip_deterministic():
         st_d = bytearray(n_ctx)
         assert [dec.decode(st_d, cx) for cx in ctxs] == bits
         assert st_e == st_d  # estimation walks stayed in lockstep
+
+
+def test_jpeg_progressive_arithmetic_differential():
+    """Progressive arithmetic JPEG (SOF10): the 9-scan successive-
+    approximation progression through the QM coder must reconstruct
+    pixel-identical output to the baseline Huffman decode (identical
+    quantized coefficients), and decode_media dispatches SOF10."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import multimodal
+    from data_pipeline_spark.llmops.jpeg_arith import (
+        decode_jpeg_arithmetic_progressive,
+        encode_jpeg_arithmetic_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    for (w, h, q, sub) in [
+        (24, 16, 75, "420"),
+        (21, 13, 60, "420"),
+        (32, 24, 85, "422"),
+        (1, 1, 95, "420"),
+    ]:
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        base = (x * 7 + y * 13) % 256
+        rgb = (
+            np.stack([base, 255 - base, (base * 2) % 256], axis=-1) % 256
+        ).astype(np.int32)
+        rgb = ((rgb + rng.integers(0, 30, rgb.shape)) % 256).astype(np.uint8)
+        blob_p = encode_jpeg_arithmetic_progressive(
+            w, h, rgb.tobytes(), q, sub
+        )
+        ref = multimodal._decode_jpeg(
+            multimodal._encode_jpeg(w, h, rgb.tobytes(), q, sub)
+        )
+        assert decode_jpeg_arithmetic_progressive(blob_p) == ref
+        assert multimodal.decode_media(blob_p, "jpeg") == ref
