@@ -1,8 +1,10 @@
-"""Arithmetic-coded JPEG (SOF9, ITU T.81 Annexes D and F): the QM binary
-arithmetic coder with adaptive context states, plus the sequential DC/AC
-statistical models — completing native decode of every first-generation
-JPEG mode in this engine (baseline SOF0, extended SOF1, progressive SOF2,
-lossless SOF3, and now arithmetic SOF9).
+"""Arithmetic-coded JPEG (SOF9/SOF10/SOF11, ITU T.81 Annexes D, F, G, H):
+the QM binary arithmetic coder with adaptive context states, plus the
+sequential, progressive and lossless statistical models — completing
+native decode of EVERY non-hierarchical JPEG mode in this engine
+(baseline SOF0, extended SOF1, progressive SOF2, lossless SOF3, and the
+arithmetic trio SOF9/SOF10/SOF11; only the differential/hierarchical
+modes SOF5-7/SOF13-15 remain seams).
 
 Everything here is implemented from the PUBLIC ITU-T T.81 specification:
 the 113-state probability estimation table is Table D.3 (plus the
@@ -1112,3 +1114,221 @@ def decode_jpeg_arithmetic_progressive(content: bytes) -> tuple[int, int, bytes]
     return _jpeg_reconstruct(
         fw, fh, nc, order, out_planes, sampling, hmax, vmax, 8
     )
+
+
+# --- Lossless arithmetic JPEG (SOF11, Annex H + F) ------------------------
+# Predictive sample coding entropy-coded with the QM coder.  Conditioning
+# follows H.1.2's two-difference scheme: the causal neighbor differences
+# Da = Ra - Rc and Db = Rc - Rb are each classified into five categories
+# (zero / +-small (<=2) / +-large), giving 25 conditioning classes of
+# four decision bins each, plus two magnitude category/bit chains selected
+# by whether Db classified large — 158 statistics bins per component.
+# The coupled pair is verified BYTE-EXACT by roundtrip (lossless coding
+# has no error envelope: any mismatch is a codec bug); no SOF11 reference
+# stream exists in-sandbox (or, practically, in the wild) to test foreign
+# interop against, as with SOF9/SOF10.
+
+_LL_CHAIN0 = 100  # magnitude chain for small-|Db| contexts
+_LL_CHAIN1 = 129  # magnitude chain for large-|Db| contexts
+_LL_STATS = 158
+
+
+def _ll_classify(d: int) -> int:
+    if d == 0:
+        return 0
+    if -2 <= d <= 2:
+        return 1 if d > 0 else 2
+    return 3 if d > 0 else 4
+
+
+def _code_ll_diff(enc, st, base, chain, diff):
+    if diff == 0:
+        enc.code(st, base, 0)
+        return
+    enc.code(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.code(st, base + 1, sign)
+    sz = (-diff if sign else diff) - 1
+    stp = base + 2 + sign
+    m = 0
+    if sz:
+        enc.code(st, stp, 1)
+        m = 1
+        v2 = sz
+        stp = chain
+        while v2 >> 1:
+            v2 >>= 1
+            enc.code(st, stp, 1)
+            m <<= 1
+            stp += 1
+    enc.code(st, stp, 0)
+    bits_ctx = stp + 14
+    mm = m >> 1
+    while mm:
+        enc.code(st, bits_ctx, 1 if (sz & mm) else 0)
+        mm >>= 1
+
+
+def _decode_ll_diff(dec, st, base, chain):
+    if dec.decode(st, base) == 0:
+        return 0
+    sign = dec.decode(st, base + 1)
+    stp = base + 2 + sign
+    m = 0
+    if dec.decode(st, stp):
+        m = 1
+        stp = chain
+        while dec.decode(st, stp):
+            m <<= 1
+            stp += 1
+            if m > 0x8000:
+                raise ValueError("lossless magnitude overflow")
+    v = m
+    bits_ctx = stp + 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, bits_ctx):
+            v |= mm
+        mm >>= 1
+    mag = v + 1
+    return -mag if sign else mag
+
+
+def _ll_ctx(a: int, b: int, c: int) -> tuple[int, int]:
+    """(decision base, magnitude chain base) from the causal neighbors."""
+    ca = _ll_classify(a - c)
+    cb = _ll_classify(c - b)
+    return (ca * 5 + cb) * 4, (_LL_CHAIN1 if cb >= 3 else _LL_CHAIN0)
+
+
+def encode_jpeg_lossless_arithmetic(
+    w: int, h: int, rgb: bytes, predictor: int = 4
+) -> bytes:
+    """(w, h, top-down RGB) -> lossless arithmetic JFIF (SOF11): the SOF3
+    predictive pipeline entropy-coded by the QM coder — byte-exact by
+    construction, typically smaller than the Huffman-coded SOF3 stream."""
+    from data_pipeline_spark.llmops.multimodal import (
+        _LL_INTERIOR,
+        _ll_predictions,
+    )
+
+    if predictor not in _LL_INTERIOR:
+        raise ValueError(f"lossless predictor must be 1-7, got {predictor}")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
+    planes = [px[:, :, ci] for ci in range(3)]
+    diffs = [p - _ll_predictions(p, predictor) for p in planes]
+    # causal neighbors (zero-padded at borders, identically on both sides)
+    abc = []
+    for p in planes:
+        a = np.zeros_like(p)
+        b = np.zeros_like(p)
+        c = np.zeros_like(p)
+        a[:, 1:] = p[:, :-1]
+        b[1:, :] = p[:-1, :]
+        c[1:, 1:] = p[:-1, :-1]
+        abc.append((a, b, c))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFCB,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"".join(struct.pack(">BBB", cid, 0x11, 0) for cid in (1, 2, 3)),
+    )
+    out += seg(0xFFCC, bytes([0x00, 0x10, 0x01, 0x10]))
+    out += seg(
+        0xFFDA,
+        struct.pack(">B", 3)
+        + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+        + struct.pack(">BBB", predictor, 0, 0),
+    )
+    enc = QMEncoder()
+    stats = [bytearray(_LL_STATS) for _ in range(3)]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(3):
+                a, b, c = abc[ci]
+                base, chain = _ll_ctx(
+                    int(a[y, x]), int(b[y, x]), int(c[y, x])
+                )
+                _code_ll_diff(
+                    enc, stats[ci], base, chain, int(diffs[ci][y, x])
+                )
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_lossless_arithmetic(content: bytes) -> tuple[int, int, bytes]:
+    """Lossless arithmetic JPEG (SOF11) -> (w, h, top-down RGB),
+    byte-exact.  Causal decode: prediction and conditioning context are
+    recomputed from already-decoded samples exactly as the encoder saw
+    them."""
+    from data_pipeline_spark.llmops.multimodal import _LL_INTERIOR
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    sof = None
+    predictor = None
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack_from(">H", content, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        payload = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFCB:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or nc != 3:
+                raise NotImplementedError(
+                    f"{prec}-bit/{nc}-component lossless arithmetic JPEG"
+                )
+            sof = (fw, fh, nc)
+        elif marker == 0xFFDA:
+            ns = payload[0]
+            predictor = payload[1 + 2 * ns]
+            e = pos
+            while e < len(content) - 1:
+                if content[e] != 0xFF:
+                    e += 1
+                elif content[e + 1] in (0x00, 0xFF):
+                    e += 2 if content[e + 1] == 0x00 else 1
+                else:
+                    break
+            scan = content[pos:e]
+            pos = e
+            break
+    if sof is None or scan is None or predictor not in _LL_INTERIOR:
+        raise ValueError("lossless arithmetic JPEG missing SOF11/SOS")
+    fw, fh, _nc = sof
+    interior = _LL_INTERIOR[predictor]
+    dec = QMDecoder(scan)
+    stats = [bytearray(_LL_STATS) for _ in range(3)]
+    out = np.zeros((fh, fw, 3), np.int32)
+    for y in range(fh):
+        for x in range(fw):
+            for ci in range(3):
+                a = int(out[y, x - 1, ci]) if x else 0
+                b = int(out[y - 1, x, ci]) if y else 0
+                c = int(out[y - 1, x - 1, ci]) if (x and y) else 0
+                if y == 0 and x == 0:
+                    pred = 128
+                elif y == 0:
+                    pred = a
+                elif x == 0:
+                    pred = b
+                else:
+                    pred = interior(a, b, c)
+                base, chain = _ll_ctx(a, b, c)
+                out[y, x, ci] = pred + _decode_ll_diff(
+                    dec, stats[ci], base, chain
+                )
+    return fw, fh, out.astype(np.uint8).tobytes()

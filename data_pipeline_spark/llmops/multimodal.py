@@ -1083,15 +1083,21 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
             )
 
             return decode_jpeg_arithmetic_progressive(content)
+        elif marker == 0xFFCB:
+            # lossless arithmetic (SOF11): predictive + QM coder
+            from data_pipeline_spark.llmops.jpeg_arith import (
+                decode_jpeg_lossless_arithmetic,
+            )
+
+            return decode_jpeg_lossless_arithmetic(content)
         elif marker in (
-            0xFFC5, 0xFFC6, 0xFFC7, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
+            0xFFC5, 0xFFC6, 0xFFC7, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             raise NotImplementedError(
-                "huffman sequential (SOF0/SOF1), progressive (SOF2), "
-                "lossless (SOF3), sequential arithmetic (SOF9) and "
-                "progressive arithmetic (SOF10) JPEG decode natively; "
-                "differential/lossless-arithmetic requires PIL on the "
-                "cluster image"
+                "every non-hierarchical JPEG mode decodes natively "
+                "(SOF0/1/2/3 huffman, SOF9/10/11 arithmetic); the "
+                "differential/hierarchical modes (SOF5-7, SOF13-15) "
+                "require PIL on the cluster image"
             )
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
@@ -2953,7 +2959,18 @@ def jpeg_progressive_differential(
                         w, h, rgb, predictor=1 + int(rid) % 7
                     )
                 )
-                lm.append(int(ll == (w, h, rgb)))
+                # the arithmetic lossless mode (SOF11) must be byte-exact
+                # too, same per-row predictor cycle
+                from data_pipeline_spark.llmops.jpeg_arith import (
+                    encode_jpeg_lossless_arithmetic,
+                )
+
+                lla = _decode_jpeg(
+                    encode_jpeg_lossless_arithmetic(
+                        w, h, rgb, predictor=1 + int(rid) % 7
+                    )
+                )
+                lm.append(int(ll == (w, h, rgb) and lla == (w, h, rgb)))
                 # arithmetic coding (SOF9 sequential + SOF10 progressive)
                 # transmits the same quantized coefficients through the
                 # QM coder; the sequential leg's restart interval cycles

@@ -338,3 +338,24 @@ def test_jpeg_arithmetic_property_pixel_identical(params):
         w, h, rgb.tobytes(), quality=quality, subsampling=subsampling
     )
     assert ref == decode_jpeg_arithmetic_progressive(blob_p)
+
+
+@example((21, 13, 4, 4))
+@settings(max_examples=150, deadline=None)
+@given(_ll_img)
+def test_jpeg_lossless_arithmetic_property_byte_exact(params):
+    """Lossless arithmetic JPEG (SOF11) roundtrips BYTE-EXACTLY for every
+    predictor, shape and content — the QM-coded twin of the SOF3
+    property, dispatched through the shared _decode_jpeg entry."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops import multimodal as mm
+    from data_pipeline_spark.llmops.jpeg_arith import (
+        encode_jpeg_lossless_arithmetic,
+    )
+
+    w, h, seed, predictor = params
+    rng = np.random.RandomState(seed % (2**32))
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+    enc = encode_jpeg_lossless_arithmetic(w, h, rgb, predictor=predictor)
+    assert mm._decode_jpeg(enc) == (w, h, rgb)

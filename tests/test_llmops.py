@@ -65,14 +65,13 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     blob[si + 13] = ((20 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
     with pytest.raises(NotImplementedError):
         flac_codec.decode_flac(bytes(blob))
-    # jpeg decodes baseline, progressive, lossless (SOF3), sequential
-    # arithmetic (SOF9) AND progressive arithmetic (SOF10) natively
-    # (r9); the remaining seams are lossless arithmetic (SOF11) and the
-    # differential modes (SOF5) — both must route to the PIL seam, not
-    # mis-decode
+    # jpeg decodes EVERY non-hierarchical mode natively as of r9
+    # (SOF0/1/2/3 huffman, SOF9/10/11 arithmetic); the remaining seams
+    # are the differential/hierarchical modes (SOF5, SOF13) — both must
+    # route to the PIL seam, not mis-decode
     import struct
 
-    for sof in (b"\xff\xcb", b"\xff\xc5"):
+    for sof in (b"\xff\xcd", b"\xff\xc5"):
         blob = (
             b"\xff\xd8"
             + sof + struct.pack(">H", 11)
