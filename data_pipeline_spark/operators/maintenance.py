@@ -33,13 +33,21 @@ def compact_small_files(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     sort_col: str | None = None,
+    zorder_cols: list | None = None,
 ) -> dict:
     """Rewrite a parquet dir into ~total/target_bytes files; returns stats.
 
     With ``sort_col`` the rewrite is repartitionByRange + sortWithin, so
-    each output file covers a disjoint key range (footer-prunable); without
-    it, a plain repartition balances sizes.
+    each output file covers a disjoint key range (footer-prunable); with
+    ``zorder_cols`` (mutually exclusive) it range-partitions and sorts on
+    the Morton key over those dimensions, so footer stats prune on EVERY
+    queried dimension — the OPTIMIZE ZORDER maintenance job, composing
+    the streaming sink's time-ordered small files into an
+    analytics-ready layout in one pass; without either, a plain
+    repartition balances sizes.
     """
+    if sort_col is not None and zorder_cols:
+        raise ValueError("sort_col and zorder_cols are mutually exclusive")
     p = pathlib.Path(path)
     files = [f for f in p.glob("*.parquet")]
     bytes_before = sum(f.stat().st_size for f in files)
@@ -50,7 +58,16 @@ def compact_small_files(
     tmp = p.with_name(f"{p.name}__compact_{uuid.uuid4().hex[:8]}")
     bak = p.with_name(f"{p.name}__bak_{uuid.uuid4().hex[:8]}")
     try:
-        if sort_col is not None:
+        if zorder_cols:
+            from data_pipeline_spark.operators.zorder import zorder_key
+
+            writer = (
+                zorder_key(df, list(zorder_cols))
+                .repartitionByRange(n_out, "zkey")
+                .sortWithinPartitions("zkey")
+                .drop("zkey")
+            )
+        elif sort_col is not None:
             writer = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
                 sort_col
             )

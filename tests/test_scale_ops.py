@@ -525,3 +525,74 @@ def test_band_pruned_gate_plan_prunes_index_columns(spark, tmp_path):
     ]
     assert band_filters and explodes, plan
     assert min(band_filters) < min(explodes), plan
+
+
+def test_compact_small_files_zorder_mode(spark, tmp_path):
+    """OPTIMIZE ZORDER composition: compacting a fragmented time-ordered
+    directory with zorder_cols produces fewer, larger files whose footer
+    stats prune on BOTH analytics dimensions — turning the layout a
+    streaming sink naturally produces into the mixed-predicate layout,
+    in one maintenance pass; rows are preserved exactly."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.operators.maintenance import compact_small_files
+    from tests.conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("dd"),
+    )
+    src = tmp_path / "frag"
+    # the shape a streaming sink leaves behind: many small time-sorted files
+    orders.repartitionByRange(40, "dd").sortWithinPartitions("dd").write.parquet(
+        str(src)
+    )
+    n_before = len(list(src.glob("*.parquet")))
+    rows = orders.count()
+
+    stats = compact_small_files(
+        spark, str(src), target_bytes=16 * 1024, zorder_cols=["ck", "dd"]
+    )
+    files = list(pathlib.Path(src).glob("*.parquet"))
+    assert stats["rows"] == rows
+    assert spark.read.parquet(str(src)).count() == rows
+    assert len(files) < n_before and len(files) >= 4
+
+    def hit_fraction(col, lo, hi):
+        hits = total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            ci = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += 1
+                if st.max >= lo and st.min <= hi:
+                    hits += 1
+        return hits / total
+
+    spans = orders.agg(
+        F.min("ck"), F.max("ck"), F.min("dd"), F.max("dd")
+    ).collect()[0]
+    for col, (mn, mx) in (("ck", spans[0:2]), ("dd", spans[2:4])):
+        lo = mn + (mx - mn) * 40 // 100
+        hi = lo + max(1, (mx - mn) * 5 // 100)
+        assert hit_fraction(col, lo, hi) <= 0.7, col
+    # mutually exclusive with sort_col
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_small_files(
+            spark, str(src), sort_col="dd", zorder_cols=["ck", "dd"]
+        )
+
+    # the zorder mode composes with the chaos-tested swap protocol: the
+    # directory is the REAL one (no temp residue left behind)
+    assert not [
+        d for d in tmp_path.glob("frag__*")
+    ], "compaction must not leak temp/bak directories"
