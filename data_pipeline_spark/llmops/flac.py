@@ -18,12 +18,15 @@ and the stereo transforms are exactly invertible (side = l - r carries
 17 bits; mid = (l + r) >> 1 recovers the dropped LSB from side's
 parity), so every path is lossless.
 
-Out-of-subset streams raise NotImplementedError into the documented
-soundfile/ffmpeg seam (llmops.multimodal.decode_audio): 12/20/32-bit
-sample sizes and mixed-width frames.  Everything this encoder emits,
-this decoder decodes — and vice versa for any 8/16/24-bit FLAC file
+Every spec sample width decodes natively (8/12/16/20/24/32-bit; 12- and
+20-bit ride 2- and 3-byte PCM containers with range checks); the
+remaining NotImplementedError seam into soundfile/ffmpeg
+(llmops.multimodal.decode_audio) is inconsistent streams (STREAMINFO vs
+frame-header width mismatch).  Everything this encoder emits, this
+decoder decodes — and vice versa for any fixed-blocksize FLAC file
 (decode_flac(dtype="native") is bit-exact; the default int16 output
-normalizes 8- and 24-bit the way soundfile's dtype='int16' does).
+normalizes other widths by shift the way soundfile's dtype='int16'
+does).
 
 Scale note: like the PNG unfilter and the JPEG entropy coder, the Rice
 coder is an inherently sequential bit loop — correctness-grade in this
@@ -493,37 +496,52 @@ _BPS_FIXED = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 # frame-header channel-assignment codes for the stereo transforms
 _STEREO_MODES = {"left_side": 0b1000, "right_side": 0b1001, "mid_side": 0b1010}
 # frame-header sample-size codes for the supported widths
-_BPS_CODES = {8: 0b001, 16: 0b100, 24: 0b110}
+# frame-header 3-bit sample-size codes (0b000 = from STREAMINFO,
+# 0b011 reserved); 12- and 20-bit ride in 2- and 3-byte PCM containers
+_BPS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110,
+              32: 0b111}
 
 
 def _pcm_to_samples(frames: bytes, bits: int) -> np.ndarray:
-    """Packed little-endian signed PCM at 8/16/24 bits -> flat int64."""
+    """Packed little-endian signed PCM -> flat int64.  Container widths:
+    8->1 byte, 12/16->2, 20/24->3, 32->4; sub-container widths (12/20)
+    range-check so silent wraparound cannot corrupt a lossless path."""
     if bits == 8:
         return np.frombuffer(frames, np.int8).astype(np.int64)
-    if bits == 16:
-        return np.frombuffer(frames, "<i2").astype(np.int64)
-    if bits == 24:
+    if bits in (12, 16):
+        out = np.frombuffer(frames, "<i2").astype(np.int64)
+    elif bits in (20, 24):
         if len(frames) % 3:
-            raise ValueError("24-bit PCM length not a multiple of 3")
+            raise ValueError(f"{bits}-bit PCM length not a multiple of 3")
         b = np.frombuffer(frames, np.uint8).astype(np.int64)
         u = b[0::3] | (b[1::3] << 8) | (b[2::3] << 16)
-        return u - ((u >> 23) << 24)  # sign-extend bit 23
-    raise ValueError(f"unsupported PCM width {bits}")
+        out = u - ((u >> 23) << 24)  # sign-extend bit 23
+    elif bits == 32:
+        return np.frombuffer(frames, "<i4").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported PCM width {bits}")
+    if bits in (12, 20):
+        lim = 1 << (bits - 1)
+        if out.size and (out.min() < -lim or out.max() >= lim):
+            raise ValueError(f"sample out of {bits}-bit range")
+    return out
 
 
 def _samples_to_pcm(arr: np.ndarray, bits: int) -> bytes:
     """Flat int64 samples -> packed little-endian signed PCM bytes."""
     if bits == 8:
         return arr.astype(np.int8).tobytes()
-    if bits == 16:
+    if bits in (12, 16):
         return arr.astype("<i2").tobytes()
-    if bits == 24:
+    if bits in (20, 24):
         u = arr & 0xFFFFFF
         out = np.empty((len(arr), 3), np.uint8)
         out[:, 0] = u & 0xFF
         out[:, 1] = (u >> 8) & 0xFF
         out[:, 2] = (u >> 16) & 0xFF
         return out.tobytes()
+    if bits == 32:
+        return arr.astype("<i4").tobytes()
     raise ValueError(f"unsupported PCM width {bits}")
 
 
@@ -535,7 +553,8 @@ def encode_flac(
     stereo_mode: str | None = None,
     bits_per_sample: int = 16,
 ) -> bytes:
-    """Interleaved little-endian signed PCM (8/16/24-bit; default 16) ->
+    """Interleaved little-endian signed PCM (any spec width
+    8/12/16/20/24/32-bit; default 16) ->
     FLAC stream (fLaC magic + STREAMINFO with real MD5 + fixed-blocksize
     frames).  Stereo input picks per frame among independent / left-side
     / right-side / mid-side by exact summed subframe bit cost
@@ -653,8 +672,9 @@ def decode_flac(content: bytes, dtype: str = "int16") -> tuple:
     way soundfile's dtype='int16' does — 8-bit shifts up, 24-bit shifts
     down (lossy by the discarded low byte, as any 16-bit sink must be).
     ``dtype="native"`` instead returns (channels, rate, native-width
-    packed PCM bytes, bits_per_sample) losslessly.  Other sample sizes
-    (12/20/32-bit) raise NotImplementedError into the soundfile seam."""
+    packed PCM bytes, bits_per_sample) losslessly.  All six spec widths
+    (8/12/16/20/24/32-bit) decode; width-inconsistent streams raise
+    NotImplementedError into the soundfile seam."""
     if dtype not in ("int16", "native"):
         raise ValueError(f"unsupported dtype {dtype!r}")
     if content[:4] != b"fLaC":
@@ -684,7 +704,7 @@ def decode_flac(content: bytes, dtype: str = "int16") -> tuple:
     si_md5 = streaminfo[18:34]
     if si_bps not in _BPS_CODES:
         raise NotImplementedError(
-            f"{si_bps}-bit FLAC not in the 8/16/24-bit subset — "
+            f"{si_bps}-bit FLAC not in the 8/12/16/20/24/32-bit set — "
             "soundfile seam"
         )
 
@@ -770,8 +790,8 @@ def decode_flac(content: bytes, dtype: str = "int16") -> tuple:
         raise ValueError("decoded PCM fails the STREAMINFO MD5 check")
     if dtype == "native":
         return si_channels, si_rate, native, si_bps
-    if si_bps == 8:
-        pcm = pcm << 8
-    elif si_bps == 24:
-        pcm = pcm >> 8  # arithmetic: what soundfile dtype='int16' yields
+    if si_bps < 16:
+        pcm = pcm << (16 - si_bps)
+    elif si_bps > 16:
+        pcm = pcm >> (si_bps - 16)  # arithmetic: soundfile dtype='int16'
     return si_channels, si_rate, pcm.astype("<i2").tobytes()

@@ -48,9 +48,10 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"OggS", "ogg")
     # flac decodes natively including LPC subframes, all three
-    # stereo-decorrelation assignments, and 8/16/24-bit widths (r9); the
-    # remaining seam is 12/20/32-bit — a 20-bit STREAMINFO must route to
-    # soundfile, not mis-decode
+    # stereo-decorrelation assignments, and ALL spec widths
+    # (8/12/16/20/24/32-bit) as of r9; the remaining seam is
+    # inconsistent streams — a STREAMINFO/frame width mismatch must
+    # route to soundfile, not mis-decode either width
     import numpy as np
 
     from data_pipeline_spark.llmops import flac as flac_codec
@@ -60,6 +61,7 @@ def test_multimodal_decode_stub_retained_for_compressed_formats():
     )
     # STREAMINFO bps-1 field: 5 bits straddling bytes 12-13 of the block
     # body (at file offset 8): ...rate(20) ch(3) bps(5)... -> set 20-bit
+    # while the frame headers still declare 16-bit
     si = 8
     blob[si + 12] = (blob[si + 12] & 0xFE) | ((20 - 1) >> 4)
     blob[si + 13] = ((20 - 1) << 4 & 0xFF) | (blob[si + 13] & 0x0F)
@@ -1001,7 +1003,7 @@ def test_flac_8_and_24_bit_widths():
     every width (MD5 verified over the native packing), the default
     int16 output normalizes like soundfile (8-bit << 8, 24-bit >> 8),
     stereo decorrelation carries the 25-bit side channel at 24-bit
-    extremes, and 12/20-bit widths stay on the soundfile seam."""
+    extremes, and non-spec widths refuse to encode."""
     import numpy as np
 
     from data_pipeline_spark.llmops import flac
@@ -1042,8 +1044,9 @@ def test_flac_8_and_24_bit_widths():
     with pytest.raises(ValueError):
         flac.decode_flac(bytes(marred))
 
+    # 12-bit went native in r9; non-spec widths still refuse
     with pytest.raises(ValueError):
-        flac.encode_flac(1, 8000, b"\x00\x00", bits_per_sample=12)
+        flac.encode_flac(1, 8000, b"\x00\x00", bits_per_sample=17)
     with pytest.raises(ValueError):
         flac.decode_flac(blob, dtype="float32")
 
@@ -2149,3 +2152,38 @@ def test_jpeg_progressive_arithmetic_differential():
         )
         assert decode_jpeg_arithmetic_progressive(blob_p) == ref
         assert multimodal.decode_media(blob_p, "jpeg") == ref
+
+
+def test_flac_all_spec_widths_roundtrip():
+    """12/20/32-bit FLAC (completing the spec width set): dtype='native'
+    roundtrips byte-exactly — MD5 verified over the native container
+    packing (2 bytes for 12-bit, 3 for 20-bit, 4 for 32-bit) — and the
+    int16 path normalizes by shift like soundfile; out-of-range samples
+    for the sub-container widths raise rather than wrap."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipeline_spark.llmops import flac
+
+    rng = np.random.RandomState(3)
+    for bits, ch in [(12, 1), (12, 2), (20, 2), (32, 2)]:
+        n = 2000
+        lim = 1 << (bits - 1)
+        s = rng.randint(-lim, lim, size=n * ch).astype(np.int64)
+        s = np.cumsum(s // 7) % (2 * lim) - lim  # correlated: LPC engages
+        pcm = flac._samples_to_pcm(s, bits)
+        blob = flac.encode_flac(
+            ch, 44100, pcm, blocksize=512, bits_per_sample=bits
+        )
+        c2, r2, native, b2 = flac.decode_flac(blob, dtype="native")
+        assert (c2, r2, b2) == (ch, 44100, bits)
+        assert native == pcm
+        _c, _r, i16 = flac.decode_flac(blob)
+        want = s << 4 if bits == 12 else s >> (bits - 16)
+        assert i16 == want.astype("<i2").tobytes()
+    # sub-container range check: a 13-bit value in a "12-bit" stream
+    bad = np.array([4096], dtype=np.int64)
+    with _pytest.raises(ValueError):
+        flac.encode_flac(
+            1, 8000, bad.astype("<i2").tobytes(), bits_per_sample=12
+        )
