@@ -1545,8 +1545,8 @@ def _jpeg_reconstruct(
 # ColorMap tag, and planar (PlanarConfiguration=2) RGB reassembly.
 # LZW (MSB-first early-change), deflate (zlib) and PackBits strips
 # decompress natively, with the horizontal predictor undone post-decode.
-# JPEG-in-TIFF/CCITT compression, tiled layouts, and CMYK/YCbCr
-# photometrics raise into the PIL seam.
+# JPEG-in-TIFF/CCITT compression and CMYK/YCbCr photometrics raise into
+# the PIL seam; strip AND tiled layouts decode natively.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAGS = {
@@ -1554,6 +1554,8 @@ _TIFF_TAGS = {
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar_config",
     317: "predictor", 320: "color_map",
+    322: "tile_width", 323: "tile_length",
+    324: "tile_offsets", 325: "tile_counts",
 }
 
 
@@ -1631,7 +1633,7 @@ def _tiff_lzw_decode(data: bytes) -> bytes:
 
 
 def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
-    """Uncompressed strip-based TIFF -> (w, h, top-down RGB buffer)."""
+    """Strip- or tile-based TIFF -> (w, h, top-down RGB buffer)."""
     import struct
 
     if content[:2] == b"II":
@@ -1661,7 +1663,13 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
             (voff,) = struct.unpack_from(e + "I", content, voff)
         vals = struct.unpack_from(e + str(count) + fmt, content, voff)
         tags[_TIFF_TAGS[tag]] = list(vals)
-    for req in ("width", "height", "strip_offsets", "strip_counts"):
+    tiled = "tile_offsets" in tags
+    required = (
+        ("width", "height", "tile_width", "tile_length", "tile_counts")
+        if tiled
+        else ("width", "height", "strip_offsets", "strip_counts")
+    )
+    for req in required:
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
     compression = tags.get("compression", [1])[0]
@@ -1701,21 +1709,55 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
         )
     if photometric == 3 and (spp != 1 or "color_map" not in tags):
         raise ValueError("palette TIFF needs spp=1 and a ColorMap tag")
-    raw = b"".join(
-        unstrip(content[o : o + n])
-        for o, n in zip(tags["strip_offsets"], tags["strip_counts"])
-    )
-    if len(raw) < w * h * spp:
-        raise ValueError("truncated TIFF strip data")
-    if tags.get("planar_config", [1])[0] == 2 and spp == 3:
-        # planar: all R strips, then G, then B — each plane w*h bytes
-        plane = np.frombuffer(raw, np.uint8, 3 * w * h).reshape(3, h, w)
-        px = plane.transpose(1, 2, 0)
+    planar = tags.get("planar_config", [1])[0] == 2 and spp == 3
+    if tiled:
+        # tiled layout (tags 322-325): the image is a grid of fixed-size
+        # padded tiles, row-major, each compressed independently; planar
+        # images store all tiles of plane 0 first, then plane 1, ...
+        # The horizontal predictor resets per tile ROW WITHIN the tile
+        # (tile width, not image width), so it must be undone per tile
+        # before assembly.
+        tw, tl = tags["tile_width"][0], tags["tile_length"][0]
+        tx, ty = -(-w // tw), -(-h // tl)
+        n_planes = 3 if planar else 1
+        csp = 1 if planar else spp
+        offs, cnts = tags["tile_offsets"], tags["tile_counts"]
+        if len(offs) != tx * ty * n_planes or len(cnts) != len(offs):
+            raise ValueError("TIFF tile count does not match grid")
+        canvas = np.zeros((n_planes, h, w, csp), np.uint8)
+        for idx, (o, n) in enumerate(zip(offs, cnts)):
+            data = unstrip(content[o : o + n])
+            need = tl * tw * csp
+            if len(data) < need:
+                raise ValueError("truncated TIFF tile data")
+            t = np.frombuffer(data, np.uint8, need).reshape(tl, tw, csp)
+            if predictor == 2:
+                t = np.cumsum(t, axis=1, dtype=np.uint8)
+            p, r = divmod(idx, tx * ty)
+            tyi, txi = divmod(r, tx)
+            y0, x0 = tyi * tl, txi * tw
+            hh, ww = min(tl, h - y0), min(tw, w - x0)
+            canvas[p, y0 : y0 + hh, x0 : x0 + ww] = t[:hh, :ww]
+        if planar:
+            px = canvas[:, :, :, 0].transpose(1, 2, 0)
+        else:
+            px = canvas[0]
     else:
-        px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing: undo per row, per channel (mod 256)
-        px = np.cumsum(px.astype(np.uint8), axis=1, dtype=np.uint8)
+        raw = b"".join(
+            unstrip(content[o : o + n])
+            for o, n in zip(tags["strip_offsets"], tags["strip_counts"])
+        )
+        if len(raw) < w * h * spp:
+            raise ValueError("truncated TIFF strip data")
+        if planar:
+            # planar: all R strips, then G, then B — each plane w*h bytes
+            plane = np.frombuffer(raw, np.uint8, 3 * w * h).reshape(3, h, w)
+            px = plane.transpose(1, 2, 0)
+        else:
+            px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
+        if predictor == 2:
+            # horizontal differencing: undo per row, per channel (mod 256)
+            px = np.cumsum(px.astype(np.uint8), axis=1, dtype=np.uint8)
     if photometric == 0:
         px = 255 - px
     if photometric == 3:

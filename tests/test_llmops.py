@@ -2187,3 +2187,79 @@ def test_flac_all_spec_widths_roundtrip():
         flac.encode_flac(
             1, 8000, bad.astype("<i2").tobytes(), bits_per_sample=12
         )
+
+
+def test_tiff_tiled_layouts_decode():
+    """r9: tiled TIFFs (tags 322-325) decode natively — chunky RGB with
+    edge-padding tiles cropped, deflate-compressed tiles with the
+    horizontal predictor undone PER TILE (it resets at tile-row width,
+    not image width), and planar tiled RGB reassembled from per-plane
+    tile sequences."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h, tw, tl = 5, 3, 3, 2  # 2x2 tile grid with right+bottom padding
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def tiles_of(img, csp):
+        out = []
+        for ty0 in range(0, h, tl):
+            for tx0 in range(0, w, tw):
+                t = np.zeros((tl, tw, csp), np.uint8)
+                part = img[ty0 : ty0 + tl, tx0 : tx0 + tw]
+                t[: part.shape[0], : part.shape[1]] = part
+                out.append(t)
+        return out
+
+    def build(ents_extra, tile_blobs, n_base_entries):
+        hdr = 8 + 2 + 12 * n_base_entries + 4
+        offs, pos = [], hdr
+        for b in tile_blobs:
+            offs.append(pos)
+            pos += len(b)
+        tbl_off = pos
+        trailer = b"".join(tile_blobs)
+        trailer += struct.pack(f"<{len(offs)}I", *offs)
+        trailer += struct.pack(
+            f"<{len(tile_blobs)}I", *[len(b) for b in tile_blobs]
+        )
+        ents = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+            (262, 3, 1, 2), (277, 3, 1, 3),
+            (322, 4, 1, tw), (323, 4, 1, tl),
+            (324, 4, len(offs), tbl_off),
+            (325, 4, len(offs), tbl_off + 4 * len(offs)),
+        ] + ents_extra
+        assert len(ents) == n_base_entries
+        return _tiff_le(sorted(ents), trailer)
+
+    # chunky uncompressed tiles
+    blobs = [t.tobytes() for t in tiles_of(rgb, 3)]
+    got = multimodal.decode_media(
+        build([(259, 3, 1, 1)], blobs, 10), "tiff"
+    )
+    assert got == (w, h, rgb.tobytes())
+
+    # deflate + horizontal predictor, undone per tile
+    def pred_diff(t):
+        d = t.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        return (d % 256).astype(np.uint8)
+
+    blobs = [zlib.compress(pred_diff(t).tobytes()) for t in tiles_of(rgb, 3)]
+    got = multimodal.decode_media(
+        build([(259, 3, 1, 8), (317, 3, 1, 2)], blobs, 11), "tiff"
+    )
+    assert got == (w, h, rgb.tobytes())
+
+    # planar tiled: all tiles of R, then G, then B
+    blobs = []
+    for p in range(3):
+        blobs += [t.tobytes() for t in tiles_of(rgb[:, :, p : p + 1], 1)]
+    got = multimodal.decode_media(
+        build([(259, 3, 1, 1), (284, 3, 1, 2)], blobs, 11), "tiff"
+    )
+    assert got == (w, h, rgb.tobytes())
