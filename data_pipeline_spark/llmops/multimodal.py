@@ -1545,8 +1545,9 @@ def _jpeg_reconstruct(
 # ColorMap tag, and planar (PlanarConfiguration=2) RGB reassembly.
 # LZW (MSB-first early-change), deflate (zlib) and PackBits strips
 # decompress natively, with the horizontal predictor undone post-decode.
-# JPEG-in-TIFF/CCITT compression and CMYK/YCbCr photometrics raise into
-# the PIL seam; strip AND tiled layouts decode natively.
+# JPEG-in-TIFF/CCITT compression and YCbCr/CIELab photometrics raise
+# into the PIL seam; strip AND tiled layouts and gray/RGB/palette/CMYK
+# photometrics decode natively.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAGS = {
@@ -1696,19 +1697,25 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
     w, h = tags["width"][0], tags["height"][0]
     spp = tags.get("spp", [1])[0]
     bits = tags.get("bits", [8])
-    if any(b != 8 for b in bits) or spp not in (1, 3):
-        raise NotImplementedError("only 8-bit gray/RGB TIFF supported")
+    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+        raise NotImplementedError("only 8-bit gray/RGB/CMYK TIFF supported")
     photometric = tags.get("photometric", [1 if spp == 1 else 2])[0]
     # 0 = WhiteIsZero (inverted gray), 1 = BlackIsZero, 2 = RGB,
-    # 3 = palette via the ColorMap tag; anything else (CMYK, YCbCr,
-    # CIELab) routes to the PIL seam like the module's other variants
-    if photometric not in (0, 1, 2, 3):
+    # 3 = palette via the ColorMap tag, 5 = CMYK (separated, uncalibrated
+    # naive conversion); anything else (YCbCr, CIELab) routes to the PIL
+    # seam like the module's other variants
+    if photometric not in (0, 1, 2, 3, 5):
         raise NotImplementedError(
-            "TIFF photometric beyond gray/RGB/palette needs PIL on the "
-            "cluster image"
+            "TIFF photometric beyond gray/RGB/palette/CMYK needs PIL on "
+            "the cluster image"
         )
     if photometric == 3 and (spp != 1 or "color_map" not in tags):
         raise ValueError("palette TIFF needs spp=1 and a ColorMap tag")
+    if photometric == 5:
+        if spp != 4:
+            raise ValueError("CMYK TIFF needs SamplesPerPixel=4")
+        if tags.get("planar_config", [1])[0] == 2:
+            raise NotImplementedError("planar CMYK TIFF needs PIL")
     planar = tags.get("planar_config", [1])[0] == 2 and spp == 3
     if tiled:
         # tiled layout (tags 322-325): the image is a grid of fixed-size
@@ -1767,6 +1774,14 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
         n_pal = len(cmap) // 3
         lut = (cmap.reshape(3, n_pal).T >> 8).astype(np.uint8)
         px = lut[px.reshape(h, w)]
+    elif photometric == 5:
+        # uncalibrated CMYK -> RGB: R = (255-C)(255-K)/255, the naive
+        # conversion every non-ICC consumer applies
+        cmyk = px.astype(np.int32)
+        k = cmyk[:, :, 3]
+        px = (
+            ((255 - cmyk[:, :, :3]) * (255 - k)[:, :, None]) // 255
+        ).astype(np.uint8)
     elif spp == 1:
         px = np.repeat(px, 3, axis=2)
     return w, h, px.tobytes()

@@ -2263,3 +2263,46 @@ def test_tiff_tiled_layouts_decode():
         build([(259, 3, 1, 1), (284, 3, 1, 2)], blobs, 11), "tiff"
     )
     assert got == (w, h, rgb.tobytes())
+
+
+def test_tiff_cmyk_decode():
+    """r9: CMYK TIFF (photometric 5, 4 samples/pixel) decodes through the
+    naive uncalibrated conversion R=(255-C)(255-K)/255 — pure C/M/Y inks
+    and the K axis land on exact RGB values; planar CMYK still raises."""
+    import struct
+
+    import numpy as np
+
+    w, h = 3, 2
+    cmyk = np.array(
+        [
+            [[255, 0, 0, 0], [0, 255, 0, 0], [0, 0, 255, 0]],
+            [[0, 0, 0, 255], [0, 0, 0, 0], [128, 0, 0, 128]],
+        ],
+        np.uint8,
+    )
+    hdr = 8 + 2 + 12 * 8 + 4
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, 1),
+        (262, 3, 1, 5), (273, 4, 1, hdr + 8), (277, 3, 1, 4),
+        (279, 4, 1, cmyk.size), (258, 3, 4, hdr),
+    ]
+    bits = struct.pack("<4H", 8, 8, 8, 8)
+    got = multimodal.decode_media(
+        _tiff_le(sorted(ents), bits + cmyk.tobytes()), "tiff"
+    )
+    expect = np.array(
+        [
+            [[0, 255, 255], [255, 0, 255], [255, 255, 0]],
+            [[0, 0, 0], [255, 255, 255], [63, 127, 127]],
+        ],
+        np.uint8,
+    )
+    assert got == (w, h, expect.tobytes())
+
+    # planar CMYK routes to the seam
+    ents_planar = [e for e in ents if e[0] != 284] + [(284, 3, 1, 2)]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(
+            _tiff_le(sorted(ents_planar), bits + cmyk.tobytes()), "tiff"
+        )
