@@ -22,6 +22,8 @@ PICK = [
     ("persisted_index_dedup_gate", "ingest gate off the parquet index sidecar: batch sides broadcast, index never shuffles, exact pass column-prunes to the md5 alone"),
     ("banded_index_dedup_gate", "band-pruned steady-state gate: ONE fused index scan, in-row arrays_overlap collision filter BEFORE the shingle explode (O(candidates) explode), zero extra exchanges"),
     ("zorder_curve_keys", "Morton layout keys: one-row span stats broadcast back (BNL), single shuffle = the stats agg — the fact never moves"),
+    ("incident_window_counts", "no-equi-key interval containment as a HASH join on time buckets (in-row interval explode) — never BroadcastNestedLoop/cartesian"),
+    ("doc_chunking", "stride-windowed chunker: split -> sequence -> posexplode -> slice, all in-row — ZERO exchanges, whole plan one codegen stage"),
 ]
 
 if __name__ == "__main__":
