@@ -1545,18 +1545,22 @@ def _jpeg_reconstruct(
 # ColorMap tag, and planar (PlanarConfiguration=2) RGB reassembly.
 # LZW (MSB-first early-change), deflate (zlib) and PackBits strips
 # decompress natively, with the horizontal predictor undone post-decode.
-# JPEG-in-TIFF/CCITT compression and YCbCr/CIELab photometrics raise
-# into the PIL seam; strip AND tiled layouts and gray/RGB/palette/CMYK
+# New-style JPEG-in-TIFF (compression 7, JPEGTables splice) decodes
+# through the native JPEG path for gray/YCbCr payloads.  CCITT fax
+# compression, old-style JPEG (6) and CIELab photometrics raise into
+# the PIL seam; strip AND tiled layouts and gray/RGB/palette/CMYK
 # photometrics decode natively.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
-    262: "photometric", 273: "strip_offsets", 277: "spp",
-    278: "rows_per_strip", 279: "strip_counts", 284: "planar_config",
+    262: "photometric", 266: "fill_order", 273: "strip_offsets",
+    277: "spp", 278: "rows_per_strip", 279: "strip_counts",
+    284: "planar_config", 292: "t4_options", 293: "t6_options",
     317: "predictor", 320: "color_map",
     322: "tile_width", 323: "tile_length",
     324: "tile_offsets", 325: "tile_counts",
+    347: "jpeg_tables",
 }
 
 
@@ -1648,7 +1652,7 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
         raise ValueError("bad TIFF magic")
     (n_entries,) = struct.unpack_from(e + "H", content, ifd_off)
     tags: dict = {}
-    type_size = {1: 1, 3: 2, 4: 4}
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
     for i in range(n_entries):
         tag, ttype, count = struct.unpack_from(
             e + "HHI", content, ifd_off + 2 + 12 * i
@@ -1657,7 +1661,7 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
             continue
         if ttype not in type_size:
             raise ValueError(f"unsupported TIFF field type {ttype}")
-        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[ttype]
         total = type_size[ttype] * count
         voff = ifd_off + 2 + 12 * i + 8
         if total > 4:
@@ -1684,10 +1688,15 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
         unstrip = zlib.decompress
     elif compression == 32773:
         unstrip = _tiff_unpackbits
+    elif compression == 7:
+        unstrip = None  # new-style JPEG: segments are abbreviated streams
+    elif compression in (2, 3, 4):
+        unstrip = None  # CCITT fax: bilevel run-length path below
     else:
         raise NotImplementedError(
-            "TIFF compression beyond none/LZW/deflate/PackBits (e.g. "
-            "JPEG-in-TIFF, CCITT fax) needs PIL on the cluster image"
+            "TIFF compression beyond none/LZW/deflate/PackBits/JPEG/"
+            "CCITT (e.g. old-style JPEG 6, JBIG) needs PIL on the "
+            "cluster image"
         )
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
@@ -1697,14 +1706,34 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
     w, h = tags["width"][0], tags["height"][0]
     spp = tags.get("spp", [1])[0]
     bits = tags.get("bits", [8])
-    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
-        raise NotImplementedError("only 8-bit gray/RGB/CMYK TIFF supported")
+    bilevel = spp == 1 and all(b == 1 for b in bits)
+    if not bilevel and (any(b != 8 for b in bits) or spp not in (1, 3, 4)):
+        raise NotImplementedError(
+            "only 1-bit bilevel and 8-bit gray/RGB/CMYK TIFF supported"
+        )
+    if compression in (2, 3, 4) and not bilevel:
+        raise ValueError("CCITT fax compression requires 1-bit bilevel data")
     photometric = tags.get("photometric", [1 if spp == 1 else 2])[0]
     # 0 = WhiteIsZero (inverted gray), 1 = BlackIsZero, 2 = RGB,
     # 3 = palette via the ColorMap tag, 5 = CMYK (separated, uncalibrated
     # naive conversion); anything else (YCbCr, CIELab) routes to the PIL
-    # seam like the module's other variants
-    if photometric not in (0, 1, 2, 3, 5):
+    # seam like the module's other variants.  JPEG-in-TIFF (compression
+    # 7) carries gray or YCbCr payloads the JPEG codec already converts;
+    # RGB-JPEG (no color transform, spec-legal but vanishingly rare)
+    # would be mis-transformed, so it routes to the seam by name.
+    if compression == 7:
+        if photometric not in (0, 1, 6):
+            raise NotImplementedError(
+                "JPEG-in-TIFF beyond gray/YCbCr photometric (e.g. "
+                "untransformed RGB-JPEG) needs PIL on the cluster image"
+            )
+        if tags.get("planar_config", [1])[0] == 2:
+            raise NotImplementedError("planar JPEG-in-TIFF needs PIL")
+        if spp not in (1, 3):
+            raise NotImplementedError(
+                "JPEG-in-TIFF needs SamplesPerPixel 1 or 3"
+            )
+    elif photometric not in (0, 1, 2, 3, 5):
         raise NotImplementedError(
             "TIFF photometric beyond gray/RGB/palette/CMYK needs PIL on "
             "the cluster image"
@@ -1717,7 +1746,82 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
         if tags.get("planar_config", [1])[0] == 2:
             raise NotImplementedError("planar CMYK TIFF needs PIL")
     planar = tags.get("planar_config", [1])[0] == 2 and spp == 3
-    if tiled:
+
+    # JPEG-in-TIFF (TTN2 new-style, compression 7): each strip/tile is an
+    # abbreviated JPEG stream; shared DQT/DHT live in the JPEGTables tag
+    # (347) as a tables-only stream (SOI tables EOI) spliced in after the
+    # segment's own SOI.  The segment decodes through the module's native
+    # JPEG path (baseline/progressive/arithmetic all inherited for free).
+    jpeg_tables = (
+        bytes(tags["jpeg_tables"]) if "jpeg_tables" in tags else b""
+    )
+
+    def _jpeg_segment(data: bytes, rows: int, cols: int) -> np.ndarray:
+        stream = data
+        if len(jpeg_tables) >= 4 and data[:2] == b"\xff\xd8":
+            stream = b"\xff\xd8" + jpeg_tables[2:-2] + data[2:]
+        sw, sh, rgbb = _decode_jpeg(stream)
+        if sw < cols or sh < rows:
+            raise ValueError("JPEG-in-TIFF segment smaller than its cell")
+        arr = np.frombuffer(rgbb, np.uint8).reshape(sh, sw, 3)[:rows, :cols]
+        # gray segments come back channel-replicated; keep one sample
+        return arr[:, :, :1] if spp == 1 else arr
+
+    if bilevel:
+        # 1-bit path: raw packed rows (compression 1) or CCITT fax runs
+        # (2 = MH byte-aligned rows, 3 = T.4/G3 EOL rows incl. the mixed
+        # 2-D mode, 4 = T.6/G4).  Each strip decodes independently — G4
+        # resets its reference line to all-white per strip, exactly the
+        # random-access property strip-parallel readers rely on.
+        from data_pipeline_spark.llmops import fax
+
+        if tiled:
+            raise NotImplementedError("tiled bilevel TIFF needs PIL")
+        if photometric not in (0, 1):
+            raise ValueError("bilevel TIFF needs gray photometric")
+        if tags.get("t4_options", [0])[0] & 0b10 or (
+            tags.get("t6_options", [0])[0] & 0b10
+        ):
+            raise NotImplementedError(
+                "CCITT uncompressed-mode escapes need PIL"
+            )
+        two_d = bool(tags.get("t4_options", [0])[0] & 1)
+        rps = tags.get("rows_per_strip", [h])[0]
+        fill_order = tags.get("fill_order", [1])[0]
+        row_bytes = (w + 7) // 8
+        parts = []
+        for i, (o, n) in enumerate(
+            zip(tags["strip_offsets"], tags["strip_counts"])
+        ):
+            rows = min(rps, h - i * rps)
+            seg = content[o : o + n]
+            if fill_order == 2:  # LSB-first bit order: reverse per byte
+                seg = np.packbits(
+                    np.unpackbits(
+                        np.frombuffer(seg, np.uint8), bitorder="little"
+                    )
+                ).tobytes()
+            if compression == 1:
+                need = rows * row_bytes
+                if len(seg) < need:
+                    raise ValueError("truncated bilevel TIFF strip")
+                bm = np.unpackbits(
+                    np.frombuffer(seg, np.uint8, need).reshape(
+                        rows, row_bytes
+                    ),
+                    axis=1,
+                )[:, :w]
+            elif compression == 2:
+                bm = fax.decode_mh(seg, w, rows)
+            elif compression == 3:
+                bm = fax.decode_g3(seg, w, rows, two_d=two_d)
+            else:
+                bm = fax.decode_g4(seg, w, rows)
+            parts.append(bm)
+        px = (np.concatenate(parts, axis=0) * 255).astype(np.uint8)[
+            :, :, None
+        ]
+    elif tiled:
         # tiled layout (tags 322-325): the image is a grid of fixed-size
         # padded tiles, row-major, each compressed independently; planar
         # images store all tiles of plane 0 first, then plane 1, ...
@@ -1733,13 +1837,16 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
             raise ValueError("TIFF tile count does not match grid")
         canvas = np.zeros((n_planes, h, w, csp), np.uint8)
         for idx, (o, n) in enumerate(zip(offs, cnts)):
-            data = unstrip(content[o : o + n])
-            need = tl * tw * csp
-            if len(data) < need:
-                raise ValueError("truncated TIFF tile data")
-            t = np.frombuffer(data, np.uint8, need).reshape(tl, tw, csp)
-            if predictor == 2:
-                t = np.cumsum(t, axis=1, dtype=np.uint8)
+            if compression == 7:
+                t = _jpeg_segment(content[o : o + n], tl, tw)
+            else:
+                data = unstrip(content[o : o + n])
+                need = tl * tw * csp
+                if len(data) < need:
+                    raise ValueError("truncated TIFF tile data")
+                t = np.frombuffer(data, np.uint8, need).reshape(tl, tw, csp)
+                if predictor == 2:
+                    t = np.cumsum(t, axis=1, dtype=np.uint8)
             p, r = divmod(idx, tx * ty)
             tyi, txi = divmod(r, tx)
             y0, x0 = tyi * tl, txi * tw
@@ -1749,6 +1856,17 @@ def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
             px = canvas[:, :, :, 0].transpose(1, 2, 0)
         else:
             px = canvas[0]
+    elif compression == 7:
+        rps = tags.get("rows_per_strip", [h])[0]
+        px = np.concatenate(
+            [
+                _jpeg_segment(content[o : o + n], min(rps, h - i * rps), w)
+                for i, (o, n) in enumerate(
+                    zip(tags["strip_offsets"], tags["strip_counts"])
+                )
+            ],
+            axis=0,
+        )
     else:
         raw = b"".join(
             unstrip(content[o : o + n])

@@ -2306,3 +2306,162 @@ def test_tiff_cmyk_decode():
         multimodal.decode_media(
             _tiff_le(sorted(ents_planar), bits + cmyk.tobytes()), "tiff"
         )
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JFIF stream into (tables-only stream, tables-stripped
+    stream) — the layout TTN2's JPEGTables tag (347) prescribes: shared
+    DQT/DHT move to the tag, segments keep SOI/SOF/SOS/entropy/EOI."""
+    import struct
+
+    tables = b""
+    body = b"\xff\xd8"
+    pos = 2
+    while pos + 4 <= len(stream):
+        marker = struct.unpack_from(">H", stream, pos)[0]
+        if marker == 0xFFDA:
+            body += stream[pos:]
+            break
+        (length,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + length]
+        if marker in (0xFFDB, 0xFFC4):
+            tables += seg
+        else:
+            body += seg
+        pos += 2 + length
+    return b"\xff\xd8" + tables + b"\xff\xd9", body
+
+
+def test_tiff_jpeg_compression_decodes_natively():
+    """r9: new-style JPEG-in-TIFF (compression 7) decodes through the
+    native JPEG path — strip and tiled layouts, with and without the
+    JPEGTables (347) shared-tables splice.  The oracle is differential:
+    the TIFF decode must be byte-identical to assembling the individual
+    strip/tile JPEG decodes (same codec, so exact equality).  Old-style
+    JPEG (6) and RGB-JPEG photometrics still route to the PIL seam."""
+    import struct
+
+    import numpy as np
+
+    w, h, rps = 24, 21, 16  # two strips, the last one short
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(yy * 9 + xx * 3) % 256, (xx * 7) % 256, (yy * 5 + 40) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+    strips, parts = [], []
+    for y0 in range(0, h, rps):
+        rows = min(rps, h - y0)
+        blob = multimodal._encode_jpeg(
+            w, rows, rgb[y0 : y0 + rows].tobytes(), quality=85,
+            subsampling="420",
+        )
+        strips.append(blob)
+        sw, sh, out = multimodal._decode_jpeg(blob)
+        parts.append(np.frombuffer(out, np.uint8).reshape(sh, sw, 3))
+    expect = np.concatenate(parts, axis=0).tobytes()
+
+    def strip_tiff(segs: list, extra_ents=(), extra_trailer=b""):
+        n = 9 + len(extra_ents)
+        hdr = 8 + 2 + 12 * n + 4
+        offs, pos = [], hdr + len(extra_trailer)
+        for s in segs:
+            offs.append(pos)
+            pos += len(s)
+        ents = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 7), (262, 3, 1, 6), (273, 4, 2, pos),
+            (277, 3, 1, 3), (278, 4, 1, rps), (279, 4, 2, pos + 8),
+        ] + list(extra_ents)
+        trailer = (
+            extra_trailer
+            + b"".join(segs)
+            + struct.pack("<2I", *offs)
+            + struct.pack("<2I", *[len(s) for s in segs])
+        )
+        return _tiff_le(sorted(ents), trailer)
+
+    # full per-strip streams (no JPEGTables)
+    got = multimodal.decode_media(strip_tiff(strips), "tiff")
+    assert got == (w, h, expect)
+
+    # JPEGTables splice: strip 0's tables move to tag 347 and its segment
+    # is stripped bare; strip 1 keeps its own (different, per-segment
+    # optimized) tables, which must OVERRIDE the spliced ones — tables
+    # are redefinable by spec, so decode order handles both cases
+    tables, body0 = _split_jpeg_tables(strips[0])
+    hdr10 = 8 + 2 + 12 * 10 + 4
+    got = multimodal.decode_media(
+        strip_tiff(
+            [body0, strips[1]],
+            extra_ents=[(347, 7, len(tables), hdr10)],
+            extra_trailer=tables,
+        ),
+        "tiff",
+    )
+    assert got == (w, h, expect)
+
+    # tiled layout: 2x2 grid of 16x16 tiles over the padded image
+    tw = tl = 16
+    pad = np.pad(rgb, ((0, 2 * tl - h), (0, 2 * tw - w), (0, 0)), "edge")
+    tiles, tparts = [], []
+    for tyi in range(2):
+        for txi in range(2):
+            cell = pad[tyi * tl : (tyi + 1) * tl, txi * tw : (txi + 1) * tw]
+            blob = multimodal._encode_jpeg(
+                tw, tl, cell.tobytes(), quality=85, subsampling="444"
+            )
+            tiles.append(blob)
+            _, _, out = multimodal._decode_jpeg(blob)
+            tparts.append(np.frombuffer(out, np.uint8).reshape(tl, tw, 3))
+    canvas = np.zeros((2 * tl, 2 * tw, 3), np.uint8)
+    for i, t in enumerate(tparts):
+        tyi, txi = divmod(i, 2)
+        canvas[tyi * tl : (tyi + 1) * tl, txi * tw : (txi + 1) * tw] = t
+    texpect = canvas[:h, :w].tobytes()
+    n = 10
+    hdr = 8 + 2 + 12 * n + 4
+    offs, pos = [], hdr
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    ents = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 7),
+        (262, 3, 1, 6), (277, 3, 1, 3), (322, 4, 1, tw), (323, 4, 1, tl),
+        (324, 4, 4, pos), (325, 4, 4, pos + 16),
+    ]
+    trailer = (
+        b"".join(tiles)
+        + struct.pack("<4I", *offs)
+        + struct.pack("<4I", *[len(t) for t in tiles])
+    )
+    got = multimodal.decode_media(_tiff_le(sorted(ents), trailer), "tiff")
+    assert got == (w, h, texpect)
+
+    # gray spp=1 path: channel 0 of the decode, WhiteIsZero inverted
+    gray_tiff = bytearray(strip_tiff(strips))
+    # patch spp (277) to 1 and photometric (262) to 0 in the IFD
+    for i in range(9):
+        tag = struct.unpack_from("<H", gray_tiff, 10 + 12 * i)[0]
+        if tag == 277:
+            struct.pack_into("<I", gray_tiff, 10 + 12 * i + 8, 1)
+        elif tag == 262:
+            struct.pack_into("<I", gray_tiff, 10 + 12 * i + 8, 0)
+    got = multimodal.decode_media(bytes(gray_tiff), "tiff")
+    gexpect = np.repeat(
+        255
+        - np.frombuffer(expect, np.uint8).reshape(h, w, 3)[:, :, :1],
+        3,
+        axis=2,
+    ).tobytes()
+    assert got == (w, h, gexpect)
+
+    # seams: old-style JPEG (6) and RGB-JPEG photometric raise by name
+    for patch_tag, patch_val in ((259, 6), (262, 2)):
+        blob = bytearray(strip_tiff(strips))
+        for i in range(9):
+            tag = struct.unpack_from("<H", blob, 10 + 12 * i)[0]
+            if tag == patch_tag:
+                struct.pack_into("<I", blob, 10 + 12 * i + 8, patch_val)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(bytes(blob), "tiff")
