@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining window; the rest follow.
 _PRIORITY = [
     # -- r9 evidence targets -------------------------------------------------
+    # newest, never driver-checked: the container codec probe (avcC/SPS +
+    # Ogg granule metadata extraction)
+    "container_codec_probe",
     # never driver-checked: the late-r9 entries (leakage-safe split over
     # near-dup components; the bucketed no-equi-key interval join), the two
     # earlier r9 entries (band-pruned gate with a decision-only oracle; the

@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     # in-row stride-windowed chunker (zero-shuffle preprocessing path)
     "doc_chunking",
+    # container codec probe: per-doc avc1 MP4 synth + avcC/SPS parse and
+    # Ogg page write/CRC/granule probe, one mapInPandas (codec-bound)
+    "container_codec_probe",
 ]
 
 

@@ -2617,6 +2617,7 @@ def _encode_mp4(
     width: int = 64,
     height: int = 64,
     samples_per_chunk: int = 2,
+    avc_config: tuple | None = None,
 ) -> bytes:
     """Write a valid single-video-track MP4 around opaque frame payloads.
 
@@ -2675,8 +2676,10 @@ def _encode_mp4(
         + b"".join(struct.pack(">I", o) for o in chunk_offsets),
     )
 
-    # visual sample entry: generic mp4v box (no codec config — payloads are
-    # opaque; a real encoder appends esds/avcC here)
+    # visual sample entry: a REAL avc1 entry with an avcC configuration
+    # record (SPS/PPS generated by llmops.h264) when avc_config is given
+    # — (width, height, profile_idc, level_idc, cabac) — else a generic
+    # mp4v box with opaque payloads
     se = (
         b"\x00" * 6 + struct.pack(">H", 1)              # data_reference_index
         + b"\x00" * 16                                   # pre_defined/reserved
@@ -2687,7 +2690,21 @@ def _encode_mp4(
         + b"\x00" * 32                                   # compressorname
         + struct.pack(">Hh", 0x0018, -1)                 # depth, pre_defined
     )
-    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"mp4v", se))
+    if avc_config is not None:
+        from data_pipeline_spark.llmops import h264
+
+        aw, ah, profile_idc, level_idc, cabac = avc_config
+        avcc = _mp4_box(
+            b"avcC",
+            h264.build_avcc(
+                [h264.encode_sps(aw, ah, profile_idc, level_idc)],
+                [h264.encode_pps(entropy_cabac=cabac)],
+            ),
+        )
+        entry = _mp4_box(b"avc1", se + avcc)
+    else:
+        entry = _mp4_box(b"mp4v", se)
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stbl = _mp4_box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
 
     vmhd = _mp4_full(b"vmhd", 0, 1, b"\x00" * 8)
@@ -2875,6 +2892,109 @@ def parse_mp4_sample_table(content: bytes) -> list:
     if si != n:
         raise ValueError(f"chunk map covers {si} of {n} samples")
     return rows
+
+
+CONTAINER_PROBE_SCHEMA = (
+    "doc_id long, vid_width long, vid_height long, avc_profile string, "
+    "avc_level string, entropy_coding string, audio_codec string, "
+    "audio_channels long, audio_rate long, audio_duration_sec double, "
+    "ogg_pages long, ogg_packets long"
+)
+
+
+def container_probe(df: DataFrame, id_col: str) -> DataFrame:
+    """Per row: synthesize a REAL avc1 MP4 (generated SPS/PPS in an avcC
+    record, dims/profile/level/entropy derived from the id) and a REAL
+    Ogg stream (Opus/Vorbis alternating, CRC-sealed pages), then parse
+    both back through the container probes — the metadata-extraction
+    pass a video/audio ingest pipeline runs before deciding what to
+    decode.  Deterministic id -> metadata arithmetic makes the whole
+    round SQL-oracle-checkable.  One mapInPandas, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline_spark.llmops import ogg
+
+        cols = [f.split(" ")[0] for f in CONTAINER_PROBE_SCHEMA.split(", ")]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for raw in pdf[id_col]:
+                did = int(raw)
+                w = 128 + 2 * (did % 33)
+                h = 96 + 2 * (did % 17)
+                prof, lvl = ((66, 30), (77, 31), (100, 40))[did % 3]
+                mp4 = _encode_mp4(
+                    [b"\x00" + str(did).encode()] * 2,
+                    avc_config=(w, h, prof, lvl, bool(did % 2)),
+                )
+                vi = parse_avc_config(mp4)
+                secs = 1 + did % 5
+                if did % 2:
+                    ident = ogg.build_opus_head(2, 48000)
+                    granule = 48000 * secs + 312
+                else:
+                    ident = ogg.build_vorbis_ident(1, 44100)
+                    granule = 44100 * secs
+                blob = ogg.write_stream(
+                    did % 997 + 1,
+                    [ident, b"payload-%d" % did],
+                    [0, granule],
+                )
+                ai = ogg.probe(blob)
+                rows.append(
+                    (
+                        did, vi["width"], vi["height"], vi["profile"],
+                        vi["level"], vi["entropy_coding"], ai["codec"],
+                        ai["channels"], ai["sample_rate"],
+                        ai["duration_sec"], ai["n_pages"], ai["n_packets"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col).mapInPandas(run, schema=CONTAINER_PROBE_SCHEMA)
+
+
+def parse_avc_config(content: bytes) -> dict:
+    """Codec self-description from the MP4 box tree: walk to the video
+    track's stsd, and when the sample entry is ``avc1`` parse its avcC
+    AVCDecoderConfigurationRecord (llmops.h264) — profile, level, coded
+    dimensions, chroma format, entropy mode — with ZERO payload decode.
+    Raises ValueError when no avc1 entry is present (e.g. the opaque
+    mp4v entries the stub synthesizer emits)."""
+    import struct
+
+    moov = _mp4_find(content, [b"moov"], 0, len(content))
+    if moov is None:
+        raise ValueError("no moov box (not an MP4 or truncated)")
+    stsd = None
+    for kind, s, e in _iter_mp4_boxes(content, *moov):
+        if kind != b"trak":
+            continue
+        cand = _mp4_find(content, [b"mdia", b"minf", b"stbl", b"stsd"], s, e)
+        if cand is not None:
+            hdlr = _mp4_find(
+                content, [b"mdia", b"hdlr"], s, e
+            )
+            if hdlr and content[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+                stsd = cand
+                break
+            stsd = stsd or cand
+    if stsd is None:
+        raise ValueError("no stsd box in any track")
+    p = stsd[0] + 4  # skip version+flags
+    (n_entries,) = struct.unpack_from(">I", content, p)
+    for kind, s, e in _iter_mp4_boxes(content, p + 4, stsd[1]):
+        if kind != b"avc1":
+            continue
+        # child boxes start after the 78-byte visual sample entry fields
+        for ck, cs, ce in _iter_mp4_boxes(content, s + 78, e):
+            if ck == b"avcC":
+                from data_pipeline_spark.llmops import h264
+
+                return h264.parse_avcc(content[cs:ce])
+        raise ValueError("avc1 entry without avcC record")
+    raise ValueError("no avc1 sample entry (codec config absent)")
 
 
 def extract_mp4_frames(

@@ -710,6 +710,48 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "container_codec_probe",
+    """
+    SELECT doc_id,
+           CAST(128 + 2 * (doc_id % 33) AS BIGINT) AS vid_width,
+           CAST(96 + 2 * (doc_id % 17) AS BIGINT) AS vid_height,
+           CASE doc_id % 3 WHEN 0 THEN 'baseline' WHEN 1 THEN 'main'
+                ELSE 'high' END AS avc_profile,
+           CASE doc_id % 3 WHEN 0 THEN '3.0' WHEN 1 THEN '3.1'
+                ELSE '4.0' END AS avc_level,
+           CASE WHEN doc_id % 2 = 1 THEN 'cabac' ELSE 'cavlc' END
+               AS entropy_coding,
+           CASE WHEN doc_id % 2 = 1 THEN 'opus' ELSE 'vorbis' END
+               AS audio_codec,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+               AS audio_channels,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 48000 ELSE 44100 END
+                AS BIGINT) AS audio_rate,
+           CAST(1 + doc_id % 5 AS DOUBLE) AS audio_duration_sec,
+           CAST(2 AS BIGINT) AS ogg_pages,
+           CAST(2 AS BIGINT) AS ogg_packets
+    FROM documents
+    """,
+    doc="REAL container codec-metadata extraction at query level: per "
+    "document synthesize an MP4 whose avc1 sample entry carries a "
+    "generated H.264 SPS/PPS in an avcC record (dims via 16-aligned "
+    "coding size + frame cropping, profile/level/entropy cycling by id) "
+    "and an Ogg stream (Opus/Vorbis alternating, CRC-sealed pages), "
+    "then parse both back — exp-Golomb SPS decode for width/height/"
+    "profile/level, Ogg granule arithmetic for duration.  This is the "
+    "probe pass a 100 TB video/audio ingest runs BEFORE deciding what "
+    "to ffmpeg-decode; the oracle reconstructs every parsed field "
+    "arithmetically from doc_id.  One mapInPandas, no shuffle.",
+    tags=("llm", "multimodal"),
+)
+def container_codec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.container_probe(docs, "doc_id")
+
+
+@register(
     "cms_bigram_bounds",
     """
     WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
