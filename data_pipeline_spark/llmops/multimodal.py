@@ -1090,14 +1090,19 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
             )
 
             return decode_jpeg_lossless_arithmetic(content)
+        elif marker == 0xFFDE:
+            # DHP: hierarchical stream (Annex J pyramid), own decode path
+            return _decode_jpeg_hierarchical(content)
         elif marker in (
             0xFFC5, 0xFFC6, 0xFFC7, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             raise NotImplementedError(
                 "every non-hierarchical JPEG mode decodes natively "
-                "(SOF0/1/2/3 huffman, SOF9/10/11 arithmetic); the "
-                "differential/hierarchical modes (SOF5-7, SOF13-15) "
-                "require PIL on the cluster image"
+                "(SOF0/1/2/3 huffman, SOF9/10/11 arithmetic) and "
+                "DHP-led hierarchical sequential pyramids decode via "
+                "_decode_jpeg_hierarchical; a bare differential frame "
+                "(SOF5-7/13-15 without DHP) is not a legal stream — "
+                "route to PIL on the cluster image"
             )
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
@@ -1499,6 +1504,447 @@ def _decode_jpeg_lossless(content: bytes) -> tuple[int, int, bytes]:
             [p.astype(np.uint8) for p in planes], axis=2
         )
     return fw, fh, out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J): a DHP segment declares the full-image
+# dimensions, then a pyramid of frames refines the picture — a
+# non-differential base frame at reduced resolution, followed by
+# differential frames (SOF5 = differential sequential Huffman), each
+# optionally preceded by an EXP segment that doubles the reference
+# horizontally/vertically with the spec's (a + b + 1) >> 1 interpolation
+# filter (J.1.1.2).  Differential frames code the DCT of (source -
+# reference) with NO level shift and NO DC prediction (F.1.1.5.1); the
+# reference is clamped to [0, 255] after every frame (J.1.1.6).
+# Differential progressive/lossless/arithmetic hierarchical frames
+# (SOF6/7/13-15) raise by name into the PIL seam.
+# ---------------------------------------------------------------------------
+
+
+def _hier_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 expansion: doubled axis keeps input samples at even
+    positions and interpolates odd ones as (a + b + 1) >> 1, replicating
+    the last sample (b = a at the edge, so (2a + 1) >> 1 = a)."""
+    p = plane.astype(np.int32)
+    if eh:
+        right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out = np.empty((p.shape[0], p.shape[1] * 2), np.int32)
+        out[:, 0::2] = p
+        out[:, 1::2] = (p + right + 1) >> 1
+        p = out
+    if ev:
+        down = np.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        out = np.empty((p.shape[0] * 2, p.shape[1]), np.int32)
+        out[0::2, :] = p
+        out[1::2, :] = (p + down + 1) >> 1
+        p = out
+    return p
+
+
+def _hier_frame_payload(
+    planes: list, q_by_comp: list, differential: bool
+) -> tuple[bytes, list]:
+    """Entropy-code one hierarchical frame (3 components, 4:4:4,
+    sequential Huffman) from integer sample planes — absolute samples
+    for the base frame (level shift 128, DC predicted) or signed
+    differences for differential frames (no shift, no prediction).
+    Returns (DHT segments + SOS + scan bytes, decoder-visible
+    reconstruction planes as float arrays)."""
+    import struct
+
+    shift = 0.0 if differential else 128.0
+    coefs, recons = [], []
+    dims = []
+    for plane, q in zip(planes, q_by_comp):
+        blocks, by, bx = _blocks_of(plane.astype(np.float64))
+        f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - shift, _DCT_C)
+        cz = np.rint(f / q).astype(np.int64)
+        coefs.append(cz)
+        dims.append((by, bx))
+        sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cz * q, _DCT_C) + shift
+        full = sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        recons.append(full[: plane.shape[0], : plane.shape[1]])
+
+    def blocks_seq():
+        # interleaved MCU order; 4:4:4 -> one block per component per MCU
+        by, bx = dims[0]
+        for my in range(by):
+            for mx in range(bx):
+                for ci in range(3):
+                    yield ci, coefs[ci][my, mx].reshape(64)[_ZIGZAG]
+
+    dc_syms = [set(), set()]
+    ac_syms = [set(), set()]
+    prev_dc = [0, 0, 0]
+    for ci, zz in blocks_seq():
+        tsel = 0 if ci == 0 else 1
+        dc_val = int(zz[0]) - (0 if differential else prev_dc[ci])
+        prev_dc[ci] = int(zz[0])
+        dc_syms[tsel].add(_magnitude(dc_val)[0])
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms[tsel].add(0xF0)
+                run -= 16
+            ac_syms[tsel].add((run << 4) | _magnitude(v)[0])
+            run = 0
+        if run:
+            ac_syms[tsel].add(0x00)
+    ac_syms[0].add(0x00), ac_syms[1].add(0x00)
+    dc_tabs = [_canonical_codes(s) for s in dc_syms]
+    ac_tabs = [_canonical_codes(s) for s in ac_syms]
+
+    bw_ = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for ci, zz in blocks_seq():
+        tsel = 0 if ci == 0 else 1
+        dc_t, ac_t = dc_tabs[tsel][0], ac_tabs[tsel][0]
+        dc_val = int(zz[0]) - (0 if differential else prev_dc[ci])
+        prev_dc[ci] = int(zz[0])
+        size, code = _magnitude(dc_val)
+        hc, hl = dc_t[size]
+        bw_.write(hc, hl)
+        if size:
+            bw_.write(code, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_t[0xF0]
+                bw_.write(hc, hl)
+                run -= 16
+            s, c = _magnitude(v)
+            hc, hl = ac_t[(run << 4) | s]
+            bw_.write(hc, hl)
+            bw_.write(c, s)
+            run = 0
+        if run:
+            hc, hl = ac_t[0x00]
+            bw_.write(hc, hl)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    for tclass, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for tid, (_t, bits, vals) in enumerate(tabs):
+            out += seg(
+                0xFFC4, bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
+            )
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw_.flush()
+    return bytes(out), recons
+
+
+def _encode_jpeg_hierarchical(
+    w: int,
+    h: int,
+    rgb: bytes,
+    quality: int = 90,
+    levels: int = 3,
+    return_recon: bool = False,
+):
+    """(w, h, top-down RGB) -> hierarchical JFIF bytes: DHP + a 4:4:4
+    SOF0 base frame at 1/2^(levels-1) resolution + SOF5 differential
+    refinements, each preceded by an EXP doubling.  The encoder runs the
+    decoder's exact reconstruction in the loop (quantize -> dequant ->
+    IDCT -> clamp), so with ``return_recon`` the returned RGB is a
+    zero-tolerance oracle for the decoder."""
+    import struct
+
+    if levels < 1:
+        raise ValueError("hierarchical JPEG needs >= 1 level")
+    qy, qc = _jpeg_qtables(quality)
+    q_by_comp = [qy, qc, qc]
+
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    full = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    full = [np.clip(np.rint(p), 0, 255).astype(np.int32) for p in full]
+
+    # source pyramid: cascaded 2x2 box averages (encoder's choice of
+    # downsampling filter per J.1.1.1), smallest level last
+    pyramid = [full]
+    for _ in range(levels - 1):
+        prev = pyramid[-1]
+        lvl = []
+        for p in prev:
+            ph = (p.shape[0] + 1) // 2 * 2
+            pw = (p.shape[1] + 1) // 2 * 2
+            pad = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+            lvl.append(
+                np.rint(
+                    pad.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                ).astype(np.int32)
+            )
+        pyramid.append(lvl)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sof_payload(fw: int, fh: int) -> bytes:
+        return struct.pack(">BHHB", 8, fh, fw, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+
+    def zz_q(q: np.ndarray) -> bytes:
+        return bytes(int(q.reshape(64)[i]) for i in _ZIGZAG)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + zz_q(qy))
+    out += seg(0xFFDB, bytes([1]) + zz_q(qc))
+    out += seg(0xFFDE, sof_payload(w, h))  # DHP: full-image dimensions
+
+    ref: list | None = None
+    for k in range(levels - 1, -1, -1):
+        srcs = pyramid[k]
+        fh, fw = srcs[0].shape
+        if ref is None:
+            out += seg(0xFFC0, sof_payload(fw, fh))
+            payload, recons = _hier_frame_payload(
+                srcs, q_by_comp, differential=False
+            )
+            out += payload
+            ref = [
+                np.clip(np.rint(rc), 0, 255).astype(np.int32)
+                for rc in recons
+            ]
+        else:
+            out += seg(0xFFDF, bytes([0x11]))  # EXP: double both axes
+            ref = [
+                _hier_upsample(rp, 1, 1)[:fh, :fw] for rp in ref
+            ]
+            out += seg(0xFFC5, sof_payload(fw, fh))
+            diffs = [s - rp for s, rp in zip(srcs, ref)]
+            payload, recons = _hier_frame_payload(
+                diffs, q_by_comp, differential=True
+            )
+            out += payload
+            ref = [
+                np.clip(rp + np.rint(rc).astype(np.int32), 0, 255).astype(
+                    np.int32
+                )
+                for rp, rc in zip(ref, recons)
+            ]
+    out += b"\xff\xd9"
+    stream = bytes(out)
+    if not return_recon:
+        return stream
+    y, cb, cr = (p.astype(np.float64) for p in ref)
+    cb, cr = cb - 128.0, cr - 128.0
+    exp = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return stream, np.clip(np.rint(exp), 0, 255).astype(np.uint8).tobytes()
+
+
+def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
+    """Hierarchical (DHP-led) JPEG -> (w, h, top-down RGB).  Decodes the
+    non-differential base frame (SOF0/1) and SOF5 differential sequential
+    refinements, applying EXP reference expansions between frames;
+    SOF6/7 and the arithmetic hierarchical modes raise into the seam."""
+    import struct
+
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    dhp = None
+    pending_exp = (0, 0)
+    frame = None  # (fw, fh, comps, differential)
+    refs: dict[int, np.ndarray] = {}
+
+    def read_symbol(reader: _BitReader, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | reader.read(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in hierarchical scan")
+
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack_from(">H", content, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        payload = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(payload):
+                prec_id = payload[p]
+                if prec_id >> 4:
+                    raise NotImplementedError("16-bit DQT in hierarchical")
+                q = np.zeros(64)
+                for i, v in enumerate(payload[p + 1 : p + 65]):
+                    q[_ZIGZAG[i]] = v
+                qtables[prec_id & 0xF] = q.reshape(8, 8)
+                p += 65
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tc_id = payload[p]
+                bits = payload[p + 1 : p + 17]
+                nvals = sum(bits)
+                vals = payload[p + 17 : p + 17 + nvals]
+                table: dict = {}
+                code = 0
+                vi = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                htables[(tc_id >> 4, tc_id & 0xF)] = table
+                p += 17 + nvals
+        elif marker == 0xFFDE:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("hierarchical precision != 8")
+            dhp = (fw, fh, nc)
+        elif marker == 0xFFDF:
+            pending_exp = (payload[0] >> 4, payload[0] & 0xF)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC5):
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            comps = [
+                (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
+                for i in range(nc)
+            ]
+            for _cid, s, _q in comps:
+                if s != 0x11:
+                    raise NotImplementedError(
+                        "subsampled hierarchical frames need PIL"
+                    )
+            differential = marker == 0xFFC5
+            if differential and not refs:
+                raise ValueError("differential frame with no reference")
+            if pending_exp != (0, 0):
+                eh, ev = pending_exp
+                for cid in list(refs):
+                    refs[cid] = _hier_upsample(refs[cid], eh, ev)[:fh, :fw]
+                pending_exp = (0, 0)
+            frame = (fw, fh, comps, differential)
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC6, 0xFFC7) or marker in (
+            0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
+        ):
+            raise NotImplementedError(
+                "hierarchical refinement beyond sequential Huffman "
+                "(differential progressive/lossless/arithmetic frames) "
+                "needs PIL on the cluster image"
+            )
+        elif marker == 0xFFDA:
+            if frame is None or dhp is None:
+                raise ValueError("hierarchical SOS before DHP/SOF")
+            fw, fh, comps, differential = frame
+            ns = payload[0]
+            scan_sel = [
+                (payload[1 + 2 * i], payload[2 + 2 * i] >> 4,
+                 payload[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            e = pos
+            while e < len(content) - 1:
+                if content[e] != 0xFF:
+                    e += 1
+                elif content[e + 1] == 0x00:
+                    e += 2
+                elif content[e + 1] == 0xFF:
+                    e += 1
+                else:
+                    break
+            reader = _BitReader(content[pos:e])
+            pos = e
+            by, bx = (fh + 7) // 8, (fw + 7) // 8
+            qsel = {cid: q for cid, _s, q in comps}
+            shift = 0.0 if differential else 128.0
+            planes = {
+                cid: np.zeros((by, bx, 8, 8), np.float64)
+                for cid, _d, _a in scan_sel
+            }
+            prev_dc = {cid: 0 for cid, _d, _a in scan_sel}
+            for my in range(by):
+                for mx in range(bx):
+                    for cid, dcs, acs in scan_sel:
+                        dct = htables[(0, dcs)]
+                        act = htables[(1, acs)]
+                        zz = np.zeros(64, np.int64)
+                        size = read_symbol(reader, dct)
+                        dc = _extend(reader.read(size), size)
+                        if not differential:
+                            prev_dc[cid] += dc
+                            zz[0] = prev_dc[cid]
+                        else:
+                            zz[0] = dc
+                        k = 1
+                        while k < 64:
+                            sym = read_symbol(reader, act)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC run symbol")
+                                k += 1
+                                continue
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(reader.read(size), size)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_ZIGZAG] = zz
+                        planes[cid][my, mx] = blk.reshape(8, 8) * qtables[
+                            qsel[cid]
+                        ]
+            for cid, arr in planes.items():
+                sp = (
+                    np.einsum("ji,yxjk,kl->yxil", _DCT_C, arr, _DCT_C)
+                    + shift
+                )
+                fullp = sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)[
+                    :fh, :fw
+                ]
+                add = np.rint(fullp).astype(np.int32)
+                if differential:
+                    refs[cid] = np.clip(refs[cid] + add, 0, 255).astype(
+                        np.int32
+                    )
+                else:
+                    refs[cid] = np.clip(add, 0, 255).astype(np.int32)
+            frame = None
+        # APPn / COM: skipped
+    if dhp is None or not refs:
+        raise ValueError("hierarchical JPEG missing DHP or frames")
+    fw, fh, nc = dhp
+    if nc == 1:
+        y = refs[next(iter(refs))].astype(np.uint8)
+        return fw, fh, np.repeat(y[:, :, None], 3, axis=2).tobytes()
+    ids = sorted(refs)
+    y, cb, cr = (refs[i].astype(np.float64) for i in ids[:3])
+    cb, cr = cb - 128.0, cr - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return fw, fh, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
 def _jpeg_reconstruct(
@@ -2898,7 +3344,9 @@ CONTAINER_PROBE_SCHEMA = (
     "doc_id long, vid_width long, vid_height long, avc_profile string, "
     "avc_level string, entropy_coding string, audio_codec string, "
     "audio_channels long, audio_rate long, audio_duration_sec double, "
-    "ogg_pages long, ogg_packets long"
+    "ogg_pages long, ogg_packets long, mp3_bitrate long, "
+    "mp3_sample_rate long, mp3_channels long, mp3_frames long, "
+    "mp3_duration_sec double"
 )
 
 
@@ -2912,7 +3360,7 @@ def container_probe(df: DataFrame, id_col: str) -> DataFrame:
     round SQL-oracle-checkable.  One mapInPandas, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from data_pipeline_spark.llmops import ogg
+        from data_pipeline_spark.llmops import mp3, ogg
 
         cols = [f.split(" ")[0] for f in CONTAINER_PROBE_SCHEMA.split(", ")]
         for pdf in batches:
@@ -2942,12 +3390,28 @@ def container_probe(df: DataFrame, id_col: str) -> DataFrame:
                     [0, granule],
                 )
                 ai = ogg.probe(blob)
+                n_frames = 10 + did % 7
+                mp3_blob = b"ID3\x04\x00\x00" + bytes(
+                    [0, 0, 0, 12]
+                ) + bytes(12) + b"".join(
+                    mp3.build_frame(
+                        "1",
+                        3,
+                        (96, 128, 160, 192)[did % 4],
+                        (44100, 48000, 32000)[did % 3],
+                        mono=bool(did % 2),
+                    )
+                    for _ in range(n_frames)
+                )
+                mi = mp3.probe(mp3_blob)
                 rows.append(
                     (
                         did, vi["width"], vi["height"], vi["profile"],
                         vi["level"], vi["entropy_coding"], ai["codec"],
                         ai["channels"], ai["sample_rate"],
                         ai["duration_sec"], ai["n_pages"], ai["n_packets"],
+                        mi["avg_bitrate"], mi["sample_rate"],
+                        mi["channels"], mi["n_frames"], mi["duration_sec"],
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)
@@ -3200,6 +3664,7 @@ JPEG_DIFFERENTIAL_SCHEMA = StructType(
         StructField("restart_match", IntegerType()),
         StructField("lossless_match", IntegerType()),
         StructField("arithmetic_match", IntegerType()),
+        StructField("hierarchical_match", IntegerType()),
     ]
 )
 
@@ -3219,7 +3684,7 @@ def jpeg_progressive_differential(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pm, rm, lm, am = [], [], [], []
+            pm, rm, lm, am, hm = [], [], [], [], []
             for rid, t in zip(pdf[id_col], pdf[text_col]):
                 raw = (t or "").encode("utf-8") or b"\x00"
                 px = np.frombuffer(raw, np.uint8)
@@ -3289,6 +3754,13 @@ def jpeg_progressive_differential(
                     )
                 )
                 am.append(int(ar == base and ar_prog == base))
+                # hierarchical (Annex J pyramid): the encoder runs the
+                # decoder's reconstruction in its loop, so the decode
+                # must match the encoder-returned recon byte-exactly
+                hs, hexpect = _encode_jpeg_hierarchical(
+                    w, h, rgb, quality=75, levels=2, return_recon=True
+                )
+                hm.append(int(_decode_jpeg(hs) == (w, h, hexpect)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].reset_index(drop=True),
@@ -3298,6 +3770,7 @@ def jpeg_progressive_differential(
                     "restart_match": rm,
                     "lossless_match": lm,
                     "arithmetic_match": am,
+                    "hierarchical_match": hm,
                 }
             )
 

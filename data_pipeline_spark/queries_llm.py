@@ -729,16 +729,26 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS audio_rate,
            CAST(1 + doc_id % 5 AS DOUBLE) AS audio_duration_sec,
            CAST(2 AS BIGINT) AS ogg_pages,
-           CAST(2 AS BIGINT) AS ogg_packets
+           CAST(2 AS BIGINT) AS ogg_packets,
+           CAST(1000 * (96 + 32 * (doc_id % 4)) AS BIGINT) AS mp3_bitrate,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS BIGINT) AS mp3_sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS BIGINT)
+               AS mp3_channels,
+           CAST(10 + doc_id % 7 AS BIGINT) AS mp3_frames,
+           CAST((10 + doc_id % 7) * 1152 AS DOUBLE)
+               / (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END) AS mp3_duration_sec
     FROM documents
     """,
     doc="REAL container codec-metadata extraction at query level: per "
     "document synthesize an MP4 whose avc1 sample entry carries a "
     "generated H.264 SPS/PPS in an avcC record (dims via 16-aligned "
     "coding size + frame cropping, profile/level/entropy cycling by id) "
-    "and an Ogg stream (Opus/Vorbis alternating, CRC-sealed pages), "
-    "then parse both back — exp-Golomb SPS decode for width/height/"
-    "profile/level, Ogg granule arithmetic for duration.  This is the "
+    "an Ogg stream (Opus/Vorbis alternating, CRC-sealed pages) and an "
+    "ID3-prefixed MP3 frame chain, then parse all three back — "
+    "exp-Golomb SPS decode for width/height/profile/level, Ogg granule "
+    "arithmetic and MPEG frame-header walks for duration.  This is the "
     "probe pass a 100 TB video/audio ingest runs BEFORE deciding what "
     "to ffmpeg-decode; the oracle reconstructs every parsed field "
     "arithmetically from doc_id.  One mapInPandas, no shuffle.",
@@ -817,11 +827,13 @@ def cms_bigram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 AS progressive_match,
            1 AS restart_match,
            1 AS lossless_match,
-           1 AS arithmetic_match
+           1 AS arithmetic_match,
+           1 AS hierarchical_match
     FROM documents
     WHERE doc_id % 25 = 0
     """,
-    doc="Progressive + restart + lossless (SOF3) + ARITHMETIC (SOF9) "
+    doc="Progressive + restart + lossless (SOF3) + ARITHMETIC (SOF9) + "
+    "HIERARCHICAL (Annex J DHP/EXP/SOF5 pyramid, closed-loop oracle) "
     "JPEG differential at "
     "query level: the lossless leg must reproduce the ORIGINAL pixels "
     "byte-exactly (predictor cycles over all seven T.81 choices by row). "

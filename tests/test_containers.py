@@ -130,3 +130,58 @@ def test_ogg_vorbis_probe_and_seams():
         ogg.probe(t)
     with pytest.raises(ValueError):
         ogg.read_packets(b"NotOggData" + bytes(30))
+
+
+def test_mp3_frame_probe():
+    """MPEG audio frame-header walk: hand-computed frame lengths, CBR and
+    VBR chains, ID3v2/v1 skip, Xing frame-count override, resync over
+    leading garbage, named failure on non-audio bytes."""
+    import struct
+
+    from data_pipeline_spark.llmops import mp3
+
+    # hand-computed frame lengths (spec arithmetic)
+    assert len(mp3.build_frame("1", 3, 128, 44100)) == 417  # 144*128k/44.1k
+    assert len(mp3.build_frame("1", 3, 128, 44100, padding=1)) == 418
+    assert len(mp3.build_frame("1", 1, 384, 48000)) == 384  # (12*384k/48k)*4
+    assert len(mp3.build_frame("2", 3, 64, 22050)) == 208   # 72*64k/22.05k
+
+    blob = b"".join(mp3.build_frame("1", 3, 128, 44100) for _ in range(38))
+    info = mp3.probe(blob)
+    assert info["n_frames"] == 38 and info["sample_rate"] == 44100
+    assert info["duration_sec"] == 38 * 1152 / 44100
+    assert info["channel_mode"] == "stereo" and not info["vbr_tag"]
+
+    # VBR chain: bitrate varies, version/layer/rate fixed
+    brs = [96, 128, 160, 192] * 5
+    vbr = b"".join(mp3.build_frame("1", 3, b, 44100) for b in brs)
+    info = mp3.probe(vbr)
+    assert info["n_frames"] == 20 and info["avg_bitrate"] == 144000
+
+    # ID3v2 prefix (synchsafe size) + ID3v1 trailer are skipped
+    wrapped = (
+        b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+        + vbr + b"TAG" + bytes(125)
+    )
+    assert mp3.probe(wrapped)["n_frames"] == 20
+
+    # Xing tag in frame 0 overrides the walked count (after the 32-byte
+    # MPEG1-stereo side-info block)
+    f0 = bytearray(mp3.build_frame("1", 3, 128, 44100))
+    off = 4 + 32
+    f0[off : off + 4] = b"Xing"
+    struct.pack_into(">I", f0, off + 4, 1)
+    struct.pack_into(">I", f0, off + 8, 1000)
+    info = mp3.probe(bytes(f0) + blob[:417 * 3])
+    assert info["vbr_tag"] and info["n_frames"] == 1000
+    assert info["duration_sec"] == 1000 * 1152 / 44100
+
+    # resync over junk; MPEG2.5 layer II mono
+    info = mp3.probe(
+        b"\x00junk\xff\x00" + mp3.build_frame("2.5", 2, 32, 8000, mono=True)
+    )
+    assert info["version"] == "2.5" and info["layer"] == 2
+    assert info["sample_rate"] == 8000 and info["channels"] == 1
+
+    with pytest.raises(ValueError):
+        mp3.probe(b"definitely not audio")

@@ -2465,3 +2465,77 @@ def test_tiff_jpeg_compression_decodes_natively():
                 struct.pack_into("<I", blob, 10 + 12 * i + 8, patch_val)
         with pytest.raises(NotImplementedError):
             multimodal.decode_media(bytes(blob), "tiff")
+
+def test_jpeg_hierarchical_closed_loop_and_quality():
+    """r9: hierarchical JPEG (T.81 Annex J) — DHP + reduced-resolution
+    SOF0 base + EXP-expanded SOF5 differential refinements.  The encoder
+    runs the decoder's exact reconstruction in its loop (quantize ->
+    dequant -> IDCT -> clamp per frame), so the decode must be
+    pixel-IDENTICAL to the encoder's returned reconstruction; the final
+    pyramid must also approximate the source (refinement actually
+    refines).  Non-sequential differential frames raise by name."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for (w, h, q, lv) in [
+        (48, 32, 90, 3), (21, 13, 75, 2), (64, 64, 95, 4),
+        (33, 57, 85, 3), (8, 8, 90, 1),
+    ]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [(yy * 5 + xx * 3) % 256, (xx * 7 + 10) % 256,
+             ((yy + xx) * 4) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        stream, expect = multimodal._encode_jpeg_hierarchical(
+            w, h, rgb.tobytes(), quality=q, levels=lv, return_recon=True
+        )
+        gw, gh, got = multimodal._decode_jpeg(stream)
+        assert (gw, gh) == (w, h)
+        assert got == expect, f"closed loop diverged at {(w, h, q, lv)}"
+        mae = np.abs(
+            np.frombuffer(got, np.uint8).astype(int)
+            - rgb.reshape(-1).astype(int)
+        ).mean()
+        assert mae < 6.0, f"pyramid failed to refine at {(w, h, q, lv)}"
+
+    # noise content (worst case for the pyramid) still closes the loop
+    noisy = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    stream, expect = multimodal._encode_jpeg_hierarchical(
+        40, 24, noisy.tobytes(), quality=80, levels=3, return_recon=True
+    )
+    assert multimodal._decode_jpeg(stream)[2] == expect
+
+    # structure: DHP present, one SOF0, levels-1 SOF5 + EXP segments
+    def count_markers(blob, mk):
+        n, pos = 0, 2
+        while pos + 4 <= len(blob):
+            marker = struct.unpack_from(">H", blob, pos)[0]
+            if marker == 0xFFD9:
+                break
+            (ln,) = struct.unpack_from(">H", blob, pos + 2)
+            n += marker == mk
+            if marker == 0xFFDA:  # skip entropy data to next marker
+                pos += 2 + ln
+                while pos < len(blob) - 1:
+                    if blob[pos] != 0xFF or blob[pos + 1] in (0x00, 0xFF):
+                        pos += 1 + (blob[pos] == 0xFF)
+                    else:
+                        break
+                continue
+            pos += 2 + ln
+        return n
+
+    assert count_markers(stream, 0xFFDE) == 1
+    assert count_markers(stream, 0xFFC0) == 1
+    assert count_markers(stream, 0xFFC5) == 2
+    assert count_markers(stream, 0xFFDF) == 2
+
+    # a differential progressive frame inside a pyramid routes to the seam
+    mutated = bytearray(stream)
+    idx = bytes(mutated).find(b"\xff\xc5")
+    mutated[idx + 1] = 0xC6
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_jpeg(bytes(mutated))
