@@ -1541,6 +1541,45 @@ def _hier_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
     return p
 
 
+def _hier_lossless_payload(diffs: list) -> bytes:
+    """Differential LOSSLESS frame (SOF7): the signed difference samples
+    are coded directly — no prediction (J.1.1.4 forbids it in
+    differential frames, SOS Ss = 0), each sample as a DC-style
+    magnitude category + offset bits, components interleaved one sample
+    per MCU.  Exact by construction: reference + diff == source."""
+    import struct
+
+    h, w = diffs[0].shape
+    syms = [set(), set()]
+    for ci, d in enumerate(diffs):
+        tsel = 0 if ci == 0 else 1
+        flat = d.reshape(-1)
+        for v in flat:
+            syms[tsel].add(_magnitude(int(v))[0])
+    tabs = [_canonical_codes(s) for s in syms]
+    bw_ = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for ci, d in enumerate(diffs):
+                t = tabs[0 if ci == 0 else 1][0]
+                size, code = _magnitude(int(d[y, x]))
+                hc, hl = t[size]
+                bw_.write(hc, hl)
+                if size:
+                    bw_.write(code, size)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    for tid, (_t, bits, vals) in enumerate(tabs):
+        out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    # lossless SOS: Ss = predictor (0 = none, differential), Al = Pt = 0
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    out += bw_.flush()
+    return bytes(out)
+
+
 def _hier_frame_payload(
     planes: list, q_by_comp: list, differential: bool
 ) -> tuple[bytes, list]:
@@ -1650,13 +1689,17 @@ def _encode_jpeg_hierarchical(
     quality: int = 90,
     levels: int = 3,
     return_recon: bool = False,
+    lossless_final: bool = False,
 ):
     """(w, h, top-down RGB) -> hierarchical JFIF bytes: DHP + a 4:4:4
     SOF0 base frame at 1/2^(levels-1) resolution + SOF5 differential
     refinements, each preceded by an EXP doubling.  The encoder runs the
     decoder's exact reconstruction in the loop (quantize -> dequant ->
     IDCT -> clamp), so with ``return_recon`` the returned RGB is a
-    zero-tolerance oracle for the decoder."""
+    zero-tolerance oracle for the decoder.  ``lossless_final`` appends a
+    differential LOSSLESS frame (SOF7) at full resolution, making the
+    decoded YCbCr planes exactly equal the source planes — the
+    progressive-to-lossless delivery mode Annex J was designed for."""
     import struct
 
     if levels < 1:
@@ -1740,6 +1783,12 @@ def _encode_jpeg_hierarchical(
                 )
                 for rp, rc in zip(ref, recons)
             ]
+    if lossless_final:
+        # full-resolution differential lossless frame: closes the gap to
+        # the exact source planes (no EXP — same dimensions)
+        out += seg(0xFFC7, sof_payload(w, h))
+        out += _hier_lossless_payload([s - rp for s, rp in zip(full, ref)])
+        ref = [s.copy() for s in full]
     out += b"\xff\xd9"
     stream = bytes(out)
     if not return_recon:
@@ -1822,7 +1871,7 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
             dhp = (fw, fh, nc)
         elif marker == 0xFFDF:
             pending_exp = (payload[0] >> 4, payload[0] & 0xF)
-        elif marker in (0xFFC0, 0xFFC1, 0xFFC5):
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC5, 0xFFC7):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             comps = [
                 (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
@@ -1833,27 +1882,31 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     raise NotImplementedError(
                         "subsampled hierarchical frames need PIL"
                     )
-            differential = marker == 0xFFC5
-            if differential and not refs:
+            mode = {
+                0xFFC5: "diff_dct", 0xFFC7: "diff_lossless"
+            }.get(marker, "base")
+            if mode != "base" and not refs:
                 raise ValueError("differential frame with no reference")
             if pending_exp != (0, 0):
                 eh, ev = pending_exp
                 for cid in list(refs):
                     refs[cid] = _hier_upsample(refs[cid], eh, ev)[:fh, :fw]
                 pending_exp = (0, 0)
-            frame = (fw, fh, comps, differential)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC6, 0xFFC7) or marker in (
+            frame = (fw, fh, comps, mode)
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC6) or marker in (
             0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             raise NotImplementedError(
-                "hierarchical refinement beyond sequential Huffman "
-                "(differential progressive/lossless/arithmetic frames) "
-                "needs PIL on the cluster image"
+                "hierarchical refinement beyond sequential Huffman DCT "
+                "(SOF5) and differential lossless (SOF7) — progressive/"
+                "arithmetic differential frames need PIL on the cluster "
+                "image"
             )
         elif marker == 0xFFDA:
             if frame is None or dhp is None:
                 raise ValueError("hierarchical SOS before DHP/SOF")
-            fw, fh, comps, differential = frame
+            fw, fh, comps, mode = frame
+            differential = mode != "base"
             ns = payload[0]
             scan_sel = [
                 (payload[1 + 2 * i], payload[2 + 2 * i] >> 4,
@@ -1872,6 +1925,26 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     break
             reader = _BitReader(content[pos:e])
             pos = e
+            if mode == "diff_lossless":
+                # per-sample magnitude coding, one sample per component
+                # per MCU, no prediction (Ss = 0 by J.1.1.4)
+                diffs = {
+                    cid: np.zeros((fh, fw), np.int32)
+                    for cid, _d, _a in scan_sel
+                }
+                for y in range(fh):
+                    for x in range(fw):
+                        for cid, dcs, _acs in scan_sel:
+                            size = read_symbol(reader, htables[(0, dcs)])
+                            diffs[cid][y, x] = _extend(
+                                reader.read(size), size
+                            )
+                for cid, d in diffs.items():
+                    refs[cid] = np.clip(refs[cid] + d, 0, 255).astype(
+                        np.int32
+                    )
+                frame = None
+                continue
             by, bx = (fh + 7) // 8, (fw + 7) // 8
             qsel = {cid: q for cid, _s, q in comps}
             shift = 0.0 if differential else 128.0
@@ -3340,13 +3413,93 @@ def parse_mp4_sample_table(content: bytes) -> list:
     return rows
 
 
+def probe_webp(content: bytes) -> dict:
+    """WebP header probe (RIFF container): dimensions and variant from
+    the VP8 (lossy: 3-byte frame tag + 9D 01 2A start code + 14-bit
+    dims), VP8L (lossless: 0x2F signature + packed 14-bit dims) or VP8X
+    (extended: 24-bit canvas minus-one dims) chunk — the decide-before-
+    decode pass for WebP corpora; payload decode (boolean-coder VP8 /
+    LZ77-Huffman VP8L) stays behind the PIL seam."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    while pos + 8 <= len(content):
+        kind = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if kind == b"VP8 ":
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 start code")
+            (w,) = struct.unpack_from("<H", body, 6)
+            (h,) = struct.unpack_from("<H", body, 8)
+            return {
+                "format": "vp8", "width": w & 0x3FFF, "height": h & 0x3FFF,
+                "keyframe": not (body[0] & 1),
+            }
+        if kind == b"VP8L":
+            if body[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            (bits,) = struct.unpack_from("<I", body, 1)
+            return {
+                "format": "vp8l",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "alpha": bool((bits >> 28) & 1),
+            }
+        if kind == b"VP8X":
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {
+                "format": "vp8x", "width": w, "height": h,
+                "alpha": bool(body[0] & 0x10),
+                "animation": bool(body[0] & 0x02),
+            }
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    raise ValueError("no VP8/VP8L/VP8X chunk in WebP")
+
+
+def build_webp(
+    width: int, height: int, variant: str = "vp8", payload: bytes = b""
+) -> bytes:
+    """Structurally valid WebP header wrapper (probe-grade, payload
+    opaque) — the writer half of probe_webp's coupled test."""
+    import struct
+
+    if variant == "vp8":
+        body = (
+            b"\x10\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width, height) + payload
+        )
+        chunk = b"VP8 "
+    elif variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits) + payload
+        chunk = b"VP8L"
+    elif variant == "vp8x":
+        body = (
+            b"\x00\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little") + payload
+        )
+        chunk = b"VP8X"
+    else:
+        raise ValueError(f"unknown WebP variant {variant}")
+    inner = chunk + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        inner += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+
 CONTAINER_PROBE_SCHEMA = (
     "doc_id long, vid_width long, vid_height long, avc_profile string, "
     "avc_level string, entropy_coding string, audio_codec string, "
     "audio_channels long, audio_rate long, audio_duration_sec double, "
     "ogg_pages long, ogg_packets long, mp3_bitrate long, "
     "mp3_sample_rate long, mp3_channels long, mp3_frames long, "
-    "mp3_duration_sec double"
+    "mp3_duration_sec double, webp_format string, webp_width long, "
+    "webp_height long"
 )
 
 
@@ -3404,6 +3557,13 @@ def container_probe(df: DataFrame, id_col: str) -> DataFrame:
                     for _ in range(n_frames)
                 )
                 mi = mp3.probe(mp3_blob)
+                wi = probe_webp(
+                    build_webp(
+                        100 + did % 50,
+                        80 + did % 40,
+                        ("vp8", "vp8l", "vp8x")[did % 3],
+                    )
+                )
                 rows.append(
                     (
                         did, vi["width"], vi["height"], vi["profile"],
@@ -3412,6 +3572,7 @@ def container_probe(df: DataFrame, id_col: str) -> DataFrame:
                         ai["duration_sec"], ai["n_pages"], ai["n_packets"],
                         mi["avg_bitrate"], mi["sample_rate"],
                         mi["channels"], mi["n_frames"], mi["duration_sec"],
+                        wi["format"], wi["width"], wi["height"],
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)

@@ -738,7 +738,11 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(10 + doc_id % 7 AS BIGINT) AS mp3_frames,
            CAST((10 + doc_id % 7) * 1152 AS DOUBLE)
                / (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                  ELSE 32000 END) AS mp3_duration_sec
+                  ELSE 32000 END) AS mp3_duration_sec,
+           CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+                ELSE 'vp8x' END AS webp_format,
+           CAST(100 + doc_id % 50 AS BIGINT) AS webp_width,
+           CAST(80 + doc_id % 40 AS BIGINT) AS webp_height
     FROM documents
     """,
     doc="REAL container codec-metadata extraction at query level: per "

@@ -185,3 +185,39 @@ def test_mp3_frame_probe():
 
     with pytest.raises(ValueError):
         mp3.probe(b"definitely not audio")
+
+
+def test_webp_probe():
+    """WebP RIFF probe: all three chunk variants roundtrip through the
+    coupled writer; odd-size chunk padding honored; corrupt signatures
+    and missing chunks raise by name."""
+    from data_pipeline_spark.llmops.multimodal import build_webp, probe_webp
+
+    info = probe_webp(build_webp(320, 240, "vp8"))
+    assert info == {
+        "format": "vp8", "width": 320, "height": 240, "keyframe": True
+    }
+    info = probe_webp(build_webp(16383, 1, "vp8l", payload=b"x"))
+    assert info["format"] == "vp8l"
+    assert (info["width"], info["height"]) == (16383, 1)
+    info = probe_webp(build_webp(5000, 3000, "vp8x"))
+    assert (info["width"], info["height"]) == (5000, 3000)
+    assert not info["animation"]
+    # an unknown leading chunk is skipped (even-padded walk)
+    import struct
+
+    blob = build_webp(64, 48, "vp8")
+    extra = b"EXIF" + struct.pack("<I", 3) + b"abc\x00"
+    patched = blob[:12] + extra + blob[12:]
+    patched = b"RIFF" + struct.pack(
+        "<I", len(patched) - 8
+    ) + patched[8:]
+    assert probe_webp(patched)["width"] == 64
+    with pytest.raises(ValueError):
+        probe_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        probe_webp(b"RIFF\x04\x00\x00\x00WEBP")
+    bad = bytearray(build_webp(10, 10, "vp8"))
+    bad[12 + 8 + 3] = 0x00  # break the 9D 01 2A start code
+    with pytest.raises(ValueError):
+        probe_webp(bytes(bad))

@@ -2539,3 +2539,41 @@ def test_jpeg_hierarchical_closed_loop_and_quality():
     mutated[idx + 1] = 0xC6
     with pytest.raises(NotImplementedError):
         multimodal._decode_jpeg(bytes(mutated))
+
+def test_jpeg_hierarchical_lossless_final_frame():
+    """r9: a differential LOSSLESS final frame (SOF7) on top of the DCT
+    pyramid makes the decoded YCbCr planes exactly equal the source
+    planes — the decode must match the exact YCbCr->RGB roundtrip of the
+    original (only color-transform rounding remains, max error 1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for (w, h, q, lv) in [(48, 32, 90, 3), (21, 13, 75, 2)]:
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        stream, expect = multimodal._encode_jpeg_hierarchical(
+            w, h, rgb.tobytes(), quality=q, levels=lv,
+            return_recon=True, lossless_final=True,
+        )
+        gw, gh, got = multimodal._decode_jpeg(stream)
+        assert (gw, gh) == (w, h) and got == expect
+        px = rgb.astype(np.float64)
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(
+            np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255
+        ) - 128
+        cr = np.clip(
+            np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255
+        ) - 128
+        back = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr,
+             y + 1.772 * cb],
+            axis=2,
+        )
+        back = np.clip(np.rint(back), 0, 255).astype(np.uint8).tobytes()
+        assert got == back
+        err = np.abs(
+            np.frombuffer(got, np.uint8).astype(int)
+            - rgb.reshape(-1).astype(int)
+        ).max()
+        assert err <= 1  # color-transform rounding only
