@@ -35,8 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # -- r9 evidence targets -------------------------------------------------
     # newest, never driver-checked: the container codec probe (avcC/SPS +
-    # Ogg granule metadata extraction)
+    # Ogg granule + MP3 frame + WebP header metadata extraction) and the
+    # distributed BPE tokenizer trainer (pair-count certificate oracle-
+    # paired; merge table rows-only)
     "container_codec_probe",
+    "bpe_pair_counts_exact",
+    "bpe_learned_merges",
     # never driver-checked: the late-r9 entries (leakage-safe split over
     # near-dup components; the bucketed no-equi-key interval join), the two
     # earlier r9 entries (band-pruned gate with a decision-only oracle; the

@@ -115,6 +115,11 @@ BENCH_QUERIES = [
     # container codec probe: per-doc avc1 MP4 synth + avcC/SPS parse and
     # Ogg page write/CRC/granule probe, one mapInPandas (codec-bound)
     "container_codec_probe",
+    # BPE tokenizer training: vocabulary-bounded word-count shuffle +
+    # in-row pair expansion (certificate) and the incremental driver
+    # trainer over the top-20k table (merge loop cost)
+    "bpe_pair_counts_exact",
+    "bpe_learned_merges",
 ]
 
 
