@@ -1332,3 +1332,225 @@ def decode_jpeg_lossless_arithmetic(content: bytes) -> tuple[int, int, bytes]:
                     dec, stats[ci], base, chain
                 )
     return fw, fh, out.astype(np.uint8).tobytes()
+
+# --- Hierarchical differential frames (SOF13/14/15, Annex J + F/G/H) ------
+# Per-frame entropy payloads for the hierarchical pipeline in
+# multimodal.py: 4:4:4 components, block order (row, col, component).
+# Differential frames code DC UNPREDICTED (the prediction is zero per
+# J/F.1.1.5.1); the conditioning-class chaining is otherwise identical.
+# As with SOF9/10/11, no arithmetic-capable reference decoder exists
+# in-sandbox (or practically in the wild for SOF13-15), so the oracle is
+# the coupled pair + bit-identical reconstruction vs the Huffman
+# differential path (both transmit the same quantized coefficients).
+
+
+def hier_code_dct_sequential(zzc: list, predict_dc: bool = False) -> bytes:
+    """QM-coded scan body for a sequential DCT frame over zigzag
+    coefficient arrays (by, bx, 64) — SOF13 (predict_dc=False) or a
+    non-differential SOF9 base frame (predict_dc=True)."""
+    enc = QMEncoder()
+    dc_st = [bytearray(49), bytearray(49)]
+    ac_st = [bytearray(245), bytearray(245)]
+    fixed = bytearray([113])
+    dc_l, dc_u = _DC_COND_DEFAULT
+    lo, hi = (1 << dc_l) >> 1, (1 << dc_u) >> 1
+    kx = _AC_COND_DEFAULT
+    dc_ctx = [0] * len(zzc)
+    prev = [0] * len(zzc)
+    by, bx = zzc[0].shape[:2]
+    for y in range(by):
+        for x in range(bx):
+            for ci in range(len(zzc)):
+                t = 0 if ci == 0 else 1
+                zz = zzc[ci][y, x]
+                v = int(zz[0])
+                diff = v - prev[ci] if predict_dc else v
+                if predict_dc:
+                    prev[ci] = v
+                dc_ctx[ci] = _code_dc(
+                    enc, dc_st[t], dc_ctx[ci], diff, lo, hi
+                )
+                _code_ac(enc, ac_st[t], fixed, zz, kx)
+    return enc.flush()
+
+
+def hier_decode_dct_sequential(
+    data: bytes, by: int, bx: int, ncomp: int = 3, predict_dc: bool = False
+) -> list:
+    """Mirror of hier_code_dct_sequential -> list of (by, bx, 64) int64
+    zigzag coefficient arrays."""
+    dec = QMDecoder(data)
+    dc_st = [bytearray(49), bytearray(49)]
+    ac_st = [bytearray(245), bytearray(245)]
+    fixed = bytearray([113])
+    dc_l, dc_u = _DC_COND_DEFAULT
+    lo, hi = (1 << dc_l) >> 1, (1 << dc_u) >> 1
+    kx = _AC_COND_DEFAULT
+    dc_ctx = [0] * ncomp
+    prev = [0] * ncomp
+    out = [np.zeros((by, bx, 64), np.int64) for _ in range(ncomp)]
+    for y in range(by):
+        for x in range(bx):
+            for ci in range(ncomp):
+                t = 0 if ci == 0 else 1
+                diff, dc_ctx[ci] = _decode_dc(
+                    dec, dc_st[t], dc_ctx[ci], lo, hi
+                )
+                zz = _decode_ac(dec, ac_st[t], fixed, kx)
+                if predict_dc:
+                    prev[ci] += diff
+                    zz[0] = prev[ci]
+                else:
+                    zz[0] = diff
+                out[ci][y, x] = zz
+    return out
+
+
+# the 8-scan differential progressive plan shared by coder and decoder:
+# (component indices, Ss, Se, Ah, Al)
+_HIER_PROG_PLAN = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+def hier_code_dct_progressive(zzc: list) -> list:
+    """Differential PROGRESSIVE frame (SOF14): the plan's scans as
+    [(comp_ids, ss, se, ah, al, body)], each with a fresh QM coder and
+    statistics per T.81; DC first scans are unpredicted."""
+    dc_l, dc_u = _DC_COND_DEFAULT
+    lo, hi = (1 << dc_l) >> 1, (1 << dc_u) >> 1
+    kx = _AC_COND_DEFAULT
+    by, bx = zzc[0].shape[:2]
+    scans = []
+    for comp_ids, ss, se, ah, al in _HIER_PROG_PLAN:
+        enc = QMEncoder()
+        fixed = bytearray([113])
+        if ss == 0 and ah == 0:  # DC first, interleaved, unpredicted
+            dc_st = [bytearray(49), bytearray(49)]
+            dc_ctx = {ci: 0 for ci in comp_ids}
+            for y in range(by):
+                for x in range(bx):
+                    for ci in comp_ids:
+                        t = 0 if ci == 0 else 1
+                        v = int(zzc[ci][y, x, 0]) >> al
+                        dc_ctx[ci] = _code_dc(
+                            enc, dc_st[t], dc_ctx[ci], v, lo, hi
+                        )
+        elif ss == 0:  # DC refinement: fixed-context correction bits
+            for y in range(by):
+                for x in range(bx):
+                    for ci in comp_ids:
+                        enc.code(
+                            fixed, 0, (int(zzc[ci][y, x, 0]) >> al) & 1
+                        )
+        else:
+            (ci,) = comp_ids
+            ac_st = bytearray(245)
+            for y in range(by):
+                for x in range(bx):
+                    band = zzc[ci][y, x]
+                    if ah == 0:
+                        scaled = [0] * 64
+                        for k in range(ss, se + 1):
+                            v = int(band[k])
+                            a = (-v if v < 0 else v) >> al
+                            scaled[k] = -a if v < 0 else a
+                        _code_ac(enc, ac_st, fixed, scaled, kx, ss, se)
+                    else:
+                        _code_ac_refine(
+                            enc, ac_st, fixed, band, ah, al, ss, se
+                        )
+        scans.append((comp_ids, ss, se, ah, al, enc.flush()))
+    return scans
+
+
+def hier_decode_dct_progressive(
+    scans: list, by: int, bx: int, ncomp: int = 3
+) -> list:
+    """Mirror of hier_code_dct_progressive: accumulate [(comp_ids, ss,
+    se, ah, al, body)] scans -> (by, bx, 64) int64 coefficient arrays."""
+    dc_l, dc_u = _DC_COND_DEFAULT
+    lo, hi = (1 << dc_l) >> 1, (1 << dc_u) >> 1
+    kx = _AC_COND_DEFAULT
+    coef = [np.zeros((by, bx, 64), np.int64) for _ in range(ncomp)]
+    for comp_ids, ss, se, ah, al, data in scans:
+        dec = QMDecoder(data)
+        fixed = bytearray([113])
+        if ss == 0 and ah == 0:
+            dc_st = [bytearray(49), bytearray(49)]
+            dc_ctx = {ci: 0 for ci in comp_ids}
+            for y in range(by):
+                for x in range(bx):
+                    for ci in comp_ids:
+                        t = 0 if ci == 0 else 1
+                        v, dc_ctx[ci] = _decode_dc(
+                            dec, dc_st[t], dc_ctx[ci], lo, hi
+                        )
+                        coef[ci][y, x, 0] = v << al
+        elif ss == 0:
+            for y in range(by):
+                for x in range(bx):
+                    for ci in comp_ids:
+                        coef[ci][y, x, 0] |= dec.decode(fixed, 0) << al
+        else:
+            (ci,) = comp_ids
+            ac_st = bytearray(245)
+            for y in range(by):
+                for x in range(bx):
+                    if ah == 0:
+                        zz = _decode_ac(dec, ac_st, fixed, kx, ss, se)
+                        for k in range(ss, se + 1):
+                            if zz[k]:
+                                coef[ci][y, x, k] = zz[k] << al
+                    else:
+                        band = coef[ci][y, x]
+                        lst = band.tolist()
+                        _decode_ac_refine(
+                            dec, ac_st, fixed, lst, ah, al, ss, se
+                        )
+                        coef[ci][y, x] = lst
+    return coef
+
+
+def hier_code_lossless(diffs: list) -> bytes:
+    """Differential LOSSLESS frame (SOF15): per-sample signed differences
+    QM-coded with the Annex-H two-difference conditioning applied to the
+    difference image's own causal neighbors (the reconstruction a
+    non-differential frame would condition on does not exist here by
+    definition); components interleave one sample per MCU."""
+    enc = QMEncoder()
+    sts = [bytearray(_LL_STATS) for _ in diffs]
+    h, w = diffs[0].shape
+    for y in range(h):
+        for x in range(w):
+            for ci, d in enumerate(diffs):
+                a = int(d[y, x - 1]) if x else 0
+                b = int(d[y - 1, x]) if y else 0
+                c = int(d[y - 1, x - 1]) if (x and y) else 0
+                base, chain = _ll_ctx(a, b, c)
+                _code_ll_diff(enc, sts[ci], base, chain, int(d[y, x]))
+    return enc.flush()
+
+
+def hier_decode_lossless(data: bytes, w: int, h: int, ncomp: int = 3) -> list:
+    """Mirror of hier_code_lossless -> list of (h, w) int32 planes."""
+    dec = QMDecoder(data)
+    sts = [bytearray(_LL_STATS) for _ in range(ncomp)]
+    out = [np.zeros((h, w), np.int32) for _ in range(ncomp)]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                d = out[ci]
+                a = int(d[y, x - 1]) if x else 0
+                b = int(d[y - 1, x]) if y else 0
+                c = int(d[y - 1, x - 1]) if (x and y) else 0
+                base, chain = _ll_ctx(a, b, c)
+                d[y, x] = _decode_ll_diff(dec, sts[ci], base, chain)
+    return out

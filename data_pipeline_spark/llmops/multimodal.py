@@ -875,7 +875,8 @@ def _encode_jpeg_progressive(
 
 
 def _jpeg_progressive_coefs(
-    scans, sampling, hmax, vmax, fw, fh, mcuy, mcux, read_symbol
+    scans, sampling, hmax, vmax, fw, fh, mcuy, mcux, read_symbol,
+    predict_dc: bool = True,
 ) -> dict:
     """Accumulate a progressive JPEG's coefficients across its scans
     (ITU T.81 §G.1.2; no code consulted) -> {component id: (block rows,
@@ -928,8 +929,12 @@ def _jpeg_progressive_coefs(
                 for cid, dcs, by, bx in unit:
                     if ah == 0:
                         size = read_symbol(reader, ht[(0, dcs)])
-                        prev[cid] += _extend(reader.read(size), size)
-                        coef[cid][by, bx, 0] = prev[cid] << al
+                        d = _extend(reader.read(size), size)
+                        if predict_dc:
+                            prev[cid] += d
+                            d = prev[cid]
+                        # differential frames (SOF6) code DC unpredicted
+                        coef[cid][by, bx, 0] = d << al
                     else:
                         coef[cid][by, bx, 0] |= reader.read(1) << al
             continue
@@ -1541,6 +1546,26 @@ def _hier_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
     return p
 
 
+def _hier_dct_coefs(
+    planes: list, q_by_comp: list, differential: bool
+) -> tuple[list, list]:
+    """Shared DCT front half of the hierarchical frame coders: integer
+    sample planes -> ((by, bx, 64) int64 ZIGZAG coefficient arrays,
+    decoder-visible reconstruction planes).  Non-differential frames
+    level-shift by 128; differential frames code raw differences."""
+    shift = 0.0 if differential else 128.0
+    zzc, recons = [], []
+    for plane, q in zip(planes, q_by_comp):
+        blocks, by, bx = _blocks_of(plane.astype(np.float64))
+        f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - shift, _DCT_C)
+        cz = np.rint(f / q).astype(np.int64)
+        zzc.append(cz.reshape(by, bx, 64)[:, :, _ZIGZAG])
+        sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cz * q, _DCT_C) + shift
+        full = sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        recons.append(full[: plane.shape[0], : plane.shape[1]])
+    return zzc, recons
+
+
 def _hier_lossless_payload(diffs: list) -> bytes:
     """Differential LOSSLESS frame (SOF7): the signed difference samples
     are coded directly — no prediction (J.1.1.4 forbids it in
@@ -1591,26 +1616,15 @@ def _hier_frame_payload(
     reconstruction planes as float arrays)."""
     import struct
 
-    shift = 0.0 if differential else 128.0
-    coefs, recons = [], []
-    dims = []
-    for plane, q in zip(planes, q_by_comp):
-        blocks, by, bx = _blocks_of(plane.astype(np.float64))
-        f = np.einsum("ij,yxjk,lk->yxil", _DCT_C, blocks - shift, _DCT_C)
-        cz = np.rint(f / q).astype(np.int64)
-        coefs.append(cz)
-        dims.append((by, bx))
-        sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, cz * q, _DCT_C) + shift
-        full = sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        recons.append(full[: plane.shape[0], : plane.shape[1]])
+    zzc, recons = _hier_dct_coefs(planes, q_by_comp, differential)
 
     def blocks_seq():
         # interleaved MCU order; 4:4:4 -> one block per component per MCU
-        by, bx = dims[0]
+        by, bx = zzc[0].shape[:2]
         for my in range(by):
             for mx in range(bx):
                 for ci in range(3):
-                    yield ci, coefs[ci][my, mx].reshape(64)[_ZIGZAG]
+                    yield ci, zzc[ci][my, mx]
 
     dc_syms = [set(), set()]
     ac_syms = [set(), set()]
@@ -1682,6 +1696,161 @@ def _hier_frame_payload(
     return bytes(out), recons
 
 
+def _hier_progressive_payload(
+    diffs: list, q_by_comp: list
+) -> tuple[bytes, list]:
+    """Differential PROGRESSIVE frame (SOF6): the difference image's
+    quantized DCT coefficients transmitted as an 8-scan successive-
+    approximation progression — interleaved DC first (Al=1, NO
+    prediction per G.1.2.1 for differential frames), per-component AC
+    first (1-63, Al=1), DC refinement, per-component AC refinement —
+    exercising every progressive scan kind in differential mode.  The
+    full precision arrives by the last scan, so the reconstruction
+    equals the sequential differential frame's bit-for-bit."""
+    import struct
+
+    zzc, recons = _hier_dct_coefs(diffs, q_by_comp, differential=True)
+    dims = [(z.shape[0], z.shape[1]) for z in zzc]
+
+    def dc_first_ops(al):
+        by, bx = dims[0]
+        units = []
+        for y in range(by):
+            for x in range(bx):
+                ops = []
+                for ci in range(3):
+                    t = 0 if ci == 0 else 1
+                    v = int(zzc[ci][y, x, 0]) >> al  # no prediction
+                    size, code = _magnitude(v)
+                    ops.append(("s", 0, t, size))
+                    if size:
+                        ops.append(("b", code, size))
+                units.append(ops)
+        return units
+
+    def dc_refine_ops(al):
+        by, bx = dims[0]
+        return [
+            [
+                ("b", (int(zzc[ci][y, x, 0]) >> al) & 1, 1)
+                for ci in range(3)
+            ]
+            for y in range(by)
+            for x in range(bx)
+        ]
+
+    def ac_first_ops(ci, ss, se, al):
+        t = 0 if ci == 0 else 1
+        units = []
+        by, bx = dims[ci]
+        for y in range(by):
+            for x in range(bx):
+                ops = []
+                band = zzc[ci][y, x]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(band[k])
+                    a = abs(v) >> al
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.append(("s", 1, t, 0xF0))
+                        run -= 16
+                    s, c = _magnitude(a if v > 0 else -a)
+                    ops.append(("s", 1, t, (run << 4) | s))
+                    ops.append(("b", c, s))
+                    run = 0
+                if run:
+                    ops.append(("s", 1, t, 0x00))  # EOB run of 1
+                units.append(ops)
+        return units
+
+    def ac_refine_ops(ci, ss, se, ah, al):
+        t = 0 if ci == 0 else 1
+        units = []
+        by, bx = dims[ci]
+        for y in range(by):
+            for x in range(bx):
+                ops = []
+                band = zzc[ci][y, x]
+                queue: list = []
+                for k in range(ss, se + 1):
+                    v = int(band[k])
+                    a = abs(v)
+                    if a >> ah:  # history-nonzero at prior precision
+                        queue.append(("h", (a >> al) & 1))
+                    elif (a >> al) == 1:  # newly significant this scan
+                        while sum(1 for q in queue if q[0] == "z") > 15:
+                            ops.append(("s", 1, t, 0xF0))
+                            zc = 0
+                            while zc < 16:
+                                it = queue.pop(0)
+                                if it[0] == "z":
+                                    zc += 1
+                                else:
+                                    ops.append(("b", it[1], 1))
+                        run = sum(1 for q in queue if q[0] == "z")
+                        ops.append(("s", 1, t, (run << 4) | 1))
+                        ops.append(("b", 1 if v > 0 else 0, 1))
+                        ops.extend(
+                            ("b", it[1], 1) for it in queue if it[0] == "h"
+                        )
+                        queue = []
+                    else:
+                        queue.append(("z",))
+                if queue:
+                    ops.append(("s", 1, t, 0x00))
+                    ops.extend(
+                        ("b", it[1], 1) for it in queue if it[0] == "h"
+                    )
+                units.append(ops)
+        return units
+
+    all_comps = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    scan_plan = [
+        (all_comps, 0, 0, 0, 1, dc_first_ops(1)),
+        ([(1, 0, 0)], 1, 63, 0, 1, ac_first_ops(0, 1, 63, 1)),
+        ([(2, 1, 1)], 1, 63, 0, 1, ac_first_ops(1, 1, 63, 1)),
+        ([(3, 1, 1)], 1, 63, 0, 1, ac_first_ops(2, 1, 63, 1)),
+        (all_comps, 0, 0, 1, 0, dc_refine_ops(0)),
+        ([(1, 0, 0)], 1, 63, 1, 0, ac_refine_ops(0, 1, 63, 1, 0)),
+        ([(2, 1, 1)], 1, 63, 1, 0, ac_refine_ops(1, 1, 63, 1, 0)),
+        ([(3, 1, 1)], 1, 63, 1, 0, ac_refine_ops(2, 1, 63, 1, 0)),
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    for sc, ss, se, ah, al, units in scan_plan:
+        syms: dict = {}
+        for ops in units:
+            for op in ops:
+                if op[0] == "s":
+                    syms.setdefault((op[1], op[2]), set()).add(op[3])
+        tabs = {key: _canonical_codes(s) for key, s in syms.items()}
+        for (tclass, tid), (table, bits, vals) in sorted(tabs.items()):
+            out += seg(
+                0xFFC4, bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
+            )
+        body = bytes([len(sc)])
+        for cid, dcs, acs in sc:
+            body += bytes([cid, dcs << 4 | acs])
+        body += bytes([ss, se, ah << 4 | al])
+        out += seg(0xFFDA, body)
+        bw_ = _BitWriter()
+        for ops in units:
+            for op in ops:
+                if op[0] == "s":
+                    hc, hl = tabs[(op[1], op[2])][0][op[3]]
+                    bw_.write(hc, hl)
+                else:
+                    bw_.write(op[1], op[2])
+        out += bw_.flush()
+    return bytes(out), recons
+
+
 def _encode_jpeg_hierarchical(
     w: int,
     h: int,
@@ -1690,16 +1859,26 @@ def _encode_jpeg_hierarchical(
     levels: int = 3,
     return_recon: bool = False,
     lossless_final: bool = False,
+    progressive_refine: bool = False,
+    entropy: str = "huffman",
 ):
     """(w, h, top-down RGB) -> hierarchical JFIF bytes: DHP + a 4:4:4
-    SOF0 base frame at 1/2^(levels-1) resolution + SOF5 differential
+    SOF0 base frame at 1/2^(levels-1) resolution + differential
     refinements, each preceded by an EXP doubling.  The encoder runs the
     decoder's exact reconstruction in the loop (quantize -> dequant ->
     IDCT -> clamp), so with ``return_recon`` the returned RGB is a
     zero-tolerance oracle for the decoder.  ``lossless_final`` appends a
     differential LOSSLESS frame (SOF7) at full resolution, making the
     decoded YCbCr planes exactly equal the source planes — the
-    progressive-to-lossless delivery mode Annex J was designed for."""
+    progressive-to-lossless delivery mode Annex J was designed for.
+    ``progressive_refine`` transmits the differential DCT frames as
+    8-scan PROGRESSIVE frames (SOF6) instead of sequential (SOF5); both
+    carry identical quantized coefficients, so the reconstruction is
+    bit-for-bit the same — which the tests pin.  ``entropy="arithmetic"``
+    swaps every frame's entropy coder for the T.81 QM coder
+    (llmops/jpeg_arith): SOF9 base + SOF13/14 differential DCT + SOF15
+    differential lossless — again identical coefficients, identical
+    reconstruction."""
     import struct
 
     if levels < 1:
@@ -1746,10 +1925,22 @@ def _encode_jpeg_hierarchical(
     def zz_q(q: np.ndarray) -> bytes:
         return bytes(int(q.reshape(64)[i]) for i in _ZIGZAG)
 
+    if entropy not in ("huffman", "arithmetic"):
+        raise ValueError(f"unknown entropy coder {entropy!r}")
+    arith = entropy == "arithmetic"
+    if arith:
+        from data_pipeline_spark.llmops import jpeg_arith as _ja
+
+    _SOS_SEQ = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    _SOS_LL = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0])
+
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, bytes([0]) + zz_q(qy))
     out += seg(0xFFDB, bytes([1]) + zz_q(qc))
+    if arith:
+        # DAC: default conditioning (DC L=0/U=1, AC Kx=5), both tables
+        out += seg(0xFFCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5]))
     out += seg(0xFFDE, sof_payload(w, h))  # DHP: full-image dimensions
 
     ref: list | None = None
@@ -1757,11 +1948,19 @@ def _encode_jpeg_hierarchical(
         srcs = pyramid[k]
         fh, fw = srcs[0].shape
         if ref is None:
-            out += seg(0xFFC0, sof_payload(fw, fh))
-            payload, recons = _hier_frame_payload(
-                srcs, q_by_comp, differential=False
-            )
-            out += payload
+            if arith:
+                out += seg(0xFFC9, sof_payload(fw, fh))
+                zzc, recons = _hier_dct_coefs(
+                    srcs, q_by_comp, differential=False
+                )
+                out += seg(0xFFDA, _SOS_SEQ)
+                out += _ja.hier_code_dct_sequential(zzc, predict_dc=True)
+            else:
+                out += seg(0xFFC0, sof_payload(fw, fh))
+                payload, recons = _hier_frame_payload(
+                    srcs, q_by_comp, differential=False
+                )
+                out += payload
             ref = [
                 np.clip(np.rint(rc), 0, 255).astype(np.int32)
                 for rc in recons
@@ -1771,12 +1970,40 @@ def _encode_jpeg_hierarchical(
             ref = [
                 _hier_upsample(rp, 1, 1)[:fh, :fw] for rp in ref
             ]
-            out += seg(0xFFC5, sof_payload(fw, fh))
             diffs = [s - rp for s, rp in zip(srcs, ref)]
-            payload, recons = _hier_frame_payload(
-                diffs, q_by_comp, differential=True
-            )
-            out += payload
+            if arith and progressive_refine:
+                out += seg(0xFFCE, sof_payload(fw, fh))
+                zzc, recons = _hier_dct_coefs(
+                    diffs, q_by_comp, differential=True
+                )
+                for comp_ids, ss, se, ah, al, body in (
+                    _ja.hier_code_dct_progressive(zzc)
+                ):
+                    hdr = bytes([len(comp_ids)])
+                    for ci in comp_ids:
+                        hdr += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+                    hdr += bytes([ss, se, ah << 4 | al])
+                    out += seg(0xFFDA, hdr)
+                    out += body
+            elif arith:
+                out += seg(0xFFCD, sof_payload(fw, fh))
+                zzc, recons = _hier_dct_coefs(
+                    diffs, q_by_comp, differential=True
+                )
+                out += seg(0xFFDA, _SOS_SEQ)
+                out += _ja.hier_code_dct_sequential(zzc, predict_dc=False)
+            elif progressive_refine:
+                out += seg(0xFFC6, sof_payload(fw, fh))
+                payload, recons = _hier_progressive_payload(
+                    diffs, q_by_comp
+                )
+                out += payload
+            else:
+                out += seg(0xFFC5, sof_payload(fw, fh))
+                payload, recons = _hier_frame_payload(
+                    diffs, q_by_comp, differential=True
+                )
+                out += payload
             ref = [
                 np.clip(rp + np.rint(rc).astype(np.int32), 0, 255).astype(
                     np.int32
@@ -1786,8 +2013,14 @@ def _encode_jpeg_hierarchical(
     if lossless_final:
         # full-resolution differential lossless frame: closes the gap to
         # the exact source planes (no EXP — same dimensions)
-        out += seg(0xFFC7, sof_payload(w, h))
-        out += _hier_lossless_payload([s - rp for s, rp in zip(full, ref)])
+        diffs = [s - rp for s, rp in zip(full, ref)]
+        if arith:
+            out += seg(0xFFCF, sof_payload(w, h))
+            out += seg(0xFFDA, _SOS_LL)
+            out += _ja.hier_code_lossless(diffs)
+        else:
+            out += seg(0xFFC7, sof_payload(w, h))
+            out += _hier_lossless_payload(diffs)
         ref = [s.copy() for s in full]
     out += b"\xff\xd9"
     stream = bytes(out)
@@ -1814,8 +2047,9 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
     htables: dict[tuple[int, int], dict] = {}
     dhp = None
     pending_exp = (0, 0)
-    frame = None  # (fw, fh, comps, differential)
+    frame = None  # (fw, fh, comps, mode)
     refs: dict[int, np.ndarray] = {}
+    prog_scans: list = []  # SOF6: scans accumulate until the next frame
 
     def read_symbol(reader: _BitReader, table: dict) -> int:
         code = 0
@@ -1825,6 +2059,52 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in hierarchical scan")
+
+    def _apply_diff_coefs(coef_by_cid: dict, fw: int, fh: int, comps) -> None:
+        """Dequantize zigzag (by, bx, 64) coefficient arrays, IDCT with
+        NO level shift, add to the reference, clamp."""
+        qsel = {cid: q for cid, _s, q in comps}
+        for cid, zz in coef_by_cid.items():
+            nat = np.zeros(zz.shape, np.float64)
+            nat[:, :, _ZIGZAG] = zz.astype(np.float64)
+            arr = nat.reshape(zz.shape[0], zz.shape[1], 8, 8) * qtables[
+                qsel[cid]
+            ]
+            sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, arr, _DCT_C)
+            fullp = sp.transpose(0, 2, 1, 3).reshape(
+                zz.shape[0] * 8, zz.shape[1] * 8
+            )[:fh, :fw]
+            refs[cid] = np.clip(
+                refs[cid] + np.rint(fullp).astype(np.int32), 0, 255
+            ).astype(np.int32)
+
+    def finish_prog_frame() -> None:
+        """Close an open SOF6/SOF14 frame: accumulate its scans'
+        coefficients (DC unpredicted), dequantize, IDCT without level
+        shift, add to the reference, clamp."""
+        nonlocal frame, prog_scans
+        if frame is None or not prog_scans:
+            return
+        fw, fh, comps, mode = frame
+        by, bx = (fh + 7) // 8, (fw + 7) // 8
+        if mode == "diff_prog":
+            sampling = {cid: (1, 1) for cid, _s, _q in comps}
+            coef = _jpeg_progressive_coefs(
+                prog_scans, sampling, 1, 1, fw, fh, by, bx, read_symbol,
+                predict_dc=False,
+            )
+        elif mode == "diff_prog_arith":
+            from data_pipeline_spark.llmops import jpeg_arith as _ja
+
+            arrays = _ja.hier_decode_dct_progressive(
+                prog_scans, by, bx, len(comps)
+            )
+            coef = {comps[ci][0]: arrays[ci] for ci in range(len(comps))}
+        else:
+            return
+        _apply_diff_coefs(coef, fw, fh, comps)
+        frame = None
+        prog_scans = []
 
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
@@ -1870,8 +2150,27 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError("hierarchical precision != 8")
             dhp = (fw, fh, nc)
         elif marker == 0xFFDF:
+            finish_prog_frame()  # EXP precedes the NEXT frame
             pending_exp = (payload[0] >> 4, payload[0] & 0xF)
-        elif marker in (0xFFC0, 0xFFC1, 0xFFC5, 0xFFC7):
+        elif marker == 0xFFCC:
+            # DAC: the encoder emits the T.81 default conditioning; a
+            # stream with non-default bounds would decode wrongly, so
+            # raise by name rather than silently mis-adapt
+            p = 0
+            while p + 1 < len(payload):
+                tc = payload[p] >> 4
+                v = payload[p + 1]
+                if (tc == 0 and v != 0x10) or (tc == 1 and v != 5):
+                    raise NotImplementedError(
+                        "non-default arithmetic conditioning in "
+                        "hierarchical stream needs PIL"
+                    )
+                p += 2
+        elif marker in (
+            0xFFC0, 0xFFC1, 0xFFC5, 0xFFC6, 0xFFC7,
+            0xFFC9, 0xFFCD, 0xFFCE, 0xFFCF,
+        ):
+            finish_prog_frame()  # a new frame closes an open prog one
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             comps = [
                 (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
@@ -1883,9 +2182,12 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                         "subsampled hierarchical frames need PIL"
                     )
             mode = {
-                0xFFC5: "diff_dct", 0xFFC7: "diff_lossless"
+                0xFFC5: "diff_dct", 0xFFC6: "diff_prog",
+                0xFFC7: "diff_lossless", 0xFFC9: "base_arith",
+                0xFFCD: "diff_dct_arith", 0xFFCE: "diff_prog_arith",
+                0xFFCF: "diff_lossless_arith",
             }.get(marker, "base")
-            if mode != "base" and not refs:
+            if mode.startswith("diff") and not refs:
                 raise ValueError("differential frame with no reference")
             if pending_exp != (0, 0):
                 eh, ev = pending_exp
@@ -1893,14 +2195,13 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     refs[cid] = _hier_upsample(refs[cid], eh, ev)[:fh, :fw]
                 pending_exp = (0, 0)
             frame = (fw, fh, comps, mode)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC6) or marker in (
-            0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
-        ):
+        elif marker in (0xFFC2, 0xFFC3, 0xFFCA, 0xFFCB):
             raise NotImplementedError(
-                "hierarchical refinement beyond sequential Huffman DCT "
-                "(SOF5) and differential lossless (SOF7) — progressive/"
-                "arithmetic differential frames need PIL on the cluster "
-                "image"
+                "hierarchical pyramids decode with sequential/progressive "
+                "DCT and lossless differential frames in BOTH entropy "
+                "coders (SOF0/1/5/6/7 Huffman, SOF9/13/14/15 arithmetic); "
+                "a progressive or lossless NON-differential frame inside "
+                "a pyramid needs PIL on the cluster image"
             )
         elif marker == 0xFFDA:
             if frame is None or dhp is None:
@@ -1923,6 +2224,78 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     e += 1
                 else:
                     break
+            if mode == "diff_prog":
+                # progressive: scans accumulate; the frame closes at the
+                # next structural marker (EXP/SOF/EOI)
+                ss_, se_ = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ahal_ = payload[3 + 2 * ns]
+                prog_scans.append(
+                    (scan_sel, ss_, se_, ahal_ >> 4, ahal_ & 0xF,
+                     content[pos:e], dict(htables), 0)
+                )
+                pos = e
+                continue
+            if mode == "diff_prog_arith":
+                ss_, se_ = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ahal_ = payload[3 + 2 * ns]
+                cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+                comp_ids = tuple(
+                    cid_to_idx[scid] for scid, _d, _a in scan_sel
+                )
+                prog_scans.append(
+                    (comp_ids, ss_, se_, ahal_ >> 4, ahal_ & 0xF,
+                     content[pos:e])
+                )
+                pos = e
+                continue
+            if mode in ("base_arith", "diff_dct_arith"):
+                from data_pipeline_spark.llmops import jpeg_arith as _ja
+
+                by, bx = (fh + 7) // 8, (fw + 7) // 8
+                arrays = _ja.hier_decode_dct_sequential(
+                    content[pos:e], by, bx, len(comps),
+                    predict_dc=mode == "base_arith",
+                )
+                pos = e
+                if mode == "diff_dct_arith":
+                    _apply_diff_coefs(
+                        {comps[ci][0]: arrays[ci] for ci in range(len(comps))},
+                        fw, fh, comps,
+                    )
+                else:
+                    qsel = {cid: q for cid, _s, q in comps}
+                    for ci, (cid, _s, _q) in enumerate(comps):
+                        zz = arrays[ci]
+                        nat = np.zeros(zz.shape, np.float64)
+                        nat[:, :, _ZIGZAG] = zz.astype(np.float64)
+                        arr = nat.reshape(by, bx, 8, 8) * qtables[qsel[cid]]
+                        sp = (
+                            np.einsum(
+                                "ji,yxjk,kl->yxil", _DCT_C, arr, _DCT_C
+                            )
+                            + 128.0
+                        )
+                        fullp = sp.transpose(0, 2, 1, 3).reshape(
+                            by * 8, bx * 8
+                        )[:fh, :fw]
+                        refs[cid] = np.clip(
+                            np.rint(fullp), 0, 255
+                        ).astype(np.int32)
+                frame = None
+                continue
+            if mode == "diff_lossless_arith":
+                from data_pipeline_spark.llmops import jpeg_arith as _ja
+
+                planes = _ja.hier_decode_lossless(
+                    content[pos:e], fw, fh, len(comps)
+                )
+                pos = e
+                for ci, (cid, _s, _q) in enumerate(comps):
+                    refs[cid] = np.clip(
+                        refs[cid] + planes[ci], 0, 255
+                    ).astype(np.int32)
+                frame = None
+                continue
             reader = _BitReader(content[pos:e])
             pos = e
             if mode == "diff_lossless":
@@ -2004,6 +2377,7 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     refs[cid] = np.clip(add, 0, 255).astype(np.int32)
             frame = None
         # APPn / COM: skipped
+    finish_prog_frame()  # EOI closes a trailing SOF6 frame
     if dhp is None or not refs:
         raise ValueError("hierarchical JPEG missing DHP or frames")
     fw, fh, nc = dhp
@@ -3916,12 +4290,23 @@ def jpeg_progressive_differential(
                 )
                 am.append(int(ar == base and ar_prog == base))
                 # hierarchical (Annex J pyramid): the encoder runs the
-                # decoder's reconstruction in its loop, so the decode
-                # must match the encoder-returned recon byte-exactly
-                hs, hexpect = _encode_jpeg_hierarchical(
-                    w, h, rgb, quality=75, levels=2, return_recon=True
-                )
-                hm.append(int(_decode_jpeg(hs) == (w, h, hexpect)))
+                # decoder's reconstruction in its loop, so each decode
+                # must match the encoder-returned recon byte-exactly —
+                # Huffman sequential (SOF5), Huffman progressive (SOF6)
+                # and the QM-coded family (SOF9 base + SOF13/15) with a
+                # lossless final frame
+                ok = 1
+                for kw in (
+                    {},
+                    {"progressive_refine": True},
+                    {"entropy": "arithmetic", "lossless_final": True},
+                ):
+                    hs, hexpect = _encode_jpeg_hierarchical(
+                        w, h, rgb, quality=75, levels=2,
+                        return_recon=True, **kw,
+                    )
+                    ok &= int(_decode_jpeg(hs) == (w, h, hexpect))
+                hm.append(ok)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].reset_index(drop=True),

@@ -2533,12 +2533,50 @@ def test_jpeg_hierarchical_closed_loop_and_quality():
     assert count_markers(stream, 0xFFC5) == 2
     assert count_markers(stream, 0xFFDF) == 2
 
-    # a differential progressive frame inside a pyramid routes to the seam
+    # a non-differential progressive frame inside a pyramid routes to
+    # the seam (differential SOF5/6/7 and the arithmetic trio decode)
     mutated = bytearray(stream)
     idx = bytes(mutated).find(b"\xff\xc5")
-    mutated[idx + 1] = 0xC6
+    mutated[idx + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         multimodal._decode_jpeg(bytes(mutated))
+
+
+def test_jpeg_hierarchical_progressive_refinement_frames():
+    """r9: SOF6 differential PROGRESSIVE refinement frames carry the same
+    quantized coefficients as SOF5 sequential ones — the encoder recon is
+    identical, and the decode must match it bit-for-bit; composes with
+    the SOF7 lossless final frame."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for (w, h, q, lv) in [(48, 32, 90, 3), (21, 13, 75, 2), (8, 8, 90, 1)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [(yy * 5 + xx * 3) % 256, (xx * 7 + 10) % 256,
+             ((yy + xx) * 4) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        _s5, e5 = multimodal._encode_jpeg_hierarchical(
+            w, h, rgb.tobytes(), quality=q, levels=lv, return_recon=True
+        )
+        s6, e6 = multimodal._encode_jpeg_hierarchical(
+            w, h, rgb.tobytes(), quality=q, levels=lv, return_recon=True,
+            progressive_refine=True,
+        )
+        assert e5 == e6  # identical coefficients -> identical recon
+        assert multimodal._decode_jpeg(s6) == (w, h, e6)
+        s6l, e6l = multimodal._encode_jpeg_hierarchical(
+            w, h, rgb.tobytes(), quality=q, levels=lv, return_recon=True,
+            progressive_refine=True, lossless_final=True,
+        )
+        assert multimodal._decode_jpeg(s6l) == (w, h, e6l)
+    noisy = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    s6, e6 = multimodal._encode_jpeg_hierarchical(
+        40, 24, noisy.tobytes(), quality=80, levels=3, return_recon=True,
+        progressive_refine=True,
+    )
+    assert multimodal._decode_jpeg(s6) == (40, 24, e6)
 
 def test_jpeg_hierarchical_lossless_final_frame():
     """r9: a differential LOSSLESS final frame (SOF7) on top of the DCT
@@ -2577,3 +2615,51 @@ def test_jpeg_hierarchical_lossless_final_frame():
             - rgb.reshape(-1).astype(int)
         ).max()
         assert err <= 1  # color-transform rounding only
+
+def test_jpeg_hierarchical_arithmetic_frames():
+    """r9: the arithmetic hierarchical family — SOF9 base + SOF13
+    (differential sequential) / SOF14 (differential progressive) /
+    SOF15 (differential lossless) QM-coded frames.  Every frame carries
+    the SAME quantized coefficients as its Huffman twin, so the
+    sequential arithmetic pyramid's reconstruction must equal the
+    Huffman pyramid's EXACTLY, and each decode must equal its encoder's
+    closed-loop recon bit-for-bit.  With this, every T.81 frame type
+    except non-differential-progressive/lossless-inside-a-pyramid
+    decodes natively."""
+    import numpy as np
+
+    for (w, h, q, lv) in [(48, 32, 90, 3), (21, 13, 75, 2), (8, 8, 90, 1)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [(yy * 5 + xx * 3) % 256, (xx * 7 + 10) % 256,
+             ((yy + xx) * 4) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        _sh, eh_ = multimodal._encode_jpeg_hierarchical(
+            w, h, rgb.tobytes(), quality=q, levels=lv, return_recon=True
+        )
+        for prog in (False, True):
+            for llf in (False, True):
+                sa, ea = multimodal._encode_jpeg_hierarchical(
+                    w, h, rgb.tobytes(), quality=q, levels=lv,
+                    return_recon=True, entropy="arithmetic",
+                    progressive_refine=prog, lossless_final=llf,
+                )
+                assert multimodal._decode_jpeg(sa) == (w, h, ea), (
+                    w, h, q, lv, prog, llf,
+                )
+        # cross-coder identity: same coefficients -> same reconstruction
+        _sa, ea = multimodal._encode_jpeg_hierarchical(
+            w, h, rgb.tobytes(), quality=q, levels=lv, return_recon=True,
+            entropy="arithmetic",
+        )
+        assert ea == eh_
+
+    # noise content closes the loop too
+    rng = np.random.default_rng(13)
+    noisy = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    sa, ea = multimodal._encode_jpeg_hierarchical(
+        40, 24, noisy.tobytes(), quality=80, levels=3, return_recon=True,
+        entropy="arithmetic", progressive_refine=True, lossless_final=True,
+    )
+    assert multimodal._decode_jpeg(sa) == (40, 24, ea)
