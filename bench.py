@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     # trainer over the top-20k table (merge loop cost)
     "bpe_pair_counts_exact",
     "bpe_learned_merges",
+    # corrupt-input quarantine: safe-decode classification map-side
+    "multimodal_quarantine_stats",
 ]
 
 

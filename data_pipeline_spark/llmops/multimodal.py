@@ -3274,6 +3274,108 @@ def decode_media(content: bytes, fmt: str = "unknown") -> tuple[int, int, bytes]
     return codec[0](content)
 
 
+def decode_media_safe(
+    content: bytes, fmt: str = "unknown"
+) -> tuple[bool, int, int, bytes | None, str]:
+    """Quarantine-grade decode: never raises on data problems.
+
+    Real corpora at 100 TB contain truncated and bit-rotten files; a
+    decoder exception inside a task kills it, and after Spark's retries
+    the whole job — so production pipelines decode through a classifier
+    that QUARANTINES bad rows instead.  Returns (ok, w, h, rgb, error)
+    where error is '' on success, 'unsupported' for named seam routes
+    (valid file, codec needs the PIL/ffmpeg image) and 'decode_error'
+    for malformed data (any decoder exception — the fuzz test pins that
+    the decoders themselves never hang on corrupt input).
+    BaseException (KeyboardInterrupt etc.) still propagates."""
+    try:
+        w, h, rgb = decode_media(bytes(content), fmt)
+        return True, w, h, rgb, ""
+    except NotImplementedError:
+        return False, 0, 0, None, "unsupported"
+    except Exception:
+        return False, 0, 0, None, "decode_error"
+
+
+QUARANTINE_SCHEMA = (
+    "media_id long, fmt string, decode_ok boolean, error_class string, "
+    "width long, height long"
+)
+
+
+def decode_with_quarantine(media: DataFrame) -> DataFrame:
+    """Map-side safe decode over (media_id, fmt, content) rows: corrupt
+    blobs become (decode_ok=false, error_class) rows instead of task
+    failures; downstream splits on decode_ok (process / quarantine)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, fmt, content in zip(
+                pdf["media_id"], pdf["fmt"], pdf["content"]
+            ):
+                ok, w, h, _rgb, err = decode_media_safe(bytes(content), fmt)
+                rows.append((int(mid), fmt, ok, err, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "decode_ok", "error_class",
+                    "width", "height",
+                ],
+            )
+
+    return media.select("media_id", "fmt", "content").mapInPandas(
+        run, schema=QUARANTINE_SCHEMA
+    )
+
+
+def synthesize_corrupt_media(
+    df: DataFrame, id_col: str, text_col: str, w: int = 16, h: int = 12
+) -> DataFrame:
+    """Per row: a valid w x h image in one of the six native formats
+    (by id % 6), then DETERMINISTIC damage by id % 3 — 0: truncate to 8
+    bytes (header incomplete, every format), 1: zero the magic bytes
+    (every decoder's first check), 2: left intact.  The damage classes
+    are chosen so the quarantine outcome is id-derivable, which makes
+    the decode_with_quarantine pipeline SQL-oracle-checkable."""
+    fmts = ("bmp", "ppm", "png", "jpeg", "gif", "tiff")
+    encoders = {
+        "bmp": _encode_bmp, "ppm": _encode_ppm, "png": _encode_png,
+        "jpeg": lambda W, H, rgb: _encode_jpeg(W, H, rgb, quality=85),
+        "gif": _encode_gif, "tiff": _encode_tiff,
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, fs, blobs = [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                raw = (t or "").encode("utf-8") or b"\x00"
+                rgb = np.resize(
+                    np.frombuffer(raw, np.uint8), (h, w, 3)
+                ).tobytes()
+                fmt = fmts[did % 6]
+                blob = encoders[fmt](w, h, rgb)
+                if did % 3 == 0:
+                    blob = blob[:8]
+                elif did % 3 == 1:
+                    blob = b"\x00\x00" + blob[2:]
+                ids.append(did)
+                fs.append(fmt)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": ids, "fmt": fs, "content": blobs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id long, fmt string, content binary"
+    )
+
+
 def _nn_resize(w: int, h: int, rgb: bytes, tw: int, th: int) -> bytes:
     """Nearest-neighbor resample of a top-down RGB buffer (numpy fancy
     indexing on the source grid — no per-pixel Python)."""

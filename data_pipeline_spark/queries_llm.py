@@ -710,6 +710,43 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_quarantine_stats",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'gif'
+                ELSE 'tiff' END AS fmt,
+           doc_id % 3 = 2 AS decode_ok,
+           CASE WHEN doc_id % 3 = 2 THEN '' ELSE 'decode_error' END
+               AS error_class,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 0 END AS BIGINT)
+               AS width,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 12 ELSE 0 END AS BIGINT)
+               AS height
+    FROM documents
+    """,
+    doc="Corrupt-input QUARANTINE pipeline: real corpora contain "
+    "truncated and bit-rotten files, and an uncaught decoder exception "
+    "kills the "
+    "task — after Spark's retries, the whole 100 TB job.  Per document a "
+    "valid image in one of the six native formats is synthesized, then "
+    "deterministically damaged by id%3 (truncate-to-8-bytes / zero the "
+    "magic bytes / left intact), and decoded through decode_media_safe "
+    "inside mapInPandas: bad rows become (decode_ok=false, error_class) "
+    "rows instead of task failures.  The damage classes guarantee the "
+    "outcome, so the whole quarantine path is oracle-verified; the fuzz "
+    "test additionally pins that no decoder hangs on random corruption.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = multimodal.synthesize_corrupt_media(docs, "doc_id", "text")
+    return multimodal.decode_with_quarantine(media)
+
+
+@register(
     "container_codec_probe",
     """
     SELECT doc_id,

@@ -2663,3 +2663,54 @@ def test_jpeg_hierarchical_arithmetic_frames():
         entropy="arithmetic", progressive_refine=True, lossless_final=True,
     )
     assert multimodal._decode_jpeg(sa) == (40, 24, ea)
+
+def test_codec_fuzz_robustness_and_quarantine():
+    """r9: corrupt-input contract for the whole decode surface — random
+    byte mutations and truncations over every native image format must
+    either decode or raise (never hang: each case is time-bounded), and
+    decode_media_safe must classify them without raising.  The
+    deterministic damage classes used by multimodal_quarantine_stats
+    (truncate-to-8 / zeroed magic / intact) are pinned per format."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    w, h = 16, 12
+    encoders = {
+        "bmp": multimodal._encode_bmp,
+        "ppm": multimodal._encode_ppm,
+        "png": multimodal._encode_png,
+        "jpeg": lambda W, H, r: multimodal._encode_jpeg(W, H, r, quality=85),
+        "gif": multimodal._encode_gif,
+        "tiff": multimodal._encode_tiff,
+    }
+    for fmt, enc in encoders.items():
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8).tobytes()
+        blob = enc(w, h, rgb)
+        # deterministic damage classes
+        ok, dw, dh, _rgb, err = multimodal.decode_media_safe(blob[:8], fmt)
+        assert (ok, dw, dh, err) == (False, 0, 0, "decode_error"), fmt
+        ok, *_rest, err = multimodal.decode_media_safe(
+            b"\x00\x00" + blob[2:], fmt
+        )
+        assert not ok and err == "decode_error", fmt
+        ok, dw, dh, _rgb, err = multimodal.decode_media_safe(blob, fmt)
+        assert (ok, dw, dh, err) == (True, w, h, ""), fmt
+        # fuzz: random mutations + truncations never hang or escape
+        for trial in range(40):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            if trial % 3 == 0:
+                b = b[: int(rng.integers(1, len(b)))]
+            t0 = time.time()
+            ok, *_ = multimodal.decode_media_safe(bytes(b), fmt)
+            assert time.time() - t0 < 2.0, (fmt, trial)
+    # pure garbage
+    assert multimodal.decode_media_safe(b"\x01\x02garbage", "png")[4] == (
+        "decode_error"
+    )
+    # seam routes classify as 'unsupported', not 'decode_error'
+    ok, *_rest, err = multimodal.decode_media_safe(bytes(20), "webp")
+    assert not ok and err == "unsupported"
