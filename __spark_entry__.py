@@ -42,6 +42,7 @@ _PRIORITY = [
     "bpe_pair_counts_exact",
     "bpe_learned_merges",
     "multimodal_quarantine_stats",
+    "html_text_extraction",
     # never driver-checked: the late-r9 entries (leakage-safe split over
     # near-dup components; the bucketed no-equi-key interval join), the two
     # earlier r9 entries (band-pruned gate with a decision-only oracle; the

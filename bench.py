@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "bpe_learned_merges",
     # corrupt-input quarantine: safe-decode classification map-side
     "multimodal_quarantine_stats",
+    # HTML -> text extraction (stdlib parser, map-side)
+    "html_text_extraction",
 ]
 
 

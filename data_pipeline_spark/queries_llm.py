@@ -710,6 +710,72 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "html_text_extraction",
+    """
+    SELECT doc_id,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_links,
+           TRUE AS text_ok
+    FROM documents
+    """,
+    doc="REAL HTML -> text extraction at query level (the CommonCrawl-"
+    "WET step): each document is wrapped in a deterministic page "
+    "template (title, 1+id%3 nav links, script/style junk, escaped "
+    "body paragraphs, entity footer) and re-extracted with the stdlib-"
+    "parser extractor inside mapInPandas — script/style dropped, blocks "
+    "to line breaks, entities decoded, whitespace normalized.  text_ok "
+    "pins the extracted text equal to the expected construction "
+    "(computed independently from the source text in the kernel), and "
+    "title/n_links are id-derivable, so the whole wrap -> parse -> "
+    "extract round is oracle-verified.  Malformed-markup tolerance is "
+    "unit-pinned (HTMLParser never raises).",
+    tags=("llm", "textstats"),
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches):
+        from data_pipeline_spark.llmops import html_text
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                out = html_text.extract_html(
+                    html_text.wrap_in_html(did, t or "")
+                )
+                nav = [f"Nav {i}" for i in range(1 + did % 3)]
+                paras = [
+                    " ".join(p.split()) for p in (t or "").split("\n")
+                ]
+                expected = "\n".join(
+                    nav + [p for p in paras if p] + ["© corpus"]
+                )
+                rows.append(
+                    (
+                        did,
+                        out["title"],
+                        len(out["links"]),
+                        out["text"] == expected
+                        and out["title"] == f"doc-{did}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "n_links", "text_ok"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, title string, n_links long, text_ok boolean"
+    )
+
+
+@register(
     "multimodal_quarantine_stats",
     """
     SELECT doc_id AS media_id,

@@ -2714,3 +2714,44 @@ def test_codec_fuzz_robustness_and_quarantine():
     # seam routes classify as 'unsupported', not 'decode_error'
     ok, *_rest, err = multimodal.decode_media_safe(bytes(20), "webp")
     assert not ok and err == "unsupported"
+
+def test_html_text_extraction():
+    """r9: stdlib HTML -> text extraction — script/style/head dropped,
+    blocks to line breaks, entities decoded, whitespace normalized,
+    links and title captured; malformed markup never raises."""
+    from data_pipeline_spark.llmops import html_text
+
+    page = (
+        "<html><head><title> My  Title </title><style>p{}</style>"
+        "<script>var s = '<p>fake</p>';</script></head><body>"
+        "<nav><a href='/a'>A</a> <a href='/b'>B</a></nav>"
+        "<article><p>Hello &amp; welcome</p><p>Second\n  para</p>"
+        "<div>X<span>Y</span>Z</div></article>"
+        "<footer>&copy; 2026</footer></body></html>"
+    )
+    out = html_text.extract_html(page)
+    assert out["title"] == "My Title"
+    assert out["links"] == ["/a", "/b"]
+    assert out["text"] == "A B\nHello & welcome\nSecond para\nXYZ\n© 2026"
+
+    # malformed markup: unclosed, misnested, bogus entities, stray '<'
+    for bad in (
+        "<p>unclosed <b>x", "</div></div><table><tr>x",
+        "<a href='>'>t</a><p>&nbsp;&bogus;", "plain & text < done",
+        "<script>never closed", "",
+        None,
+    ):
+        html_text.extract_html(bad)  # must not raise
+    assert html_text.extract_html("<p>unclosed <b>x")["text"] == "unclosed x"
+    # script content never leaks even with markup inside the string
+    assert "fake" not in html_text.extract_html(page)["text"]
+
+    # the wrap/extract identity the oracle-paired query relies on
+    for did, text in [(0, "hello"), (4, "a\nb  c\n\nd & <e>"), (2, "")]:
+        got = html_text.extract_html(html_text.wrap_in_html(did, text))
+        nav = [f"Nav {i}" for i in range(1 + did % 3)]
+        paras = [" ".join(p.split()) for p in text.split("\n")]
+        expected = "\n".join(nav + [p for p in paras if p] + ["© corpus"])
+        assert got["text"] == expected
+        assert got["title"] == f"doc-{did}"
+        assert len(got["links"]) == 1 + did % 3
