@@ -28,7 +28,7 @@ merges distinguish suffixes from interiors (the original formulation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END = "</w>"

@@ -228,3 +228,28 @@ def test_bilevel_tiff_decodes_all_compressions():
             struct.pack_into("<I", bad, 10 + 12 * i + 8, 8)
     with pytest.raises(ValueError):
         multimodal.decode_media(bytes(bad), "tiff")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.integers(1, 200),
+    st.integers(1, 6),
+    st.integers(0, 2**32 - 1),
+    st.floats(0.02, 0.98),
+)
+@settings(max_examples=60, deadline=None)
+def test_fax_roundtrip_property(w, h, seed, density):
+    """Property: any bitmap roundtrips byte-exactly through all four
+    coding modes (hypothesis-shrunk on failure)."""
+    rng = np.random.default_rng(seed)
+    bm = (rng.random((h, w)) < density).astype(np.uint8)
+    assert (fax.decode_mh(fax.encode_mh(bm), w, h) == bm).all()
+    assert (fax.decode_g3(fax.encode_g3(bm), w, h) == bm).all()
+    assert (
+        fax.decode_g3(fax.encode_g3(bm, two_d=True, k=3), w, h, two_d=True)
+        == bm
+    ).all()
+    assert (fax.decode_g4(fax.encode_g4(bm), w, h) == bm).all()

@@ -231,14 +231,27 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         "ck": str(tmp_path / "ck"),
         "dd": str(tmp_path / "dd"),
     }
-    zorder.zorder_write(base, paths["z"], ["ck", "dd"], bits=10, n_files=n_files)
-    for col in ("ck", "dd"):
-        (
-            base.repartitionByRange(n_files, col)
-            .sortWithinPartitions(col)
-            .write.mode("overwrite")
-            .parquet(paths[col])
+    # repartitionByRange picks boundaries from a SAMPLE (default 100 rows
+    # per input partition); at test scale an unlucky draw can skew one
+    # file's span enough to cross the assertion threshold, so pin the
+    # sample large — at 100 TB the default's relative accuracy is fine,
+    # this is purely a small-N statistics artifact
+    sample_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev_sample = spark.conf.get(sample_key)
+    spark.conf.set(sample_key, "5000")
+    try:
+        zorder.zorder_write(
+            base, paths["z"], ["ck", "dd"], bits=10, n_files=n_files
         )
+        for col in ("ck", "dd"):
+            (
+                base.repartitionByRange(n_files, col)
+                .sortWithinPartitions(col)
+                .write.mode("overwrite")
+                .parquet(paths[col])
+            )
+    finally:
+        spark.conf.set(sample_key, prev_sample)
 
     def rg_stats(path, col):
         import pathlib

@@ -24,6 +24,7 @@ PICK = [
     ("zorder_curve_keys", "Morton layout keys: one-row span stats broadcast back (BNL), single shuffle = the stats agg — the fact never moves"),
     ("incident_window_counts", "no-equi-key interval containment as a HASH join on time buckets (in-row interval explode) — never BroadcastNestedLoop/cartesian"),
     ("doc_chunking", "stride-windowed chunker: split -> sequence -> posexplode -> slice, all in-row — ZERO exchanges, whole plan one codegen stage"),
+    ("bpe_pair_counts_exact", "BPE trainer certificate: corpus -> word counts (ONE vocabulary-bounded shuffle), then in-row transform+explode pair expansion + one more partial-agg groupBy — the only corpus-sized stages of tokenizer training"),
 ]
 
 if __name__ == "__main__":
