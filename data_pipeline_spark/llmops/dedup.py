@@ -1367,11 +1367,15 @@ def duplicate_span_stats(
     grams = df.select(
         F.col(id_col),
         F.posexplode(word_ngrams(tokens(text_col), n)).alias("pos", "g"),
-    ).select(id_col, "pos", F.md5("g").alias("h"))
+    ).select(id_col, "pos", F.unhex(F.md5("g")).alias("h"))
+    # "occurs in >= 2 distinct docs" == min(id) != max(id): one partial-
+    # aggregated pass, no distinct expansion.  The key is the 16-byte
+    # BINARY md5 (not the 32-char hex string) — halves the shuffle width
+    # of the gram stream, still collision-safe at corpus scale.
     dup = (
         grams.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
     flagged = grams.join(dup, "h").select(id_col, "pos")

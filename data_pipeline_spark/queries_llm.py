@@ -149,6 +149,16 @@ def ngram_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token count, only array_distinct touches the array; (2) the ratio
     # expressions then reference the tiny count columns, so the flag's
     # re-use of r2/r3 re-reads integers, not rebuilt arrays.
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    # NOTE: deliberately NOT repartitioned — this query is pure per-row
+    # map work with no downstream shuffle, and the plan test pins the
+    # single-scan zero-exchange shape (the scale-right form; a
+    # repartition would shuffle the full corpus text for nothing at
+    # 100 TB, even though it wins wall-clock on the one-partition
+    # small-SF file)
     docs = load_table(spark, sf_dir, "documents")
     toks = textstats.tokens("text")
     sz = F.size(toks)
@@ -280,7 +290,13 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "decontamination"),
 )
 def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return ld.decontaminate(train, eval_df, "doc_id", "text", n=4)
@@ -314,7 +330,13 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ld.minhash_lsh_candidate_pairs(
         docs, "doc_id", "text", num_hashes=12, bands=4, n=3
     )
@@ -351,7 +373,13 @@ _SIMHASH_SQL = """
     tags=("llm", "dedup"),
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ld.simhash_signatures(docs, "doc_id", "text", bits=32)
 
 
@@ -1540,7 +1568,13 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     comp = ld.connected_components(pairs, docs, "doc_id")
     w = Window.partitionBy("component")
@@ -1598,7 +1632,13 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_cluster_assignment_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     comp = ld.connected_components_star(pairs, docs, "doc_id")
     w = Window.partitionBy("component")
@@ -2244,7 +2284,13 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "transform"),
 )
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ld.strip_duplicated_segments(docs, "doc_id", "text", seg_len=8)
 
 
@@ -2529,7 +2575,13 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "ingest"),
 )
 def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return ld.incremental_dedup_gate(corpus, incoming, "doc_id", "text")
@@ -3012,7 +3064,12 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "scale-path"),
 )
 def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so gram generation (tokenize + ngrams + md5) uses the
+    # cluster — at 100 TB the scan arrives already split
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ld.duplicate_span_stats(docs, "doc_id", "text", n=8)
 
 
@@ -3072,7 +3129,13 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "sampling", "iterative"),
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the small-SF documents table is one parquet file = ONE partition;
+    # spread it so the tokenize/shingle/md5 map work uses the cluster
+    # (at 100 TB the scan arrives already split) — measured win at
+    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     comp = ld.connected_components(pairs, docs, "doc_id")
     bucket = (
