@@ -1420,10 +1420,13 @@ _HIER_PROG_PLAN = (
 )
 
 
-def hier_code_dct_progressive(zzc: list) -> list:
-    """Differential PROGRESSIVE frame (SOF14): the plan's scans as
-    [(comp_ids, ss, se, ah, al, body)], each with a fresh QM coder and
-    statistics per T.81; DC first scans are unpredicted."""
+def hier_code_dct_progressive(zzc: list, predict_dc: bool = False) -> list:
+    """PROGRESSIVE frame for the hierarchical pipeline: the plan's scans
+    as [(comp_ids, ss, se, ah, al, body)], each with a fresh QM coder
+    and statistics per T.81.  Differential frames (SOF14,
+    predict_dc=False) code DC unpredicted; a non-differential base frame
+    (SOF10 inside the pyramid) predicts DC in the point-transformed
+    domain like any progressive frame."""
     dc_l, dc_u = _DC_COND_DEFAULT
     lo, hi = (1 << dc_l) >> 1, (1 << dc_u) >> 1
     kx = _AC_COND_DEFAULT
@@ -1432,16 +1435,22 @@ def hier_code_dct_progressive(zzc: list) -> list:
     for comp_ids, ss, se, ah, al in _HIER_PROG_PLAN:
         enc = QMEncoder()
         fixed = bytearray([113])
-        if ss == 0 and ah == 0:  # DC first, interleaved, unpredicted
+        if ss == 0 and ah == 0:  # DC first, interleaved
             dc_st = [bytearray(49), bytearray(49)]
             dc_ctx = {ci: 0 for ci in comp_ids}
+            prev = {ci: 0 for ci in comp_ids}
             for y in range(by):
                 for x in range(bx):
                     for ci in comp_ids:
                         t = 0 if ci == 0 else 1
                         v = int(zzc[ci][y, x, 0]) >> al
+                        if predict_dc:
+                            d = v - prev[ci]
+                            prev[ci] = v
+                        else:
+                            d = v
                         dc_ctx[ci] = _code_dc(
-                            enc, dc_st[t], dc_ctx[ci], v, lo, hi
+                            enc, dc_st[t], dc_ctx[ci], d, lo, hi
                         )
         elif ss == 0:  # DC refinement: fixed-context correction bits
             for y in range(by):
@@ -1472,7 +1481,8 @@ def hier_code_dct_progressive(zzc: list) -> list:
 
 
 def hier_decode_dct_progressive(
-    scans: list, by: int, bx: int, ncomp: int = 3
+    scans: list, by: int, bx: int, ncomp: int = 3,
+    predict_dc: bool = False,
 ) -> list:
     """Mirror of hier_code_dct_progressive: accumulate [(comp_ids, ss,
     se, ah, al, body)] scans -> (by, bx, 64) int64 coefficient arrays."""
@@ -1486,14 +1496,18 @@ def hier_decode_dct_progressive(
         if ss == 0 and ah == 0:
             dc_st = [bytearray(49), bytearray(49)]
             dc_ctx = {ci: 0 for ci in comp_ids}
+            prev = {ci: 0 for ci in comp_ids}
             for y in range(by):
                 for x in range(bx):
                     for ci in comp_ids:
                         t = 0 if ci == 0 else 1
-                        v, dc_ctx[ci] = _decode_dc(
+                        d, dc_ctx[ci] = _decode_dc(
                             dec, dc_st[t], dc_ctx[ci], lo, hi
                         )
-                        coef[ci][y, x, 0] = v << al
+                        if predict_dc:
+                            prev[ci] += d
+                            d = prev[ci]
+                        coef[ci][y, x, 0] = d << al
         elif ss == 0:
             for y in range(by):
                 for x in range(bx):
@@ -1519,28 +1533,50 @@ def hier_decode_dct_progressive(
     return coef
 
 
-def hier_code_lossless(diffs: list) -> bytes:
-    """Differential LOSSLESS frame (SOF15): per-sample signed differences
-    QM-coded with the Annex-H two-difference conditioning applied to the
-    difference image's own causal neighbors (the reconstruction a
-    non-differential frame would condition on does not exist here by
-    definition); components interleave one sample per MCU."""
+def _ll_pred1(s, y: int, x: int) -> int:
+    """H.1.2 predictor-1 with boundary rules: first sample 2^(P-1),
+    rest of first line = left, first column = above."""
+    if y == 0 and x == 0:
+        return 128
+    if y == 0:
+        return int(s[0, x - 1])
+    if x == 0:
+        return int(s[y - 1, 0])
+    return int(s[y, x - 1])
+
+
+def hier_code_lossless(planes: list, differential: bool = True) -> bytes:
+    """LOSSLESS frame for the hierarchical pipeline, components
+    interleaved one sample per MCU, QM-coded with the Annex-H
+    two-difference conditioning.  Differential frames (SOF15) code the
+    signed difference samples directly and condition on the difference
+    image's own causal neighbors (the reconstruction a non-differential
+    frame would condition on does not exist here by definition).  A
+    non-differential base frame (SOF11 inside the pyramid) codes
+    predictor-1 residuals and conditions on the reconstructed sample
+    neighbors."""
     enc = QMEncoder()
-    sts = [bytearray(_LL_STATS) for _ in diffs]
-    h, w = diffs[0].shape
+    sts = [bytearray(_LL_STATS) for _ in planes]
+    h, w = planes[0].shape
     for y in range(h):
         for x in range(w):
-            for ci, d in enumerate(diffs):
+            for ci, d in enumerate(planes):
                 a = int(d[y, x - 1]) if x else 0
                 b = int(d[y - 1, x]) if y else 0
                 c = int(d[y - 1, x - 1]) if (x and y) else 0
                 base, chain = _ll_ctx(a, b, c)
-                _code_ll_diff(enc, sts[ci], base, chain, int(d[y, x]))
+                v = int(d[y, x])
+                if not differential:
+                    v -= _ll_pred1(d, y, x)
+                _code_ll_diff(enc, sts[ci], base, chain, v)
     return enc.flush()
 
 
-def hier_decode_lossless(data: bytes, w: int, h: int, ncomp: int = 3) -> list:
-    """Mirror of hier_code_lossless -> list of (h, w) int32 planes."""
+def hier_decode_lossless(
+    data: bytes, w: int, h: int, ncomp: int = 3, differential: bool = True
+) -> list:
+    """Mirror of hier_code_lossless -> list of (h, w) int32 planes
+    (signed differences for SOF15, reconstructed samples for SOF11)."""
     dec = QMDecoder(data)
     sts = [bytearray(_LL_STATS) for _ in range(ncomp)]
     out = [np.zeros((h, w), np.int32) for _ in range(ncomp)]
@@ -1552,5 +1588,8 @@ def hier_decode_lossless(data: bytes, w: int, h: int, ncomp: int = 3) -> list:
                 b = int(d[y - 1, x]) if y else 0
                 c = int(d[y - 1, x - 1]) if (x and y) else 0
                 base, chain = _ll_ctx(a, b, c)
-                d[y, x] = _decode_ll_diff(dec, sts[ci], base, chain)
+                v = _decode_ll_diff(dec, sts[ci], base, chain)
+                if not differential:
+                    v += _ll_pred1(d, y, x)
+                d[y, x] = v
     return out

@@ -1514,15 +1514,19 @@ def _decode_jpeg_lossless(content: bytes) -> tuple[int, int, bytes]:
 # ---------------------------------------------------------------------------
 # Hierarchical JPEG (T.81 Annex J): a DHP segment declares the full-image
 # dimensions, then a pyramid of frames refines the picture — a
-# non-differential base frame at reduced resolution, followed by
-# differential frames (SOF5 = differential sequential Huffman), each
-# optionally preceded by an EXP segment that doubles the reference
-# horizontally/vertically with the spec's (a + b + 1) >> 1 interpolation
-# filter (J.1.1.2).  Differential frames code the DCT of (source -
-# reference) with NO level shift and NO DC prediction (F.1.1.5.1); the
-# reference is clamped to [0, 255] after every frame (J.1.1.6).
-# Differential progressive/lossless/arithmetic hierarchical frames
-# (SOF6/7/13-15) raise by name into the PIL seam.
+# non-differential base frame at reduced resolution (sequential SOF0/
+# SOF9, progressive SOF2/SOF10, or predictor-1 lossless SOF3/SOF11),
+# followed by differential frames (sequential SOF5/SOF13, progressive
+# SOF6/SOF14, lossless SOF7/SOF15 — Huffman and QM-arithmetic coders
+# both), each optionally preceded by an EXP segment that doubles the
+# reference horizontally/vertically with the spec's (a + b + 1) >> 1
+# interpolation filter (J.1.1.2).  Differential frames code the DCT of
+# (source - reference) with NO level shift and NO DC prediction
+# (F.1.1.5.1); the reference is clamped to [0, 255] after every frame
+# (J.1.1.6).  With this, EVERY T.81 frame type decodes in a legal
+# hierarchical slot; the only remaining seams are multi-frame component
+# groups (a second non-differential frame mid-pyramid) and subsampled
+# pyramid frames.
 # ---------------------------------------------------------------------------
 
 
@@ -1566,14 +1570,22 @@ def _hier_dct_coefs(
     return zzc, recons
 
 
-def _hier_lossless_payload(diffs: list) -> bytes:
-    """Differential LOSSLESS frame (SOF7): the signed difference samples
-    are coded directly — no prediction (J.1.1.4 forbids it in
-    differential frames, SOS Ss = 0), each sample as a DC-style
-    magnitude category + offset bits, components interleaved one sample
-    per MCU.  Exact by construction: reference + diff == source."""
+def _hier_lossless_payload(diffs: list, differential: bool = True) -> bytes:
+    """LOSSLESS frame for the hierarchical pipeline, each sample as a
+    DC-style magnitude category + offset bits, components interleaved
+    one sample per MCU.  Differential frames (SOF7) code the signed
+    difference samples directly — no prediction (J.1.1.4 forbids it,
+    SOS Ss = 0).  A non-differential BASE frame (SOF3 inside the
+    pyramid) codes predictor-1 residuals with the H.1.2 boundary rules
+    (first sample 128, first line left, first column above) — SOS
+    Ss = 1.  Exact by construction either way."""
     import struct
 
+    if not differential:
+        diffs = [
+            d.astype(np.int32) - _ll_predictions(d.astype(np.int32), 1)
+            for d in diffs
+        ]
     h, w = diffs[0].shape
     syms = [set(), set()]
     for ci, d in enumerate(diffs):
@@ -1599,8 +1611,9 @@ def _hier_lossless_payload(diffs: list) -> bytes:
     out = bytearray()
     for tid, (_t, bits, vals) in enumerate(tabs):
         out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
-    # lossless SOS: Ss = predictor (0 = none, differential), Al = Pt = 0
-    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    # lossless SOS: Ss = predictor (0 = none/differential, 1 = left)
+    ss = 0 if differential else 1
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, ss, 0, 0]))
     out += bw_.flush()
     return bytes(out)
 
@@ -1697,31 +1710,38 @@ def _hier_frame_payload(
 
 
 def _hier_progressive_payload(
-    diffs: list, q_by_comp: list
+    diffs: list, q_by_comp: list, differential: bool = True
 ) -> tuple[bytes, list]:
-    """Differential PROGRESSIVE frame (SOF6): the difference image's
-    quantized DCT coefficients transmitted as an 8-scan successive-
-    approximation progression — interleaved DC first (Al=1, NO
-    prediction per G.1.2.1 for differential frames), per-component AC
-    first (1-63, Al=1), DC refinement, per-component AC refinement —
-    exercising every progressive scan kind in differential mode.  The
-    full precision arrives by the last scan, so the reconstruction
-    equals the sequential differential frame's bit-for-bit."""
+    """PROGRESSIVE frame for the hierarchical pipeline: the quantized
+    DCT coefficients transmitted as an 8-scan successive-approximation
+    progression — interleaved DC first (Al=1), per-component AC first
+    (1-63, Al=1), DC refinement, per-component AC refinement.
+    Differential frames (SOF6) code DC with NO prediction per G.1.2.1
+    and no level shift; a non-differential BASE frame (SOF2 inside the
+    pyramid) predicts DC and level-shifts like any progressive frame.
+    The full precision arrives by the last scan, so the reconstruction
+    equals the sequential frame's bit-for-bit."""
     import struct
 
-    zzc, recons = _hier_dct_coefs(diffs, q_by_comp, differential=True)
+    zzc, recons = _hier_dct_coefs(diffs, q_by_comp, differential)
     dims = [(z.shape[0], z.shape[1]) for z in zzc]
 
     def dc_first_ops(al):
         by, bx = dims[0]
         units = []
+        prev = [0, 0, 0]
         for y in range(by):
             for x in range(bx):
                 ops = []
                 for ci in range(3):
                     t = 0 if ci == 0 else 1
-                    v = int(zzc[ci][y, x, 0]) >> al  # no prediction
-                    size, code = _magnitude(v)
+                    v = int(zzc[ci][y, x, 0]) >> al
+                    if differential:
+                        d = v  # no prediction in differential frames
+                    else:
+                        d = v - prev[ci]
+                        prev[ci] = v
+                    size, code = _magnitude(d)
                     ops.append(("s", 0, t, size))
                     if size:
                         ops.append(("b", code, size))
@@ -1861,6 +1881,7 @@ def _encode_jpeg_hierarchical(
     lossless_final: bool = False,
     progressive_refine: bool = False,
     entropy: str = "huffman",
+    base_mode: str = "sequential",
 ):
     """(w, h, top-down RGB) -> hierarchical JFIF bytes: DHP + a 4:4:4
     SOF0 base frame at 1/2^(levels-1) resolution + differential
@@ -1878,7 +1899,11 @@ def _encode_jpeg_hierarchical(
     swaps every frame's entropy coder for the T.81 QM coder
     (llmops/jpeg_arith): SOF9 base + SOF13/14 differential DCT + SOF15
     differential lossless — again identical coefficients, identical
-    reconstruction."""
+    reconstruction.  ``base_mode`` picks the NON-differential base
+    frame's process: "sequential" (SOF0/SOF9), "progressive" (SOF2/
+    SOF10 inside the pyramid) or "lossless" (SOF3/SOF11, predictor-1 —
+    the base level becomes exact); with these, every T.81 frame type
+    decodes in a legal hierarchical slot."""
     import struct
 
     if levels < 1:
@@ -1927,6 +1952,8 @@ def _encode_jpeg_hierarchical(
 
     if entropy not in ("huffman", "arithmetic"):
         raise ValueError(f"unknown entropy coder {entropy!r}")
+    if base_mode not in ("sequential", "progressive", "lossless"):
+        raise ValueError(f"unknown base mode {base_mode!r}")
     arith = entropy == "arithmetic"
     if arith:
         from data_pipeline_spark.llmops import jpeg_arith as _ja
@@ -1948,7 +1975,42 @@ def _encode_jpeg_hierarchical(
         srcs = pyramid[k]
         fh, fw = srcs[0].shape
         if ref is None:
-            if arith:
+            if base_mode == "lossless":
+                # exact base: predictor-1 lossless frame (SOF3/SOF11)
+                marker = 0xFFCB if arith else 0xFFC3
+                out += seg(marker, sof_payload(fw, fh))
+                if arith:
+                    out += seg(
+                        0xFFDA, bytes([3, 1, 0, 2, 0x11, 3, 0x11, 1, 0, 0])
+                    )
+                    out += _ja.hier_code_lossless(srcs, differential=False)
+                else:
+                    out += _hier_lossless_payload(srcs, differential=False)
+                recons = [s.astype(np.float64) for s in srcs]
+            elif base_mode == "progressive":
+                if arith:
+                    out += seg(0xFFCA, sof_payload(fw, fh))
+                    zzc, recons = _hier_dct_coefs(
+                        srcs, q_by_comp, differential=False
+                    )
+                    for comp_ids, ss, se, ah, al, body in (
+                        _ja.hier_code_dct_progressive(zzc, predict_dc=True)
+                    ):
+                        hdr = bytes([len(comp_ids)])
+                        for ci in comp_ids:
+                            hdr += bytes(
+                                [ci + 1, 0x00 if ci == 0 else 0x11]
+                            )
+                        hdr += bytes([ss, se, ah << 4 | al])
+                        out += seg(0xFFDA, hdr)
+                        out += body
+                else:
+                    out += seg(0xFFC2, sof_payload(fw, fh))
+                    payload, recons = _hier_progressive_payload(
+                        srcs, q_by_comp, differential=False
+                    )
+                    out += payload
+            elif arith:
                 out += seg(0xFFC9, sof_payload(fw, fh))
                 zzc, recons = _hier_dct_coefs(
                     srcs, q_by_comp, differential=False
@@ -2060,9 +2122,12 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                 return sym
         raise ValueError("invalid Huffman code in hierarchical scan")
 
-    def _apply_diff_coefs(coef_by_cid: dict, fw: int, fh: int, comps) -> None:
-        """Dequantize zigzag (by, bx, 64) coefficient arrays, IDCT with
-        NO level shift, add to the reference, clamp."""
+    def _apply_dct_coefs(
+        coef_by_cid: dict, fw: int, fh: int, comps, base: bool
+    ) -> None:
+        """Dequantize zigzag (by, bx, 64) coefficient arrays and IDCT.
+        Differential frames (no level shift) ADD to the reference; base
+        frames (+128 shift) SET it.  Clamped either way."""
         qsel = {cid: q for cid, _s, q in comps}
         for cid, zz in coef_by_cid.items():
             nat = np.zeros(zz.shape, np.float64)
@@ -2071,38 +2136,45 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                 qsel[cid]
             ]
             sp = np.einsum("ji,yxjk,kl->yxil", _DCT_C, arr, _DCT_C)
+            if base:
+                sp = sp + 128.0
             fullp = sp.transpose(0, 2, 1, 3).reshape(
                 zz.shape[0] * 8, zz.shape[1] * 8
             )[:fh, :fw]
-            refs[cid] = np.clip(
-                refs[cid] + np.rint(fullp).astype(np.int32), 0, 255
-            ).astype(np.int32)
+            add = np.rint(fullp).astype(np.int32)
+            if not base:
+                add = refs[cid] + add
+            refs[cid] = np.clip(add, 0, 255).astype(np.int32)
+
+    def _apply_diff_coefs(coef_by_cid: dict, fw: int, fh: int, comps) -> None:
+        _apply_dct_coefs(coef_by_cid, fw, fh, comps, base=False)
 
     def finish_prog_frame() -> None:
-        """Close an open SOF6/SOF14 frame: accumulate its scans'
-        coefficients (DC unpredicted), dequantize, IDCT without level
-        shift, add to the reference, clamp."""
+        """Close an open progressive frame (SOF6/SOF14 differential, or
+        SOF2/SOF10 base inside the pyramid): accumulate its scans'
+        coefficients, dequantize, IDCT, add-to or set the reference."""
         nonlocal frame, prog_scans
         if frame is None or not prog_scans:
             return
         fw, fh, comps, mode = frame
         by, bx = (fh + 7) // 8, (fw + 7) // 8
-        if mode == "diff_prog":
+        base = mode.startswith("base")
+        if mode in ("diff_prog", "base_prog"):
             sampling = {cid: (1, 1) for cid, _s, _q in comps}
             coef = _jpeg_progressive_coefs(
                 prog_scans, sampling, 1, 1, fw, fh, by, bx, read_symbol,
-                predict_dc=False,
+                predict_dc=base,
             )
-        elif mode == "diff_prog_arith":
+        elif mode in ("diff_prog_arith", "base_prog_arith"):
             from data_pipeline_spark.llmops import jpeg_arith as _ja
 
             arrays = _ja.hier_decode_dct_progressive(
-                prog_scans, by, bx, len(comps)
+                prog_scans, by, bx, len(comps), predict_dc=base
             )
             coef = {comps[ci][0]: arrays[ci] for ci in range(len(comps))}
         else:
             return
-        _apply_diff_coefs(coef, fw, fh, comps)
+        _apply_dct_coefs(coef, fw, fh, comps, base=base)
         frame = None
         prog_scans = []
 
@@ -2167,8 +2239,8 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     )
                 p += 2
         elif marker in (
-            0xFFC0, 0xFFC1, 0xFFC5, 0xFFC6, 0xFFC7,
-            0xFFC9, 0xFFCD, 0xFFCE, 0xFFCF,
+            0xFFC0, 0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
         ):
             finish_prog_frame()  # a new frame closes an open prog one
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
@@ -2182,27 +2254,27 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                         "subsampled hierarchical frames need PIL"
                     )
             mode = {
+                0xFFC2: "base_prog", 0xFFC3: "base_lossless",
                 0xFFC5: "diff_dct", 0xFFC6: "diff_prog",
                 0xFFC7: "diff_lossless", 0xFFC9: "base_arith",
+                0xFFCA: "base_prog_arith", 0xFFCB: "base_lossless_arith",
                 0xFFCD: "diff_dct_arith", 0xFFCE: "diff_prog_arith",
                 0xFFCF: "diff_lossless_arith",
             }.get(marker, "base")
             if mode.startswith("diff") and not refs:
                 raise ValueError("differential frame with no reference")
+            if mode.startswith("base") and refs:
+                raise NotImplementedError(
+                    "a second non-differential frame mid-pyramid (multi-"
+                    "frame component groups) needs PIL on the cluster "
+                    "image"
+                )
             if pending_exp != (0, 0):
                 eh, ev = pending_exp
                 for cid in list(refs):
                     refs[cid] = _hier_upsample(refs[cid], eh, ev)[:fh, :fw]
                 pending_exp = (0, 0)
             frame = (fw, fh, comps, mode)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFCA, 0xFFCB):
-            raise NotImplementedError(
-                "hierarchical pyramids decode with sequential/progressive "
-                "DCT and lossless differential frames in BOTH entropy "
-                "coders (SOF0/1/5/6/7 Huffman, SOF9/13/14/15 arithmetic); "
-                "a progressive or lossless NON-differential frame inside "
-                "a pyramid needs PIL on the cluster image"
-            )
         elif marker == 0xFFDA:
             if frame is None or dhp is None:
                 raise ValueError("hierarchical SOS before DHP/SOF")
@@ -2224,7 +2296,7 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     e += 1
                 else:
                     break
-            if mode == "diff_prog":
+            if mode in ("diff_prog", "base_prog"):
                 # progressive: scans accumulate; the frame closes at the
                 # next structural marker (EXP/SOF/EOI)
                 ss_, se_ = payload[1 + 2 * ns], payload[2 + 2 * ns]
@@ -2235,7 +2307,7 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                 )
                 pos = e
                 continue
-            if mode == "diff_prog_arith":
+            if mode in ("diff_prog_arith", "base_prog_arith"):
                 ss_, se_ = payload[1 + 2 * ns], payload[2 + 2 * ns]
                 ahal_ = payload[3 + 2 * ns]
                 cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
@@ -2283,24 +2355,27 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                         ).astype(np.int32)
                 frame = None
                 continue
-            if mode == "diff_lossless_arith":
+            if mode in ("diff_lossless_arith", "base_lossless_arith"):
                 from data_pipeline_spark.llmops import jpeg_arith as _ja
 
+                diffl = mode == "diff_lossless_arith"
                 planes = _ja.hier_decode_lossless(
-                    content[pos:e], fw, fh, len(comps)
+                    content[pos:e], fw, fh, len(comps), differential=diffl
                 )
                 pos = e
                 for ci, (cid, _s, _q) in enumerate(comps):
-                    refs[cid] = np.clip(
-                        refs[cid] + planes[ci], 0, 255
-                    ).astype(np.int32)
+                    v = refs[cid] + planes[ci] if diffl else planes[ci]
+                    refs[cid] = np.clip(v, 0, 255).astype(np.int32)
                 frame = None
                 continue
             reader = _BitReader(content[pos:e])
             pos = e
-            if mode == "diff_lossless":
+            if mode in ("diff_lossless", "base_lossless"):
                 # per-sample magnitude coding, one sample per component
-                # per MCU, no prediction (Ss = 0 by J.1.1.4)
+                # per MCU; differential frames are unpredicted (Ss = 0
+                # by J.1.1.4), a base SOF3 frame reconstructs causally
+                # through predictor 1 (Ss = 1, H.1.2 boundary rules)
+                base_ll = mode == "base_lossless"
                 diffs = {
                     cid: np.zeros((fh, fw), np.int32)
                     for cid, _d, _a in scan_sel
@@ -2309,13 +2384,21 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
                     for x in range(fw):
                         for cid, dcs, _acs in scan_sel:
                             size = read_symbol(reader, htables[(0, dcs)])
-                            diffs[cid][y, x] = _extend(
-                                reader.read(size), size
-                            )
+                            v = _extend(reader.read(size), size)
+                            if base_ll:
+                                d = diffs[cid]
+                                if y == 0 and x == 0:
+                                    v += 128
+                                elif y == 0:
+                                    v += int(d[0, x - 1])
+                                elif x == 0:
+                                    v += int(d[y - 1, 0])
+                                else:
+                                    v += int(d[y, x - 1])
+                            diffs[cid][y, x] = v
                 for cid, d in diffs.items():
-                    refs[cid] = np.clip(refs[cid] + d, 0, 255).astype(
-                        np.int32
-                    )
+                    v = d if base_ll else refs[cid] + d
+                    refs[cid] = np.clip(v, 0, 255).astype(np.int32)
                 frame = None
                 continue
             by, bx = (fh + 7) // 8, (fw + 7) // 8

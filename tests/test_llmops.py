@@ -2755,3 +2755,51 @@ def test_html_text_extraction():
         assert got["text"] == expected
         assert got["title"] == f"doc-{did}"
         assert len(got["links"]) == 1 + did % 3
+
+def test_jpeg_hierarchical_base_mode_matrix():
+    """r9: the full hierarchical matrix — base frame process x entropy
+    coder x refinement kind x lossless-final.  Base modes: sequential
+    (SOF0/SOF9), progressive (SOF2/SOF10 inside the pyramid, DC
+    predicted) and lossless (SOF3/SOF11, predictor-1 with H.1.2
+    boundary rules — the base level becomes exact).  With these, every
+    T.81 frame type decodes in a legal hierarchical slot.  All 24
+    combinations must be closed-loop pixel-exact; base_mode='lossless' +
+    lossless_final makes the whole pyramid exact in the sample domain
+    for BOTH coders."""
+    import numpy as np
+
+    for (w, h, q, lv) in [(21, 13, 75, 2), (8, 8, 90, 1)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [(yy * 5 + xx * 3) % 256, (xx * 7 + 10) % 256,
+             ((yy + xx) * 4) % 256],
+            axis=2,
+        ).astype(np.uint8).tobytes()
+        for entropy in ("huffman", "arithmetic"):
+            for base_mode in ("sequential", "progressive", "lossless"):
+                for prog in (False, True):
+                    s, exp = multimodal._encode_jpeg_hierarchical(
+                        w, h, rgb, quality=q, levels=lv,
+                        return_recon=True, entropy=entropy,
+                        base_mode=base_mode, progressive_refine=prog,
+                    )
+                    assert multimodal._decode_jpeg(s) == (w, h, exp), (
+                        w, h, entropy, base_mode, prog,
+                    )
+    rng = np.random.default_rng(17)
+    noisy = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    for entropy in ("huffman", "arithmetic"):
+        s, exp = multimodal._encode_jpeg_hierarchical(
+            24, 16, noisy.tobytes(), levels=3, return_recon=True,
+            entropy=entropy, base_mode="lossless", lossless_final=True,
+        )
+        assert multimodal._decode_jpeg(s) == (24, 16, exp)
+    # a SECOND non-differential frame mid-pyramid still routes to the seam
+    s, _ = multimodal._encode_jpeg_hierarchical(
+        24, 16, noisy.tobytes(), levels=2, return_recon=True
+    )
+    mutated = bytearray(s)
+    idx = bytes(mutated).find(b"\xff\xc5")
+    mutated[idx + 1] = 0xC0
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_jpeg(bytes(mutated))
