@@ -4485,6 +4485,8 @@ def jpeg_progressive_differential(
                     {},
                     {"progressive_refine": True},
                     {"entropy": "arithmetic", "lossless_final": True},
+                    {"base_mode": "progressive"},
+                    {"base_mode": "lossless", "lossless_final": True},
                 ):
                     hs, hexpect = _encode_jpeg_hierarchical(
                         w, h, rgb, quality=75, levels=2,

@@ -968,7 +968,10 @@ def cms_bigram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id % 25 = 0
     """,
     doc="Progressive + restart + lossless (SOF3) + ARITHMETIC (SOF9) + "
-    "HIERARCHICAL (Annex J DHP/EXP/SOF5 pyramid, closed-loop oracle) "
+    "HIERARCHICAL (Annex J DHP/EXP pyramids, closed-loop oracle over "
+    "five variants: Huffman-seq, Huffman-prog refinements, "
+    "arithmetic+lossless-final, progressive BASE, and the fully exact "
+    "lossless-base+lossless-final pyramid) "
     "JPEG differential at "
     "query level: the lossless leg must reproduce the ORIGINAL pixels "
     "byte-exactly (predictor cycles over all seven T.81 choices by row). "
