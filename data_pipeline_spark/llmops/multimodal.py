@@ -3380,6 +3380,20 @@ def decode_media_safe(
         return False, 0, 0, None, "decode_error"
 
 
+def decode_audio_safe(
+    content: bytes, fmt: str = "unknown"
+) -> tuple[bool, int, int, bytes | None, str]:
+    """Audio twin of decode_media_safe: (ok, n_channels, sample_rate,
+    frames, error) — corrupt streams classify instead of raising."""
+    try:
+        ch, rate, frames = decode_audio(bytes(content), fmt)
+        return True, ch, rate, frames, ""
+    except NotImplementedError:
+        return False, 0, 0, None, "unsupported"
+    except Exception:
+        return False, 0, 0, None, "decode_error"
+
+
 QUARANTINE_SCHEMA = (
     "media_id long, fmt string, decode_ok boolean, error_class string, "
     "width long, height long"

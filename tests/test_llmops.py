@@ -2803,3 +2803,37 @@ def test_jpeg_hierarchical_base_mode_matrix():
     mutated[idx + 1] = 0xC0
     with pytest.raises(NotImplementedError):
         multimodal._decode_jpeg(bytes(mutated))
+
+def test_audio_quarantine_and_fuzz():
+    """r9: decode_audio_safe classifies corrupt wav/flac streams instead
+    of raising, and fuzzed mutations never hang (time-bounded)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    frames = (rng.integers(-300, 300, 400) * 16).astype("<i2").tobytes()
+    wav = multimodal._encode_wav(1, 8000, frames)
+    from data_pipeline_spark.llmops import flac
+
+    fl = flac.encode_flac(1, 8000, frames)
+    for fmt, blob in (("wav", wav), ("flac", fl)):
+        ok, ch, rate, out, err = multimodal.decode_audio_safe(blob, fmt)
+        assert ok and (ch, rate, err) == (1, 8000, "") and out == frames
+        ok, *_rest, err = multimodal.decode_audio_safe(blob[:6], fmt)
+        assert not ok and err == "decode_error", fmt
+        ok, *_rest, err = multimodal.decode_audio_safe(
+            b"\x00\x00" + blob[2:], fmt
+        )
+        assert not ok and err == "decode_error", fmt
+        for trial in range(40):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 5))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            if trial % 3 == 0:
+                b = b[: int(rng.integers(1, len(b)))]
+            t0 = time.time()
+            multimodal.decode_audio_safe(bytes(b), fmt)
+            assert time.time() - t0 < 2.0, (fmt, trial)
+    ok, *_rest, err = multimodal.decode_audio_safe(bytes(20), "mp3")
+    assert not ok and err == "unsupported"
