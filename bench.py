@@ -146,18 +146,28 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "policy": f"per-query warmup + min of {reps} timed runs",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "policy": f"per-query warmup + min of {reps} timed runs",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(result)
+    # self-capture: the driver scrapes the stdout tail, which truncated
+    # the r9 artifact mid-token ("parsed": null in BENCH_r09.json); a
+    # file written here is the evidence of record regardless of the
+    # driver's capture window
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SELF.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
     spark.stop()
 
 

@@ -28,6 +28,8 @@ merges distinguish suffixes from interiors (the original formulation).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -186,7 +188,15 @@ def bpe_encode_stats(
             ids, n_tok, n_words = [], [], []
             cache: dict = {}
             for did, t in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in (t or "").lower().split() if w]
+                # ASCII-only \s+ to match the Java-regex word split used
+                # by word_counts during training (Python str.split would
+                # also break on U+00A0 etc., segmenting differently than
+                # the trained vocabulary)
+                words = [
+                    w
+                    for w in re.split(r"\s+", (t or "").lower(), flags=re.ASCII)
+                    if w
+                ]
                 total = 0
                 for w in words:
                     if w not in cache:

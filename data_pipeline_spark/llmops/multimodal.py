@@ -2221,6 +2221,15 @@ def _decode_jpeg_hierarchical(content: bytes) -> tuple[int, int, bytes]:
             if prec != 8:
                 raise NotImplementedError("hierarchical precision != 8")
             dhp = (fw, fh, nc)
+        elif marker == 0xFFDD:
+            # the scan-end search below does not skip RSTn markers, so a
+            # hierarchical stream with an active restart interval would
+            # truncate at the first RST — route to the seam by name
+            # instead of failing with a confusing marker-parse error
+            if struct.unpack_from(">H", payload, 0)[0] != 0:
+                raise NotImplementedError(
+                    "restart intervals (DRI) in hierarchical JPEG need PIL"
+                )
         elif marker == 0xFFDF:
             finish_prog_frame()  # EXP precedes the NEXT frame
             pending_exp = (payload[0] >> 4, payload[0] & 0xF)

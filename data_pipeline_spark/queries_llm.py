@@ -149,10 +149,6 @@ def ngram_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token count, only array_distinct touches the array; (2) the ratio
     # expressions then reference the tiny count columns, so the flag's
     # re-use of r2/r3 re-reads integers, not rebuilt arrays.
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
     # NOTE: deliberately NOT repartitioned — this query is pure per-row
     # map work with no downstream shuffle, and the plan test pins the
     # single-scan zero-exchange shape (the scale-right form; a

@@ -118,3 +118,24 @@ def test_bpe_spark_stages(spark):
     m_small = bpe.bpe_train(docs, n_merges=5, max_words=2)
     top2 = table[:2]
     assert m_small == bpe._train_merges(top2, 5)
+
+
+def test_encode_stats_whitespace_matches_training_split(spark):
+    """A document containing non-ASCII whitespace (U+00A0) must be
+    segmented into the SAME words at encode time as word_counts uses
+    during training (Java regex \\s+ is ASCII-only, so "a\\u00A0b" is
+    ONE word there — bpe_encode_stats must agree, not split it)."""
+    text = "foo\u00a0bar baz"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    wc = {r["word"]: r["n"] for r in bpe.word_counts(docs).collect()}
+    assert wc == {"foo\u00a0bar": 1, "baz": 1}
+
+    merges = bpe.bpe_train(docs, n_merges=4)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    row = bpe.bpe_encode_stats(docs, merges).collect()[0]
+    # same two words the training split produced
+    assert row["n_words"] == 2
+    expect_tok = sum(
+        len(bpe.apply_merges(w, ranks)) for w in ("foo\u00a0bar", "baz")
+    )
+    assert row["n_tokens"] == expect_tok
