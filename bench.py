@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "multimodal_quarantine_stats",
     # HTML -> text extraction (stdlib parser, map-side)
     "html_text_extraction",
+    # WARC (CommonCrawl) container: per-record-gzip parse + HTTP gate +
+    # extraction, one mapInPandas (codec-bound)
+    "warc_extraction",
 ]
 
 

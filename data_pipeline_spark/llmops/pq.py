@@ -74,6 +74,14 @@ def pq_train(
         .collect()
     )
     x = np.asarray([r.v for r in rows], np.float64)
+    return _train_books(x, m, n_centroids, iters)
+
+
+def _train_books(
+    x: np.ndarray, m: int, n_centroids: int | None, iters: int
+) -> np.ndarray:
+    """Per-subspace k-means over a driver-side training matrix (raw
+    vectors for pq_train, IVF residuals for pq_train_residual)."""
     n, d = x.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -110,40 +118,91 @@ def pq_train(
     return out
 
 
+def pq_train_residual(
+    listed: DataFrame,
+    coarse: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int | None = 32,
+    sample: int = 4096,
+    iters: int = 10,
+) -> np.ndarray:
+    """Codebooks over IVF RESIDUALS (vector − assigned coarse centroid) —
+    the Jegou et al. §V / Faiss IndexIVFPQ layout.  After coarse routing
+    the residual cloud is centered near the assigned centroid, so the
+    same m×k code budget quantizes it more finely wherever the corpus
+    has cluster structure (on the uniform-sphere synthetic corpus the
+    residuals stay near unit length and the gain is small — the r10
+    recall table in ROUND10_NOTES.md separates the routing, code and
+    re-rank-depth contributions; on the near-dup-structured rehearsal
+    corpus the residual codes are what make the per-cluster ADC ranking
+    sharp).
+
+    ``listed`` must carry ``list_id`` (the SPARK-side assignment — the
+    sample's residuals are computed against the same list each vector is
+    encoded under later, so the lossless ``n_centroids=None`` certificate
+    covers every residual subvector actually produced by pq_encode).
+    """
+    rows = (
+        listed.select(
+            F.col(vec_col).alias("v"),
+            F.col("list_id"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], np.float64)
+    lids = np.asarray([r.list_id for r in rows], np.int64)
+    return _train_books(x - coarse[lids], m, n_centroids, iters)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: np.ndarray | None = None,
 ) -> DataFrame:
-    """One scan: (id, codes array<int>) — m bytes of information per
-    vector; numpy argmin per subspace over whole Arrow batches."""
+    """One scan: (id, codes array<int>[, list_id]) — m bytes of
+    information per vector; numpy argmin per subspace over whole Arrow
+    batches.  With ``coarse`` (the IVF centroid matrix), ``df`` must
+    carry ``list_id`` and each vector is encoded as its RESIDUAL
+    against its assigned centroid (the IndexIVFPQ layout); list_id is
+    kept in the output so the ADC scan can add back the per-list
+    ⟨query, centroid⟩ term."""
     m, _k, sub = codebooks.shape
+    residual = coarse is not None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:  # empty Arrow batch: asarray yields 1-D, skip
                 continue
             x = np.asarray(list(pdf["v"]), np.float64)
+            if residual:
+                lids = pdf["list_id"].to_numpy()
+                x = x - coarse[lids]
             codes = np.empty((len(x), m), np.int32)
             for j in range(m):
                 xs = x[:, j * sub : (j + 1) * sub]
                 d2 = ((xs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {"id": pdf["id"], "codes": [c.tolist() for c in codes]}
-            )
+            out = {"id": pdf["id"], "codes": [c.tolist() for c in codes]}
+            if residual:
+                out["list_id"] = pdf["list_id"]
+            yield pd.DataFrame(out)
 
-    prepared = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
-    )
-    schema = StructType(
-        [
-            StructField("id", LongType()),
-            StructField("codes", ArrayType(IntegerType())),
-        ]
-    )
-    return prepared.mapInPandas(run, schema=schema)
+    fields = [
+        StructField("id", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ]
+    cols = [F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")]
+    if residual:
+        cols.append(F.col("list_id").cast("int"))
+        fields.append(StructField("list_id", IntegerType()))
+    return df.select(*cols).mapInPandas(run, schema=StructType(fields))
 
 
 def pq_topk(
@@ -153,11 +212,18 @@ def pq_topk(
     vec_col: str = "embedding",
     k: int = 10,
     m: int = 8,
-    n_centroids: int | None = 32,
-    shortlist: int = 50,
+    n_centroids: int | None = 64,
+    shortlist: int = 200,
     codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC shortlist over PQ codes + exact quantized-cosine re-rank.
+
+    Defaults (n_centroids=64, shortlist=200 = 20*k re-rank depth) come
+    from the r10 measured recall table (ROUND10_NOTES.md): recall@10
+    0.88-0.99 on the uniform-sphere corpus.  ``shortlist`` is the
+    re-rank depth — the only knob that trades exact-math volume for
+    recall; 20*k is cheap (per query, 20*k exact cosines vs a corpus
+    scan) and the first knob to raise if the ADC ranking is noisy.
 
     The queries (small by contract, like cosine_topk) are collected and
     their per-subspace inner-product tables ride into the code-scan kernel
@@ -257,17 +323,37 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
+    n_lists: int = 64,
+    n_probe: int = 24,
     m: int = 8,
-    n_centroids: int | None = 32,
-    shortlist: int = 50,
+    n_centroids: int | None = 64,
+    shortlist: int = 200,
     sample: int = 4096,
+    kmeans_iters: int = 10,
 ) -> DataFrame:
-    """IVF coarse routing + PQ ADC inside the probed lists + exact re-rank
-    — the complete billion-scale ANN layout (coarse index prunes the scan
-    to ~n_probe/n_lists of the corpus; PQ codes shrink what IS scanned by
-    ~4d/m bytes; exact math touches only the shortlist).
+    """IVF coarse routing + RESIDUAL-PQ ADC inside the probed lists +
+    exact re-rank — the complete billion-scale ANN layout (coarse index
+    prunes the scan to ~n_probe/n_lists of the corpus; PQ codes shrink
+    what IS scanned by ~4d/m bytes; exact math touches only the
+    shortlist).
+
+    PQ codebooks are trained on and encode IVF residuals (vector −
+    assigned centroid), the Jegou TPAMI 2011 §V / Faiss IndexIVFPQ
+    layout: ⟨q, x⟩ = ⟨q, c_list⟩ + ⟨q, residual⟩, so the ADC scan adds a
+    per-(query, list) scalar (a tiny Q×L matrix built driver-side from
+    the broadcast centroids) to the usual m subspace table lookups.
+    ``shortlist`` is the re-rank depth: how many ADC candidates per
+    query get exact quantized-cosine scores.
+
+    Defaults (n_probe=24/64 spherical-k-means lists, n_centroids=64,
+    shortlist=200 = 20*k) are from the r10 measured recall table
+    (ROUND10_NOTES.md): recall@10 0.83-0.90 at a 0.38 scan fraction on
+    the UNIFORM-sphere synthetic corpus — the adversarial geometry,
+    where top-10 neighbors sit at cos 0.31-0.41 against a cos~0
+    background and no coarse quantizer can concentrate them.  Clustered
+    real-world corpora (and the near-dup-structured 10x rehearsal
+    corpus) reach higher recall at far lower n_probe — tune n_probe
+    first, then shortlist.
 
     In-sandbox the probe filter is a mask inside the code-scan kernel; at
     100 TB the codes table is written partitioned by list_id (like
@@ -276,14 +362,20 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
-    codebooks = pq_train(
-        base, id_col, vec_col, m=m, n_centroids=n_centroids, sample=sample
+    assignments, centroids = similarity.ivf_assign(
+        base, id_col, vec_col, n_lists, kmeans_iters=kmeans_iters,
+        sample=sample,
+    )
+    cent_rows = centroids.orderBy("list_id").collect()  # n_lists: tiny
+    coarse = np.asarray([r.c_vec for r in cent_rows], np.float64)
+    listed = base.join(assignments, id_col)
+
+    codebooks = pq_train_residual(
+        listed, coarse, id_col, vec_col, m=m, n_centroids=n_centroids,
+        sample=sample,
     )
     m_, _width, sub = codebooks.shape
 
-    assignments, centroids = similarity.ivf_assign(
-        base, id_col, vec_col, n_lists
-    )
     probes = similarity.ivf_probes(
         queries, centroids, id_col, vec_col, n_probe
     ).select("query_id", "list_id")
@@ -297,10 +389,9 @@ def ivfpq_topk(
     qids = [int(r.qid) for r in qrows]
     qx = np.asarray([r.v for r in qrows], np.float64)
     tables = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m_, sub), codebooks)
+    qc = qx @ coarse.T  # (Q, L): the per-(query, list) ⟨q, centroid⟩ term
 
-    codes = pq_encode(base, codebooks, id_col, vec_col).join(
-        assignments.select(F.col(id_col).alias("id"), "list_id"), "id"
-    )
+    codes = pq_encode(listed, codebooks, id_col, vec_col, coarse=coarse)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -315,7 +406,7 @@ def ivfpq_topk(
                 if not mask.any():
                     continue
                 sub_c, sub_ids = c[mask], ids[mask]
-                approx = np.zeros(len(sub_c))
+                approx = qc[qi][lists[mask]].copy()
                 for j in range(m_):
                     approx += tables[qi, j, :][sub_c[:, j]]
                 take = min(shortlist, len(sub_c))

@@ -355,29 +355,68 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 16,
+    kmeans_iters: int = 10,
+    sample: int = 4096,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (assignments, centroids).
 
-    Centroids are ``n_lists`` corpus vectors chosen deterministically by
-    md5(id) order — an IVF-flat baseline that any engine reproduces (a
-    production build would run ml.clustering.KMeans for better list balance;
-    the index layout and probe path are identical).  Every vector joins its
-    nearest centroid by cosine (centroids broadcast; one scan).
-    Returns (assignments(id, list_id), centroids(list_id, centroid vec)).
+    Centroids start as ``n_lists`` corpus vectors chosen deterministically
+    by md5(id) order, then (``kmeans_iters`` > 0, the default) refine with
+    spherical k-means Lloyd rounds over a driver-side md5-ordered sample —
+    training is O(sample), never O(corpus), the pq_train pattern.  K-means
+    centroids balance the lists and sharpen routing wherever the corpus
+    has cluster structure (on the uniform-sphere synthetic corpus the
+    gain is small — the r10 recall table in ROUND10_NOTES.md has the
+    measured numbers at both geometries).  ``kmeans_iters=0`` reproduces
+    the r9 raw-corpus-vector quantizer exactly.  Every vector
+    then joins its nearest centroid by cosine (centroids broadcast; one
+    scan).  Returns (assignments(id, list_id), centroids(list_id, c_vec)).
     """
-    centroids = (
-        df.select(
-            F.col(id_col).alias("c_src"),
-            F.col(vec_col).alias("c_vec"),
-            F.md5(F.col(id_col).cast("string")).alias("h"),
+    if kmeans_iters > 0:
+        import numpy as np
+
+        rows = (
+            df.select(
+                F.col(vec_col).alias("v"),
+                F.md5(F.col(id_col).cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(max(sample, n_lists))
+            .collect()
         )
-        .orderBy("h")
-        .limit(n_lists)
-        .drop("h")
-    )
-    c = centroids.withColumn(
-        "list_id", F.row_number().over(Window.orderBy("c_src")) - 1
-    ).select("list_id", "c_vec")
+        x = np.asarray([r.v for r in rows], np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        xn = x / norms[:, None]
+        k = min(n_lists, len(xn))
+        cent = xn[:k].copy()
+        for _ in range(kmeans_iters):
+            assign = (xn @ cent.T).argmax(axis=1)
+            for ci in range(k):
+                pts = xn[assign == ci]
+                if len(pts):
+                    v = pts.sum(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[ci] = v / n
+        c = df.sparkSession.createDataFrame(
+            [(i, [float(val) for val in cent[i]]) for i in range(k)],
+            "list_id INT, c_vec ARRAY<DOUBLE>",
+        )
+    else:
+        centroids = (
+            df.select(
+                F.col(id_col).alias("c_src"),
+                F.col(vec_col).alias("c_vec"),
+                F.md5(F.col(id_col).cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(n_lists)
+            .drop("h")
+        )
+        c = centroids.withColumn(
+            "list_id", F.row_number().over(Window.orderBy("c_src")) - 1
+        ).select("list_id", "c_vec")
 
     v = quantized(df, id_col, vec_col, "v")
     cq = c.select(
@@ -443,17 +482,32 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
+    n_lists: int = 64,
+    n_probe: int = 24,
+    kmeans_iters: int = 10,
+    sample: int = 4096,
 ) -> DataFrame:
     """ANN top-k via IVF: each query scores the centroids, probes its
     ``n_probe`` nearest lists, and searches only those lists exactly.
+
+    Defaults (n_probe=24/64, spherical-k-means centroids) come from the
+    r10 measured recall table (ROUND10_NOTES.md): recall@10 >= 0.85 at a
+    0.38 scan fraction on the UNIFORM-sphere synthetic corpus — the
+    adversarial geometry for coarse routing (top-10 neighbors sit at cos
+    0.31-0.41, barely above the pairwise background).  Clustered
+    real-world embedding corpora concentrate neighbors into far fewer
+    lists (the 10x near-dup-structured rehearsal corpus's measured
+    numbers are in the same table).  Tune n_probe down when the corpus
+    is clustered, up toward this default when it is not.
 
     At 100 TB the assignments table is written partitioned by list_id, so a
     probe reads n_probe/n_lists of the corpus — the scan shrinks by the
     probe ratio while recall stays tunable.
     """
-    assignments, centroids = ivf_assign(base, id_col, vec_col, n_lists)
+    assignments, centroids = ivf_assign(
+        base, id_col, vec_col, n_lists, kmeans_iters=kmeans_iters,
+        sample=sample,
+    )
     listed = quantized(base, id_col, vec_col, "neighbor").join(
         assignments.select(
             F.col(id_col).alias("neighbor_id"), "list_id"

@@ -800,6 +800,89 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_extraction",
+    """
+    SELECT doc_id,
+           'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(3 AS BIGINT) AS n_records,
+           CAST(200 AS BIGINT) AS http_status,
+           doc_id % 2 = 1 AS gzipped,
+           TRUE AS payload_ok
+    FROM documents
+    """,
+    doc="REAL WARC ingest at query level — the CommonCrawl container the "
+    "HTML->text step reads from: per document a 3-record WARC/1.0 file "
+    "(warcinfo + request + response, per-record-gzipped .warc.gz layout "
+    "for odd ids, plain for even) is synthesized around the html_text "
+    "page template, then parsed back inside mapInPandas — gzip members "
+    "inflated, record grammar walked by Content-Length, the response "
+    "record gated on WARC-Type + application/http + HTTP 200 + "
+    "text/html before extraction.  payload_ok pins the recovered HTTP "
+    "body byte-equal to an independently re-built page AND the "
+    "extracted text equal to its expected construction, so the whole "
+    "build -> (gzip) -> parse -> HTTP -> extract round is oracle-"
+    "verified; url/n_records/status/gzipped are id-derivable.  "
+    "Malformed-archive quarantine (parse_warc_safe never raises) is "
+    "fuzz-pinned in tests/test_warc.py.  One mapInPandas, no shuffle.",
+    tags=("llm", "textstats", "multimodal"),
+)
+def warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches):
+        from data_pipeline_spark.llmops import html_text, warc
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                html = html_text.wrap_in_html(did, t or "").encode("utf-8")
+                gz = did % 2 == 1
+                stream = warc.build_warc_file(did, html, gzip_records=gz)
+                res, err = warc.parse_warc_safe(stream)
+                if res is None:
+                    rows.append((did, "", 0, 0, gz, False))
+                    continue
+                out = html_text.extract_html(
+                    res["body"].decode("utf-8", "replace")
+                )
+                nav = [f"Nav {i}" for i in range(1 + did % 3)]
+                paras = [
+                    " ".join(p.split()) for p in (t or "").split("\n")
+                ]
+                expected = "\n".join(
+                    nav + [p for p in paras if p] + ["© corpus"]
+                )
+                ok = (
+                    res["body"] == html
+                    and res["content_type"].startswith("text/html")
+                    and res["warc_date"] == warc.warc_date(did)
+                    and out["text"] == expected
+                )
+                rows.append(
+                    (did, res["url"], res["n_records"], res["status"],
+                     gz, ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "n_records", "http_status",
+                         "gzipped", "payload_ok"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema="doc_id long, url string, n_records long, "
+        "http_status long, gzipped boolean, payload_ok boolean",
+    )
+
+
+@register(
     "multimodal_quarantine_stats",
     """
     SELECT doc_id AS media_id,
@@ -1216,16 +1299,16 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivf_ann_topk",
     None,  # approximate (probe subset): rows-only check
-    doc="IVF-flat ANN top-k: deterministic coarse quantizer, queries probe "
-    "their n_probe nearest lists — the scan shrinks by the probe ratio "
+    doc="IVF-flat ANN top-k at the DOCUMENTED DEFAULT config (spherical-"
+    "k-means lists, n_probe=24/64 — recall@10 >= 0.8 measured on the "
+    "uniform-sphere corpus, the r10 recall table): queries probe their "
+    "n_probe nearest lists — the scan shrinks by the probe ratio "
     "(llmops/similarity.ivf_topk; partition-by-list layout at scale).",
     tags=("llm", "similarity"),
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, n_probe=4
-    )
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 @register(
@@ -2795,9 +2878,10 @@ def heavy_hitter_bigrams_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Product-quantization ANN top-k (llmops/pq.py): 8-byte PQ codes "
     "per 64-dim vector (32x compression), per-query ADC lookup tables "
     "broadcast into a codes-only scan, shortlist re-ranked with the exact "
-    "quantized cosine.  Measured recall@10 = 0.74 vs brute force at "
-    "sf0.01 with m=8, 32 centroids/subspace; the unit suite bounds recall "
-    "and pins the lossless-codebook exactness limit.",
+    "quantized cosine.  Measured recall@10 at the default config (m=8, "
+    "64 centroids/subspace, 20*k re-rank depth): 0.98 at sf0.01, 0.92 at "
+    "sf0.1 (r10 recall table); the unit suite floors recall at 0.9 and "
+    "pins the lossless-codebook exactness limit.",
     tags=("llm", "similarity"),
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2805,8 +2889,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq.pq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id",
-        k=10, m=8, n_centroids=32, shortlist=50,
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", k=10
     )
 
 
@@ -2841,9 +2924,12 @@ def pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the scan to n_probe/n_lists of the corpus, PQ ADC scores only the "
     "probed lists' 8-byte codes, exact quantized-cosine re-rank touches "
     "the shortlist — the complete billion-scale layout (codes partitioned "
-    "by list_id at scale so probes prune file reads).  Measured recall@10 "
-    "0.52 vs brute force at sf0.01 (IVF-flat alone: 0.54 — the PQ "
-    "approximation costs ~0.02).",
+    "by list_id at scale so probes prune file reads).  r10 moved the "
+    "codes to IVF RESIDUALS (the IndexIVFPQ layout) and the defaults to "
+    "the measured production config (n_probe=24/64 k-means lists, 64 "
+    "centroids, 20*k re-rank): recall@10 0.84 at sf0.01 / 0.84 at sf0.1 "
+    "on the uniform-sphere corpus — the adversarial routing geometry "
+    "(the r10 recall table separates the contributions).",
     tags=("llm", "similarity"),
 )
 def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2851,8 +2937,7 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq.ivfpq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id",
-        k=10, n_lists=16, n_probe=4, m=8, n_centroids=32, shortlist=50,
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", k=10
     )
 
 

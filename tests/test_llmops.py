@@ -336,15 +336,15 @@ def test_ivf_recall_against_brute_force(spark):
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(emb, queries, k=5).collect()
     }
-    approx_rows = similarity.ivf_topk(
-        emb, queries, k=5, n_lists=8, n_probe=3
-    ).collect()
+    approx_rows = similarity.ivf_topk(emb, queries, k=5).collect()
     approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
-    # every ANN result is a real vector pair with true cosine; recall
-    # against exact top-5 should be substantial with 3/8 lists probed
+    # DEFAULT config (n_probe=24/64 spherical-k-means lists): the
+    # documented production floor on the uniform-sphere corpus — the
+    # adversarial geometry for coarse routing (measures 0.82 here;
+    # the r10 recall grid is in ROUND10_NOTES.md)
     assert len(approx_rows) > 0
     recall = len(approx & exact) / len(exact)
-    assert recall > 0.3, f"IVF recall too low: {recall}"
+    assert recall >= 0.8, f"IVF recall below the production floor: {recall}"
 
 
 def test_connected_components_chain_and_singletons(spark):
@@ -1521,10 +1521,11 @@ def test_gif_codec_property_roundtrip():
 
 
 def test_pq_recall_and_lossless_exactness(spark):
-    """PQ ADC shortlist + exact re-rank: recall@10 >= 0.6 vs brute force
-    at 32x compression (m=8, 32 centroids); the lossless-codebook limit
-    reproduces the brute-force result EXACTLY (ids, ranks and cosine
-    bits), certifying train/encode/ADC/re-rank end to end."""
+    """PQ ADC shortlist + exact re-rank: recall@10 >= 0.9 vs brute force
+    at the DEFAULT config (m=8, 64 centroids, 20*k re-rank depth —
+    measures 1.0 here); the lossless-codebook limit reproduces the
+    brute-force result EXACTLY (ids, ranks and cosine bits), certifying
+    train/encode/ADC/re-rank end to end."""
     from data_pipeline_spark.llmops import pq
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
@@ -1532,9 +1533,9 @@ def test_pq_recall_and_lossless_exactness(spark):
     exact = similarity.cosine_topk(emb, queries, id_col="vec_id", k=10)
     ex_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
 
-    approx = pq.pq_topk(emb, queries, k=10, m=8, n_centroids=32, shortlist=50)
+    approx = pq.pq_topk(emb, queries, k=10)
     ap_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
-    assert len(ap_pairs & ex_pairs) / len(ex_pairs) >= 0.6
+    assert len(ap_pairs & ex_pairs) / len(ex_pairs) >= 0.9
 
     books = pq.pq_train(emb, m=8, n_centroids=None, sample=10**6)
     lossless = pq.pq_topk(emb, queries, k=10, m=8, shortlist=50, codebooks=books)
@@ -1559,10 +1560,12 @@ def test_pq_encode_shape_and_determinism(spark):
 
 
 def test_ivfpq_recall_and_double_exactness(spark):
-    """IVF-PQ: recall@10 >= 0.4 at the pruned config (coarse routing
-    dominates the loss — IVF-flat measures ~0.54 here); the double
-    exactness limit (probe every list + lossless codebooks) reproduces
-    brute force bit-for-bit, certifying the composition end to end."""
+    """IVF-PQ: recall@10 >= 0.8 at the DEFAULT pruned config (residual
+    codes, n_probe=24/64, 20*k re-rank depth — measures 0.80 on this
+    uniform-sphere corpus, the adversarial routing geometry); the double
+    exactness limit (probe every list + lossless residual codebooks)
+    reproduces brute force bit-for-bit, certifying the composition end
+    to end."""
     from data_pipeline_spark.llmops import pq
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
@@ -1570,9 +1573,9 @@ def test_ivfpq_recall_and_double_exactness(spark):
     exact = similarity.cosine_topk(emb, queries, id_col="vec_id", k=10)
     ex_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
 
-    pruned = pq.ivfpq_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+    pruned = pq.ivfpq_topk(emb, queries, k=10)
     pr_pairs = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
-    assert len(pr_pairs & ex_pairs) / len(ex_pairs) >= 0.4
+    assert len(pr_pairs & ex_pairs) / len(ex_pairs) >= 0.8
 
     full = pq.ivfpq_topk(
         emb, queries, k=10, n_lists=16, n_probe=16,
