@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     # semantic (embedding) ingest gate: ANN sidecar probe + per-row-bounded
     # ADC candidate cut + exact verify
     "semantic_dedup_gate",
+    # file-level WARC source: binaryFile -> per-response rows off real
+    # multi-capture .warc.gz segments (archives built once per sf)
+    "warc_file_source",
 ]
 
 

@@ -491,10 +491,15 @@ def semantic_model_train(
             F.col(vec_col).alias("v"),
             F.md5(F.col(id_col).cast("string")).alias("h"),
         )
+        .filter(F.col("v").isNotNull())  # NULL vectors can't train or match
         .orderBy("h")
         .limit(max(sample, n_lists))
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "semantic_model_train: no non-null vectors to train on"
+        )
     x = np.asarray([r.v for r in rows], np.float64)
     norms = np.linalg.norm(x, axis=1)
     norms[norms == 0] = 1.0
@@ -545,12 +550,19 @@ def semantic_index_rows(
     trained global margin to mis-calibrate.  One mapInPandas scan, no
     shuffle — the semantic twin of doc_shingle_index."""
     m_, _w, sub = codebooks.shape
+    dim = m_ * sub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zero = [0.0] * dim
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.asarray(list(pdf["v"]), np.float64)
+            # NULL vectors normalize to the zero vector: norm 0, cosine
+            # never >= any positive threshold, so they always ADMIT (the
+            # text gate's NULL contract, semantic twin) — and crash no
+            # kernel
+            vs = [v if v is not None else zero for v in pdf["v"]]
+            x = np.asarray(vs, np.float64)
             norms = np.linalg.norm(x, axis=1)
             safe = np.where(norms == 0, 1.0, norms)
             lids = ((x / safe[:, None]) @ coarse.T).argmax(axis=1)
@@ -568,7 +580,7 @@ def semantic_index_rows(
             yield pd.DataFrame(
                 {
                     "cor_id": pdf["id"],
-                    "embedding": pdf["v"],
+                    "embedding": vs,
                     "vnorm": norms,
                     "codes": [c.tolist() for c in codes],
                     "list_id": lids.astype(np.int32),
@@ -645,7 +657,10 @@ def semantic_gate_flags(
             [], f"{id_col} LONG, near_dup INT, best_cos DOUBLE, keep INT"
         )
     qids = np.asarray([r.qid for r in qrows], np.int64)
-    qx = np.asarray([r.v for r in qrows], np.float64)
+    dim = codebooks.shape[0] * codebooks.shape[2]
+    qx = np.asarray(
+        [r.v if r.v is not None else [0.0] * dim for r in qrows], np.float64
+    )
     qn = np.linalg.norm(qx, axis=1)
     qn_safe = np.where(qn == 0, 1.0, qn)
     sims = (qx / qn_safe[:, None]) @ coarse.T
@@ -696,12 +711,24 @@ def semantic_gate_flags(
         F.col(id_col).cast("long").alias("qid"),
         F.col(vec_col).alias("qv"),
     )
+    # nullif guards the ANSI divide: a zero-norm side (a NULL vector
+    # normalized to zeros) yields NULL cosine — never a near-dup flag,
+    # never a task-killing exception
+    den = F.sqrt(similarity.quantized_norm_sq(F.col("qv"))) * F.sqrt(
+        similarity.quantized_norm_sq(F.col("cv"))
+    )
     scored = (
         cand.join(index.select("cor_id", F.col("embedding").alias("cv")),
                   "cor_id")
         .join(F.broadcast(qvec), "qid")
         .filter(F.col("qid") != F.col("cor_id"))
-        .select("qid", similarity.cosine(F.col("qv"), F.col("cv")).alias("c"))
+        .select(
+            "qid",
+            (
+                similarity.quantized_dot(F.col("qv"), F.col("cv"))
+                / F.nullif(den, F.lit(0.0))
+            ).alias("c"),
+        )
     )
     best = scored.groupBy("qid").agg(F.max("c").alias("best_cos"))
     near = (F.col("best_cos") >= threshold).cast("int")

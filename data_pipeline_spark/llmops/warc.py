@@ -288,3 +288,136 @@ def parse_warc_safe(stream: bytes):
         return None, "parse_error"
     except Exception:  # noqa: BLE001 — quarantine boundary by design
         return None, "parse_error"
+
+
+# ------------------------------------------------------------ file source
+
+def build_warc_archive(captures, gzip_records: bool = True) -> bytes:
+    """A REAL multi-capture archive: one warcinfo record followed by a
+    request+response pair per capture — the layout of an actual
+    CommonCrawl ``.warc.gz`` segment file.  ``captures`` is an iterable
+    of (doc_id, html_bytes)."""
+    captures = list(captures)
+    first = captures[0][0] if captures else 0
+    date = warc_date(first)
+    out = [
+        build_warc_record(
+            "warcinfo",
+            {
+                "WARC-Date": date,
+                "WARC-Record-ID": record_id(f"info-file-{first}"),
+                "Content-Type": "application/warc-fields",
+            },
+            b"software: data_pipeline_spark\r\n"
+            b"format: WARC File Format 1.0\r\n",
+        )
+    ]
+    for doc_id, html in captures:
+        url = f"https://corpus.example/doc/{doc_id}"
+        d = warc_date(doc_id)
+        out.append(
+            build_warc_record(
+                "request",
+                {
+                    "WARC-Date": d,
+                    "WARC-Record-ID": record_id(f"req-{doc_id}"),
+                    "WARC-Target-URI": url,
+                    "Content-Type": "application/http; msgtype=request",
+                },
+                (
+                    f"GET /doc/{doc_id} HTTP/1.1\r\n"
+                    "Host: corpus.example\r\n\r\n"
+                ).encode("ascii"),
+            )
+        )
+        out.append(
+            build_warc_record(
+                "response",
+                {
+                    "WARC-Date": d,
+                    "WARC-Record-ID": record_id(f"resp-{doc_id}"),
+                    "WARC-Target-URI": url,
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                build_http_response(html),
+            )
+        )
+    if gzip_records:
+        return b"".join(
+            gzip.compress(r, compresslevel=1, mtime=0) for r in out
+        )
+    return b"".join(out)
+
+
+def iter_responses(stream: bytes):
+    """Every response record of an archive through the HTTP gate:
+    yields dict(url, status, content_type, body, warc_date).  Strict —
+    wrap with parse_warc_safe-style handling for corrupt archives."""
+    for headers, payload in iter_warc_records(stream):
+        if headers.get("warc-type") != "response":
+            continue
+        if not headers.get("content-type", "").startswith("application/http"):
+            continue
+        status, http_headers, body = parse_http_response(payload)
+        yield {
+            "url": headers.get("warc-target-uri", ""),
+            "status": status,
+            "content_type": http_headers.get("content-type", ""),
+            "body": body,
+            "warc_date": headers.get("warc-date", ""),
+        }
+
+
+def read_warc(spark, path: str):
+    """WARC FILE SOURCE: ``.warc`` / ``.warc.gz`` files -> one row per
+    response record (warc_file, url, http_status, content_type, body
+    binary, warc_date, error_class).  Files load whole via binaryFile —
+    the right unit for per-record-gzipped archives, whose members are
+    not splittable without an external index; CommonCrawl segments are
+    ~1 GB, sized to be a task's working set — and parse map-side in one
+    mapInPandas (the container-probe shape).  A corrupt archive becomes
+    ONE quarantine row (error_class set, no response rows lost from
+    other files) instead of a task failure.
+
+    At 100 TB: point this at the segment listing; parallelism = number
+    of files; no shuffle until the caller aggregates.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                try:
+                    for r in iter_responses(blob):
+                        rows.append(
+                            (fpath, r["url"], r["status"],
+                             r["content_type"], r["body"], r["warc_date"],
+                             "")
+                        )
+                except ValueError as e:
+                    cls = str(e).split(":", 1)[0]
+                    rows.append((fpath, "", 0, "", b"", "",
+                                 cls if cls in _ERROR_CLASSES
+                                 else "parse_error"))
+                except Exception:  # noqa: BLE001 — quarantine boundary
+                    rows.append((fpath, "", 0, "", b"", "", "parse_error"))
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_file", "url", "http_status", "content_type",
+                         "body", "warc_date", "error_class"],
+            )
+
+    return files.mapInPandas(
+        run,
+        schema="warc_file string, url string, http_status long, "
+        "content_type string, body binary, warc_date string, "
+        "error_class string",
+    )

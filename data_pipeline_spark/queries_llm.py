@@ -890,6 +890,133 @@ def warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_archive_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize the documents table as REAL multi-capture .warc.gz
+    archive files (warcinfo + request/response pairs, 50 captures per
+    file — the CommonCrawl segment layout, miniaturized), ONCE per
+    (sf_dir, source-file identity), and reuse across queries and bench
+    reps — the fixture a file-level WARC source reads.  A production
+    deployment deletes this helper and points read_warc at the crawl's
+    segment listing."""
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from data_pipeline_spark.llmops import html_text, warc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"warc|{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / "spark_graft_warc_archives" / key
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )  # bounded fixture synthesis (<= a few k docs at oracle SFs)
+    groups: dict[int, list] = {}
+    for r in rows:
+        did = int(r.doc_id)
+        groups.setdefault(did // 50, []).append(
+            (did, html_text.wrap_in_html(did, r.text or "").encode("utf-8"))
+        )
+    for g, captures in groups.items():
+        captures.sort()
+        blob = warc.build_warc_archive(captures, gzip_records=True)
+        with open(out / f"segment-{g:05d}.warc.gz", "wb") as fh:
+            fh.write(blob)
+    (out / "_SUCCESS").touch()
+    return str(out)
+
+
+@register(
+    "warc_file_source",
+    """
+    WITH g AS (SELECT doc_id, text, doc_id // 50 AS f FROM documents)
+    SELECT doc_id,
+           'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(200 AS BIGINT) AS http_status,
+           CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT)
+               AS responses_in_file,
+           TRUE AS text_ok
+    FROM g
+    """,
+    doc="FILE-LEVEL WARC source (llmops/warc.read_warc): the documents "
+    "table is materialized once as real multi-capture .warc.gz archives "
+    "(50 request/response pairs per segment file, per-record gzip "
+    "members) and read back through spark.read.format('binaryFile') + "
+    "one mapInPandas — one output row per RESPONSE record, corrupt "
+    "archives quarantined as one error row instead of task failures.  "
+    "doc_id re-derives from the target URI, responses_in_file counts "
+    "the records actually parsed out of each segment (pinning the "
+    "multi-record walk), and text_ok re-extracts the HTTP body through "
+    "the HTML extractor and compares against the expected construction "
+    "— so file layout, record grammar, gzip member walk, HTTP gate and "
+    "extraction are all oracle-verified.  At 100 TB: parallelism = "
+    "segment files, no shuffle before the per-file record count.",
+    tags=("llm", "textstats", "multimodal"),
+)
+def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from data_pipeline_spark.llmops import warc
+
+    archive_dir = _warc_archive_dir(spark, sf_dir)
+    rows = warc.read_warc(spark, archive_dir + "/*.warc.gz")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def verify(batches):
+        from data_pipeline_spark.llmops import html_text
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, body, t in zip(pdf["doc_id"], pdf["body"], pdf["text"]):
+                did = int(did)
+                ext = html_text.extract_html(
+                    bytes(body).decode("utf-8", "replace")
+                )
+                nav = [f"Nav {i}" for i in range(1 + did % 3)]
+                paras = [
+                    " ".join(p.split()) for p in (t or "").split("\n")
+                ]
+                expected = "\n".join(
+                    nav + [p for p in paras if p] + ["© corpus"]
+                )
+                out.append((did, ext["text"] == expected))
+            yield pd.DataFrame(out, columns=["doc_id", "text_ok"])
+
+    parsed = rows.filter(F.col("error_class") == "").select(
+        F.element_at(F.split(F.col("url"), "/"), -1).cast("long").alias(
+            "doc_id"
+        ),
+        "url",
+        "http_status",
+        "warc_file",
+        "body",
+    )
+    per_file = parsed.groupBy("warc_file").agg(
+        F.count(F.lit(1)).alias("responses_in_file")
+    )
+    checked = (
+        parsed.join(docs, "doc_id")
+        .select("doc_id", "body", "text")
+        .mapInPandas(verify, schema="doc_id long, text_ok boolean")
+    )
+    return (
+        parsed.join(F.broadcast(per_file), "warc_file")
+        .join(checked, "doc_id")
+        .select("doc_id", "url", "http_status", "responses_in_file",
+                "text_ok")
+    )
+
+
 @register(
     "multimodal_quarantine_stats",
     """

@@ -688,7 +688,7 @@ class SemanticGatedIngest(DedupGatedIngest):
         rows = batch.select(
             F.col(self.id_col).cast("long").alias("i"),
             F.col(self.vec_col).alias("v"),
-        ).collect()
+        ).filter(F.col("v").isNotNull()).collect()
         if len(rows) < 2:
             return []
         ids = np.asarray([r.i for r in rows], np.int64)
@@ -705,6 +705,8 @@ class SemanticGatedIngest(DedupGatedIngest):
     def gate_batch(self, batch: DataFrame) -> DataFrame:
         from data_pipeline_spark.llmops import pq
 
+        if batch.isEmpty():  # an empty FIRST trigger must not train
+            return batch
         coarse, books, _err = self._ensure_model(batch)
         if self.within_batch_neardup:
             losers = self._within_batch_losers(batch)
@@ -731,15 +733,15 @@ class SemanticGatedIngest(DedupGatedIngest):
     def gate_flags(self, batch: DataFrame) -> DataFrame:
         from data_pipeline_spark.llmops import pq
 
-        coarse, books, _err = self._ensure_model(batch)
         index = self.committed_index()
-        if index is None:
+        if index is None or batch.isEmpty():
             return batch.select(
                 F.col(self.id_col),
                 F.lit(0).alias("near_dup"),
                 F.lit(None).cast("double").alias("best_cos"),
                 F.lit(1).alias("keep"),
             )
+        coarse, books, _err = self._ensure_model(batch)
         return pq.semantic_gate_flags(
             index,
             batch,

