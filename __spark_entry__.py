@@ -39,6 +39,7 @@ _PRIORITY = [
     "warc_extraction",
     "semantic_dedup_gate",
     "warc_file_source",
+    "bigram_lm_perplexity",
     # changed r10 internals: the MinHash family moved from unwrapped
     # Kirsch-Mitzenmacher to the universal modular family (oracle changed
     # in lockstep), which also rewrites the gate-index band buckets; the
@@ -51,10 +52,10 @@ _PRIORITY = [
     "ivf_ann_topk",
     "pq_ann_topk",
     "ivfpq_ann_topk",
-    # (ivf_exact_topk also changed — k-means default — but is r9-green,
-    # locally re-verified, and yields its window slot to the never-checked
-    # warc_file_source; the window is exactly 50)
-    "pq_exact_topk",
+    # (ivf_exact_topk and pq_exact_topk also changed — k-means default /
+    # refactored trainer — but both are r9-green and locally re-verified,
+    # and yield their window slots to the never-checked warc_file_source
+    # and bigram_lm_perplexity; the window is exactly 50)
     "ivfpq_exact_topk",
     # -- recency rotation: every query whose latest verdict is r7 ------------
     "encrypted_transport_roundtrip",

@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     # file-level WARC source: binaryFile -> per-response rows off real
     # multi-capture .warc.gz segments (archives built once per sf)
     "warc_file_source",
+    # interpolated bigram LM (the real CCNet-style perplexity filter):
+    # benches against unigram_logprob_score's broadcast-only form
+    "bigram_lm_perplexity",
 ]
 
 

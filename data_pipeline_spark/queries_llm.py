@@ -1432,6 +1432,106 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_lm_perplexity",
+    """
+    WITH toks AS (
+        SELECT doc_id, w, i FROM (
+            SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                   generate_subscripts(string_split(text,' '), 1) AS i
+            FROM documents
+        )
+    ),
+    uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    big AS (
+        SELECT prev, w, COUNT(*) AS cb FROM (
+            SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS prev, w
+            FROM toks
+        ) WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    ctx AS (SELECT prev, SUM(cb) AS cc FROM big GROUP BY 1),
+    seq AS (
+        SELECT doc_id, w, i,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM toks
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               CAST(ROUND(-ln(
+                   CASE WHEN s.prev IS NULL
+                        THEN CAST(u.cu AS DOUBLE) / t.n
+                        ELSE 0.75 * (CAST(b.cb AS DOUBLE) / c.cc)
+                             + 0.25 * (CAST(u.cu AS DOUBLE) / t.n)
+                   END) * 1000000, 0) AS BIGINT) AS sc
+        FROM seq s
+        JOIN uni u ON u.w = s.w
+        CROSS JOIN tot t
+        LEFT JOIN big b ON b.prev = s.prev AND b.w = s.w
+        LEFT JOIN ctx c ON c.prev = s.prev
+    )
+    SELECT doc_id,
+           CAST(SUM(sc) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_surprisal,
+           COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Interpolated BIGRAM LM quality score — the actual CCNet-style "
+    "perplexity filter (unigram_logprob_score is its backoff floor): "
+    "per-token surprisal -ln(0.75*p(w|prev) + 0.25*p(w)) under the "
+    "corpus's own counts (Jelinek-Mercer interpolation, lambda=0.75; "
+    "first token scores as pure unigram), per-doc mean.  Scale shape: "
+    "the unigram table broadcasts; the bigram model join is ONE "
+    "shuffle co-keyed on (prev, w) against the token-pair stream, and "
+    "the context totals derive from the bigram table itself (no second "
+    "corpus scan).  Every observed bigram has an observed context, so "
+    "the interpolation never divides by zero; surprisals are "
+    "1e-6-quantized longs before summation (the transcendental-fn "
+    "contract), making the mean order-independent and the result "
+    "bit-identical across engines.",
+    tags=("llm", "textstats", "quality"),
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(textstats.tokens("text")).alias("i", "w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = toks.count()  # plan-time scalar, same value the oracle computes
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    seq = toks.withColumn("prev", F.lag("w").over(w_doc))
+    big = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    p = F.when(
+        F.col("prev").isNull(),
+        F.col("cu").cast("double") / F.lit(total),
+    ).otherwise(
+        F.lit(0.75) * (F.col("cb").cast("double") / F.col("cc"))
+        + F.lit(0.25) * (F.col("cu").cast("double") / F.lit(total))
+    )
+    scored = (
+        seq.join(F.broadcast(uni), "w")
+        .join(big, ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .select(
+            "doc_id",
+            F.round(-F.log(p) * 1_000_000, 0).cast("bigint").alias("sc"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.sum("sc").cast("double") / F.count(F.lit(1)) / 1_000_000.0).alias(
+            "avg_surprisal"
+        ),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+@register(
     "ivf_ann_topk",
     None,  # approximate (probe subset): rows-only check
     doc="IVF-flat ANN top-k at the DOCUMENTED DEFAULT config (spherical-"

@@ -188,3 +188,37 @@ def test_empty_first_trigger_then_normal_flow(spark, tmp_path):
     assert sink.admit_batch(_df(spark, []), 0) == 0  # no model train crash
     assert sink.admit_batch(_df(spark, B1), 1) == 3
     assert _corpus_ids(spark, tmp_path) == [1, 2, 3]
+
+
+def test_streaming_end_to_end_writestream(spark, tmp_path):
+    """The full writeStream/availableNow path: a file stream feeds the
+    semantic sink trigger by trigger; near-copies of committed vectors
+    are rejected, novel vectors admitted — the inherited foreachBatch
+    machinery composes with the overridden gate unchanged."""
+    sink = _sink(spark, tmp_path)
+    assert sink.admit_batch(_df(spark, B1), 0) == 3
+
+    src = tmp_path / "src"
+    _df(
+        spark,
+        [(40, _near(BASE[2], 13)), (41, BASE[6])],  # dup of 2, novel
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id LONG, embedding ARRAY<DOUBLE>"
+    ).parquet(str(src))
+    # new checkpoint => new epoch scope => its own ledger (the text
+    # gate's convention)
+    streaming_sink = SemanticGatedIngest(
+        spark,
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_path=str(tmp_path / "stream_ledger"),
+        id_col="doc_id",
+        vec_col="embedding",
+        threshold=0.9,
+        n_lists=4,
+        m=4,
+        n_centroids=8,
+    )
+    q = streaming_sink.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 41]
