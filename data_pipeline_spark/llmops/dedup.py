@@ -362,20 +362,22 @@ def _mh_consts(j: int) -> tuple[int, int]:
 
 
 def _with_band_buckets(df: DataFrame, shingles_col: str) -> DataFrame:
-    """Append an in-row MinHash band-bucket column ``bands`` computed from
-    an array<bigint> shingle-hash column: Kirsch-Mitzenmacher double
-    hashing (h1 + j*h2 from two xxhash64 views of the shingle value — h1
-    60 bits, h2 48 bits, so h1 + 29*h2 < 2^61 never overflows signed-64),
-    per-function min via zip_with + array_min, band bucket = xxhash64 of
-    the band's rows + band id.  Zero explode, zero shuffle.
+    """Append an in-row MinHash band-bucket column ``bands_v2`` computed
+    from an array<bigint> shingle-hash column: the universal modular
+    family h_j(x) = (a_j*x + b_j) mod (2^31 - 1) over ONE 31-bit base
+    value per shingle (x = xxhash64 >> 33, then mod P; a_j*x + b_j stays
+    under 2^62, exact in signed-64 — see _MH_P for why r10 replaced the
+    unwrapped Kirsch-Mitzenmacher form), per-function min via transform
+    + array_min, band bucket = xxhash64 of the band's rows + band id.
+    Zero explode, zero shuffle.
 
-    The two hash arrays land in their OWN projection so each is computed
+    The base-value array lands in its OWN projection so the hash runs
     once per row (CollapseProject keeps non-trivial aliases referenced
-    many times in a separate Project); the 30 KM minimums are then plain
-    integer zip_with traversals — 2 hash passes + 30 arithmetic passes
-    per row instead of 60 hash passes.  Empty shingle sets get an EMPTY
-    bands array (array_min of nothing is null, which would otherwise
-    bucket all empty docs together)."""
+    many times in a separate Project); the 30 minimums are then plain
+    integer transform traversals — 1 hash pass + 30 arithmetic passes
+    per row.  Empty shingle sets get an EMPTY bands array (array_min of
+    nothing is null, which would otherwise bucket all empty docs
+    together)."""
     col = F.col(shingles_col)
     staged = df.withColumns(
         {
@@ -401,7 +403,7 @@ def _with_band_buckets(df: DataFrame, shingles_col: str) -> DataFrame:
     bands = F.when(F.size(col) > 0, _bucket_array(mins)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return staged.withColumn("bands", bands).drop("_x")
+    return staged.withColumn("bands_v2", bands).drop("_x")
 
 
 def _bucket_array(mins: list):
@@ -421,9 +423,10 @@ def _bucket_array(mins: list):
 def _batch_band_buckets(inc: DataFrame) -> DataFrame:
     """DISTINCT band-bucket values of a batch frame carrying an in-row
     ``shingles`` array — the EXPLODED formulation of ``_with_band_buckets``
-    (same KM functions, same bucket hash, bit-identical values): explode
-    the shingle stream, derive the 30 KM columns in codegen, groupBy(doc)
-    with 30 map-side-combined mins, hash the bands, explode + distinct.
+    (same modular hash family, same bucket hash, bit-identical values):
+    explode the shingle stream, derive the 30 family columns in codegen,
+    groupBy(doc) with 30 map-side-combined mins, hash the bands,
+    explode + distinct.
 
     Why a second formulation: the in-row zip_with/transform pipeline runs
     INTERPRETED (higher-order functions have no codegen) at ~1 ms/doc —
@@ -456,9 +459,13 @@ def doc_shingle_index(
     with_bands: bool = True,
 ) -> DataFrame:
     """Per-document dedup index row: ``(cor_id, h, n_sh, shingles,
-    bands)`` — the md5 of the text, the distinct-shingle count, the doc's
-    distinct shingle set as 64-bit xxhash64 values, and its MinHash LSH
-    band buckets (see ``_with_band_buckets``).
+    bands_v2)`` — the md5 of the text, the distinct-shingle count, the
+    doc's distinct shingle set as 64-bit xxhash64 values, and its MinHash
+    LSH band buckets (see ``_with_band_buckets``; the column is VERSIONED
+    because bucket values are a function of the hash family — a pre-r10
+    ``bands`` sidecar would silently never collide with r10 batch
+    buckets, so the family change renames the column and stale sidecars
+    fail loud instead).
 
     This is the PERSISTABLE form of everything the incremental gate needs
     from a corpus document: ~8 bytes per shingle instead of the text, no
@@ -537,10 +544,14 @@ def indexed_dedup_gate(
     (doc_shingle_index emits it; older sidecars must be rebuilt).
     """
     bc = F.broadcast if broadcast_batch else (lambda d: d)
-    if band_prune and "bands" not in index.columns:
+    if band_prune and "bands_v2" not in index.columns:
         raise ValueError(
-            "band_prune=True needs a 'bands' column on the index — "
-            "rebuild the sidecar with doc_shingle_index()"
+            "band_prune=True needs a 'bands_v2' column on the index — "
+            "r10 changed the MinHash family (the unwrapped r7 form "
+            "correlated the band orderings; see _MH_P), so buckets from "
+            "a pre-r10 'bands' sidecar can never collide with current "
+            "batch buckets.  Rebuild the sidecar with "
+            "doc_shingle_index(), or gate with band_prune=False."
         )
     batch_buckets: list | None = None
     if broadcast_batch:
@@ -558,9 +569,9 @@ def indexed_dedup_gate(
         local = incoming.sparkSession.createDataFrame(rows, batch_idx.schema)
         if band_prune:
             batch_buckets = sorted(
-                {b for r in rows for b in (r.bands or [])}
+                {b for r in rows for b in (r.bands_v2 or [])}
             )
-            local = local.drop("bands")
+            local = local.drop("bands_v2")
         inc = local.select(
             F.col("cor_id").alias("inc_id"),
             "h",
@@ -615,7 +626,7 @@ def indexed_dedup_gate(
                 "CAST(array(%s) AS array<bigint>)"
                 % ",".join(str(int(b)) for b in buckets)
             )
-            near_source = index.filter(F.arrays_overlap("bands", lit_arr))
+            near_source = index.filter(F.arrays_overlap("bands_v2", lit_arr))
     elif band_prune:
         # BACKFILL path (batch too large to broadcast/collect): the same
         # pruning as a value join — explode the index's bands, semi-join
@@ -623,7 +634,7 @@ def indexed_dedup_gate(
         # exchanges, chosen only when the batch is corpus-sized.
         inc_buckets = _batch_band_buckets(inc)
         candidates = (
-            index.select("cor_id", F.explode("bands").alias("bb"))
+            index.select("cor_id", F.explode("bands_v2").alias("bb"))
             .join(inc_buckets, "bb", "left_semi")
             .select("cor_id")
             .distinct()

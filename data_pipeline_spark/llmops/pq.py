@@ -502,19 +502,7 @@ def semantic_model_train(
         )
     x = np.asarray([r.v for r in rows], np.float64)
     norms = np.linalg.norm(x, axis=1)
-    norms[norms == 0] = 1.0
-    xn = x / norms[:, None]
-    k = min(n_lists, len(xn))
-    cent = xn[:k].copy()
-    for _ in range(iters):
-        assign = (xn @ cent.T).argmax(axis=1)
-        for ci in range(k):
-            pts = xn[assign == ci]
-            if len(pts):
-                v = pts.sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[ci] = v / n
+    cent, xn = similarity.spherical_kmeans(x, n_lists, iters)
     lids = (xn @ cent.T).argmax(axis=1)
     res = x - cent[lids]
     books = _train_books(res, m, n_centroids, iters)
@@ -672,13 +660,19 @@ def semantic_gate_flags(
     qc = qx @ coarse.T
     base_cut = threshold - margin
 
+    # probe membership as one bool matrix: the kernel tests Q x rows
+    # membership with a fancy-index instead of Q python-level isin loops
+    pmask = np.zeros((len(qids), coarse.shape[0]), bool)
+    for qi in range(len(qids)):
+        pmask[qi, probes[qi]] = True
+
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        probe_sets = [set(p.tolist()) for p in probes]
+        q_chunk = 256  # bounds the (chunk x rows) score matrix per batch
         for pdf in batches:
             if pdf.empty:
                 continue
             lists = pdf["list_id"].to_numpy()
-            keep_rows = np.isin(lists, probed_union)
+            keep_rows = pmask.any(axis=0)[lists]
             if not keep_rows.any():
                 continue
             pdf = pdf[keep_rows]
@@ -689,46 +683,72 @@ def semantic_gate_flags(
             ids = pdf["cor_id"].to_numpy()
             safe_vn = np.where(vnorm == 0, 1.0, vnorm)
             out_q, out_c = [], []
-            for qi in range(len(qids)):
-                mask = np.isin(lists, list(probe_sets[qi]))
-                if not mask.any():
-                    continue
-                adc = qc[qi][lists[mask]].copy()
-                sub_codes = codes[mask]
+            for q0 in range(0, len(qids), q_chunk):
+                q1 = min(q0 + q_chunk, len(qids))
+                approx = qc[q0:q1][:, lists].copy()  # (chunk, rows)
                 for j in range(m_):
-                    adc += tables[qi, j, :][sub_codes[:, j]]
-                adc_cos = adc / (qn_safe[qi] * safe_vn[mask])
-                hit = adc_cos >= base_cut - row_err[mask]
-                if hit.any():
-                    out_q.extend([int(qids[qi])] * int(hit.sum()))
-                    out_c.extend(ids[mask][hit].tolist())
+                    approx += tables[q0:q1, j, :][:, codes[:, j]]
+                adc_cos = approx / (
+                    qn_safe[q0:q1, None] * safe_vn[None, :]
+                )
+                hit = pmask[q0:q1][:, lists] & (
+                    adc_cos >= base_cut - row_err[None, :]
+                )
+                qi_idx, row_idx = np.nonzero(hit)
+                if len(qi_idx):
+                    out_q.extend(qids[q0 + qi_idx].tolist())
+                    out_c.extend(ids[row_idx].tolist())
             yield pd.DataFrame({"qid": out_q, "cor_id": out_c})
 
     cand = index.select(
         "cor_id", "vnorm", "codes", "list_id", "adc_err"
     ).mapInPandas(scan, schema="qid long, cor_id long")
-    qvec = incoming.select(
-        F.col(id_col).cast("long").alias("qid"),
-        F.col(vec_col).alias("qv"),
-    )
-    # nullif guards the ANSI divide: a zero-norm side (a NULL vector
-    # normalized to zeros) yields NULL cosine — never a near-dup flag,
-    # never a task-killing exception
-    den = F.sqrt(similarity.quantized_norm_sq(F.col("qv"))) * F.sqrt(
-        similarity.quantized_norm_sq(F.col("cv"))
-    )
-    scored = (
-        cand.join(index.select("cor_id", F.col("embedding").alias("cv")),
-                  "cor_id")
-        .join(F.broadcast(qvec), "qid")
-        .filter(F.col("qid") != F.col("cor_id"))
-        .select(
-            "qid",
-            (
-                similarity.quantized_dot(F.col("qv"), F.col("cv"))
-                / F.nullif(den, F.lit(0.0))
-            ).alias("c"),
+
+    # exact verify of the bounded candidate set, VECTORIZED: the query
+    # matrix rides into one mapInPandas in quantized form and each
+    # candidate costs an int64 dot product — the r10 JVM-expression form
+    # (one higher-order aggregate per pair) dominated the fat-trigger
+    # wall at the 30x rehearsal.  Quantization reproduces _qvec exactly:
+    # float -> double -> HALF_UP round to 1e-6 fixed point (numpy's
+    # rint is half-even, so the sign-aware floor(+0.5) form is used);
+    # a zero-norm side (NULL vector) yields NULL cosine — never a flag,
+    # never a divide error.
+    def _q(m: np.ndarray) -> np.ndarray:
+        return (np.sign(m) * np.floor(np.abs(m) * 1_000_000 + 0.5)).astype(
+            np.int64
         )
+
+    qq = _q(qx)
+    qn2 = (qq * qq).sum(axis=1)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zero = [0.0] * (m_ * sub)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cv = np.asarray(
+                [v if v is not None else zero for v in pdf["cv"]],
+                np.float64,
+            )
+            cq = _q(cv)
+            qidx = np.asarray([qpos[int(q)] for q in pdf["qid"]])
+            dots = np.einsum("ij,ij->i", qq[qidx], cq)
+            den = np.sqrt(qn2[qidx].astype(np.float64)) * np.sqrt(
+                (cq * cq).sum(axis=1).astype(np.float64)
+            )
+            c = [
+                float(d) / dn if dn > 0 else None
+                for d, dn in zip(dots, den)
+            ]
+            yield pd.DataFrame({"qid": pdf["qid"], "c": c})
+
+    scored = (
+        cand.filter(F.col("qid") != F.col("cor_id"))
+        .join(index.select("cor_id", F.col("embedding").alias("cv")),
+              "cor_id")
+        .select("qid", "cv")
+        .mapInPandas(verify, schema="qid long, c double")
     )
     best = scored.groupBy("qid").agg(F.max("c").alias("best_cos"))
     near = (F.col("best_cos") >= threshold).cast("int")

@@ -350,6 +350,32 @@ def lsh_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def spherical_kmeans(x, k: int, iters: int):
+    """Driver-side spherical k-means over a raw sample matrix: zero-norm
+    rows guarded, deterministic init (first k rows of the caller's
+    md5-ordered sample), empty clusters keep their centroid.  Returns
+    (unit_centroids, normalized_sample) — the ONE trainer ivf_assign and
+    pq.semantic_model_train share, so their numerics can never diverge
+    (both feed exactness certificates)."""
+    import numpy as np
+
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    xn = x / norms[:, None]
+    k = min(k, len(xn))
+    cent = xn[:k].copy()
+    for _ in range(iters):
+        assign = (xn @ cent.T).argmax(axis=1)
+        for ci in range(k):
+            pts = xn[assign == ci]
+            if len(pts):
+                v = pts.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[ci] = v / n
+    return cent, xn
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -372,6 +398,7 @@ def ivf_assign(
     then joins its nearest centroid by cosine (centroids broadcast; one
     scan).  Returns (assignments(id, list_id), centroids(list_id, c_vec)).
     """
+    rows = []
     if kmeans_iters > 0:
         import numpy as np
 
@@ -380,30 +407,26 @@ def ivf_assign(
                 F.col(vec_col).alias("v"),
                 F.md5(F.col(id_col).cast("string")).alias("h"),
             )
+            .filter(F.col("v").isNotNull())  # NULL vectors can't train
             .orderBy("h")
             .limit(max(sample, n_lists))
             .collect()
         )
-        x = np.asarray([r.v for r in rows], np.float64)
-        norms = np.linalg.norm(x, axis=1)
-        norms[norms == 0] = 1.0
-        xn = x / norms[:, None]
-        k = min(n_lists, len(xn))
-        cent = xn[:k].copy()
-        for _ in range(kmeans_iters):
-            assign = (xn @ cent.T).argmax(axis=1)
-            for ci in range(k):
-                pts = xn[assign == ci]
-                if len(pts):
-                    v = pts.sum(axis=0)
-                    n = np.linalg.norm(v)
-                    if n > 0:
-                        cent[ci] = v / n
+    if rows:
+        import numpy as np
+
+        cent, _xn = spherical_kmeans(
+            np.asarray([r.v for r in rows], np.float64),
+            n_lists,
+            kmeans_iters,
+        )
         c = df.sparkSession.createDataFrame(
-            [(i, [float(val) for val in cent[i]]) for i in range(k)],
+            [(i, [float(val) for val in cent[i]]) for i in range(len(cent))],
             "list_id INT, c_vec ARRAY<DOUBLE>",
         )
     else:
+        # kmeans_iters=0, an all-NULL corpus, or an empty one: the r9
+        # raw-corpus-vector quantizer (lazy, empty-tolerant)
         centroids = (
             df.select(
                 F.col(id_col).alias("c_src"),

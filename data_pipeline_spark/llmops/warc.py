@@ -395,20 +395,24 @@ def read_warc(spark, path: str):
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 blob = bytes(content)
+                frows = []  # buffered: a mid-file error discards the
+                # partial rows so a damaged file is EXACTLY one
+                # quarantine row, never partial data posing as complete
                 try:
                     for r in iter_responses(blob):
-                        rows.append(
+                        frows.append(
                             (fpath, r["url"], r["status"],
                              r["content_type"], r["body"], r["warc_date"],
                              "")
                         )
                 except ValueError as e:
                     cls = str(e).split(":", 1)[0]
-                    rows.append((fpath, "", 0, "", b"", "",
-                                 cls if cls in _ERROR_CLASSES
-                                 else "parse_error"))
+                    frows = [(fpath, "", 0, "", b"", "",
+                              cls if cls in _ERROR_CLASSES
+                              else "parse_error")]
                 except Exception:  # noqa: BLE001 — quarantine boundary
-                    rows.append((fpath, "", 0, "", b"", "", "parse_error"))
+                    frows = [(fpath, "", 0, "", b"", "", "parse_error")]
+                rows.extend(frows)
             yield pd.DataFrame(
                 rows,
                 columns=["warc_file", "url", "http_status", "content_type",

@@ -903,8 +903,6 @@ def _warc_archive_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
     from pathlib import Path
 
-    from data_pipeline_spark.llmops import html_text, warc
-
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
@@ -914,22 +912,36 @@ def _warc_archive_dir(spark: SparkSession, sf_dir: str) -> str:
     if (out / "_SUCCESS").exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
-    rows = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .collect()
-    )  # bounded fixture synthesis (<= a few k docs at oracle SFs)
-    groups: dict[int, list] = {}
-    for r in rows:
-        did = int(r.doc_id)
-        groups.setdefault(did // 50, []).append(
-            (did, html_text.wrap_in_html(did, r.text or "").encode("utf-8"))
+
+    out_str = str(out)
+
+    def write_segment(pdf):
+        import pandas as _pd
+
+        from data_pipeline_spark.llmops import html_text as _ht
+        from data_pipeline_spark.llmops import warc as _warc
+
+        caps = sorted(
+            (int(d), _ht.wrap_in_html(int(d), t or "").encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
         )
-    for g, captures in groups.items():
-        captures.sort()
-        blob = warc.build_warc_archive(captures, gzip_records=True)
-        with open(out / f"segment-{g:05d}.warc.gz", "wb") as fh:
+        g = caps[0][0] // 50
+        blob = _warc.build_warc_archive(caps, gzip_records=True)
+        path = os.path.join(out_str, f"segment-{g:05d}.warc.gz")
+        with open(path, "w+b") as fh:
             fh.write(blob)
+        return _pd.DataFrame({"g": [g], "n": [len(caps)]})
+
+    # segments build DISTRIBUTED (one task per 50-doc group writing its
+    # own file — local[n] shares the FS; a cluster fixture would write
+    # to shared storage): the driver never materializes the corpus
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_seg = (
+        docs.groupBy((F.col("doc_id") / 50).cast("long"))
+        .applyInPandas(write_segment, schema="g long, n long")
+        .count()
+    )
+    assert n_seg > 0
     (out / "_SUCCESS").touch()
     return str(out)
 
@@ -3218,7 +3230,7 @@ def ivfpq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through the train -> encode -> probe -> ADC -> verify machinery; a "
     "routing or scoring regression flips a flag and fails the driver "
     "comparison.  Chaos replay + batch-parity for the streaming form are "
-    "pinned in tests/test_ingest_chaos.py.",
+    "pinned in tests/test_semantic_gate.py.",
     tags=("llm", "similarity", "ingest"),
 )
 def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3228,7 +3240,10 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = emb.filter(F.col("vec_id") % 10 == 0)
     seeds = incoming.filter(F.col("vec_id") % 20 == 0)
     # deterministic planted near-copy: per-component md5 noise (~cos 0.99
-    # after renormalization), id offset out of the incoming range
+    # after renormalization); the id offset clears BOTH the table's id
+    # space and the scale-rehearsal expansion ids (base + i*1e6, i<=29),
+    # so planted corpus ids never collide with incoming ids and the
+    # gate's self-pair filter can't mask a genuine candidate
     noisy = F.transform(
         F.col("embedding"),
         lambda x, j: x.cast("double")
@@ -3249,7 +3264,7 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = F.sqrt(F.aggregate(noisy, F.lit(0.0), lambda a, x: a + x * x))
     planted = seeds.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + 100_000_000).alias("vec_id"),
         F.transform(noisy, lambda x: (x / norm).cast("float")).alias(
             "embedding"
         ),

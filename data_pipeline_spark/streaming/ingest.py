@@ -132,13 +132,14 @@ class DedupGatedIngest:
         # in-flight batch); single-stream deployments skip the lock cost
         self.serialize_writers = serialize_writers
         self.broadcast_batch = broadcast_batch
-        # band_prune: steady-state triggers scan only (cor_id, bands) of
-        # the index and explode shingles for band-colliding candidates —
-        # O(candidates) per trigger instead of O(index).  A >= threshold
+        # band_prune: steady-state triggers scan only (cor_id, bands_v2)
+        # of the index and explode shingles for band-colliding candidates
+        # — O(candidates) per trigger instead of O(index).  A >= threshold
         # pair escapes the bands with p <= 1-(1-t^3)^10 (8e-4 at t=0.8);
         # admission decisions on the chaos/flood fixtures are identical.
-        # Requires sidecars built by this round's doc_shingle_index
-        # (bands column); set False to gate against a pre-bands sidecar.
+        # Requires sidecars with the VERSIONED bands_v2 column (r10's
+        # modular MinHash family — doc_shingle_index emits it; a pre-r10
+        # 'bands' sidecar fails loud); set False to gate without bands.
         self.band_prune = band_prune
         self.crash_points: set[str] = set()  # test-injectable crash windows
 
@@ -223,7 +224,7 @@ class DedupGatedIngest:
         """Columns a committed_index() read projects (the rest of the
         sidecar row never loads at gate time)."""
         return ["cor_id", "h", "n_sh", "shingles"] + (
-            ["bands"] if self.band_prune else []
+            ["bands_v2"] if self.band_prune else []
         )
 
     def committed_index(self) -> DataFrame | None:
@@ -652,17 +653,34 @@ class SemanticGatedIngest(DedupGatedIngest):
             sample=self.sample,
         )
         os.makedirs(self.index_dir, exist_ok=True)
-        tmp = self._model_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "coarse": coarse.tolist(),
-                    "codebooks": books.tolist(),
-                    "err_bound": err_bound,
-                },
-                fh,
+        # atomic CREATE (O_EXCL): if two unserialized writers race to
+        # train, exactly one model file wins and BOTH converge on it —
+        # the loser discards its own training so no sidecar rows are
+        # ever encoded under a model that model.json does not hold.
+        # (serialize_writers=True makes the race impossible; this keeps
+        # the index coherent even without the lock.)
+        payload = json.dumps(
+            {
+                "coarse": coarse.tolist(),
+                "codebooks": books.tolist(),
+                "err_bound": err_bound,
+            }
+        )
+        try:
+            fd = os.open(
+                self._model_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
             )
-        os.replace(tmp, self._model_path)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+        except FileExistsError:
+            with open(self._model_path) as fh:
+                d = json.load(fh)
+            self._model = (
+                np.asarray(d["coarse"], np.float64),
+                np.asarray(d["codebooks"], np.float64),
+                float(d["err_bound"]),
+            )
+            return self._model
         self._model = (coarse, books, err_bound)
         return self._model
 

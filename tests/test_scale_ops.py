@@ -460,7 +460,7 @@ def test_band_candidates_are_a_strict_subset(spark):
     )
     buckets = ld._batch_band_buckets(inc)
     candidates = (
-        idx.select("cor_id", F.explode("bands").alias("bb"))
+        idx.select("cor_id", F.explode("bands_v2").alias("bb"))
         .join(F.broadcast(buckets), "bb", "left_semi")
         .select("cor_id")
         .distinct()
@@ -480,7 +480,7 @@ def test_exploded_batch_buckets_equal_inrow_bands(spark):
     both = corpus.union(batch)
     idx = ld.doc_shingle_index(both, "doc_id", "text")
     inrow = {
-        bb for r in idx.select(F.explode("bands").alias("bb")).collect()
+        bb for r in idx.select(F.explode("bands_v2").alias("bb")).collect()
         for bb in [r.bb]
     }
     inc = idx.select(F.col("cor_id").alias("inc_id"), "shingles")
@@ -512,7 +512,7 @@ def test_band_pruned_gate_plan_prunes_index_columns(spark, tmp_path):
     )
     assert schemas == [
         "struct<cor_id:bigint,n_sh:int,shingles:array<bigint>,"
-        "bands:array<bigint>>",
+        "bands_v2:array<bigint>>",
         "struct<h:string>",
     ], schemas
     # the band filter must run BEFORE the explode (that ordering IS the

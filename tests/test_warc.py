@@ -172,3 +172,17 @@ def test_read_warc_source_and_quarantine_row(spark, tmp_path):
     }
     assert len(bad) == 1 and bad[0].error_class == "bad_gzip"
     assert bad[0].warc_file.endswith("seg-1.warc.gz")
+
+
+def test_read_warc_midfile_corruption_is_one_quarantine_row(spark, tmp_path):
+    """A PLAIN .warc truncated mid-file must not emit its leading good
+    records as healthy rows — exactly one quarantine row per damaged
+    file (the gzip layout fails up front; the plain layout is the case
+    that used to leak partial data)."""
+    plain = warc.build_warc_archive(
+        [(1, b"<html>a</html>"), (2, b"<html>b</html>")], gzip_records=False
+    )
+    (tmp_path / "seg.warc").write_bytes(plain[: len(plain) - 40])
+    rows = warc.read_warc(spark, str(tmp_path) + "/*.warc").collect()
+    assert len(rows) == 1
+    assert rows[0].error_class == "truncated_payload"

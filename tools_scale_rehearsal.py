@@ -58,6 +58,14 @@ HEAVY = [
     "heavy_hitter_bigrams",
     "pq_ann_topk",
     "ivfpq_ann_topk",
+    # r10 additions: the semantic (embedding) ingest gate, the WARC
+    # sources (per-doc roundtrip + file-level segments) and the bigram
+    # LM perplexity filter — the round's new operators carry scale
+    # evidence from day one
+    "semantic_dedup_gate",
+    "warc_extraction",
+    "warc_file_source",
+    "bigram_lm_perplexity",
 ]
 
 
@@ -363,7 +371,17 @@ def check_invariants(spark, sf_dir: str, factor: int) -> dict:
         "ok": not missing and not over,
     }
 
-    # 6. ANN recall at the documented defaults on this (clustered at
+    # 6. semantic gate decisions match the arithmetic ground truth at
+    # every scale (the catalog's oracle, recomputed Spark-side: near_dup
+    # iff vec_id % 20 == 0 — the planted-copy rule; see queries_llm)
+    sem = QUERIES["semantic_dedup_gate"].spark(spark, sf_dir)
+    sem_bad = sem.filter(
+        F.col("near_dup") != (F.col("vec_id") % 20 == 0).cast("int")
+    ).count()
+    inv["semantic_gate_decisions"] = {"mismatches": sem_bad,
+                                      "ok": sem_bad == 0}
+
+    # 7. ANN recall at the documented defaults on this (clustered at
     # factor>1) corpus, vs the exact brute force
     emb = load_table(spark, sf_dir, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") < 5)
@@ -439,13 +457,19 @@ def main() -> None:
         print(f"  corpus: {n_docs} docs, {n_emb} embeddings "
               f"(build {build_s}s)", flush=True)
 
-        # pre-build the gate index sidecar so the gate timings measure the
-        # steady-state trigger, not the one-time index build (timed apart)
+        # pre-build the gate index sidecar and the WARC archive fixture
+        # so the gate/source timings measure steady state, not one-time
+        # fixture builds (timed apart)
         before = _stage_ids(spark)
         t0 = time.perf_counter()
         _persisted_gate_index(spark, sf_dir).count()
         idx = _stage_metrics(spark, before)
         idx["wall_s"] = round(time.perf_counter() - t0, 2)
+        from data_pipeline_spark.queries_llm import _warc_archive_dir
+
+        t0 = time.perf_counter()
+        _warc_archive_dir(spark, sf_dir)
+        entry_warc_build_s = round(time.perf_counter() - t0, 2)
 
         entry: dict = {
             "dir": sf_dir,
@@ -453,6 +477,7 @@ def main() -> None:
             "n_embeddings": n_emb,
             "corpus_build_s": build_s,
             "gate_index_build": idx,
+            "warc_archive_build_s": entry_warc_build_s,
             "queries": {},
         }
         for name in HEAVY:
