@@ -454,6 +454,66 @@ def skew_rehearsal(spark, factor: int) -> dict:
     return report
 
 
+# ------------------------------------------------------------- fact-shuffle regime
+
+JOIN_FAMILY = [
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "shipped_within_90d",
+]
+
+
+def fact_shuffle_sweep(spark, scales) -> dict:
+    """Measure the join family under the 100 TB plan regime.
+
+    At sandbox scale the column-pruned orders estimate still fits the
+    engine's 64 MiB broadcast threshold, so the default sweep measures
+    BroadcastHashJoin plans for the fact-fact joins — optimal here, but
+    not the plan a 1000-executor cluster gets when orders is tens of
+    TB.  This sweep drops the threshold to Spark's 10 MB default: the
+    genuinely small dims (nation/region/part/supplier — fixed-size at
+    any corpus scale by this rehearsal's design) keep broadcasting,
+    while the GROWN facts shuffle — the shape that actually exists at
+    100 TB.  Row counts must match the default-regime run."""
+    from data_pipeline_spark.queries import QUERIES
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ]
+    }
+    out: dict = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(10 * 1024 * 1024),
+        )
+        for factor in scales:
+            sf_dir = build_scaled(spark, factor)
+            entry = {}
+            print(f"  fact-shuffle regime, {factor}x:", flush=True)
+            for name in JOIN_FAMILY:
+                q = QUERIES[name].spark
+                entry[name] = timed_run(
+                    spark, lambda q=q: len(q(spark, sf_dir).collect()), name
+                )
+            out[str(factor)] = entry
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return out
+
+
 # ------------------------------------------------------------- spill probe
 
 def spill_probe(spark, factor: int) -> dict:
@@ -528,6 +588,12 @@ def main() -> None:
         help="run only the constrained-memory spill probe at FACTORx "
         "(use with SPARK_GRAFT_DRIVER_MEM / SPARK_GRAFT_CPUS)",
     )
+    ap.add_argument(
+        "--fact-shuffle-only",
+        action="store_true",
+        help="run only the 10 MB-threshold join-family sweep over "
+        "--scales and merge it into an existing --out artifact",
+    )
     ap.add_argument("--out", default="SCALE_REHEARSAL_REL_r10.json")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
@@ -545,6 +611,21 @@ def main() -> None:
             "spark.ui.retainedJobs": "10000",
         },
     )
+
+    if args.fact_shuffle_only:
+        print("== fact-shuffle regime sweep", flush=True)
+        sweep = fact_shuffle_sweep(spark, scales)
+        try:
+            with open(args.out) as fh:
+                report = json.load(fh)
+        except FileNotFoundError:
+            report = {}
+        report["fact_shuffle_regime"] = sweep
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {args.out}", flush=True)
+        spark.stop()
+        return
 
     if args.spill_probe:
         print(f"== spill probe ({args.spill_probe}x)", flush=True)
