@@ -34,8 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining window; the rest follow.
 _PRIORITY = [
     # -- r10 evidence targets ------------------------------------------------
-    # never driver-checked: the WARC (CommonCrawl) record source and the
-    # semantic (embedding) ingest gate
+    # never driver-checked: the WARC (CommonCrawl) record source, the
+    # semantic (embedding) ingest gate, and the late-r10 text-pipeline
+    # trio (Gopher rules / Unicode normalization / per-domain quota)
+    "gopher_quality_flags",
+    "text_normalization",
+    "domain_quota_sample",
     "warc_extraction",
     "semantic_dedup_gate",
     "warc_file_source",
@@ -52,11 +56,11 @@ _PRIORITY = [
     "ivf_ann_topk",
     "pq_ann_topk",
     "ivfpq_ann_topk",
-    # (ivf_exact_topk and pq_exact_topk also changed — k-means default /
-    # refactored trainer — but both are r9-green and locally re-verified,
-    # and yield their window slots to the never-checked warc_file_source
-    # and bigram_lm_perplexity; the window is exactly 50)
-    "ivfpq_exact_topk",
+    # (ivf_exact_topk, pq_exact_topk and ivfpq_exact_topk also changed —
+    # k-means default / refactored trainer / residual path — but all are
+    # r9-green and locally re-verified bit-for-bit, and yield their
+    # window slots to never-driver-checked queries; the window is
+    # exactly 50)
     # -- recency rotation: every query whose latest verdict is r7 ------------
     "encrypted_transport_roundtrip",
     "wire_key_roundtrip",
@@ -94,9 +98,12 @@ _PRIORITY = [
     "contamination_by_source",
     "url_blocklist_filter",
     "corpus_health_by_source",
-    "hypertable_rollup",
-    "q1_pricing_summary",
     "quality_decile_binning",
+    # (q1_pricing_summary and hypertable_rollup stay r7-verdict one more
+    # round: both carry independent r10 scale-rehearsal arithmetic
+    # invariants at 10x/30x, and q1 is the entry() flagship the driver
+    # smoke-runs every round — the three late-r10 text ops take their
+    # slots so nothing ships never-driver-checked)
 ]
 
 

@@ -136,6 +136,14 @@ BENCH_QUERIES = [
     # interpolated bigram LM (the real CCNet-style perplexity filter):
     # benches against unigram_logprob_score's broadcast-only form
     "bigram_lm_perplexity",
+    # Gopher repetition/format rules: in-row line derivation + list
+    # predicates, zero-shuffle scan
+    "gopher_quality_flags",
+    # Unicode NFC normalization: the one sanctioned pandas-UDF text step
+    # (Arrow batches) + JVM regex strip/collapse
+    "text_normalization",
+    # per-domain quota sampling: salted two-stage top-N (skew-bounded)
+    "domain_quota_sample",
 ]
 
 

@@ -8,6 +8,7 @@ per-document outputs.
 
 from __future__ import annotations
 
+import pandas as pd  # used by the nfc() pandas UDF's lazy type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,3 +133,43 @@ def bpe_ish_tokens(text: str | Column) -> Column:
     Stays in codegen: no Python in the row path."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def nfc(col: str | Column) -> Column:
+    """Unicode NFC normalization (canonical composition).  Spark has no
+    built-in normalizer expression, so this is one of the repo's few
+    sanctioned Python steps: an Arrow-batched pandas UDF over the string
+    column (vectorized transfer, ~constant per-batch overhead) — never a
+    row-at-a-time F.udf.  unicodedata.normalize is the same Unicode NFC
+    the SQL oracle's nfc_normalize() implements, so outputs match
+    bit-for-bit.  Reference behavior: the wire pipeline stores text
+    fields un-normalized (data_pipeline/message.py keeps payloads as
+    given); normalization here is the pretraining-corpus step."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def normalize_text(col: str | Column) -> Column:
+    """The standard pre-tokenization cleanup: NFC-compose, strip C0/DEL
+    control characters, collapse runs of whitespace to one space, trim.
+    Order matters and is part of the contract: NFC first (so combining
+    marks join their base before anything is measured), control strip
+    second (removes \\t \\n \\r \\x0b too — both engines' regex classes
+    agree on the explicit [\\x00-\\x1f\\x7f] range, sidestepping the
+    Java-vs-RE2 \\s divergence), whitespace collapse third (only plain
+    spaces survive the strip), trim last.  Everything after the NFC UDF
+    stays in JVM codegen."""
+    out = nfc(col)
+    out = F.regexp_replace(out, "[\\x00-\\x1f\\x7f]", "")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)

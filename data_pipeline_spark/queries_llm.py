@@ -3615,3 +3615,253 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text"),
     )
+
+
+@register(
+    "gopher_quality_flags",
+    """
+    WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, text, words,
+               list_transform(
+                   range(CAST(floor((len(words) - 1) / 8) AS BIGINT) + 1),
+                   i -> array_to_string(words[i*8+1 : (i+1)*8], ' ')
+               ) AS lines0
+        FROM w
+    ),
+    l AS (
+        SELECT doc_id, text, words,
+               lines0
+               || (CASE WHEN doc_id % 3 = 0 THEN [lines0[1]]
+                        ELSE CAST([] AS VARCHAR[]) END)
+               || (CASE WHEN doc_id % 4 = 0 THEN ['- ' || words[1]]
+                        ELSE CAST([] AS VARCHAR[]) END)
+               || (CASE WHEN doc_id % 5 = 0 THEN ['and more...']
+                        ELSE CAST([] AS VARCHAR[]) END) AS lines
+        FROM c
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               (length(text) - (len(words) - 1))
+                 / CAST(len(words) AS DOUBLE) AS mean_word_len,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               (len(lines) - len(list_distinct(lines)))
+                 / CAST(len(lines) AS DOUBLE) AS dup_line_frac,
+               len(list_filter(lines, x -> starts_with(x, '- ')))
+                 / CAST(len(lines) AS DOUBLE) AS bullet_line_frac,
+               len(list_filter(lines, x -> ends_with(x, '...')))
+                 / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac
+        FROM l
+    )
+    SELECT doc_id, n_words, mean_word_len, n_lines, dup_line_frac,
+           bullet_line_frac, ellipsis_line_frac,
+           (n_words BETWEEN 50 AND 100000) AS flag_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AS flag_mean_word_len,
+           (dup_line_frac <= 0.30) AS flag_dup_lines,
+           (bullet_line_frac <= 0.90) AS flag_bullet_lines,
+           (ellipsis_line_frac <= 0.30) AS flag_ellipsis_lines,
+           ((n_words BETWEEN 50 AND 100000)
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND dup_line_frac <= 0.30
+            AND bullet_line_frac <= 0.90
+            AND ellipsis_line_frac <= 0.30) AS keep
+    FROM m
+    """,
+    doc="Gopher repetition/format quality rules (Rae et al. 2021 §A1.1): "
+    "word-count bounds, mean-word-length bounds, duplicate-line fraction, "
+    "bullet-line fraction, ellipsis-line fraction -> per-rule flags + the "
+    "conjunctive keep decision.  The corpus text is single-line, so the "
+    "query derives a deterministic line structure (8-word wrap) and plants "
+    "rule triggers arithmetically in doc_id (a repeated first line at "
+    "id%3, a bullet line at id%4, an ellipsis line at id%5) so every rule "
+    "fires differentially and the oracle checks the full decision table.  "
+    "Entirely IN-ROW (split -> sequence/slice wrap -> list predicates in "
+    "codegen): zero shuffles, zero UDFs — the shape that lets the filter "
+    "run as a pushed scan over 100 TB.",
+    tags=("llm", "textstats", "quality"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "text",
+        words.alias("words"),
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(words) - 1) / F.lit(8)).cast("int")
+            ),
+            lambda i: F.array_join(F.slice(F.col("words"), i * 8 + 1, 8), " "),
+        ).alias("lines0"),
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.col("lines0"),
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.element_at("lines0", 1)))
+        .otherwise(empty),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.array(F.concat(F.lit("- "), F.element_at("words", 1))),
+        ).otherwise(empty),
+        F.when(F.col("doc_id") % 5 == 0, F.array(F.lit("and more...")))
+        .otherwise(empty),
+    )
+    m = base.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        (
+            (F.length("text") - (F.size("words") - 1))
+            / F.size("words").cast("double")
+        ).alias("mean_word_len"),
+        lines.alias("lines"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        (
+            (F.size("lines") - F.size(F.array_distinct("lines")))
+            / F.size("lines").cast("double")
+        ).alias("dup_line_frac"),
+        (
+            F.size(F.filter("lines", lambda x: x.startswith("- ")))
+            / F.size("lines").cast("double")
+        ).alias("bullet_line_frac"),
+        (
+            F.size(F.filter("lines", lambda x: x.endswith("...")))
+            / F.size("lines").cast("double")
+        ).alias("ellipsis_line_frac"),
+    )
+    flag_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    flag_mwl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    flag_dup = F.col("dup_line_frac") <= 0.30
+    flag_bul = F.col("bullet_line_frac") <= 0.90
+    flag_ell = F.col("ellipsis_line_frac") <= 0.30
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_lines",
+        "dup_line_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        flag_wc.alias("flag_word_count"),
+        flag_mwl.alias("flag_mean_word_len"),
+        flag_dup.alias("flag_dup_lines"),
+        flag_bul.alias("flag_bullet_lines"),
+        flag_ell.alias("flag_ellipsis_lines"),
+        (flag_wc & flag_mwl & flag_dup & flag_bul & flag_ell).alias("keep"),
+    )
+
+
+@register(
+    "text_normalization",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || (CASE WHEN doc_id % 2 = 0
+                             THEN ' cafe' || chr(769)
+                             ELSE ' café' END)
+                    || chr(7) || '  tail' AS raw_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw_text) AS BIGINT) AS n_chars_raw,
+           trim(regexp_replace(regexp_replace(
+                nfc_normalize(raw_text), '[\x00-\x1f\x7f]', '', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(regexp_replace(
+                nfc_normalize(raw_text), '[\x00-\x1f\x7f]', '', 'g'),
+                ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+           (trim(regexp_replace(regexp_replace(
+                nfc_normalize(raw_text), '[\x00-\x1f\x7f]', '', 'g'),
+                ' +', ' ', 'g')) <> raw_text) AS changed
+    FROM aug
+    """,
+    doc="Unicode text normalization — the standard pre-tokenization "
+    "cleanup (NFC compose, C0/DEL control strip, whitespace collapse, "
+    "trim).  The corpus is ASCII, so the query plants a deterministic "
+    "dirty suffix per row (a DECOMPOSED e+U+0301 on even ids vs the "
+    "composed é on odd — NFC maps both to the same composed form — plus "
+    "a BEL control byte and a double space), and the oracle verifies the "
+    "normalized text, char counts and changed flag end-to-end.  The NFC "
+    "step is an Arrow-batched pandas UDF (Spark has no normalizer "
+    "expression — one of the few sanctioned Python steps); the regex "
+    "strip/collapse stays in JVM codegen.  Zero shuffles: a map-only "
+    "scan at any scale.",
+    tags=("llm", "textstats", "pandas-udf"),
+)
+def text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" café")).otherwise(
+            F.lit(" café")
+        ),
+        F.lit("\x07  tail"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw_text"))
+    norm = textstats.normalize_text("raw_text")
+    return aug.select(
+        "doc_id",
+        F.length("raw_text").cast("bigint").alias("n_chars_raw"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        (norm != F.col("raw_text")).alias("changed"),
+    )
+
+
+@register(
+    "domain_quota_sample",
+    """
+    SELECT source, doc_id, rk
+    FROM (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    WHERE rk <= 15
+    """,
+    doc="Per-domain quota sampling: keep at most N=15 documents per "
+    "source, chosen by md5(doc_id) order — the crawl-pipeline cap that "
+    "stops a single domain from dominating the training mix, "
+    "deterministic across engines/reruns (no RNG state).  Scale shape: "
+    "computed in TWO stages — a per-(source, salt-of-64) local top-N "
+    "then the global per-source top-N over at most N*64 survivors — so "
+    "the full-corpus sort a naive window implies never happens and the "
+    "per-source shuffle volume is bounded by N*salt rows regardless of "
+    "domain skew (a hot domain with 10^9 pages costs what a cold one "
+    "does).  The two-stage result is exactly the single-stage top-N "
+    "because the order key is total and per-row (md5, id tiebreak).",
+    tags=("llm", "sampling", "scale-path"),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = 15
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    salted = docs.select(
+        "source",
+        "doc_id",
+        key.alias("k"),
+        (F.crc32(F.col("doc_id").cast("string")) % 64).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("k", "doc_id")
+    stage1 = salted.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= n
+    )
+    w2 = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        stage1.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= n)
+        .select("source", "doc_id", "rk")
+    )

@@ -423,3 +423,38 @@ def test_interval_bucket_join_never_nested_loop(spark):
     plan = audit.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_flags_zero_shuffle_map_only(spark):
+    """The Gopher rules run as one in-row scan: no exchange, no join —
+    the shape that makes the filter a pushed scan over 100 TB."""
+    df = _q("gopher_quality_flags", spark)
+    plan = audit.formatted_plan(df)
+    assert re.search(r"\(\d+\) Exchange\b", plan) is None, plan
+    assert audit.join_strategies(df) == [], plan
+
+
+def test_text_normalization_zero_shuffle(spark):
+    """NFC UDF + regex cleanup is map-only: the one Python stage is an
+    ArrowEvalPython (vectorized batch transfer), never row-at-a-time
+    BatchEvalPython, and nothing shuffles."""
+    df = _q("text_normalization", spark)
+    plan = audit.formatted_plan(df)
+    assert re.search(r"\(\d+\) Exchange\b", plan) is None, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_domain_quota_two_stage_shuffle_shape(spark):
+    """The quota sample's first window partitions by (source, salt) —
+    the skew-bound stage — and only the N*salt survivors reach the
+    per-source window; no global (unpartitioned) sort anywhere."""
+    df = _q("domain_quota_sample", spark)
+    plan = audit.formatted_plan(df)
+    exchanges = re.findall(r"Arguments: hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 2, plan
+    assert "salt" in exchanges[0], exchanges
+    assert "salt" not in exchanges[1], exchanges
+    # windows sort WITHIN hash partitions; a global range-partitioned
+    # sort would be `Exchange rangepartitioning`
+    assert "rangepartitioning" not in plan, plan

@@ -26,6 +26,8 @@ PICK = [
     ("doc_chunking", "stride-windowed chunker: split -> sequence -> posexplode -> slice, all in-row — ZERO exchanges, whole plan one codegen stage"),
     ("bpe_pair_counts_exact", "BPE trainer certificate: corpus -> word counts (ONE vocabulary-bounded shuffle), then in-row transform+explode pair expansion + one more partial-agg groupBy — the only corpus-sized stages of tokenizer training"),
     ("semantic_dedup_gate", "semantic ingest gate: ANN sidecar scan column-pruned to (cor_id, vnorm, codes, list_id, adc_err), candidates exact-verified via a bounded join + broadcast batch — the corpus embedding column loads only for candidates"),
+    ("gopher_quality_flags", "Gopher repetition/format rules: in-row line derivation + list predicates, ZERO exchanges — the whole decision table in one codegen scan"),
+    ("domain_quota_sample", "per-domain quota: salted two-stage top-N — first window partitions (source, salt) so per-source shuffle is bounded at N*64 rows under any domain skew; no rangepartitioning sort"),
 ]
 
 if __name__ == "__main__":
