@@ -362,13 +362,23 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
-    assignments, centroids = similarity.ivf_assign(
-        base, id_col, vec_col, n_lists, kmeans_iters=kmeans_iters,
-        sample=sample,
+    centroids = similarity.ivf_centroids(
+        base, id_col, vec_col, n_lists, kmeans_iters, sample
     )
-    cent_rows = centroids.orderBy("list_id").collect()  # n_lists: tiny
-    coarse = np.asarray([r.c_vec for r in cent_rows], np.float64)
-    listed = base.join(assignments, id_col)
+    # ONE tiny collect carries both the raw centroid matrix (residual
+    # math) and the Spark-quantized forms (bit-exact in-row assignment
+    # and driver-side probe selection) — a LocalTableScan on the
+    # k-means path
+    cq_rows = similarity.quantized_centroid_rows(centroids, with_vec=True)
+    coarse = np.asarray([r.c_vec for r in cq_rows], np.float64)
+    # list_id IN-ROW on the corpus scan (r9 joined a separately-derived
+    # assignments frame back onto base: a corpus-sized self-join + the
+    # assignment window shuffle, both gone — see ivf_assign_col)
+    listed = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        similarity.ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
+    )
 
     codebooks = pq_train_residual(
         listed, coarse, id_col, vec_col, m=m, n_centroids=n_centroids,
@@ -376,20 +386,27 @@ def ivfpq_topk(
     )
     m_, _width, sub = codebooks.shape
 
-    probes = similarity.ivf_probes(
-        queries, centroids, id_col, vec_col, n_probe
-    ).select("query_id", "list_id")
-    probe_lists: dict = {}
-    for r in probes.collect():  # |queries| x n_probe rows: tiny by contract
-        probe_lists.setdefault(r.query_id, set()).add(r.list_id)
-
+    # queries collect once, WITH their Spark-quantized forms: probe
+    # selection runs driver-side over Q x n_lists exact integer dots
+    # (python ints — bit-identical doubles to ivf_probes' window, same
+    # desc-NaN-largest / NULLs-last / list_id-asc tie order), replacing
+    # the separate probes job + collect
     qrows = queries.select(
-        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("v")
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).alias("v"),
+        similarity._qvec(F.col(vec_col)).alias("qq"),
+        similarity.quantized_norm_sq(F.col(vec_col)).alias("qn"),
     ).collect()
     qids = [int(r.qid) for r in qrows]
     qx = np.asarray([r.v for r in qrows], np.float64)
     tables = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m_, sub), codebooks)
     qc = qx @ coarse.T  # (Q, L): the per-(query, list) ⟨q, centroid⟩ term
+
+    probe_lists: dict = {}
+    for r in qrows:
+        probe_lists[int(r.qid)] = set(
+            similarity.driver_probe_lists(r.qq, r.qn, cq_rows, n_probe)
+        )
 
     codes = pq_encode(listed, codebooks, id_col, vec_col, coarse=coarse)
 

@@ -376,28 +376,22 @@ def spherical_kmeans(x, k: int, iters: int):
     return cent, xn
 
 
-def ivf_assign(
+def ivf_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 16,
     kmeans_iters: int = 10,
     sample: int = 4096,
-) -> tuple[DataFrame, DataFrame]:
-    """Build an IVF index: (assignments, centroids).
+) -> DataFrame:
+    """The IVF coarse quantizer: (list_id, c_vec).
 
     Centroids start as ``n_lists`` corpus vectors chosen deterministically
     by md5(id) order, then (``kmeans_iters`` > 0, the default) refine with
     spherical k-means Lloyd rounds over a driver-side md5-ordered sample —
-    training is O(sample), never O(corpus), the pq_train pattern.  K-means
-    centroids balance the lists and sharpen routing wherever the corpus
-    has cluster structure (on the uniform-sphere synthetic corpus the
-    gain is small — the r10 recall table in ROUND10_NOTES.md has the
-    measured numbers at both geometries).  ``kmeans_iters=0`` reproduces
-    the r9 raw-corpus-vector quantizer exactly.  Every vector
-    then joins its nearest centroid by cosine (centroids broadcast; one
-    scan).  Returns (assignments(id, list_id), centroids(list_id, c_vec)).
-    """
+    training is O(sample), never O(corpus), the pq_train pattern.
+    ``kmeans_iters=0`` reproduces the r9 raw-corpus-vector quantizer
+    exactly (lazy, empty-tolerant)."""
     rows = []
     if kmeans_iters > 0:
         import numpy as np
@@ -420,47 +414,161 @@ def ivf_assign(
             n_lists,
             kmeans_iters,
         )
-        c = df.sparkSession.createDataFrame(
+        return df.sparkSession.createDataFrame(
             [(i, [float(val) for val in cent[i]]) for i in range(len(cent))],
             "list_id INT, c_vec ARRAY<DOUBLE>",
         )
-    else:
-        # kmeans_iters=0, an all-NULL corpus, or an empty one: the r9
-        # raw-corpus-vector quantizer (lazy, empty-tolerant)
-        centroids = (
-            df.select(
-                F.col(id_col).alias("c_src"),
-                F.col(vec_col).alias("c_vec"),
-                F.md5(F.col(id_col).cast("string")).alias("h"),
-            )
-            .orderBy("h")
-            .limit(n_lists)
-            .drop("h")
+    # kmeans_iters=0, an all-NULL corpus, or an empty one: the r9
+    # raw-corpus-vector quantizer (lazy, empty-tolerant)
+    centroids = (
+        df.select(
+            F.col(id_col).alias("c_src"),
+            F.col(vec_col).alias("c_vec"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
         )
-        c = centroids.withColumn(
-            "list_id", F.row_number().over(Window.orderBy("c_src")) - 1
-        ).select("list_id", "c_vec")
+        .orderBy("h")
+        .limit(n_lists)
+        .drop("h")
+    )
+    return centroids.withColumn(
+        "list_id", F.row_number().over(Window.orderBy("c_src")) - 1
+    ).select("list_id", "c_vec")
 
-    v = quantized(df, id_col, vec_col, "v")
-    cq = c.select(
-        "list_id",
+
+def quantized_centroid_rows(centroids: DataFrame, with_vec: bool = False) -> list:
+    """Collect the quantized centroid rows (list_id, c_q, c_n[, c_vec]),
+    sorted by list_id — n_lists rows, tiny by contract, ONE job (a
+    LocalTableScan on the k-means path).  The quantized values come from
+    the same Spark expressions every pairwise path uses, so in-row
+    assignment against these literals is bit-identical to the old
+    broadcast-join formulation."""
+    cols = [
+        F.col("list_id"),
         _qvec(F.col("c_vec")).alias("c_q"),
         quantized_norm_sq(F.col("c_vec")).alias("c_n"),
-    )
-    scored = v.join(F.broadcast(cq)).select(
-        "v_id",
-        "list_id",
-        _cos_from_parts(
-            _int_dot(F.col("v_q"), F.col("c_q")), F.col("v_n"), F.col("c_n")
-        ).alias("c_cos"),
-    )
-    w = Window.partitionBy("v_id").orderBy(F.col("c_cos").desc(), F.col("list_id").asc())
-    assignments = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("v_id").alias(id_col), "list_id")
+    ]
+    if with_vec:
+        cols.append(F.col("c_vec"))
+    return sorted(centroids.select(*cols).collect(), key=lambda r: r.list_id)
+
+
+def ivf_assign_col(cq_rows: list, vec: Column) -> Column:
+    """IN-ROW nearest-centroid assignment of a raw vector column: argmax
+    quantized cosine over the collected centroids, ties to the LOWEST
+    list_id.  Returns an int list_id column.
+
+    Replaces the r9 cross-join + row_number formulation: that plan
+    exploded the corpus into |corpus| x n_lists rows and shuffled them
+    through a per-vector window — at 100 TB, a corpus-sized exchange
+    whose only output is one int per row.  This form is a map-only
+    Arrow-batched pandas UDF (the centroid matrix rides the closure):
+    ZERO exchanges, and downstream consumers get list_id as a column on
+    the scan itself, so the old assignments-join onto base disappears
+    too.  (A pure-expression formulation — transform/aggregate over a
+    centroid struct literal — was tried first and measured 3x SLOWER
+    end-to-end than the join it replaced: Catalyst evaluates
+    higher-order lambdas per element interpreted, n_lists x dim ops per
+    row.  The numpy kernel does one int64 matmul per Arrow batch.)
+
+    Numerics are bit-identical to the window form: quantization is
+    round-half-away-from-zero (exactly Spark's ROUND for |x*Q| << 2^52),
+    dots are exact int64, cosines the same IEEE doubles, and np.argmax
+    keeps the FIRST maximum — the window's list_id-ASC tie-break over
+    ascending lists.  A NULL vector (all cosines NULL) lands on list 0
+    in both forms; a zero-norm vector, which the ANSI window form
+    refuses with DIVIDE_BY_ZERO, deterministically lands on list 0 here
+    (documented divergence: the old plan crashed on that input)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    real = [r for r in cq_rows if r.c_q is not None and r.c_n is not None]
+    cq_mat = np.asarray([list(r.c_q) for r in real], np.int64) if real else None
+    c_n = np.asarray([r.c_n for r in real], np.float64) if real else None
+    lids = np.asarray([r.list_id for r in real], np.int32) if real else None
+    fallback = int(cq_rows[0].list_id) if cq_rows else None
+
+    @pandas_udf("int")
+    def _assign(s: pd.Series) -> pd.Series:
+        n = len(s)
+        if fallback is None:  # no centroids at all (empty corpus)
+            return pd.Series([None] * n, dtype="Int32")
+        res = np.full(n, fallback, np.int64)  # NULL vector -> lowest list
+        mask = s.notna().to_numpy()
+        if cq_mat is not None and mask.any():
+            x = np.asarray(list(s[mask]), np.float64) * Q
+            qv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            vn = (qv * qv).sum(axis=1)  # exact int64: 64 * Q^2 << 2^63
+            dots = qv @ cq_mat.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (
+                    np.sqrt(vn.astype(np.float64))[:, None]
+                    * np.sqrt(c_n)[None, :]
+                )
+            best = lids[np.argmax(cos, axis=1)].astype(np.int64)
+            best[vn == 0] = fallback  # zero-norm: deterministic list 0
+            res[mask] = best
+        return pd.Series(res, dtype="int32")
+
+    return _assign(vec)
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    kmeans_iters: int = 10,
+    sample: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (assignments, centroids).
+
+    See ivf_centroids for the quantizer recipe.  Assignment is the
+    in-row argmax of ivf_assign_col — a map-only plan (no join, no
+    window shuffle); decisions are bit-identical to the r9 broadcast-
+    join + window form (same quantized-cosine doubles, same tie-break).
+    Returns (assignments(id, list_id), centroids(list_id, c_vec)).
+    """
+    c = ivf_centroids(df, id_col, vec_col, n_lists, kmeans_iters, sample)
+    cq_rows = quantized_centroid_rows(c)
+    assignments = df.select(
+        F.col(id_col),
+        ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
     )
     return assignments, c
+
+
+def driver_probe_lists(qq, qn, cq_rows: list, n_probe: int) -> list:
+    """The n_probe nearest lists for ONE already-collected quantized
+    query — the driver-side twin of ivf_probes, used where the queries
+    are collected anyway (ivfpq_topk) so probe selection costs zero
+    Spark jobs.  Exact integer dots over python ints and IEEE-double
+    cosines reproduce ivf_probes' window order bit-for-bit, including
+    its edge ordering: cos DESC with NaN above every double, NULLs
+    last, ties to the lowest list_id."""
+    import math
+
+    if qq is None:  # NULL query vector: all cosines NULL -> first lists
+        return [int(r.list_id) for r in cq_rows[:n_probe]]
+    keyed = []
+    for r in cq_rows:
+        if r.c_q is None or r.c_n is None:
+            group, val = 2, 0.0  # NULL cosine: after every real/NaN
+        else:
+            dot = sum(a * b for a, b in zip(qq, r.c_q))
+            den = math.sqrt(qn) * math.sqrt(r.c_n)
+            if den == 0.0:
+                cos = float("nan") if dot == 0 else math.copysign(
+                    float("inf"), dot
+                )
+            else:
+                cos = dot / den
+            if math.isnan(cos):
+                group, val = 0, 0.0  # NaN: largest in Spark's ordering
+            else:
+                group, val = 1, -cos
+        keyed.append(((group, val, int(r.list_id)), int(r.list_id)))
+    keyed.sort(key=lambda t: t[0])
+    return [lid for _, lid in keyed[:n_probe]]
 
 
 def ivf_probes(
@@ -527,15 +635,18 @@ def ivf_topk(
     probe reads n_probe/n_lists of the corpus — the scan shrinks by the
     probe ratio while recall stays tunable.
     """
-    assignments, centroids = ivf_assign(
-        base, id_col, vec_col, n_lists, kmeans_iters=kmeans_iters,
-        sample=sample,
+    centroids = ivf_centroids(
+        base, id_col, vec_col, n_lists, kmeans_iters, sample
     )
-    listed = quantized(base, id_col, vec_col, "neighbor").join(
-        assignments.select(
-            F.col(id_col).alias("neighbor_id"), "list_id"
-        ),
-        "neighbor_id",
+    cq_rows = quantized_centroid_rows(centroids)
+    # list_id computed IN-ROW on the quantized scan itself: the r9 plan
+    # joined the corpus against a separately-derived assignments frame —
+    # a corpus-sized self-join whose only payload was one int per row
+    listed = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        _qvec(F.col(vec_col)).alias("neighbor_q"),
+        quantized_norm_sq(F.col(vec_col)).alias("neighbor_n"),
+        ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
     )
 
     probes = ivf_probes(queries, centroids, id_col, vec_col, n_probe)

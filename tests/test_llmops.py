@@ -347,6 +347,89 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.8, f"IVF recall below the production floor: {recall}"
 
 
+def test_ivf_assign_inrow_matches_window_formulation(spark):
+    """The vectorized in-row assignment (ivf_assign_col) is bit-identical
+    to the r9 broadcast-join + row_number formulation on BOTH quantizer
+    paths (k-means and lazy), including the NULL-vector -> list 0 edge,
+    and its plan has ZERO exchanges (the old form shuffled corpus x
+    n_lists rows through a per-vector window)."""
+    import re
+
+    from pyspark.sql import Window
+
+    from data_pipeline_spark.plans import audit
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    extra = spark.createDataFrame([(10_000_001, None, None)], emb.schema)
+    emb = emb.unionByName(extra)
+    for iters in (10, 0):
+        c = similarity.ivf_centroids(
+            emb, "vec_id", "embedding", 16, iters, 4096
+        )
+        cq_rows = similarity.quantized_centroid_rows(c)
+        new = emb.select(
+            "vec_id",
+            similarity.ivf_assign_col(cq_rows, F.col("embedding")).alias(
+                "list_id"
+            ),
+        )
+        plan = audit.formatted_plan(new)
+        assert re.search(r"\(\d+\) Exchange\b", plan) is None, plan
+        assert "ArrowEvalPython" in plan, plan
+        v = similarity.quantized(emb, "vec_id", "embedding", "v")
+        cq = c.select(
+            "list_id",
+            similarity._qvec(F.col("c_vec")).alias("c_q"),
+            similarity.quantized_norm_sq(F.col("c_vec")).alias("c_n"),
+        )
+        scored = v.join(F.broadcast(cq)).select(
+            "v_id",
+            "list_id",
+            similarity._cos_from_parts(
+                similarity._int_dot(F.col("v_q"), F.col("c_q")),
+                F.col("v_n"),
+                F.col("c_n"),
+            ).alias("c_cos"),
+        )
+        w = Window.partitionBy("v_id").orderBy(
+            F.col("c_cos").desc(), F.col("list_id").asc()
+        )
+        old = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v_id").alias("vec_id"), "list_id")
+        )
+        a = {r.vec_id: r.list_id for r in new.collect()}
+        b = {r.vec_id: r.list_id for r in old.collect()}
+        assert a == b, {k: (a.get(k), b.get(k)) for k in a if a.get(k) != b.get(k)}
+        assert a[10_000_001] == 0  # NULL vector -> lowest list in both
+
+
+def test_driver_probe_lists_matches_ivf_probes(spark):
+    """driver_probe_lists (the zero-job probe twin ivfpq uses) returns
+    the same probe set as the ivf_probes window for every query."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    c = similarity.ivf_centroids(emb, "vec_id", "embedding", 16, 10, 4096)
+    cq_rows = similarity.quantized_centroid_rows(c)
+    qs = emb.filter(F.col("vec_id") < 8)
+    want: dict = {}
+    for r in (
+        similarity.ivf_probes(qs, c, "vec_id", "embedding", 6)
+        .select("query_id", "list_id")
+        .collect()
+    ):
+        want.setdefault(r.query_id, set()).add(r.list_id)
+    qrows = qs.select(
+        F.col("vec_id").cast("long").alias("qid"),
+        similarity._qvec(F.col("embedding")).alias("qq"),
+        similarity.quantized_norm_sq(F.col("embedding")).alias("qn"),
+    ).collect()
+    assert len(qrows) > 0
+    for r in qrows:
+        got = set(similarity.driver_probe_lists(r.qq, r.qn, cq_rows, 6))
+        assert got == want[r.qid], (r.qid, got, want[r.qid])
+
+
 def test_connected_components_chain_and_singletons(spark):
     """A 4-node chain (diameter 3) collapses to its min id — propagation
     goes beyond one hop; untouched nodes stay singletons of themselves."""
