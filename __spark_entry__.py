@@ -40,6 +40,7 @@ _PRIORITY = [
     "gopher_quality_flags",
     "text_normalization",
     "domain_quota_sample",
+    "filtered_cosine_topk",
     "warc_extraction",
     "semantic_dedup_gate",
     "warc_file_source",
@@ -98,12 +99,13 @@ _PRIORITY = [
     "contamination_by_source",
     "url_blocklist_filter",
     "corpus_health_by_source",
-    "quality_decile_binning",
-    # (q1_pricing_summary and hypertable_rollup stay r7-verdict one more
-    # round: both carry independent r10 scale-rehearsal arithmetic
-    # invariants at 10x/30x, and q1 is the entry() flagship the driver
-    # smoke-runs every round — the three late-r10 text ops take their
-    # slots so nothing ships never-driver-checked)
+    # (q1_pricing_summary, hypertable_rollup and quality_decile_binning
+    # stay r7-verdict one more round: the first two carry independent
+    # r10 scale-rehearsal arithmetic invariants at 10x/30x, q1 is the
+    # entry() flagship the driver smoke-runs every round, and the
+    # decile binning is an unchanged pure-SQL shape re-verified in all
+    # three full local sweeps this round — the four late-r10 ops take
+    # their slots so nothing ships never-driver-checked)
 ]
 
 

@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "text_normalization",
     # per-domain quota sampling: salted two-stage top-N (skew-bounded)
     "domain_quota_sample",
+    # metadata-filtered vector search (pre-filter semantics, predicate
+    # pushed to the scan before any vector math)
+    "filtered_cosine_topk",
 ]
 
 

@@ -555,6 +555,47 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filtered_cosine_topk",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+               {_cos_sql('q.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id
+        WHERE q.vec_id < 5 AND b.label % 2 = 0
+    )
+    SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank,
+           cos_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="Metadata-FILTERED vector search (the vector-store staple): "
+    "exact cosine top-k restricted to rows matching a metadata "
+    "predicate.  PRE-filter semantics — the predicate applies before "
+    "any vector math, so k is always filled from the eligible set "
+    "(post-filtering an ANN shortlist under-fills k when the predicate "
+    "is selective).  At scale the predicate pushes to the parquet scan "
+    "(partition/row-group pruning on the metadata column) and the IVF "
+    "path composes identically: filter the codes table, then probe.",
+    tags=("llm", "similarity"),
+)
+def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    eligible = emb.filter(F.col("label") % 2 == 0)
+    out = similarity.cosine_topk(
+        eligible, emb.filter(F.col("vec_id") < 5), id_col="vec_id", k=10
+    )
+    lab = eligible.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    return out.join(F.broadcast(lab), "neighbor_id").select(
+        "query_id", "neighbor_id", "label", "rank", "cos_sim"
+    )
+
+
+@register(
     "embedding_neardup_pairs",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

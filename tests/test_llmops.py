@@ -347,6 +347,37 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.8, f"IVF recall below the production floor: {recall}"
 
 
+def test_filtered_cosine_topk_prefilter_semantics(spark):
+    """Filtered vector search uses PRE-filter semantics: every neighbor
+    satisfies the predicate, k fills from the eligible set, and the
+    result equals brute-force top-k over the filtered base."""
+    from data_pipeline_spark.queries import QUERIES
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = QUERIES["filtered_cosine_topk"].spark(spark, SF_SMOKE).collect()
+    assert out, "filtered search returned nothing"
+    assert all(r.label % 2 == 0 for r in out)
+    # equals cosine_topk over the pre-filtered base
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(
+            emb.filter(F.col("label") % 2 == 0),
+            emb.filter(F.col("vec_id") < 5),
+            id_col="vec_id",
+            k=10,
+        ).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in out}
+    assert got == want
+    # k fills fully whenever the eligible set is large enough
+    per_q: dict = {}
+    for r in out:
+        per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rank)
+    n_eligible = emb.filter(F.col("label") % 2 == 0).count()
+    for q, mx in per_q.items():
+        assert mx == min(10, n_eligible), (q, mx)
+
+
 def test_ivf_assign_inrow_matches_window_formulation(spark):
     """The vectorized in-row assignment (ivf_assign_col) is bit-identical
     to the r9 broadcast-join + row_number formulation on BOTH quantizer
