@@ -470,14 +470,28 @@ def ivf_assign_col(cq_rows: list, vec: Column) -> Column:
     higher-order lambdas per element interpreted, n_lists x dim ops per
     row.  The numpy kernel does one int64 matmul per Arrow batch.)
 
-    Numerics are bit-identical to the window form: quantization is
-    round-half-away-from-zero (exactly Spark's ROUND for |x*Q| << 2^52),
-    dots are exact int64, cosines the same IEEE doubles, and np.argmax
-    keeps the FIRST maximum — the window's list_id-ASC tie-break over
-    ascending lists.  A NULL vector (all cosines NULL) lands on list 0
-    in both forms; a zero-norm vector, which the ANSI window form
-    refuses with DIVIDE_BY_ZERO, deterministically lands on list 0 here
-    (documented divergence: the old plan crashed on that input)."""
+    Numerics are bit-identical to the window form for FLOAT32-SOURCED
+    vectors (the embedding column type): a float32 widened to double and
+    scaled by Q=1e6 has an exact <=38-bit significand, which can never
+    land in the band where floor(|x|+0.5) differs from Spark's
+    BigDecimal-HALF_UP ROUND (a double like 0.49999999999999994 rounds
+    up here, down there — impossible to produce from float32*1e6).  Dots
+    are exact int64, cosines the same IEEE doubles, and np.argmax keeps
+    the FIRST maximum — the window's list_id-ASC tie-break over
+    ascending lists.  Arbitrary array<double> inputs that land exactly
+    on that representability band are the one place this kernel may
+    quantize 1-off from _qvec — use the window form if that ever
+    matters.
+
+    Degenerate-input contract (each deterministic, none an error):
+    a NULL vector lands on list 0 (both forms); a vector containing a
+    NULL/NaN element lands on list 0 (the window form's all-NULL-cosine
+    outcome); a ZERO-NORM vector lands on list 0; a zero-norm CENTROID
+    (NaN cosine against everything) ranks LAST, like the window form's
+    NULL-cosine ranking, and is only chosen when no finite cosine
+    exists — the ANSI window form instead raises DIVIDE_BY_ZERO on
+    either zero-norm side (this kernel degrades gracefully where the
+    old plan crashed)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -496,6 +510,13 @@ def ivf_assign_col(cq_rows: list, vec: Column) -> Column:
         mask = s.notna().to_numpy()
         if cq_mat is not None and mask.any():
             x = np.asarray(list(s[mask]), np.float64) * Q
+            # a NULL/NaN ELEMENT inside a vector would pass through
+            # .astype(int64) as undefined garbage (INT64_MIN) and wrap
+            # the dot products — route those rows to the NULL-vector
+            # outcome (list 0) instead, the window form's
+            # all-NULL-cosine result
+            finite = np.isfinite(x).all(axis=1)
+            x[~finite] = 0.0
             qv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
             vn = (qv * qv).sum(axis=1)  # exact int64: 64 * Q^2 << 2^63
             dots = qv @ cq_mat.T
@@ -504,8 +525,14 @@ def ivf_assign_col(cq_rows: list, vec: Column) -> Column:
                     np.sqrt(vn.astype(np.float64))[:, None]
                     * np.sqrt(c_n)[None, :]
                 )
+            # a zero-norm CENTROID yields a NaN cosine for every vector;
+            # raw np.argmax would let that NaN column win for the whole
+            # corpus.  Rank non-finite cosines LAST (the window form's
+            # NULL-cosine ordering): chosen only when nothing finite is
+            np.copyto(cos, -np.inf, where=~np.isfinite(cos))
             best = lids[np.argmax(cos, axis=1)].astype(np.int64)
-            best[vn == 0] = fallback  # zero-norm: deterministic list 0
+            best[vn == 0] = fallback  # zero-norm vector: list 0
+            best[~finite] = fallback  # NULL/NaN element: list 0
             res[mask] = best
         return pd.Series(res, dtype="int32")
 
@@ -542,9 +569,11 @@ def driver_probe_lists(qq, qn, cq_rows: list, n_probe: int) -> list:
     query — the driver-side twin of ivf_probes, used where the queries
     are collected anyway (ivfpq_topk) so probe selection costs zero
     Spark jobs.  Exact integer dots over python ints and IEEE-double
-    cosines reproduce ivf_probes' window order bit-for-bit, including
-    its edge ordering: cos DESC with NaN above every double, NULLs
-    last, ties to the lowest list_id."""
+    cosines reproduce ivf_probes' window order bit-for-bit: cos DESC,
+    NULL cosines last, ties to the lowest list_id.  A ZERO-NORM side
+    (query or centroid) also ranks that cosine last — deterministic
+    where the ANSI window form raises DIVIDE_BY_ZERO (the same
+    graceful-degradation contract as ivf_assign_col)."""
     import math
 
     if qq is None:  # NULL query vector: all cosines NULL -> first lists
@@ -552,20 +581,14 @@ def driver_probe_lists(qq, qn, cq_rows: list, n_probe: int) -> list:
     keyed = []
     for r in cq_rows:
         if r.c_q is None or r.c_n is None:
-            group, val = 2, 0.0  # NULL cosine: after every real/NaN
+            group, val = 1, 0.0  # NULL cosine: after every real one
         else:
             dot = sum(a * b for a, b in zip(qq, r.c_q))
             den = math.sqrt(qn) * math.sqrt(r.c_n)
-            if den == 0.0:
-                cos = float("nan") if dot == 0 else math.copysign(
-                    float("inf"), dot
-                )
+            if den == 0.0:  # zero-norm side: rank last, like NULL
+                group, val = 1, 0.0
             else:
-                cos = dot / den
-            if math.isnan(cos):
-                group, val = 0, 0.0  # NaN: largest in Spark's ordering
-            else:
-                group, val = 1, -cos
+                group, val = 0, -(dot / den)
         keyed.append(((group, val, int(r.list_id)), int(r.list_id)))
     keyed.sort(key=lambda t: t[0])
     return [lid for _, lid in keyed[:n_probe]]

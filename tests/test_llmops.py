@@ -436,6 +436,48 @@ def test_ivf_assign_inrow_matches_window_formulation(spark):
         assert a[10_000_001] == 0  # NULL vector -> lowest list in both
 
 
+def test_ivf_assign_col_degenerate_inputs(spark):
+    """The documented degenerate contract: a zero-norm CENTROID ranks
+    last (never wins while a finite cosine exists), and NULL vectors,
+    NULL-element vectors and zero-norm vectors all land on list 0 —
+    deterministic outcomes where the ANSI window form raised
+    DIVIDE_BY_ZERO."""
+    from pyspark.sql import Row
+
+    cq_rows = [
+        Row(list_id=0, c_q=[0, 0], c_n=0),            # zero-norm centroid
+        Row(list_id=1, c_q=[1_000_000, 0], c_n=1_000_000_000_000),
+        Row(list_id=2, c_q=[0, 1_000_000], c_n=1_000_000_000_000),
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),    # nearest real centroid: list 1
+            (2, [0.1, 1.0]),    # nearest real centroid: list 2
+            (3, None),          # NULL vector -> list 0
+            (4, [0.5, None]),   # NULL element -> list 0
+            (5, [0.0, 0.0]),    # zero-norm vector -> list 0
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r.vec_id: r.list_id
+        for r in df.select(
+            "vec_id",
+            similarity.ivf_assign_col(cq_rows, F.col("embedding")).alias(
+                "list_id"
+            ),
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 0, 4: 0, 5: 0}, got
+
+    # driver_probe_lists: the zero-norm centroid ranks LAST
+    qq, qn = [1_000_000, 0], 1_000_000_000_000
+    assert similarity.driver_probe_lists(qq, qn, cq_rows, 2) == [1, 2]
+    assert similarity.driver_probe_lists(qq, qn, cq_rows, 3) == [1, 2, 0]
+    # zero-norm query: every cosine degenerate -> first lists by id
+    assert similarity.driver_probe_lists([0, 0], 0, cq_rows, 2) == [0, 1]
+
+
 def test_driver_probe_lists_matches_ivf_probes(spark):
     """driver_probe_lists (the zero-job probe twin ivfpq uses) returns
     the same probe set as the ivf_probes window for every query."""
