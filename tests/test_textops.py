@@ -156,3 +156,64 @@ def test_domain_quota_two_stage_equals_naive(spark):
     for s, rks in per.items():
         assert len(rks) <= 15
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_normalize_text_matches_python_reference_torture(spark):
+    """One Spark job over ~300 deterministic torture strings (every C0
+    control, DEL, NFC/NFD pairs, combining reordering, Hangul jamo,
+    astral-plane chars, whitespace runs, seeded random unicode) — the
+    Spark pipeline (pandas-UDF NFC + JVM regex strip/collapse/trim)
+    must equal an independent pure-Python reference everywhere, be
+    idempotent, and emit no control characters."""
+    import random
+    import re as _re
+
+    def ref(t):
+        if t is None:
+            return None
+        t = unicodedata.normalize("NFC", t)
+        t = _re.sub("[\x00-\x1f\x7f]", "", t)
+        t = _re.sub(" +", " ", t)
+        return t.strip(" ")
+
+    cases = []
+    for c in range(0x20):  # every C0 control embedded mid-word
+        cases.append(f"a{chr(c)}b  c")
+    cases += [
+        "\x7f", "a\x7fb", "  lead", "trail  ", "a  b   c    d",
+        "café vs café", "q̣̇ reorder",
+        "가 jamo", "가 syllable", "Å angstrom",
+        "\U0001F600 astral \U00010400", "mixed \t\n\r\x0b ws",
+        "", " ", "  ", "́lead-combining",
+    ]
+    rng = random.Random(42)
+    pool = (
+        [chr(i) for i in range(0x20, 0x7F)]
+        + ["é", "é", "́", "Å", "가", "ᄀ",
+           "ᅡ", "\U0001F600", "\x07", "\x1f", "\x7f", " ", "  "]
+    )
+    for _ in range(250):
+        cases.append("".join(rng.choice(pool) for _ in range(rng.randint(0, 40))))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id LONG, t STRING"
+    )
+    out = {
+        r.id: r.n
+        for r in df.select(
+            "id", textstats.normalize_text("t").alias("n")
+        ).collect()
+    }
+    n2 = {
+        r.id: r.n2
+        for r in df.select(
+            "id",
+            textstats.normalize_text(textstats.normalize_text("t")).alias("n2"),
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        want = ref(t)
+        assert out[i] == want, (i, repr(t), repr(out[i]), repr(want))
+        assert n2[i] == out[i], (i, repr(t))  # idempotent
+        assert not _re.search("[\x00-\x1f\x7f]", out[i]), (i, repr(out[i]))
+        assert out[i] == unicodedata.normalize("NFC", out[i]), (i,)
