@@ -561,7 +561,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
                {_cos_sql('q.embedding', 'b.embedding')} AS cos_sim
         FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id
-        WHERE q.vec_id < 5 AND b.label % 2 = 0
+        WHERE q.vec_id < 5 AND b.label IN (0, 2, 4, 6, 8)
     )
     SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label,
            ROW_NUMBER() OVER (PARTITION BY query_id
@@ -582,7 +582,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    eligible = emb.filter(F.col("label") % 2 == 0)
+    eligible = emb.filter(F.col("label").isin(0, 2, 4, 6, 8))
     out = similarity.cosine_topk(
         eligible, emb.filter(F.col("vec_id") < 5), id_col="vec_id", k=10
     )

@@ -361,7 +361,7 @@ def test_filtered_cosine_topk_prefilter_semantics(spark):
     want = {
         (r.query_id, r.neighbor_id, r.rank)
         for r in similarity.cosine_topk(
-            emb.filter(F.col("label") % 2 == 0),
+            emb.filter(F.col("label").isin(0, 2, 4, 6, 8)),
             emb.filter(F.col("vec_id") < 5),
             id_col="vec_id",
             k=10,
@@ -373,7 +373,7 @@ def test_filtered_cosine_topk_prefilter_semantics(spark):
     per_q: dict = {}
     for r in out:
         per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rank)
-    n_eligible = emb.filter(F.col("label") % 2 == 0).count()
+    n_eligible = emb.filter(F.col("label").isin(0, 2, 4, 6, 8)).count()
     for q, mx in per_q.items():
         assert mx == min(10, n_eligible), (q, mx)
 

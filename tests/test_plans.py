@@ -458,3 +458,15 @@ def test_domain_quota_two_stage_shuffle_shape(spark):
     # windows sort WITHIN hash partitions; a global range-partitioned
     # sort would be `Exchange rangepartitioning`
     assert "rangepartitioning" not in plan, plan
+
+
+def test_filtered_search_predicate_pushes_to_scan(spark):
+    """The filtered vector search's IN-list predicate must reach the
+    parquet scan (row-group pruning before any vector loads) — an
+    arithmetic predicate would silently evaluate post-scan only."""
+    df = _q("filtered_cosine_topk", spark)
+    scans = audit.scan_info(df)
+    assert any(
+        "embeddings" in s.location and "In(label" in s.pushed_filters
+        for s in scans
+    ), [(s.location, s.pushed_filters) for s in scans]

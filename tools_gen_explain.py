@@ -28,7 +28,7 @@ PICK = [
     ("semantic_dedup_gate", "semantic ingest gate: ANN sidecar scan column-pruned to (cor_id, vnorm, codes, list_id, adc_err), candidates exact-verified via a bounded join + broadcast batch — the corpus embedding column loads only for candidates"),
     ("gopher_quality_flags", "Gopher repetition/format rules: in-row line derivation + list predicates, ZERO exchanges — the whole decision table in one codegen scan"),
     ("domain_quota_sample", "per-domain quota: salted two-stage top-N — first window partitions (source, salt) so per-source shuffle is bounded at N*64 rows under any domain skew; no rangepartitioning sort"),
-    ("filtered_cosine_topk", "metadata-filtered vector search: the label predicate reaches the parquet scan (PushedFilters) BEFORE any vector math — pre-filter semantics, k always fills"),
+    ("filtered_cosine_topk", "metadata-filtered vector search: the IN-list predicate reaches the parquet scan (PushedFilters: In(label, ...), plan-tested) BEFORE any vector math — pre-filter semantics, k always fills"),
 ]
 
 if __name__ == "__main__":
