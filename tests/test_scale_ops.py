@@ -446,6 +446,35 @@ def test_band_pruned_gate_on_flood_fixture(spark):
     assert full == pruned
 
 
+def test_fat_trigger_bucket_join_matches_literal_path(spark):
+    """Past max_literal_buckets the pruned gate switches from the embedded
+    bucket literal to a broadcast value join; the switch must be invisible
+    in the output.  Forcing the bound to 0 routes EVERY batch through the
+    join path — decisions, best_jaccard values, and row sets must equal
+    the literal path's on the same fixture (near-dup, exact dup, novel,
+    empty-text)."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    corpus, batch = _gate_fixture_docs(spark)
+    idx = ld.doc_shingle_index(corpus, "doc_id", "text")
+    literal = sorted(
+        map(tuple, ld.indexed_dedup_gate(
+            idx, batch, "doc_id", "text", band_prune=True
+        ).collect())
+    )
+    joined = sorted(
+        map(tuple, ld.indexed_dedup_gate(
+            idx, batch, "doc_id", "text", band_prune=True,
+            max_literal_buckets=0,
+        ).collect())
+    )
+    assert literal == joined
+    # and the join path still prunes: its explode input is the candidate
+    # subset, so the novel doc keeps and the near-dup is flagged
+    flags = {r[0]: (r[1], r[2], r[4]) for r in joined}
+    assert flags[200] == (0, 1, 0) and flags[202][2] == 1
+
+
 def test_band_candidates_are_a_strict_subset(spark):
     """The shingle explode's input under band_prune is the band-colliding
     candidate subset: on a fixture where only one corpus doc resembles the
