@@ -3080,7 +3080,12 @@ def persisted_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a >=0.8 pair escapes all 10 bands with p=8e-4, and a false band "
     "collision only costs an exact-Jaccard evaluation); best_jaccard is "
     "omitted because below-threshold candidates may legitimately be "
-    "pruned before scoring.",
+    "pruned before scoring.  The bucket pre-filter is ADAPTIVE "
+    "(max_literal_buckets): small triggers embed the bucket set as one "
+    "in-row arrays_overlap literal (one index scan), fat triggers — "
+    "including this entry at sf0.1, ~5000 buckets — switch to a "
+    "broadcast value join whose per-row cost is trigger-independent; "
+    "path parity is test-pinned.",
     tags=("llm", "dedup", "ingest"),
 )
 def banded_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

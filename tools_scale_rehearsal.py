@@ -471,6 +471,12 @@ def main() -> None:
         _warc_archive_dir(spark, sf_dir)
         entry_warc_build_s = round(time.perf_counter() - t0, 2)
 
+        from data_pipeline_spark.queries_llm import _persisted_semantic_index
+
+        t0 = time.perf_counter()
+        _persisted_semantic_index(spark, sf_dir)[2].count()
+        semantic_index_build_s = round(time.perf_counter() - t0, 2)
+
         entry: dict = {
             "dir": sf_dir,
             "n_docs": n_docs,
@@ -478,6 +484,7 @@ def main() -> None:
             "corpus_build_s": build_s,
             "gate_index_build": idx,
             "warc_archive_build_s": entry_warc_build_s,
+            "semantic_index_build_s": semantic_index_build_s,
             "queries": {},
         }
         for name in HEAVY:

@@ -629,7 +629,13 @@ def main() -> None:
 
     if args.spill_probe:
         print(f"== spill probe ({args.spill_probe}x)", flush=True)
-        report = {"spill_probe": spill_probe(spark, args.spill_probe)}
+        probe = spill_probe(spark, args.spill_probe)
+        try:  # merge into an existing artifact like --fact-shuffle-only
+            with open(args.out) as fh:
+                report = json.load(fh)
+        except FileNotFoundError:
+            report = {}
+        report["spill_probe"] = probe
         with open(args.out, "w") as fh:
             json.dump(report, fh, indent=1)
         print(f"wrote {args.out}", flush=True)
