@@ -445,7 +445,14 @@ def main() -> None:
             "spark.ui.retainedJobs": "10000",
         },
     )
-    report: dict = {"base": BASE, "scales": {}}
+    # merge into an existing artifact so a single-scale run (e.g.
+    # --scales 100) extends the table instead of dropping the other legs
+    try:
+        with open(args.out) as fh:
+            report = json.load(fh)
+        report.setdefault("scales", {})
+    except FileNotFoundError:
+        report = {"base": BASE, "scales": {}}
 
     for factor in scales:
         print(f"== scale {factor}x", flush=True)
