@@ -123,9 +123,18 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # the sizes joins must NEVER broadcast the candidate-pair side: inter
+    # is an aggregate over an in-row explode, so Catalyst's size estimate
+    # for it is garbage-small, and the static planner will happily pick
+    # BuildLeft broadcast of a frame that grows with the corpus — the
+    # 100x scale rehearsal measured the broadcast collect blowing the
+    # 1 GiB driver result cap (ROUND10_NOTES §15).  shuffle_hash on the
+    # per-doc sizes side is the any-scale plan: both sides hash-partition
+    # on the id, the bounded per-partition build is the sizes slice, and
+    # no side ever collects to the driver.
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
