@@ -321,7 +321,11 @@ def strip_duplicated_segments(
         " ", F.slice(toks, n_full * seg_len + 1, F.size(toks) - n_full * seg_len)
     )
     base = df.select(F.col(id_col), tail.alias("tail"))
-    joined = base.join(kept, id_col, "left")
+    # kept is one row PER DOCUMENT carrying the reassembled text — a
+    # corpus-sized frame whose post-agg estimate reads small, so without
+    # the hint the planner broadcasts (nearly) the whole corpus text
+    # (100x plan audit); the co-keyed shuffle is the any-scale plan
+    joined = base.join(kept.hint("shuffle_hash"), id_col, "left")
     clean = F.concat_ws(
         " ",
         F.filter(
@@ -1485,7 +1489,9 @@ def duplicate_span_stats(
         F.sum(contrib).alias("dup_tokens"),
     )
     nt = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
-    return nt.join(per, id_col, "left").select(
+    # per is one row per document (corpus-sized, post-agg estimate reads
+    # small) — pin the co-keyed shuffle instead of a growing broadcast
+    return nt.join(per.hint("shuffle_hash"), id_col, "left").select(
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(

@@ -1567,9 +1567,15 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.75) * (F.col("cb").cast("double") / F.col("cc"))
         + F.lit(0.25) * (F.col("cu").cast("double") / F.lit(total))
     )
+    # uni/ctx are WORD-keyed (Heaps-law-bounded at natural language) and
+    # broadcast deliberately; the BIGRAM model is not bounded the same
+    # way, so its join must stay the co-keyed shuffle the docstring
+    # promises — without the hint Catalyst's estimate for the post-agg
+    # model was small enough to broadcast a frame that grows with the
+    # corpus (the 100x plan audit, ROUND10_NOTES §16)
     scored = (
         seq.join(F.broadcast(uni), "w")
-        .join(big, ["prev", "w"], "left")
+        .join(big.hint("shuffle_hash"), ["prev", "w"], "left")
         .join(ctx, "prev", "left")
         .select(
             "doc_id",
@@ -2085,8 +2091,12 @@ def neardup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = textstats.quality_features(docs).select(
         "doc_id", textstats.quality_score().alias("quality_score")
     )
+    # comp and quality are both per-doc (corpus-sized); the planner was
+    # broadcasting the quality scan because the label side's checkpoint
+    # hides its stats — at 100 TB neither side broadcasts, so pin the
+    # co-keyed shuffle (100x plan audit, ROUND10_NOTES §16)
     best = top_k_per_key(
-        comp.join(quality, "doc_id"),
+        comp.join(quality.hint("shuffle_hash"), "doc_id"),
         keys=["component"],
         order_by=[F.col("quality_score").desc(), F.col("doc_id").asc()],
         k=1,
