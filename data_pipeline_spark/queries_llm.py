@@ -1717,17 +1717,24 @@ def pretraining_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_score") >= 0.36) & (F.col("lang_pred") == "en")
     ).select("doc_id", "text", "quality_score")
 
+    # keepers and losers are doc-keyed id sets that scale with the corpus
+    # (every doc is a keeper of its own exact group; losers grow with the
+    # dup count) — neither may broadcast at 100 TB, and both post-agg
+    # estimates read small enough that the planner tried (100x plan
+    # audit, ROUND10_NOTES §16): pin the co-keyed shuffles
     keepers = ld.exact_dup_groups(kept, "doc_id", "text").select(
         F.col("keeper_id").alias("doc_id")
     )
-    survivors = kept.join(keepers, "doc_id").select("doc_id", "quality_score")
+    survivors = kept.join(keepers.hint("shuffle_hash"), "doc_id").select(
+        "doc_id", "quality_score"
+    )
 
     losers = (
         ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    return survivors.join(losers, "doc_id", "left_anti")
+    return survivors.join(losers.hint("shuffle_hash"), "doc_id", "left_anti")
 
 
 @register(

@@ -240,10 +240,16 @@ def test_jaccard_has_no_shingle_self_join(spark):
     """Pair generation is in-row off posting lists: the only joins in the
     plan are the two size lookups on document id.  A shingle self-join
     (the pre-r5 shape) is the operator that goes quadratic on one hot
-    shingle at corpus scale."""
+    shingle at corpus scale.
+
+    r10: the size lookups are pinned ShuffledHashJoin — the candidate-
+    pair side is an aggregate over an in-row explode whose size estimate
+    is garbage-small, and letting the planner broadcast it blew the
+    1 GiB driver result cap at the 100x rehearsal scale.  Broadcast
+    anywhere in this plan is a regression."""
     df = _q("jaccard_neardup_pairs", spark)
     strategies = audit.join_strategies(df)
-    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+    assert strategies and all(s == "ShuffledHashJoin" for s in strategies), (
         audit.formatted_plan(df)
     )
     # the join keys are document ids, never the shingle string
