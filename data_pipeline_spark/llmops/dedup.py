@@ -1469,7 +1469,10 @@ def duplicate_span_stats(
         .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
-    flagged = grams.join(dup, "h").select(id_col, "pos")
+    # dup (the duplicated-hash set) grows with the corpus — same
+    # misestimate-broadcast class as the sizes joins: pin the co-keyed
+    # shuffle so the plan is scale-invariant
+    flagged = grams.join(dup.hint("shuffle_hash"), "h").select(id_col, "pos")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")

@@ -264,6 +264,34 @@ def test_jaccard_has_no_shingle_self_join(spark):
     assert _fact_scan_count(df, "documents") <= 2
 
 
+def test_no_corpus_sized_broadcasts_in_heavy_family(spark):
+    """The r10 100x rehearsal's bug class, pinned: Catalyst estimates
+    aggregates-over-explodes as tiny and will broadcast frames that grow
+    with the corpus (the jaccard sizes join blew the 1 GiB driver result
+    cap at 500k docs).  The fixed queries carry shuffle_hash pins, so
+    their plans must stay broadcast-free at EVERY scale; the bigram LM
+    keeps exactly its two deliberate word-keyed model broadcasts
+    (unigram + context totals — Heaps-bounded), never the bigram table."""
+    for name in (
+        "boilerplate_strip",
+        "duplicate_span_stats",
+        "neardup_quality_survivors",
+        "pretraining_corpus_filter",
+    ):
+        df = _q(name, spark)
+        strategies = audit.join_strategies(df)
+        assert "BroadcastHashJoin" not in strategies, (
+            name,
+            audit.formatted_plan(df),
+        )
+    lm = _q("bigram_lm_perplexity", spark)
+    s = audit.join_strategies(lm)  # each join counts twice (tree+details)
+    assert set(s) == {"BroadcastHashJoin", "ShuffledHashJoin"}, s
+    assert s.count("ShuffledHashJoin") == 2, (  # exactly ONE shuffled join:
+        audit.formatted_plan(lm)                # the bigram-model lookup
+    )
+
+
 def test_minhash_candidates_have_no_bucket_self_join(spark):
     """MinHash candidate pairs come from in-row posting-list expansion:
     there must be NO join in the plan at all (the pre-r6 (band,bucket)
