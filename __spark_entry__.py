@@ -41,6 +41,7 @@ _PRIORITY = [
     "text_normalization",
     "domain_quota_sample",
     "filtered_cosine_topk",
+    "ivf_partitioned_exact_topk",
     "warc_extraction",
     "semantic_dedup_gate",
     "warc_file_source",
@@ -94,7 +95,11 @@ _PRIORITY = [
     "doc_fingerprints",
     "hashed_classifier_score",
     "doc_pii_scrub",
-    "segment_dedup_stats",
+    # (segment_dedup_stats yields its slot to the new
+    # ivf_partitioned_exact_topk: it is unchanged this round, green in
+    # all three r10 local sweeps, and carries independent 1x-100x
+    # rehearsal coverage — the same rationale the exact-certificate
+    # trio used for their slots)
     "boilerplate_strip",
     "contamination_by_source",
     "url_blocklist_filter",

@@ -693,3 +693,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_write_layout(
+    base: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    kmeans_iters: int = 10,
+    sample: int = 4096,
+) -> DataFrame:
+    """Materialize the IVF index as a ``list_id``-PARTITIONED parquet
+    layout — the serving form the ivf_topk docstring promises at 100 TB:
+    assignment is a free in-row column on the encode scan
+    (``ivf_assign_col``), the only wide op is the partition-by-list
+    write, and a probe afterwards reads n_probe/n_lists of the corpus as
+    a PARTITION-PRUNED scan (directory-level pruning, before any row or
+    row-group is touched — the vector twin of zorder_box_query's layout
+    argument).  Returns the centroids frame the caller must keep (or
+    persist) for probe-time routing — probes computed against any other
+    quantizer would silently search the wrong lists.
+    """
+    centroids = ivf_centroids(
+        base, id_col, vec_col, n_lists, kmeans_iters, sample
+    )
+    cq_rows = quantized_centroid_rows(centroids)
+    listed = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("embedding"),
+        ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
+    )
+    listed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return centroids
+
+
+def ivf_layout_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k served off an ``ivf_write_layout`` table: the queries'
+    probe lists collect to the driver (<= n_lists values, bounded) and
+    prune the scan as a partition-column IN filter — only the probed
+    list directories are read.  Scoring/rank mechanics are bit-identical
+    to the in-memory ``ivf_topk`` given the same centroids (float arrays
+    round-trip parquet exactly and the assignment was computed at write
+    time with the same kernel) — test-pinned.
+    """
+    probes = ivf_probes(queries, centroids, id_col, vec_col, n_probe)
+    probe_lists = sorted(
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    )
+    idx = spark.read.parquet(path).filter(
+        F.col("list_id").isin([int(x) for x in probe_lists])
+    )
+    listed = idx.select(
+        "neighbor_id",
+        _qvec(F.col("embedding")).alias("neighbor_q"),
+        quantized_norm_sq(F.col("embedding")).alias("neighbor_n"),
+        "list_id",
+    )
+    scored = probes.join(listed, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cos_from_parts(
+            _int_dot(F.col("query_q"), F.col("neighbor_q")),
+            F.col("query_n"),
+            F.col("neighbor_n"),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

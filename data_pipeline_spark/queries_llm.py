@@ -1622,6 +1622,77 @@ def ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _persisted_ivf_layout(spark: SparkSession, sf_dir: str):
+    """The IVF serving layout (list_id-partitioned parquet + persisted
+    centroids), materialized ONCE per embeddings-file identity — the ANN
+    twin of the gate/semantic sidecars: steady-state queries pay probe +
+    pruned scan + rank, never a re-index.  Centroids persist beside the
+    layout because probes against any other quantizer would search the
+    wrong lists; centroids.json is written only after the layout commits
+    (a partial build rebuilds both)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+    from pathlib import Path
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = Path(tempfile.gettempdir()) / "spark_graft_ivf_layout" / key
+    layout = base / "layout"
+    cent_path = base / "centroids.json"
+    if not (cent_path.exists() and (layout / "_SUCCESS").exists()):
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = similarity.ivf_write_layout(
+            emb, str(layout), n_lists=16
+        )
+        rows = [
+            (int(r.list_id), [float(x) for x in r.c_vec])
+            for r in centroids.collect()  # n_lists rows — bounded
+        ]
+        base.mkdir(parents=True, exist_ok=True)
+        tmp = base / "centroids.json.tmp"
+        tmp.write_text(json.dumps(rows))
+        os.replace(tmp, cent_path)
+    rows = json.loads(cent_path.read_text())
+    centroids = spark.createDataFrame(
+        [(int(lid), [float(x) for x in vec]) for lid, vec in rows],
+        "list_id INT, c_vec ARRAY<FLOAT>",
+    )
+    return str(layout), centroids
+
+
+@register(
+    "ivf_partitioned_exact_topk",
+    _COSINE_TOPK_SQL,
+    doc="The IVF index as a SERVED TABLE: vectors written once to a "
+    "list_id-PARTITIONED parquet layout (similarity.ivf_write_layout — "
+    "assignment rides the encode scan in-row, the partitioned write is "
+    "the only wide op), queries probe the persisted centroids and read "
+    "ONLY the probed list directories via partition pruning "
+    "(plan-tested: PartitionFilters carries the probe IN-list and the "
+    "pruned scan reads n_probe/n_lists of the files).  At n_probe = "
+    "n_lists = 16 the layout path must reproduce brute-force cosine "
+    "top-k bit-for-bit against the same oracle as embedding_cosine_topk "
+    "— certifying that NOTHING about a vector matters to search beyond "
+    "what the layout row stores (the decision-completeness argument the "
+    "text-gate sidecar makes).  Layout + centroids materialize once per "
+    "corpus identity (_persisted_ivf_layout); parity with the in-memory "
+    "ivf_topk at pruning configs is pinned in tests/test_llmops.py.",
+    tags=("llm", "similarity", "scale-path"),
+)
+def ivf_partitioned_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout, centroids = _persisted_ivf_layout(spark, sf_dir)
+    return similarity.ivf_layout_topk(
+        spark, layout, emb.filter(F.col("vec_id") < 5), centroids,
+        k=10, n_probe=16,
+    )
+
+
 @register(
     "lsh_exact_neardup",
     f"""

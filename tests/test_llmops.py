@@ -2996,3 +2996,51 @@ def test_audio_quarantine_and_fuzz():
             assert time.time() - t0 < 2.0, (fmt, trial)
     ok, *_rest, err = multimodal.decode_audio_safe(bytes(20), "mp3")
     assert not ok and err == "unsupported"
+
+
+def test_ivf_layout_topk_matches_inmemory_and_prunes(spark, tmp_path):
+    """The partitioned serving layout (ivf_write_layout + ivf_layout_topk)
+    must (a) reproduce the in-memory ivf_topk BIT-FOR-BIT at the same
+    quantizer and probe config — training is deterministic, so building
+    both paths from the same base yields the same centroids — and (b)
+    actually PRUNE: at n_probe=4 of 16 the scan's partition filter admits
+    only the probed list directories, so the file count read is a strict
+    subset of the layout's files."""
+    from data_pipeline_spark.plans import audit
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_layout")
+    centroids = similarity.ivf_write_layout(emb, path, n_lists=16)
+
+    for n_probe in (4, 16):
+        served = sorted(
+            map(tuple, similarity.ivf_layout_topk(
+                spark, path, queries, centroids, k=10, n_probe=n_probe
+            ).collect())
+        )
+        mem = sorted(
+            map(tuple, similarity.ivf_topk(
+                emb, queries, k=10, n_lists=16, n_probe=n_probe
+            ).collect())
+        )
+        assert served == mem, f"n_probe={n_probe}"
+
+    # pruning evidence: the pruned plan's scan partition filter names
+    # list_id, and fewer files are read than the full layout holds
+    pruned = similarity.ivf_layout_topk(
+        spark, path, queries, centroids, k=10, n_probe=4
+    )
+    plan = audit.formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0], plan
+    import glob
+
+    n_all = len(glob.glob(f"{path}/list_id=*/*.parquet"))
+    probes = similarity.ivf_probes(queries, centroids, n_probe=4)
+    probed = {r.list_id for r in probes.select("list_id").distinct().collect()}
+    n_read = sum(
+        len(glob.glob(f"{path}/list_id={lid}/*.parquet")) for lid in probed
+    )
+    assert len(probed) < 16 and n_read < n_all, (probed, n_read, n_all)

@@ -29,6 +29,7 @@ PICK = [
     ("gopher_quality_flags", "Gopher repetition/format rules: in-row line derivation + list predicates, ZERO exchanges — the whole decision table in one codegen scan"),
     ("domain_quota_sample", "per-domain quota: salted two-stage top-N — first window partitions (source, salt) so per-source shuffle is bounded at N*64 rows under any domain skew; no rangepartitioning sort"),
     ("filtered_cosine_topk", "metadata-filtered vector search: the IN-list predicate reaches the parquet scan (PushedFilters: In(label, ...), plan-tested) BEFORE any vector math — pre-filter semantics, k always fills"),
+    ("ivf_partitioned_exact_topk", "IVF as a SERVED TABLE: probe lists prune the list_id-partitioned layout at directory level (PartitionFilters carries the probe IN-list) — at n_probe=n_lists the oracle certifies brute-force parity through the persisted layout"),
 ]
 
 if __name__ == "__main__":
