@@ -425,6 +425,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,30")
     ap.add_argument("--out", default="SCALE_REHEARSAL_r10.json")
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma list restricting the sweep to a HEAVY subset — for "
+        "single-decade growth probes (e.g. 300x on the linear ops) "
+        "without paying the quadratic pair-graph family",
+    )
+    ap.add_argument(
+        "--no-invariants",
+        action="store_true",
+        help="skip the invariant families (probe runs: the invariants "
+        "re-run both gates and the pair graph, which a --queries probe "
+        "deliberately avoids)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -494,16 +508,23 @@ def main() -> None:
             "semantic_index_build_s": semantic_index_build_s,
             "queries": {},
         }
-        for name in HEAVY:
+        picked = (
+            [q for q in args.queries.split(",") if q] if args.queries
+            else HEAVY
+        )
+        for name in picked:
             q = QUERIES[name].spark
             entry["queries"][name] = timed_run(
                 spark, lambda q=q: len(q(spark, sf_dir).collect()), name
             )
 
-        print("  invariants:", flush=True)
-        entry["invariants"] = check_invariants(spark, sf_dir, factor)
-        for k, v in entry["invariants"].items():
-            print(f"    {k}: {v}", flush=True)
+        if args.no_invariants:
+            entry["invariants"] = "skipped (--no-invariants probe run)"
+        else:
+            print("  invariants:", flush=True)
+            entry["invariants"] = check_invariants(spark, sf_dir, factor)
+            for k, v in entry["invariants"].items():
+                print(f"    {k}: {v}", flush=True)
 
         app = spark.sparkContext.applicationId
         execs = _api(spark, f"applications/{app}/executors")
