@@ -79,7 +79,14 @@ def _int_dot(a: Column, b: Column) -> Column:
 
 
 def _cos_from_parts(dot: Column, na: Column, nb: Column) -> Column:
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    """Quantized cosine from (int dot, norm², norm²).  The denominator is
+    nullif-guarded: ONE zero-norm (or NULL -> zero-quantized) vector in a
+    corpus would otherwise kill every ANN/topk query with an ANSI
+    DIVIDE_BY_ZERO task error (the semantic gate's exact-verify learned
+    the same lesson in r10).  A degenerate row scores NULL, and Spark's
+    descending sort puts NULLs last, so it can never outrank a real
+    neighbor — values on non-degenerate rows are bit-identical."""
+    return dot / F.nullif(F.sqrt(na) * F.sqrt(nb), F.lit(0.0))
 
 
 def cosine_topk(

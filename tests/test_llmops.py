@@ -3044,3 +3044,28 @@ def test_ivf_layout_topk_matches_inmemory_and_prunes(spark, tmp_path):
         len(glob.glob(f"{path}/list_id={lid}/*.parquet")) for lid in probed
     )
     assert len(probed) < 16 and n_read < n_all, (probed, n_read, n_all)
+
+
+def test_ivf_layout_handles_degenerate_vectors(spark, tmp_path):
+    """NULL and zero-norm vectors must survive the layout round-trip the
+    way the in-memory kernel contract pins them (list 0, never a crash):
+    the layout write assigns them in-row, the served query's quantized
+    cosine treats them as never-matching, and parity with ivf_topk holds
+    on the degenerate corpus too."""
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, None),
+            (4, [0.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0]), (6, [0.1, 0.9, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = emb.filter(F.col("vec_id") == 1)
+    path = str(tmp_path / "degenerate_layout")
+    centroids = similarity.ivf_write_layout(emb, path, n_lists=2)
+    served = sorted(map(tuple, similarity.ivf_layout_topk(
+        spark, path, queries, centroids, k=3, n_probe=2
+    ).collect()))
+    mem = sorted(map(tuple, similarity.ivf_topk(
+        emb, queries, k=3, n_lists=2, n_probe=2
+    ).collect()))
+    assert served == mem
+    # the NULL/zero rows landed in the layout (list 0 by contract) and
+    # never rank above real neighbors
+    top = [t[1] for t in served]
+    assert top[0] == 2 and 3 not in top[:2] and 4 not in top[:2]
