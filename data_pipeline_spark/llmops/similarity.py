@@ -52,9 +52,12 @@ def quantized_norm_sq(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Reproducible cosine: integer dot / (sqrt * sqrt) in one double expr."""
-    return quantized_dot(a, b) / (
-        F.sqrt(quantized_norm_sq(a)) * F.sqrt(quantized_norm_sq(b))
+    """Reproducible cosine: integer dot / (sqrt * sqrt) in one double
+    expr.  Zero-norm inputs score NULL (nullif guard — same contract as
+    ``_cos_from_parts``), never an ANSI DIVIDE_BY_ZERO."""
+    return quantized_dot(a, b) / F.nullif(
+        F.sqrt(quantized_norm_sq(a)) * F.sqrt(quantized_norm_sq(b)),
+        F.lit(0.0),
     )
 
 
