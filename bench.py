@@ -170,7 +170,7 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name].spark(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -181,11 +181,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    line = json.dumps(result)
-    # self-capture: the driver scrapes the stdout tail, which truncated
-    # the r9 artifact mid-token ("parsed": null in BENCH_r09.json); a
-    # file written here is the evidence of record regardless of the
-    # driver's capture window
+    # compact separators: the driver scrapes a bounded stdout tail, which
+    # truncated the r9 AND r10 artifacts mid-token ("parsed": null); the
+    # per-query map is the bulk of the line, so compacting + 3-decimal
+    # rounding keeps it inside the capture window.  BENCH_SELF.json
+    # (written BEFORE the print, gitignored so driver re-runs don't dirty
+    # the tree) remains the complete evidence of record.
+    line = json.dumps(result, separators=(",", ":"))
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -194,7 +196,7 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass
-    print(line)
+    print(line, flush=True)
     spark.stop()
 
 

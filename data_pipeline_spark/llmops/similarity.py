@@ -756,12 +756,22 @@ def ivf_layout_topk(
     round-trip parquet exactly and the assignment was computed at write
     time with the same kernel) — test-pinned.
     """
+    # Collect the probe frame ONCE (n_queries x n_probe rows, bounded by
+    # contract) and rebuild it as a local table: the r10 form collected
+    # list_ids for the partition filter and then JOINED the same probes
+    # frame, executing the probe lineage (centroid join + window) twice
+    # per query run (ADVICE r10).  The local rebuild also gives an
+    # explicit empty short-circuit instead of leaning on isin([]).
     probes = ivf_probes(queries, centroids, id_col, vec_col, n_probe)
-    probe_lists = sorted(
-        r.list_id for r in probes.select("list_id").distinct().collect()
-    )
-    idx = spark.read.parquet(path).filter(
-        F.col("list_id").isin([int(x) for x in probe_lists])
+    probe_schema = probes.schema
+    probe_rows = probes.collect()
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+    probe_lists = sorted({int(r.list_id) for r in probe_rows})
+    idx = spark.read.parquet(path)
+    idx = (
+        idx.filter(F.col("list_id").isin(probe_lists))
+        if probe_lists
+        else idx.filter(F.lit(False))
     )
     listed = idx.select(
         "neighbor_id",

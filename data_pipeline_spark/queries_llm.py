@@ -17,6 +17,54 @@ from data_pipeline_spark.queries import QUERIES, register
 _STOP_EN_SQL = "('the','a','of','and','to','in','is')"
 
 
+def _sidecar_lock(base):
+    """Serialize sidecar cache builds across PROCESSES: the persisted
+    gate/semantic/IVF sidecars live under a shared tempdir keyed only by
+    source-file identity, so two concurrent runs (parallel bench/test
+    invocations on the same testdata) could both see the cache missing
+    and race overwrite-writes into the same parquet dir — a reader could
+    then observe writer A's _SUCCESS over writer B's half-written part
+    files (ADVICE r10).  An exclusive flock on ``base/.lock`` makes one
+    process build while the others wait, and the caller's existence
+    RE-CHECK after acquiring makes the losers no-op.  Artifacts are
+    staged in tmp names and renamed into place under the lock, so an
+    unlocked fast-path reader (the ``done()`` check before taking the
+    lock) only ever sees fully-published dirs."""
+    import contextlib
+    import fcntl
+    from pathlib import Path
+
+    base = Path(base)
+
+    @contextlib.contextmanager
+    def _cm():
+        base.mkdir(parents=True, exist_ok=True)
+        with open(base / ".lock", "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
+    return _cm()
+
+
+def _publish_dir(stage, final) -> None:
+    """Atomically promote a staged parquet dir to its published name —
+    rename is atomic on one filesystem, so readers never observe a
+    half-copied layout.  A leftover from a crashed earlier build is
+    replaced (we hold the sidecar lock, so nothing is reading it
+    mid-promotion)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    final = Path(final)
+    if final.exists():
+        shutil.rmtree(final)
+    os.rename(stage, final)
+
+
 @register(
     "doc_text_stats",
     f"""
@@ -515,12 +563,17 @@ _QDOT = (
 
 
 def _cos_sql(a: str, b: str) -> str:
+    # NULLIF mirrors similarity._cos_from_parts' zero-norm guard: a
+    # zero-quantizing embedding scores NULL on BOTH engines (DuckDB's
+    # IEEE float division would otherwise yield NaN/inf here while Spark
+    # returns NULL, and the two sort differently — a driver hash-mismatch
+    # on a query that is behaving as designed).
     dot = _QDOT.format(a=a, b=b)
     na = _QDOT.format(a=a, b=a)
     nb = _QDOT.format(a=b, b=b)
     return (
-        f"CAST({dot} AS DOUBLE) / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+        f"CAST({dot} AS DOUBLE) / NULLIF("
+        f"sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)), 0.0)"
     )
 
 
@@ -1644,23 +1697,36 @@ def _persisted_ivf_layout(spark: SparkSession, sf_dir: str):
     base = Path(tempfile.gettempdir()) / "spark_graft_ivf_layout" / key
     layout = base / "layout"
     cent_path = base / "centroids.json"
-    if not (cent_path.exists() and (layout / "_SUCCESS").exists()):
-        emb = load_table(spark, sf_dir, "embeddings")
-        centroids = similarity.ivf_write_layout(
-            emb, str(layout), n_lists=16
-        )
-        rows = [
-            (int(r.list_id), [float(x) for x in r.c_vec])
-            for r in centroids.collect()  # n_lists rows — bounded
-        ]
-        base.mkdir(parents=True, exist_ok=True)
-        tmp = base / "centroids.json.tmp"
-        tmp.write_text(json.dumps(rows))
-        os.replace(tmp, cent_path)
+
+    def _done() -> bool:
+        return cent_path.exists() and (layout / "_SUCCESS").exists()
+
+    if not _done():
+        with _sidecar_lock(base):
+            if not _done():  # losers of the build race no-op here
+                emb = load_table(spark, sf_dir, "embeddings")
+                stage = base / f"layout.stage.{os.getpid()}"
+                centroids = similarity.ivf_write_layout(
+                    emb, str(stage), n_lists=16
+                )
+                rows = [
+                    (int(r.list_id), [float(x) for x in r.c_vec])
+                    for r in centroids.collect()  # n_lists rows — bounded
+                ]
+                _publish_dir(stage, layout)
+                tmp = base / "centroids.json.tmp"
+                tmp.write_text(json.dumps(rows))
+                os.replace(tmp, cent_path)
     rows = json.loads(cent_path.read_text())
+    # ARRAY<DOUBLE> matches ivf_centroids' schema exactly: the JSON
+    # round-trip is bit-exact in double, so probe-time routing reproduces
+    # the write-time quantizer.  The r10 ARRAY<FLOAT> reload truncated to
+    # float32 — a DIFFERENT quantizer from the one that assigned the
+    # layout's lists, masked only because the certificate probes all
+    # lists (ADVICE r10 medium; parity pinned in tests/test_llmops.py).
     centroids = spark.createDataFrame(
         [(int(lid), [float(x) for x in vec]) for lid, vec in rows],
-        "list_id INT, c_vec ARRAY<FLOAT>",
+        "list_id INT, c_vec ARRAY<DOUBLE>",
     )
     return str(layout), centroids
 
@@ -3064,19 +3130,25 @@ def _persisted_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
-    idx_dir = Path(tempfile.gettempdir()) / "spark_graft_gate_index" / key
+    base = Path(tempfile.gettempdir()) / "spark_graft_gate_index" / key
+    idx_dir = base / "index"
     if not (idx_dir / "_SUCCESS").exists():
-        corpus = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 10 != 0
-        )
-        # repartition off the small-SF single-file partition before the
-        # in-row band computation (interpreted HOFs, ~1 ms/doc on one
-        # core); at 100 TB the corpus arrives already split
-        ld.doc_shingle_index(
-            corpus.repartition(spark.sparkContext.defaultParallelism),
-            "doc_id",
-            "text",
-        ).write.mode("overwrite").parquet(str(idx_dir))
+        with _sidecar_lock(base):
+            if not (idx_dir / "_SUCCESS").exists():
+                corpus = load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % 10 != 0
+                )
+                # repartition off the small-SF single-file partition
+                # before the in-row band computation (interpreted HOFs,
+                # ~1 ms/doc on one core); at 100 TB the corpus arrives
+                # already split
+                stage = base / f"index.stage.{os.getpid()}"
+                ld.doc_shingle_index(
+                    corpus.repartition(spark.sparkContext.defaultParallelism),
+                    "doc_id",
+                    "text",
+                ).write.mode("overwrite").parquet(str(stage))
+                _publish_dir(stage, idx_dir)
     return spark.read.parquet(str(idx_dir))
 
 
@@ -3453,23 +3525,31 @@ def _persisted_semantic_index(spark: SparkSession, sf_dir: str):
     base = Path(tempfile.gettempdir()) / "spark_graft_semantic_index" / key
     idx_dir = base / "index"
     model_path = base / "model.json"
-    if not (model_path.exists() and (idx_dir / "_SUCCESS").exists()):
-        corpus = _semantic_gate_corpus(spark, sf_dir)
-        coarse, books, err_bound = pq.semantic_model_train(corpus)
-        pq.semantic_index_rows(corpus, coarse, books).write.mode(
-            "overwrite"
-        ).parquet(str(idx_dir))
-        tmp = base / "model.json.tmp"
-        tmp.write_text(
-            json.dumps(
-                {
-                    "coarse": coarse.tolist(),
-                    "codebooks": books.tolist(),
-                    "err_bound": err_bound,
-                }
-            )
-        )
-        os.replace(tmp, model_path)
+
+    def _done() -> bool:
+        return model_path.exists() and (idx_dir / "_SUCCESS").exists()
+
+    if not _done():
+        with _sidecar_lock(base):
+            if not _done():
+                corpus = _semantic_gate_corpus(spark, sf_dir)
+                coarse, books, err_bound = pq.semantic_model_train(corpus)
+                stage = base / f"index.stage.{os.getpid()}"
+                pq.semantic_index_rows(corpus, coarse, books).write.mode(
+                    "overwrite"
+                ).parquet(str(stage))
+                _publish_dir(stage, idx_dir)
+                tmp = base / "model.json.tmp"
+                tmp.write_text(
+                    json.dumps(
+                        {
+                            "coarse": coarse.tolist(),
+                            "codebooks": books.tolist(),
+                            "err_bound": err_bound,
+                        }
+                    )
+                )
+                os.replace(tmp, model_path)
     d = json.loads(model_path.read_text())
     return (
         np.asarray(d["coarse"], np.float64),

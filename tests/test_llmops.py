@@ -3046,6 +3046,55 @@ def test_ivf_layout_topk_matches_inmemory_and_prunes(spark, tmp_path):
     assert len(probed) < 16 and n_read < n_all, (probed, n_read, n_all)
 
 
+def test_persisted_ivf_centroid_reload_parity(spark):
+    """ADVICE r10 (medium): _persisted_ivf_layout's centroids.json reload
+    must reproduce the WRITE-TIME quantizer bit-for-bit.  The r10 reload
+    declared ARRAY<FLOAT>, truncating the k-means doubles to float32 —
+    a DIFFERENT quantizer from the one that assigned the layout's lists,
+    masked only because the certificate probed all 16 lists.  Pin: (a)
+    the reloaded frame's quantized rows equal a fresh ivf_centroids run's
+    (training is deterministic), (b) the reload schema is double, and (c)
+    a PRUNED query (n_probe < n_lists) off the persisted sidecar matches
+    the fresh in-memory path — the regime the truncation silently hurt."""
+    from data_pipeline_spark.queries_llm import _persisted_ivf_layout
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    layout, reloaded = _persisted_ivf_layout(spark, SF_SMOKE)
+    assert dict(reloaded.dtypes)["c_vec"] == "array<double>"
+    fresh = similarity.ivf_centroids(emb, n_lists=16)
+    fq = [
+        (r.list_id, list(r.c_q), r.c_n)
+        for r in similarity.quantized_centroid_rows(fresh)
+    ]
+    rq = [
+        (r.list_id, list(r.c_q), r.c_n)
+        for r in similarity.quantized_centroid_rows(reloaded)
+    ]
+    assert rq == fq
+    queries = emb.filter(F.col("vec_id") < 3)
+    served = sorted(map(tuple, similarity.ivf_layout_topk(
+        spark, layout, queries, reloaded, k=5, n_probe=4
+    ).collect()))
+    mem = sorted(map(tuple, similarity.ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4
+    ).collect()))
+    assert served == mem
+
+
+def test_ivf_layout_topk_empty_queries_short_circuits(spark, tmp_path):
+    """An empty query frame returns an empty (correctly-typed) result
+    without leaning on isin([]) semantics (ADVICE r10 low)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "empty_q_layout")
+    centroids = similarity.ivf_write_layout(emb, path, n_lists=4)
+    out = similarity.ivf_layout_topk(
+        spark, path, emb.filter(F.col("vec_id") < 0), centroids,
+        k=5, n_probe=2,
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+
+
 def test_ivf_layout_handles_degenerate_vectors(spark, tmp_path):
     """NULL and zero-norm vectors must survive the layout round-trip the
     way the in-memory kernel contract pins them (list 0, never a crash):
