@@ -1658,6 +1658,92 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+# Planted-recall oracle: 20 queries are identical copies of corpus vectors
+# under shifted ids, so DuckDB derives each query's true rank-1 neighbor by
+# BRUTE FORCE — an independent ground truth for ANN paths whose pruned-probe
+# construction guarantees they find it (see the certificates' docstrings).
+_PLANTED_RANK1_SQL = f"""
+    WITH q AS (
+        SELECT vec_id + 1000000 AS query_id, embedding
+        FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               {_cos_sql('q.embedding', 'b.embedding')} AS cos_sim
+        FROM q CROSS JOIN embeddings b
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC
+                                 ) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """
+
+
+def _planted_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+
+
+@register(
+    "ivf_planted_recall",
+    _PLANTED_RANK1_SQL,
+    doc="Recall certificate for IVF ANN at the PRODUCTION config "
+    "(n_probe=24/64, k-means lists — the exact path ivf_ann_topk runs, "
+    "NOT the probe-everything exactness limit): 20 planted queries are "
+    "identical copies of corpus vectors under shifted ids, so the true "
+    "nearest neighbor is the source vector and the BRUTE-FORCE oracle "
+    "derives it independently.  Rank-1 recall is 1.0 BY CONSTRUCTION, "
+    "not empirically: the assignment kernel and the probe window compute "
+    "bit-identical quantized cosines (ivf_assign_col's contract), so an "
+    "identical copy's nearest centroid IS its source's list — probe #1 "
+    "always covers the true neighbor, and the exact in-list cosine "
+    "(exactly 1.0's double expression) beats every non-identical "
+    "candidate.  This upgrades the driver slot ivf_ann_topk held as a "
+    "rows-only check into an oracle-paired assertion about the "
+    "PRUNED-probe path (r10 verdict item #2).",
+    tags=("llm", "similarity"),
+)
+def ivf_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, _planted_queries(emb), k=10)
+    return out.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+
+
+@register(
+    "ivfpq_planted_recall",
+    _PLANTED_RANK1_SQL,
+    doc="Recall certificate for IVF-PQ at the production COARSE config "
+    "(n_probe=24/64 k-means routing, residual-PQ ADC inside the probed "
+    "lists): the planted copies' rank-1 recall is guaranteed because (a) "
+    "probe selection and list assignment share bit-identical quantized "
+    "cosines, so probe #1 is always the source vector's list, and (b) "
+    "the re-rank depth (shortlist=4096 >= every probed population at "
+    "oracle/bench scale) exact-scores ALL probed candidates, so the ADC "
+    "approximation cannot cut the true neighbor before the exact cosine "
+    "ranks it first.  Unlike ivfpq_exact_topk (probe-everything, "
+    "lossless codebooks), this certifies the PRUNED coarse path with "
+    "LOSSY production codebooks against the brute-force oracle; the "
+    "production shortlist=200 recall numbers live in ivfpq_ann_topk and "
+    "the ROUND10_NOTES grid.",
+    tags=("llm", "similarity"),
+)
+def ivfpq_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.llmops import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq.ivfpq_topk(
+        emb, _planted_queries(emb), id_col="vec_id", k=10, shortlist=4096
+    )
+    return out.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+
+
 @register(
     "ivf_exact_topk",
     _COSINE_TOPK_SQL,
