@@ -1423,6 +1423,96 @@ def connected_components_star(
     return _attach_singletons(labels.union(roots), nodes, id_col)
 
 
+def exact_contract(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse md5-exact duplicate texts to their min-id representative
+    BEFORE near-dup pair generation and component propagation.
+
+    Real crawled corpora are 20-40% byte-identical duplicates; every such
+    group forms a Jaccard-1.0 CLIQUE in the pair graph (m docs -> m(m-1)/2
+    edges and m shingle-set copies through the posting lists), all of
+    which collapses to one node here at the cost of a single md5 groupBy
+    whose shuffle carries (hash, id).  Returns ``(rep_docs, members)``:
+    ``rep_docs`` has one row per distinct text (representative id + text),
+    ``members`` maps every doc id to its representative
+    (``rep_id == id`` for representatives themselves).
+
+    Correctness contract (the reason this is parity-exact, not an
+    approximation): J(rep_a, rep_b) = J(a, b) for any members a, b —
+    identical texts have identical shingle sets — so the rep graph has an
+    edge iff the full graph connects the groups, and within a group every
+    member is connected to its rep by a J=1.0 edge.  The component LABEL
+    is also preserved: min doc id over a full cluster = min over its
+    groups' min-ids = min rep id.  Docs with FEWER THAN ``n`` tokens have
+    no n-shingles, so the pair graph gives two identical short texts NO
+    edge — they must remain separate singletons, and therefore only docs
+    with >= 1 shingle are eligible to contract (the fp for the rest is a
+    per-doc unique sentinel).
+    """
+    has_shingle = F.size(tokens(text_col)) >= n
+    keyed = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.when(has_shingle, F.md5(F.col(text_col)))
+        .otherwise(F.concat(F.lit("~"), F.col(id_col).cast("string")))
+        .alias("fp"),
+    )
+    reps = keyed.groupBy("fp").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("rid"), F.col(text_col).alias("rtext"))
+        ).alias("r")
+    )
+    members = keyed.select("fp", id_col).join(
+        reps.select("fp", F.col("r.rid").alias("rep_id")), "fp"
+    ).select(F.col(id_col), "rep_id")
+    rep_docs = reps.select(
+        F.col("r.rid").alias(id_col), F.col("r.rtext").alias(text_col)
+    )
+    return rep_docs, members
+
+
+def expand_contracted_components(
+    comp_rep: DataFrame, members: DataFrame, id_col: str
+) -> DataFrame:
+    """Re-attach contracted members: each doc inherits its exact-dup
+    representative's component.  (id, component) over the FULL corpus."""
+    return members.join(
+        comp_rep.select(F.col(id_col).alias("rep_id"), "component"), "rep_id"
+    ).select(F.col(id_col), "component")
+
+
+def neardup_components(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    star: bool = False,
+    contract: bool = True,
+) -> DataFrame:
+    """pairs -> connected components over the full corpus, with the
+    exact-dup PRE-CONTRACTION on by default: shingling, posting lists,
+    pair expansion and label propagation all run on one representative
+    per distinct text, and members re-expand at the end (r10 verdict
+    item #3 — the planted 100x rehearsal clusters spend GBs of shuffle
+    and spill propagating through duplicate cores that contribute no new
+    components).  ``contract=False`` is the measured A/B twin; both
+    produce identical (id, component) rows (parity argument in
+    ``exact_contract``; pinned by the shared recursive-CTE oracle and
+    tests/test_llmops.py)."""
+    if contract:
+        rep_docs, members = exact_contract(docs, id_col, text_col, n)
+    else:
+        rep_docs, members = docs, None
+    pairs = ngram_jaccard_pairs(rep_docs, id_col, text_col, n=n, threshold=threshold)
+    cc = connected_components_star if star else connected_components
+    comp = cc(pairs, rep_docs, id_col)
+    if members is not None:
+        comp = expand_contracted_components(comp, members, id_col)
+    return comp
+
+
 def duplicate_span_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

@@ -2181,8 +2181,11 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    comp = ld.connected_components(pairs, docs, "doc_id")
+    # exact-dup pre-contraction (r11): one representative per distinct
+    # text feeds shingling/pairs/propagation, members re-expand at the
+    # end — identical components (exact_contract's parity argument, and
+    # this oracle), far less pair-graph shuffle on duplicate-heavy corpora
+    comp = ld.neardup_components(docs, "doc_id", "text", n=3, threshold=0.8)
     w = Window.partitionBy("component")
     return comp.select(
         "doc_id",
@@ -2245,8 +2248,9 @@ def neardup_cluster_assignment_star(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    comp = ld.connected_components_star(pairs, docs, "doc_id")
+    comp = ld.neardup_components(
+        docs, "doc_id", "text", n=3, threshold=0.8, star=True
+    )
     w = Window.partitionBy("component")
     return comp.select(
         "doc_id",
@@ -3901,8 +3905,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = ld.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    comp = ld.connected_components(pairs, docs, "doc_id")
+    comp = ld.neardup_components(docs, "doc_id", "text", n=3, threshold=0.8)
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("component").cast("string")), 1, 15),

@@ -18,6 +18,42 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def package_zip() -> str:
+    """Zip the data_pipeline_spark package for shipment to executors via
+    ``spark.submit.pyFiles`` — the standard deployment unit on a real
+    cluster.  local[N] hides this completely (executor python workers
+    inherit the driver's sys.path); the r11 standalone-cluster sweep
+    failed 18 queries with ``ModuleNotFoundError: data_pipeline_spark``
+    because any UDF that imports the package at call time (warc decode,
+    multimodal codecs, envelope pack, sketch mergers) resolves the import
+    ON THE EXECUTOR.  Cached per source-mtime fingerprint; staged +
+    atomically renamed so concurrent sessions never ship a half-written
+    zip."""
+    import hashlib
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent
+    root = pkg.parent
+    srcs = sorted(pkg.rglob("*.py"))
+    key = hashlib.md5(
+        "|".join(
+            f"{p.relative_to(root)}:{p.stat().st_mtime_ns}" for p in srcs
+        ).encode()
+    ).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / "spark_graft_pyfiles"
+    out.mkdir(parents=True, exist_ok=True)
+    zpath = out / f"data_pipeline_spark_{key}.zip"
+    if not zpath.exists():
+        tmp = out / f".stage.{os.getpid()}.zip"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in srcs:
+                z.write(p, str(p.relative_to(root)))
+        os.replace(tmp, zpath)
+    return str(zpath)
+
+
 def get_spark(
     app_name: str = "data_pipeline_spark",
     master: str | None = None,
@@ -38,9 +74,17 @@ def get_spark(
       epoch-seconds event time.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_MASTER lets every entry point (bench, tests, rehearsal,
+    # verify tools) run unchanged against a real multi-process standalone
+    # cluster (tools_cluster.py) instead of local[N] — the r10 verdict's
+    # "every number is single-JVM" gap.  An explicit ``master`` argument
+    # still wins.
+    resolved_master = (
+        master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(resolved_master)
         .config("spark.sql.session.timeZone", "UTC")
         .config(
             "spark.sql.shuffle.partitions",
@@ -64,6 +108,24 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    if resolved_master.startswith("spark://"):
+        # standalone-cluster executor shape (overridable via extra_conf):
+        # one executor per worker, python workers ride the executor's
+        # memory budget via memoryOverhead
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "12g"),
+            )
+            .config(
+                "spark.executor.memoryOverhead",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_OVERHEAD", "4g"),
+            )
+            .config("spark.driver.host", "127.0.0.1")
+            # ship the package: executor python workers do NOT share the
+            # driver's sys.path outside local mode (see package_zip)
+            .config("spark.submit.pyFiles", package_zip())
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -3046,6 +3046,51 @@ def test_ivf_layout_topk_matches_inmemory_and_prunes(spark, tmp_path):
     assert len(probed) < 16 and n_read < n_all, (probed, n_read, n_all)
 
 
+def test_exact_contract_component_parity(spark):
+    """r11 exact-dup pre-contraction: components are IDENTICAL with and
+    without the contraction, including the contract's edge cases —
+    md5-equal texts collapse to the min-id rep but inherit the right
+    component label; identical texts SHORTER than the shingle width have
+    no pair-graph edge and must stay separate singletons (the naive
+    md5-grouping would invent a component the oracle does not have);
+    NULL text stays a singleton."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (7, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (3, "alpha beta gamma delta zeta"),      # J=0.5 near dup of group A
+        (4, "totally different text content here today"),
+        (5, "a b"),                              # <3 tokens, identical to 6
+        (6, "a b"),                              # must stay SEPARATE singleton
+        (8, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_id, r.component)
+        for r in ld.neardup_components(
+            docs, "doc_id", "text", threshold=0.45
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.component)
+        for r in ld.neardup_components(
+            docs, "doc_id", "text", threshold=0.45, contract=False
+        ).collect()
+    }
+    assert got == want
+    comp = dict(got)
+    assert comp[1] == comp[2] == comp[7] == comp[3] == 1
+    assert comp[5] == 5 and comp[6] == 6 and comp[8] == 8 and comp[4] == 4
+    # star variant agrees too (same contraction, different CC algorithm)
+    star = {
+        (r.doc_id, r.component)
+        for r in ld.neardup_components(
+            docs, "doc_id", "text", threshold=0.45, star=True
+        ).collect()
+    }
+    assert star == want
+
+
 def test_persisted_ivf_centroid_reload_parity(spark):
     """ADVICE r10 (medium): _persisted_ivf_layout's centroids.json reload
     must reproduce the WRITE-TIME quantizer bit-for-bit.  The r10 reload

@@ -68,13 +68,33 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 def main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    import os
+
+    # SPARK_GRAFT_MASTER reruns the whole driver-replica sweep on a real
+    # multi-process standalone cluster (tools_cluster.py) — same vanilla
+    # builder, different execution boundary
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    builder = (
+        SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
         .appName("tools_verify")
-        .getOrCreate()
     )
+    if master.startswith("spark://"):
+        from data_pipeline_spark.session import package_zip
+
+        builder = (
+            builder.config("spark.driver.host", "127.0.0.1")
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "12g"),
+            )
+            # executor python workers need the package shipped — see
+            # session.package_zip (18 ModuleNotFoundError failures on the
+            # first r11 cluster sweep)
+            .config("spark.submit.pyFiles", package_zip())
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
@@ -138,8 +158,10 @@ def main(argv: list[str]) -> int:
         if row["status"] == "MISMATCH":
             print("   ", {k: v for k, v in row.items() if k not in ("sec", "status")})
     # partial runs (explicit query names) MERGE into the scoreboard so a
-    # targeted re-check never clobbers the full-catalog evidence
-    out = Path("VERIFY_LOCAL.json")
+    # targeted re-check never clobbers the full-catalog evidence.
+    # SPARK_GRAFT_VERIFY_OUT redirects the artifact (e.g. a cluster run
+    # writes VERIFY_CLUSTER.json without clobbering the local sweep).
+    out = Path(os.environ.get("SPARK_GRAFT_VERIFY_OUT", "VERIFY_LOCAL.json"))
     if argv and out.exists():
         merged = json.loads(out.read_text())
         merged.update(report)
