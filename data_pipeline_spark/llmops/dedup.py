@@ -508,6 +508,29 @@ def doc_shingle_index(
     return _with_band_buckets(base, "shingles") if with_bands else base
 
 
+# Literal-vs-join crossover budget for the band-pruned gate's fat-trigger
+# path: the literal form's arrays_overlap probe costs O(|batch buckets|)
+# PER INDEX ROW, so the acceptable literal work is a row x bucket product,
+# not a bucket count.  Calibrated from the r10 measurement (ROUND10_NOTES
+# §14: on a 40k-row index the 4096-bucket literal was the right default,
+# join at parity from ~500 buckets) => 4096 * 40_000 probe ops.  The
+# adaptive bound divides this by the live index size at gate time, so the
+# choice tracks the deployment instead of the measuring host's corpus.
+_LITERAL_PROBE_BUDGET = 4096 * 40_000
+_LITERAL_MIN, _LITERAL_MAX = 512, 65_536
+
+
+def adaptive_literal_bound(index_rows: int) -> int:
+    """max_literal_buckets derived from the index size (clamped): the
+    r10 calibration point reproduces exactly (40k rows -> 4096), small
+    sidecars tolerate fatter literals, corpus-scale sidecars flip to the
+    join form much earlier."""
+    return min(
+        _LITERAL_MAX,
+        max(_LITERAL_MIN, _LITERAL_PROBE_BUDGET // max(index_rows, 1)),
+    )
+
+
 def indexed_dedup_gate(
     index: DataFrame,
     incoming: DataFrame,
@@ -517,7 +540,8 @@ def indexed_dedup_gate(
     threshold: float = 0.8,
     broadcast_batch: bool = True,
     band_prune: bool = False,
-    max_literal_buckets: int = 4096,
+    max_literal_buckets: int | None = None,
+    index_rows: "int | Callable[[], int | None] | None" = None,
 ) -> DataFrame:
     """Ingest-time dedup gate against a PRE-BUILT index (the
     ``doc_shingle_index`` schema): flag INCOMING documents that duplicate
@@ -569,6 +593,17 @@ def indexed_dedup_gate(
     because it is ONE index scan (the join form re-scans the index to
     semi-join candidates back — irrelevant against a page-cached sandbox
     index, real I/O against a disk-resident one).
+
+    By default (``max_literal_buckets=None``) the bound is DERIVED from
+    the index size at gate time (``adaptive_literal_bound``: the r10
+    measured probe budget divided by the live row count), because the
+    literal's cost is a row x bucket product — the right crossover on a
+    4k-row dev sidecar and a 40M-row production one differ by 10^4.
+    ``index_rows`` supplies that size for free when the caller has it
+    (the streaming sink reads it off its ledger); otherwise one count()
+    runs only when the decision is actually needed.  Passing an explicit
+    ``max_literal_buckets`` pins the form (the parity test forces both
+    sides of the crossover).
     """
     bc = F.broadcast if broadcast_batch else (lambda d: d)
     if band_prune and "bands_v2" not in index.columns:
@@ -643,6 +678,17 @@ def indexed_dedup_gate(
         # same data).  Empty `bands` arrays (shingle-less docs) simply
         # never overlap.
         buckets = batch_buckets
+        if buckets and max_literal_buckets is None:
+            # adaptive crossover: only pay the sizing when a decision is
+            # needed (tiny triggers below the floor never count anything)
+            if len(buckets) <= _LITERAL_MIN:
+                max_literal_buckets = _LITERAL_MIN
+            else:
+                if callable(index_rows):  # lazy supplier (ledger stats)
+                    index_rows = index_rows()
+                if index_rows is None:
+                    index_rows = index.count()
+                max_literal_buckets = adaptive_literal_bound(index_rows)
         if not buckets:
             near_source = index.filter(F.lit(False))
         elif len(buckets) > max_literal_buckets:

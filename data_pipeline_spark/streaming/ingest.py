@@ -288,6 +288,7 @@ class DedupGatedIngest:
             threshold=self.threshold,
             broadcast_batch=self.broadcast_batch,
             band_prune=self.band_prune,
+            index_rows=self._live_rows,
         )
         return batch.join(
             flags.filter(F.col("keep") == 1).select(self.id_col), self.id_col
@@ -319,7 +320,18 @@ class DedupGatedIngest:
             threshold=self.threshold,
             broadcast_batch=self.broadcast_batch,
             band_prune=self.band_prune,
+            index_rows=self._live_rows,
         )
+
+    def _live_rows(self) -> int | None:
+        """Committed live index size off the LEDGER (O(ledger), no index
+        scan) — the lazy supplier behind the gate's adaptive literal/join
+        crossover (dedup.adaptive_literal_bound); only evaluated on fat
+        triggers whose bucket set exceeds the literal floor."""
+        stats = self.ingest_stats()
+        if stats is None:
+            return None
+        return stats.agg(F.sum("n_admitted_live")).first()[0] or 0
 
     def ingest_stats(self) -> DataFrame | None:
         """Per-writer ingest history off the ledger: committed epochs,
@@ -575,6 +587,34 @@ class SemanticGatedIngest(DedupGatedIngest):
       retrains on the same batch deterministically — md5-ordered sample,
       no RNG).
 
+    Model lifecycle (r11 — the retrain/reindex contract)
+    ----------------------------------------------------
+    Every index row carries the VERSION of the model that encoded it
+    (``model_v``, the semantic twin of the text gate's ``bands_v2``
+    column), and model files are immutable per version
+    (``model.json`` = v1 for sidecar back-compat, ``model_v{N}.json``
+    after).  At gate time the committed index's version resolves the
+    quantizer: probing PQ codes with any other model would silently
+    search the wrong lists, so a MIXED-version index or a missing model
+    file FAILS LOUD rather than degrade recall.
+
+    ``retrain()`` re-trains on the committed corpus and atomically
+    re-encodes the WHOLE index under the new model via the compact()
+    protocol — new model file written first (unreferenced until commit),
+    corpus + re-encoded index rows land in a fresh compact-writer
+    partition, and ONE ledger append commits the new pair while revoking
+    every superseded one.  A crash anywhere before that append leaves
+    the old single-version index fully live (the orphaned model file and
+    partitions are vacuumed/reused); after it, the index is single-
+    version at N+1.  Staleness policy: ``retrain_after`` (admitted docs
+    since the active model trained — derived from the ledger) and/or
+    ``retrain_drift`` (mean committed ADC error vs the model's
+    training-time bound, ``adc_drift()``) auto-trigger a retrain after a
+    commit.  With multiple live writers, run retrains under
+    ``serialize_writers`` (the lease covers retrain too) — an
+    unserialized foreign admit concurrent with a retrain would commit
+    old-version rows and trip the mixed-version guard on the next gate.
+
     Within a batch, near-copies collapse driver-side (the batch is
     trigger-bounded by the same contract that lets it broadcast): the
     larger id of every >= threshold pair drops, mirroring the text
@@ -599,6 +639,8 @@ class SemanticGatedIngest(DedupGatedIngest):
         writer_id: str | None = None,
         within_batch_neardup: bool = True,
         serialize_writers: bool = False,
+        retrain_after: int | None = None,
+        retrain_drift: float | None = None,
     ):
         super().__init__(
             spark,
@@ -618,12 +660,87 @@ class SemanticGatedIngest(DedupGatedIngest):
         self.m = m
         self.n_centroids = n_centroids
         self.sample = sample
-        self._model: tuple | None = None
+        self.retrain_after = retrain_after
+        self.retrain_drift = retrain_drift
+        # per-version model cache: version -> (coarse, books, err_bound,
+        # trained_on_n).  _model_version is the version THIS process
+        # gates and encodes with; it only changes via our own retrain()
+        # (foreign concurrent retrains require serialize_writers — see
+        # class docstring)
+        self._models: dict[int, tuple] = {}
+        self._model_version: int | None = None
 
     # -- model -------------------------------------------------------------
     @property
     def _model_path(self) -> str:
         return os.path.join(self.index_dir, "model.json")
+
+    def _model_file(self, version: int) -> str:
+        """v1 stays ``model.json`` (pre-r11 sidecars resolve unchanged);
+        later generations are ``model_v{N}.json`` — immutable per
+        version, like the bands_v2 hash-family pin."""
+        if version == 1:
+            return self._model_path
+        return os.path.join(self.index_dir, f"model_v{version}.json")
+
+    def _load_model(self, version: int) -> None:
+        import json
+
+        import numpy as np
+
+        if version in self._models:
+            return
+        path = self._model_file(version)
+        if not os.path.exists(path):
+            raise RuntimeError(
+                f"semantic index is encoded under model v{version} but "
+                f"{path} is missing — PQ codes are meaningless without "
+                "their quantizer, so the gate fails loud instead of "
+                "probing with a different model (silent recall loss)"
+            )
+        with open(path) as fh:
+            d = json.load(fh)
+        self._models[version] = (
+            np.asarray(d["coarse"], np.float64),
+            np.asarray(d["codebooks"], np.float64),
+            float(d["err_bound"]),
+            int(d.get("trained_on_n", 0)),
+        )
+
+    def _latest_model_file_version(self) -> int | None:
+        if not os.path.isdir(self.index_dir):
+            return None
+        versions = [1] if os.path.exists(self._model_path) else []
+        for entry in os.listdir(self.index_dir):
+            if entry.startswith("model_v") and entry.endswith(".json"):
+                try:
+                    versions.append(int(entry[len("model_v"):-len(".json")]))
+                except ValueError:
+                    continue
+        return max(versions) if versions else None
+
+    def _active_version(self) -> int | None:
+        """The single model version the COMMITTED index is encoded under
+        (None when nothing is committed).  A mixed-version index means a
+        retrain ran concurrently with an unserialized writer — fail loud;
+        ``retrain()`` re-encodes everything back to one version."""
+        idx = self.committed_index()
+        if idx is None:
+            return None
+        row = idx.agg(
+            F.min("model_v").alias("a"), F.max("model_v").alias("b")
+        ).first()
+        if row.a is None:
+            return None
+        if row.a != row.b:
+            raise RuntimeError(
+                f"semantic index carries MIXED model versions "
+                f"v{row.a}..v{row.b} — a retrain committed concurrently "
+                "with another writer's old-version epoch (serialize "
+                "writers to prevent this); run retrain() to re-encode "
+                "the index under one model"
+            )
+        return int(row.a)
 
     def _ensure_model(self, batch: DataFrame):
         import json
@@ -632,17 +749,17 @@ class SemanticGatedIngest(DedupGatedIngest):
 
         from data_pipeline_spark.llmops import pq
 
-        if self._model is not None:
-            return self._model
-        if os.path.exists(self._model_path):
-            with open(self._model_path) as fh:
-                d = json.load(fh)
-            self._model = (
-                np.asarray(d["coarse"], np.float64),
-                np.asarray(d["codebooks"], np.float64),
-                float(d["err_bound"]),
-            )
-            return self._model
+        if self._model_version is not None:
+            m = self._models[self._model_version]
+            return m[0], m[1], m[2]
+        v = self._active_version()
+        if v is None:
+            v = self._latest_model_file_version()
+        if v is not None:
+            self._load_model(v)
+            self._model_version = v
+            m = self._models[v]
+            return m[0], m[1], m[2]
         coarse, books, err_bound = pq.semantic_model_train(
             batch,
             self.id_col,
@@ -664,6 +781,8 @@ class SemanticGatedIngest(DedupGatedIngest):
                 "coarse": coarse.tolist(),
                 "codebooks": books.tolist(),
                 "err_bound": err_bound,
+                "version": 1,
+                "trained_on_n": 0,  # nothing committed before first train
             }
         )
         try:
@@ -673,16 +792,13 @@ class SemanticGatedIngest(DedupGatedIngest):
             with os.fdopen(fd, "w") as fh:
                 fh.write(payload)
         except FileExistsError:
-            with open(self._model_path) as fh:
-                d = json.load(fh)
-            self._model = (
-                np.asarray(d["coarse"], np.float64),
-                np.asarray(d["codebooks"], np.float64),
-                float(d["err_bound"]),
-            )
-            return self._model
-        self._model = (coarse, books, err_bound)
-        return self._model
+            self._load_model(1)
+            self._model_version = 1
+            m = self._models[1]
+            return m[0], m[1], m[2]
+        self._models[1] = (coarse, books, err_bound, 0)
+        self._model_version = 1
+        return coarse, books, err_bound
 
     # -- protocol hooks ----------------------------------------------------
     def _index_of(self, admitted: DataFrame) -> DataFrame:
@@ -691,10 +807,180 @@ class SemanticGatedIngest(DedupGatedIngest):
         coarse, books, _err = self._ensure_model(admitted)
         return pq.semantic_index_rows(
             admitted, coarse, books, self.id_col, self.vec_col
-        )
+        ).withColumn("model_v", F.lit(int(self._model_version or 1)))
 
     def _index_cols(self) -> list[str]:
-        return ["cor_id", "embedding", "vnorm", "codes", "list_id", "adc_err"]
+        return [
+            "cor_id", "embedding", "vnorm", "codes", "list_id", "adc_err",
+            "model_v",
+        ]
+
+    def committed_index(self) -> DataFrame | None:
+        """Base read + sidecar back-compat: pre-r11 index rows have no
+        ``model_v`` column and are by definition the one implicit model
+        generation (v1)."""
+        committed = self._committed_pairs()
+        if committed is None or not _has_partitions(self._docs_dir):
+            return None
+        raw = self.spark.read.parquet(self._docs_dir)
+        if "model_v" not in raw.columns:
+            raw = raw.withColumn("model_v", F.lit(1))
+        return raw.join(
+            F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi"
+        ).select(*self._index_cols())
+
+    # -- lifecycle ----------------------------------------------------------
+    def adc_drift(self) -> float | None:
+        """Mean per-row ADC error bound of the committed index relative
+        to the active model's training-time bound — grows as the corpus
+        distribution drifts away from the codebooks' training sample
+        (residuals quantize worse), the signal that PQ candidate cuts
+        are getting looser.  None when nothing is committed."""
+        v = self._active_version()
+        if v is None:
+            return None
+        self._load_model(v)
+        err_bound = self._models[v][2]
+        if not err_bound:
+            return None
+        idx = self.committed_index()
+        m = idx.agg(F.avg("adc_err")).first()[0]
+        return None if m is None else float(m) / float(err_bound)
+
+    def should_retrain(self) -> bool:
+        """Staleness policy (both opt-in, OR-ed): the committed live
+        corpus grew by >= ``retrain_after`` docs since the active model
+        trained, or ``adc_drift()`` exceeds ``retrain_drift``."""
+        if self.retrain_after is None and self.retrain_drift is None:
+            return False
+        v = self._active_version()
+        if v is None:
+            return False
+        self._load_model(v)
+        if self.retrain_after is not None:
+            stats = self.ingest_stats()
+            live = 0
+            if stats is not None:
+                live = stats.agg(F.sum("n_admitted_live")).first()[0] or 0
+            if live - self._models[v][3] >= self.retrain_after:
+                return True
+        if self.retrain_drift is not None:
+            d = self.adc_drift()
+            if d is not None and d > self.retrain_drift:
+                return True
+        return False
+
+    def retrain(self) -> int:
+        """Retrain the PQ model on the COMMITTED corpus and atomically
+        re-encode the whole index under it — the compact() protocol with
+        re-derived index rows: the new model file publishes first (it is
+        unreferenced debris until the commit), corpus + re-encoded index
+        rows land in a fresh compact-writer partition, and ONE ledger
+        append commits the new pair while revoking every superseded one.
+        Crash before that append: the old single-version index stays
+        fully live (orphan partitions vacuum away, the orphan model file
+        is overwritten by the next retrain).  Crash after: the new index
+        is live, superseded dirs are invisible until vacuumed.  Returns
+        the re-encoded doc count (0 when nothing is committed)."""
+        if not self.serialize_writers:
+            return self._retrain()
+        from data_pipeline_spark.coordination import LeaseLock
+
+        with LeaseLock(
+            "ingest-commit",
+            "corpus",
+            root=os.path.join(self.index_dir, "locks"),
+            lease_seconds=300,
+        ):
+            return self._retrain()
+
+    def _retrain(self) -> int:
+        import json
+        import uuid
+
+        from data_pipeline_spark.llmops import pq
+
+        self.vacuum()
+        snapshot = self._committed_pairs()
+        if snapshot is None:
+            return 0
+        pairs = [(r[0], r[1]) for r in snapshot.collect()]
+        if not pairs:
+            return 0
+        new_v = (self._active_version() or 1) + 1
+        corpus = self.corpus().persist()
+        try:
+            n_docs = corpus.count()
+            coarse, books, err_bound = pq.semantic_model_train(
+                corpus,
+                self.id_col,
+                self.vec_col,
+                n_lists=self.n_lists,
+                m=self.m,
+                n_centroids=self.n_centroids,
+                sample=self.sample,
+            )
+            path = self._model_file(new_v)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "coarse": coarse.tolist(),
+                            "codebooks": books.tolist(),
+                            "err_bound": err_bound,
+                            "version": new_v,
+                            "trained_on_n": n_docs,
+                        }
+                    )
+                )
+            os.replace(tmp, path)
+            self._chaos("retrain_after_model")
+            cw = "c" + uuid.uuid4().hex[:12]
+            corpus.withColumn(_WRITER_COL, F.lit(cw)).withColumn(
+                _EPOCH_COL, F.lit(0)
+            ).write.mode("append").partitionBy(_WRITER_COL, _EPOCH_COL).parquet(
+                self.corpus_dir
+            )
+            self._chaos("retrain_after_corpus")
+            idx = (
+                pq.semantic_index_rows(
+                    corpus, coarse, books, self.id_col, self.vec_col
+                )
+                .withColumn("model_v", F.lit(new_v))
+                .withColumn(_WRITER_COL, F.lit(cw))
+                .withColumn(_EPOCH_COL, F.lit(0))
+            )
+            idx.write.mode("append").partitionBy(_WRITER_COL, _EPOCH_COL).parquet(
+                self._docs_dir
+            )
+            self._chaos("retrain_before_ledger")
+            ledger_rows = [(0, n_docs, cw)] + [(e, -1, w) for w, e in pairs]
+            self.spark.createDataFrame(
+                ledger_rows,
+                f"epoch_id LONG, n_admitted LONG, {_WRITER_COL} STRING",
+            ).write.mode("append").partitionBy(_WRITER_COL).parquet(
+                self._ledger_dir
+            )
+            self._chaos("retrain_after_ledger")
+            for base in (self.corpus_dir, self._docs_dir):
+                for w, e in pairs:
+                    p = os.path.join(
+                        base, f"{_WRITER_COL}={w}", f"{_EPOCH_COL}={e}"
+                    )
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+        finally:
+            corpus.unpersist()
+        self._models[new_v] = (coarse, books, err_bound, n_docs)
+        self._model_version = new_v
+        return n_docs
+
+    def admit_batch(self, batch: DataFrame, epoch_id: int) -> int:
+        n = super().admit_batch(batch, epoch_id)
+        if n and self.should_retrain():
+            self.retrain()
+        return n
 
     # -- gate --------------------------------------------------------------
     def _within_batch_losers(self, batch: DataFrame) -> list[int]:

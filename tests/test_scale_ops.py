@@ -475,6 +475,37 @@ def test_fat_trigger_bucket_join_matches_literal_path(spark):
     assert flags[200] == (0, 1, 0) and flags[202][2] == 1
 
 
+def test_adaptive_literal_bound_tracks_index_size(spark):
+    """r11 (verdict #6): the literal/join crossover derives from the
+    live index size at gate time instead of the r10 single-host constant
+    — the literal's cost is a row x bucket PRODUCT, so the right bound
+    on a 4k-row dev sidecar and a 40M-row production one differ by 1e4.
+    Pins: the r10 calibration point reproduces exactly, the clamps hold,
+    forcing the bound to both sides of the crossover yields identical
+    decisions (the adaptive default picks one of these forms, so parity
+    is inherited), and the lazy ledger-stat supplier form works."""
+    from data_pipeline_spark.llmops import dedup as ld
+
+    assert ld.adaptive_literal_bound(40_000) == 4096  # r10 measured point
+    assert ld.adaptive_literal_bound(10) == ld._LITERAL_MAX
+    assert ld.adaptive_literal_bound(10**9) == ld._LITERAL_MIN
+
+    corpus, batch = _gate_fixture_docs(spark)
+    idx = ld.doc_shingle_index(corpus, "doc_id", "text")
+    outs = []
+    for forced in (0, 10**9, None):  # join / literal / adaptive
+        outs.append(sorted(map(tuple, ld.indexed_dedup_gate(
+            idx, batch, "doc_id", "text", band_prune=True,
+            max_literal_buckets=forced,
+        ).collect())))
+    assert outs[0] == outs[1] == outs[2]
+    out_callable = sorted(map(tuple, ld.indexed_dedup_gate(
+        idx, batch, "doc_id", "text", band_prune=True,
+        index_rows=lambda: 40_000,
+    ).collect()))
+    assert out_callable == outs[0]
+
+
 def test_band_candidates_are_a_strict_subset(spark):
     """The shingle explode's input under band_prune is the band-colliding
     candidate subset: on a fixture where only one corpus doc resembles the

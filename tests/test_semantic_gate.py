@@ -222,3 +222,140 @@ def test_streaming_end_to_end_writestream(spark, tmp_path):
     q = streaming_sink.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 41]
+
+
+# -- model lifecycle (r11): versioned retrain/reindex contract --------------
+
+
+def test_retrain_reencodes_index_and_keeps_decisions(spark, tmp_path):
+    """The drift contract: retrain() bumps the model version, re-encodes
+    EVERY committed index row under the new codebooks (single-version
+    invariant), actually changes the model (v2 trains on the committed
+    corpus, not the first batch), and gate decisions on the planted
+    fixtures are unchanged — the exact-verify stage makes admission
+    robust to quantizer replacement."""
+    import json
+
+    sink = _sink(spark, tmp_path)
+    assert sink.admit_batch(_df(spark, B1), 0) == 3
+    assert sink.admit_batch(_df(spark, B2), 1) == 2
+    before = {
+        r.doc_id: (r.near_dup, r.keep)
+        for r in sink.gate_flags(_df(spark, B2)).collect()
+    }
+    assert sink._active_version() == 1
+
+    n = sink.retrain()
+    assert n == 5  # [1, 2, 3, 11, 13]
+    assert sink._active_version() == 2
+    assert os.path.exists(os.path.join(sink.index_dir, "model_v2.json"))
+    with open(os.path.join(sink.index_dir, "model_v2.json")) as fh:
+        v2 = json.load(fh)
+    with open(os.path.join(sink.index_dir, "model.json")) as fh:
+        v1 = json.load(fh)
+    assert v2["trained_on_n"] == 5 and v1["trained_on_n"] == 0
+    assert v2["coarse"] != v1["coarse"]  # trained on 5 docs, not 3
+    # every committed index row re-encoded under v2
+    idx = sink.committed_index()
+    vs = idx.agg(F.min("model_v"), F.max("model_v")).first()
+    assert (vs[0], vs[1]) == (2, 2)
+    # decisions unchanged across the version bump (fresh sink too)
+    recovered = _sink(spark, tmp_path)
+    after = {
+        r.doc_id: (r.near_dup, r.keep)
+        for r in recovered.gate_flags(_df(spark, B2)).collect()
+    }
+    assert after == before
+    # corpus intact and a replayed epoch stays a no-op
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 11, 13]
+    assert recovered.admit_batch(_df(spark, B2), 1) == 0
+    # post-retrain admissions encode under the ACTIVE version
+    assert recovered.admit_batch(_df(spark, [(50, BASE[7])]), 2) == 1
+    vs = recovered.committed_index().agg(
+        F.min("model_v"), F.max("model_v")
+    ).first()
+    assert (vs[0], vs[1]) == (2, 2)
+
+
+@pytest.mark.parametrize(
+    "crash_at",
+    [
+        "retrain_after_model",
+        "retrain_after_corpus",
+        "retrain_before_ledger",
+        "retrain_after_ledger",
+    ],
+)
+def test_retrain_crash_windows_never_corrupt(spark, tmp_path, crash_at):
+    """Chaos replay across the version bump: a crash anywhere before the
+    ledger append leaves the v1 index fully live (vacuum sweeps the
+    orphans, the next retrain completes); after the append, v2 is live
+    and the superseded dirs are invisible.  Decisions identical in every
+    window."""
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, B1), 0)
+    sink.admit_batch(_df(spark, B2), 1)
+    expect = {
+        r.doc_id: (r.near_dup, r.keep)
+        for r in sink.gate_flags(_df(spark, B2)).collect()
+    }
+
+    sink.crash_points = {crash_at}
+    with pytest.raises(ChaosCrash):
+        sink.retrain()
+
+    recovered = _sink(spark, tmp_path)
+    committed_v = recovered._active_version()
+    if crash_at == "retrain_after_ledger":
+        assert committed_v == 2  # commit landed; only cleanup was lost
+    else:
+        assert committed_v == 1  # old index fully live
+    got = {
+        r.doc_id: (r.near_dup, r.keep)
+        for r in recovered.gate_flags(_df(spark, B2)).collect()
+    }
+    assert got == expect
+    recovered.vacuum()
+    # a completed retrain converges from any window
+    assert recovered.retrain() == 5
+    assert recovered._active_version() == committed_v + 1
+    got = {
+        r.doc_id: (r.near_dup, r.keep)
+        for r in recovered.gate_flags(_df(spark, B2)).collect()
+    }
+    assert got == expect
+    assert _corpus_ids(spark, tmp_path) == [1, 2, 3, 11, 13]
+
+
+def test_retrain_after_policy_autotriggers(spark, tmp_path):
+    """retrain_after: the commit hook retrains once the live corpus has
+    grown by the threshold since the active model trained."""
+    sink = _sink(spark, tmp_path, retrain_after=4)
+    assert sink.admit_batch(_df(spark, B1), 0) == 3   # live 3 < 4: no
+    assert sink._active_version() == 1
+    assert sink.admit_batch(_df(spark, B2), 1) == 2   # live 5 >= 4: retrain
+    assert sink._active_version() == 2
+    # v2 trained_on_n = 5, so the next small commit does NOT retrain
+    assert sink.admit_batch(_df(spark, [(60, BASE[6])]), 2) == 1
+    assert sink._active_version() == 2
+    # drift accessor reports a finite ratio on the committed index
+    d = sink.adc_drift()
+    assert d is not None and d >= 0.0
+
+
+def test_mixed_version_index_fails_loud(spark, tmp_path):
+    """A retrain committed concurrently with an unserialized writer's
+    old-version epoch leaves a mixed-version index — the gate must
+    refuse to probe it (codes under two quantizers are not comparable),
+    not degrade silently."""
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, B1), 0)
+    sink.retrain()  # index now v2
+    # simulate the foreign stale writer: commit an epoch encoded under v1
+    stale = _sink(spark, tmp_path, name="stale")
+    stale._load_model(1)
+    stale._model_version = 1
+    stale.admit_batch(_df(spark, [(70, BASE[7])]), 0)
+    fresh = _sink(spark, tmp_path, name="probe")
+    with pytest.raises(RuntimeError, match="MIXED model versions"):
+        fresh.gate_flags(_df(spark, B2)).collect()

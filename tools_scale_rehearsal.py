@@ -89,10 +89,20 @@ def _salted_text(i: int):
 
 
 def build_scaled(spark, factor: int) -> str:
-    """Materialize the factor-x documents + embeddings tables (idempotent)."""
+    """Materialize the factor-x documents + embeddings tables (idempotent).
+
+    v3 (r11): alongside the r10 APPEND-TOKEN near-dup channel
+    (J = d/(d+1) when ``doc_id % 9 == i % 9``), copy ``i % 4 == 1`` of
+    EVERY document is an EXACT byte-identical copy (J = 1.0) — real
+    crawled corpora are 20-40% byte-identical duplicates (this plants
+    ~25-30%) and the r10 corpus had none, which is exactly the regime
+    the exact-dup pre-contraction (dedup.neardup_components) exists for.
+    Exact copies are planted near-dup pairs too (``planted_doc_pairs``
+    includes the channel), so every invariant strengthens rather than
+    changes; the v3 suffix busts the older scratch caches."""
     if factor == 1:
         return BASE
-    out = SCRATCH / f"sf0.1x{factor}"
+    out = SCRATCH / f"sf0.1x{factor}_v3"
     if (out / "_SUCCESS").exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
@@ -101,9 +111,12 @@ def build_scaled(spark, factor: int) -> str:
     parts = [docs]
     for i in range(1, factor):
         is_dup = F.col("doc_id") % 9 == i % 9
-        text = F.when(
-            is_dup, F.concat(F.col("text"), F.lit(f" zqdup{i}"))
-        ).otherwise(_salted_text(i))
+        text = (
+            F.col("text") if i % 4 == 1
+            else F.when(
+                is_dup, F.concat(F.col("text"), F.lit(f" zqdup{i}"))
+            ).otherwise(_salted_text(i))
+        )
         parts.append(
             docs.select(
                 (F.col("doc_id") + i * OFFSET).alias("doc_id"),
@@ -193,10 +206,19 @@ def planted_doc_pairs(spark, factor: int, min_shingles: int = 0):
     base = base.select("doc_id")
     pairs = None
     for i in range(1, factor):
-        p = base.filter(F.col("doc_id") % 9 == i % 9).select(
-            F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + i * OFFSET).alias("id_b"),
-        )
+        if i % 4 == 1:
+            # exact-copy channel (v3): EVERY doc's copy i is J = 1.0 —
+            # identical minhash signatures, so band escape is impossible
+            # and the pair is ground truth regardless of min_shingles
+            p = base.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + i * OFFSET).alias("id_b"),
+            )
+        else:
+            p = base.filter(F.col("doc_id") % 9 == i % 9).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + i * OFFSET).alias("id_b"),
+            )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs
 
@@ -419,6 +441,44 @@ def check_invariants(spark, sf_dir: str, factor: int) -> dict:
     return inv
 
 
+def contract_ab(spark, sf_dir: str) -> dict:
+    """A/B the exact-dup pre-contraction (r11): contracted vs uncontracted
+    neardup_components on this corpus — walls + shuffle via timed_run, and
+    full COMPONENT PARITY (the contraction must be invisible in the
+    output).  Both variants materialize to scratch parquet so the parity
+    diff reads results instead of recomputing two pair graphs."""
+    from data_pipeline_spark.io import load_table
+    from data_pipeline_spark.llmops import dedup as ld
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out: dict = {}
+    paths: dict = {}
+    for mode, contract in (("contracted", True), ("uncontracted", False)):
+        path = str(SCRATCH / "contract_ab" / Path(sf_dir).name / mode)
+        paths[mode] = path
+
+        def run(contract=contract, path=path):
+            # construct INSIDE the timer: connected_components eagerly
+            # localCheckpoints the edge graph at dataframe-construction
+            # time, so building the frame outside would hide the pair
+            # graph (the dominant cost) from the measurement
+            comp = ld.neardup_components(
+                docs, "doc_id", "text", contract=contract
+            )
+            comp.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+
+        out[mode] = timed_run(spark, run, f"components_{mode}")
+    a = spark.read.parquet(paths["contracted"])
+    b = spark.read.parquet(paths["uncontracted"])
+    mism = a.exceptAll(b).count() + b.exceptAll(a).count()
+    out["component_parity"] = {"mismatches": mism, "ok": mism == 0}
+    print(f"    component_parity: {out['component_parity']}", flush=True)
+    return out
+
+
 # ------------------------------------------------------------- main
 
 def main() -> None:
@@ -438,6 +498,12 @@ def main() -> None:
         help="skip the invariant families (probe runs: the invariants "
         "re-run both gates and the pair graph, which a --queries probe "
         "deliberately avoids)",
+    )
+    ap.add_argument(
+        "--contract-ab",
+        action="store_true",
+        help="run ONLY the exact-dup pre-contraction A/B per scale "
+        "(contracted vs uncontracted components: walls, shuffle, parity)",
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
@@ -477,6 +543,12 @@ def main() -> None:
         n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         print(f"  corpus: {n_docs} docs, {n_emb} embeddings "
               f"(build {build_s}s)", flush=True)
+
+        if args.contract_ab:
+            report["scales"].setdefault(str(factor), {})["contract_ab"] = (
+                contract_ab(spark, sf_dir)
+            )
+            continue
 
         # pre-build the gate index sidecar and the WARC archive fixture
         # so the gate/source timings measure steady state, not one-time
