@@ -33,84 +33,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # second, and a representative spread of the long-green set fills the
 # remaining window; the rest follow.
 _PRIORITY = [
-    # -- r10 evidence targets ------------------------------------------------
-    # never driver-checked: the WARC (CommonCrawl) record source, the
-    # semantic (embedding) ingest gate, and the late-r10 text-pipeline
-    # trio (Gopher rules / Unicode normalization / per-domain quota)
-    "gopher_quality_flags",
-    "text_normalization",
-    "domain_quota_sample",
+    # -- r11 evidence targets ------------------------------------------------
+    # NEW: planted-recall certificates for the pruned ANN paths — these
+    # take the driver slots the rows-only ivf/pq/ivfpq_ann_topk entries
+    # held (r10 verdict item #2: the window should be 50/50 oracle-green;
+    # the rows-only production-config entries remain in the catalog)
+    "ivf_planted_recall",
+    "ivfpq_planted_recall",
+    # ORACLE CHANGED (zero-norm NULLIF guard mirrored into _cos_sql — the
+    # r10 ADVICE low): every cosine-oracle query re-verifies this round
+    "embedding_cosine_topk",
     "filtered_cosine_topk",
+    "embedding_neardup_pairs",
+    "embedding_neardup_clusters",
+    "lsh_exact_neardup",
+    "ivf_exact_topk",
     "ivf_partitioned_exact_topk",
-    "warc_extraction",
-    "semantic_dedup_gate",
-    "warc_file_source",
-    "bigram_lm_perplexity",
-    # changed r10 internals: the MinHash family moved from unwrapped
-    # Kirsch-Mitzenmacher to the universal modular family (oracle changed
-    # in lockstep), which also rewrites the gate-index band buckets; the
-    # ANN defaults moved to the measured production configs and IVF-PQ
-    # codes moved to IVF residuals (exact certificates must stay
-    # bit-for-bit through the new path)
-    "minhash_lsh_candidates",
+    "pq_exact_topk",
+    "ivfpq_exact_topk",
+    # CODE CHANGED: exact-dup pre-contraction in the components family,
+    # adaptive literal/join crossover + locked sidecar builds in the
+    # ingest gates, sidecar lock in the semantic gate path
+    "neardup_cluster_assignment",
+    "neardup_cluster_assignment_star",
+    "leakage_safe_split",
     "banded_index_dedup_gate",
     "persisted_index_dedup_gate",
-    "ivf_ann_topk",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    # (ivf_exact_topk, pq_exact_topk and ivfpq_exact_topk also changed —
-    # k-means default / refactored trainer / residual path — but all are
-    # r9-green and locally re-verified bit-for-bit, and yield their
-    # window slots to never-driver-checked queries; the window is
-    # exactly 50)
-    # -- recency rotation: every query whose latest verdict is r7 ------------
-    "encrypted_transport_roundtrip",
-    "wire_key_roundtrip",
-    "topic_transport_roundtrip",
-    "envelope_roundtrip",
-    "tailer_projection",
-    "refresh_scan_stats",
-    "customers_without_orders",
-    "priority_queue_head",
-    "top_orders_by_price",
-    "topic_set_difference",
-    "rollup_event_counts",
-    "first_event_at_or_after",
-    "sliding_value_avg",
-    "cube_lineitem_counts",
-    "distinct_users_per_type",
-    "pii_redacted_display",
-    "q3_shipping_priority",
-    "q4_order_priority_check",
-    "q6_revenue_forecast",
-    "q12_shipmode_priority",
-    "q14_promo_revenue_share",
-    "cdc_snapshot_apply",
-    "q18_large_orders",
-    "event_type_intersection",
-    "q11_important_parts",
-    "namespace_parse",
-    "dq_column_stats",
-    "sql_api_top_suppliers",
-    "doc_fingerprints",
-    "hashed_classifier_score",
-    "doc_pii_scrub",
-    # (segment_dedup_stats yields its slot to the new
-    # ivf_partitioned_exact_topk: it is unchanged this round, green in
-    # all three r10 local sweeps, and carries independent 1x-100x
-    # rehearsal coverage — the same rationale the exact-certificate
-    # trio used for their slots)
-    "boilerplate_strip",
-    "contamination_by_source",
-    "url_blocklist_filter",
-    "corpus_health_by_source",
-    # (q1_pricing_summary, hypertable_rollup and quality_decile_binning
-    # stay r7-verdict one more round: the first two carry independent
-    # r10 scale-rehearsal arithmetic invariants at 10x/30x, q1 is the
-    # entry() flagship the driver smoke-runs every round, and the
-    # decile binning is an unchanged pure-SQL shape re-verified in all
-    # three full local sweeps this round — the four late-r10 ops take
-    # their slots so nothing ships never-driver-checked)
+    "incremental_dedup_gate",
+    "semantic_dedup_gate",
+    # -- recency rotation: the four r7-vintage stragglers ---------------------
+    "q1_pricing_summary",
+    "hypertable_rollup",
+    "quality_decile_binning",
+    "segment_dedup_stats",
+    # -- recency rotation: the r8-vintage family (28 of 37 remaining; the
+    # rest rotate in r12) ------------------------------------------------
+    "asof_click_attribution",
+    "bpe_token_stats",
+    "broadcast_dim_enrich",
+    "cdc_update_diff",
+    "compaction_latest_per_key",
+    "corpus_mix_stats",
+    "deterministic_sample",
+    "doc_exact_dedup",
+    "eval_decontamination",
+    "exact_doc_length_percentiles",
+    "gapfill_interpolated_series",
+    "jaccard_neardup_pairs",
+    "monitor_window_counts",
+    "multimodal_flac_roundtrip",
+    "multimodal_mp4_keyframes",
+    "neardup_quality_survivors",
+    "ngram_repetition_filter",
+    "pretraining_corpus_filter",
+    "props_json_extract",
+    "q13_order_count_distribution",
+    "q2_min_cost_supplier",
+    "refresh_range_batches",
+    "revenue_by_nation",
+    "sequence_packing",
+    "sessionize_events",
+    "shipped_within_90d",
+    "simhash64_neardup_pairs",
+    "simhash_flood_stats",
 ]
 
 

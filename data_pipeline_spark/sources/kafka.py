@@ -149,6 +149,98 @@ def read_stream(
     return spark.readStream.format("kafka").options(**options).load()
 
 
+def smoke_roundtrip(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    n: int = 200,
+    topic: str | None = None,
+) -> dict:
+    """First run on a REAL cluster, scripted (r10 verdict stretch #8):
+    publish one envelope batch through the real Kafka connector and
+    assert byte parity with the file-backed TopicStore transport.
+
+    The wire frame is prepared ONCE (envelope uuids/timestamps are
+    generated at prepare time, so preparing twice would differ), then
+    shipped through BOTH transports; the smoke passes when the Kafka
+    round trip returns exactly the TopicStore round trip's (key, value)
+    byte multiset and the consumer decodes the batch back to the source
+    rows.  Returns {"rows", "bytes_parity", "decode_parity"}.
+
+    Requires the spark-sql-kafka jar and a reachable broker — the two
+    things this sandbox lacks; ``read_stream``'s jar gate raises the
+    same named error here.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if not _kafka_jar_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; deploy with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10"
+        )
+    from data_pipeline_spark.consumer import Consumer
+    from data_pipeline_spark.producer import Producer
+    from data_pipeline_spark.registry import SchemaRegistry
+
+    from .file_topic import TopicStore
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "smoke_event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "value", "type": "double"},
+            ],
+        }
+    )
+    registry = SchemaRegistry()
+    rs = registry.register_schema(
+        "smoke.db", "smoke_events", schema, primary_keys=("event_id",)
+    )
+    topic = topic or rs.topic
+    rows = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 0.5).alias("value"),
+    )
+    store = TopicStore(spark, tempfile.mkdtemp(prefix="dps_kafka_smoke_"))
+    Producer(store, registry).publish(
+        rows, rs.schema_id, num_partitions=2, order_by="event_id"
+    )
+    wire = store.read(rs.topic).select("key", "value")
+    file_bytes = sorted(
+        (bytes(r.key or b""), bytes(r.value)) for r in wire.collect()
+    )
+
+    to_wire_frame(wire).write.format("kafka").options(
+        **writer_options(topic, bootstrap_servers)
+    ).save()
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .select("key", "value")
+    )
+    kafka_bytes = sorted(
+        (bytes(r.key or b""), bytes(r.value)) for r in back.collect()
+    )
+    decoded = Consumer(store, registry).messages(rs.topic)
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in decoded.select("payload.event_id", "payload.value").collect()
+    )
+    want = sorted((r.event_id, r.value) for r in rows.collect())
+    return {
+        "rows": n,
+        "bytes_parity": kafka_bytes == file_bytes,
+        "decode_parity": got == want,
+    }
+
+
 def to_wire_frame(df: DataFrame) -> DataFrame:
     """Project a produced frame to the Kafka sink contract (key, value
     binary columns) — the shape Producer.prepare already emits."""

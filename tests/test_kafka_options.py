@@ -97,3 +97,26 @@ def test_to_wire_frame_projects_sink_contract(spark):
     assert kafka.to_wire_frame(df).columns == ["key", "value"]
     with pytest.raises(ValueError, match="key/value"):
         kafka.to_wire_frame(df.select("extra"))
+
+
+def test_kafka_smoke_roundtrip_gates_and_activates(spark):
+    """The scripted first-run-on-a-real-cluster smoke: in this sandbox
+    (no connector jar) it must raise the NAMED gate error; on a deploy
+    image with the jar + a broker (SPARK_GRAFT_KAFKA_BOOTSTRAP) it runs
+    the full byte-parity round trip."""
+    import os
+
+    import pytest
+
+    from data_pipeline_spark.sources import kafka as k
+
+    if not k._kafka_jar_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            k.smoke_roundtrip(spark, "localhost:9092", n=10)
+        return
+    broker = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not broker:
+        pytest.skip("connector jar present but no broker configured "
+                    "(set SPARK_GRAFT_KAFKA_BOOTSTRAP)")
+    rep = k.smoke_roundtrip(spark, broker, n=50)
+    assert rep["bytes_parity"] and rep["decode_parity"]
