@@ -55,7 +55,10 @@ def test_planted_pairs_ground_truth(spark, monkeypatch, tmp_path):
     want = set()
     for i in (1, 2):
         for d in range(20):
-            if d % 9 == i % 9:
+            # v3 plant: copy i%4==1 is an EXACT copy of EVERY doc (the
+            # realistic-crawl duplicate channel); otherwise the r10
+            # append-token near-dup rule applies
+            if i % 4 == 1 or d % 9 == i % 9:
                 want.add((d, d + i * tsr.OFFSET))
     assert got == want
     # the shingle floor prunes: docs here have 38 distinct shingles

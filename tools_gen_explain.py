@@ -30,6 +30,8 @@ PICK = [
     ("domain_quota_sample", "per-domain quota: salted two-stage top-N — first window partitions (source, salt) so per-source shuffle is bounded at N*64 rows under any domain skew; no rangepartitioning sort"),
     ("filtered_cosine_topk", "metadata-filtered vector search: the IN-list predicate reaches the parquet scan (PushedFilters: In(label, ...), plan-tested) BEFORE any vector math — pre-filter semantics, k always fills"),
     ("ivf_partitioned_exact_topk", "IVF as a SERVED TABLE: probe lists prune the list_id-partitioned layout at directory level (PartitionFilters carries the probe IN-list) — at n_probe=n_lists the oracle certifies brute-force parity through the persisted layout"),
+    ("neardup_cluster_assignment", "r11 exact-dup pre-contraction: ONE md5 groupBy collapses duplicate texts to min-id reps BEFORE shingling/pair-expansion/label-propagation, members re-expand via one co-keyed join — 7.4x wall / 8.3x shuffle / zero-vs-45GB spill at 100x on a realistic-duplicate corpus, components bit-identical"),
+    ("ivf_planted_recall", "planted-recall certificate at the PRODUCTION n_probe=24/64 config: identical-copy queries, brute-force DuckDB rank-1 oracle — recall guaranteed by quantizer self-consistency (probe #1 is always the source's list)"),
 ]
 
 if __name__ == "__main__":
