@@ -249,6 +249,62 @@ def lsh_planes_for_recall(
     return 1
 
 
+def lsh_tables_for_recall(
+    threshold: float,
+    planes_per_table: int,
+    target_recall: float = 0.95,
+    max_tables: int = 1024,
+) -> int:
+    """Fewest tables L with expected boundary recall >= target at a GIVEN
+    banding depth b: ``1 - (1 - p^b)^L >= target`` solved for L — the
+    dual of ``lsh_planes_for_recall`` (which fixes L and derives b).
+    Used by the corpus-size-aware path: deepening b to keep buckets
+    sparse costs per-table recall, and this buys it back with tables."""
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p = 1.0 - theta / math.pi
+    pb = p ** planes_per_table
+    if pb >= 1.0:
+        return 1
+    if pb <= 0.0:
+        return max_tables
+    need = math.log(1.0 - target_recall) / math.log(1.0 - pb)
+    return max(1, min(max_tables, math.ceil(need)))
+
+
+def lsh_scaled_banding(
+    threshold: float,
+    corpus_size: int,
+    num_tables: int = 64,
+    target_recall: float = 0.95,
+    target_occupancy: int = 64,
+) -> tuple[int, int]:
+    """(planes_per_table, num_tables) that keep CHANCE collisions from
+    going quadratic as the corpus grows.
+
+    The r11 sf1 leg measured the failure mode this prevents: at a fixed
+    recall-derived depth (b=6 at cos 0.45 => 64 buckets/table), every
+    bucket holds ~n/2^b vectors BY CHANCE, so candidates grow as
+    L * (n/2^b)^2 — 3.6 s at 2k vectors became 85 s at 20k (x23.7 for
+    x10 data).  Fix: deepen b so expected chance occupancy stays at
+    ``target_occupancy`` (b >= log2(n/occupancy)), then re-derive the
+    table count for the SAME boundary recall at the deeper b.  Tables
+    are the cheap axis — all L*b plane dots ride one Arrow matmul and
+    the explode carries (table, bucket, id) only — while bucket
+    occupancy is the quadratic axis.  At small n this reproduces the
+    recall-derived (b, L) exactly; at 100 TB it is the difference
+    between a banded plan and an accidental all-pairs."""
+    b_recall = lsh_planes_for_recall(threshold, num_tables, target_recall)
+    b_sparse = max(
+        1, math.ceil(math.log2(max(corpus_size, 1) / max(target_occupancy, 1)))
+    ) if corpus_size > target_occupancy else 1
+    b = max(b_recall, b_sparse)
+    if b == b_recall:
+        return b, num_tables
+    return b, max(
+        num_tables, lsh_tables_for_recall(threshold, b, target_recall)
+    )
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -259,6 +315,7 @@ def lsh_neardup_pairs(
     dim: int = 64,
     max_bucket: int = 1000,
     num_planes: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via multi-table hyperplane LSH.
 
@@ -286,7 +343,16 @@ def lsh_neardup_pairs(
     if num_planes is not None:  # pre-r3 signature compatibility
         planes_per_table = num_planes
     if planes_per_table is None:
-        planes_per_table = lsh_planes_for_recall(threshold, num_tables)
+        if corpus_size is not None:
+            # corpus-size-aware banding (r11): keep chance bucket
+            # occupancy ~constant as n grows, buy the recall back with
+            # tables — see lsh_scaled_banding for the measured failure
+            # mode this prevents
+            planes_per_table, num_tables = lsh_scaled_banding(
+                threshold, corpus_size, num_tables
+            )
+        else:
+            planes_per_table = lsh_planes_for_recall(threshold, num_tables)
     if planes_per_table == 0:
         # exhaustive configuration: zero hyperplanes put every vector in
         # the single bucket of one table, so candidates = all pairs and

@@ -1321,13 +1321,19 @@ def multimodal_jpeg_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate (bucketed recall): rows-only check
     doc="Multi-table hyperplane-LSH bucketed near-dup search — the 100 TB "
     "scale path: banded bucket join replaces the O(n^2) cross product; "
-    "measured 13/14 recall vs the exact baseline at sf0.01.",
+    "measured 13/14 recall vs the exact baseline at sf0.01.  r11: the "
+    "banding is CORPUS-SIZE-AWARE (similarity.lsh_scaled_banding) — at a "
+    "fixed recall-derived depth, chance bucket occupancy n/2^b makes "
+    "candidates quadratic once n >> 2^b (the sf1 leg measured x23.7 wall "
+    "for x10 data); deepening b with n and re-deriving the table count "
+    "keeps the same boundary recall with linear-ish candidates.",
     tags=("llm", "similarity"),
 )
 def lsh_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(
-        emb, threshold=0.45, num_tables=64, dim=64
+        emb, threshold=0.45, num_tables=64, dim=64,
+        corpus_size=emb.count(),  # one metadata-cheap count
     )
 
 

@@ -3046,6 +3046,53 @@ def test_ivf_layout_topk_matches_inmemory_and_prunes(spark, tmp_path):
     assert len(probed) < 16 and n_read < n_all, (probed, n_read, n_all)
 
 
+def test_lsh_scaled_banding_math_and_recall(spark):
+    """r11 corpus-size-aware LSH banding: (a) at small n the derivation
+    reproduces the recall-derived config exactly (no behavior change for
+    existing callers); (b) at large n the depth grows to hold chance
+    occupancy ~constant and the table count is re-derived to keep the
+    SAME expected boundary recall; (c) measured recall vs brute force on
+    a real corpus still clears the floor under the scaled config."""
+    import math
+
+    from data_pipeline_spark.llmops.similarity import (
+        lsh_planes_for_recall,
+        lsh_scaled_banding,
+        lsh_tables_for_recall,
+    )
+
+    b0 = lsh_planes_for_recall(0.45, 64)
+    # small corpus: unchanged
+    assert lsh_scaled_banding(0.45, 500, 64) == (b0, 64)
+    # big corpus: deeper bands, more tables, same expected recall
+    b, L = lsh_scaled_banding(0.45, 20_000, 64)
+    assert b > b0 and L >= 64
+    p = 1.0 - math.acos(0.45) / math.pi
+    expected = 1.0 - (1.0 - p**b) ** L
+    assert expected >= 0.95
+    # chance occupancy bounded: buckets/table >= n/target_occupancy
+    assert 2**b >= 20_000 / 64
+    # tables-for-recall duality: at the recall-derived depth, 64 tables
+    # already suffice
+    assert lsh_tables_for_recall(0.45, b0) <= 64
+
+    # (c) recall floor holds under a forced-scaled config on real data
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.neardup_pairs(emb, threshold=0.4).collect()
+    }
+    scaled = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_neardup_pairs(
+            emb, threshold=0.4, num_tables=64, dim=64, corpus_size=50_000
+        ).collect()
+    }
+    assert scaled <= exact
+    if exact:
+        assert len(scaled) / len(exact) >= 0.9
+
+
 def test_exact_contract_component_parity(spark):
     """r11 exact-dup pre-contraction: components are IDENTICAL with and
     without the contraction, including the contract's edge cases —
