@@ -4,13 +4,30 @@ Re-expresses zookeeper.py:97-139 (ZKLock): at most one copy of a batch
 runs per (name, namespace), acquired with a timeout and released on exit.
 The reference leans on ZooKeeper ephemeral nodes; this engine has no ZK in
 scope, so the lock is a LEASE on shared storage: an atomically-created
-lock file carrying (owner, expiry).  A crashed holder's lock self-expires
+lock record carrying (owner, expiry).  A crashed holder's lock self-expires
 — the property the reference gets from ephemeral-node session loss — so a
 wedged batch can never fence out its replacement forever.
 
-On a real deployment the same protocol runs against any store with
-conditional-create semantics (HDFS create-exclusive, object-store
-if-none-match); only `_try_create` changes.
+Two storage backends implement the same protocol (`LeaseLock(...,
+backend=...)`, default from ``SPARK_GRAFT_LOCK_BACKEND``, else "flock"):
+
+- **flock** (`FlockLeaseLock`) — one lock file + an flock-ed guard sidecar
+  serializing the multi-step break/renew/release sequences.  Requires a
+  filesystem with POSIX flock semantics: a single host, or a cluster FS
+  (NFSv4, Lustre, GPFS) that provides them.
+- **epoch** (`EpochLeaseLock`) — NO flock, no byte-range locks, no
+  overwriting rename.  The lock is a monotone chain of epoch files in a
+  directory; every state transition (acquire, renew, release, stale
+  break) is the atomic creation of the NEXT epoch file, arbitrated purely
+  by create-if-absent.  This is the HDFS / object-store shape: the only
+  primitives used are atomic create-if-absent (HDFS ``create(overwrite=
+  false)``, S3 ``If-None-Match: *`` conditional PUT, GCS
+  ``ifGenerationMatch=0``, ABFS create-no-overwrite) plus directory
+  listing.  Locally the create-if-absent publish is emulated with
+  ``os.link`` (atomic, fails if the destination exists — the POSIX
+  rename-no-overwrite); `_publish_epoch` is the one seam a real
+  object-store deployment swaps for its conditional PUT.  The epoch
+  number doubles as a monotonically-increasing fencing token.
 """
 
 from __future__ import annotations
@@ -27,26 +44,50 @@ class LockTimeout(TimeoutError):
     """Another live instance holds the lock."""
 
 
+def _default_backend() -> str:
+    return os.environ.get("SPARK_GRAFT_LOCK_BACKEND", "flock")
+
+
 class LeaseLock:
     """`with LeaseLock(name, namespace, root): ...` — one holder at a time.
 
-    - acquire: atomic create-exclusive of the lock file; a file whose
-      lease expired (holder died without releasing) is broken and retried.
+    - acquire: atomic create of the lock record; a record whose lease
+      expired (holder died without releasing) is broken and retried.
     - renew(): extends the lease; long batches call it between stages.
-    - release: delete only if still owned (a holder whose lease expired
-      and was taken over must not delete the new holder's lock).
+    - release: a holder whose lease expired and was taken over must never
+      clobber the new holder's lock (renew raises LockTimeout, release is
+      a no-op).
+
+    Instantiating ``LeaseLock`` directly dispatches on ``backend`` (or the
+    ``SPARK_GRAFT_LOCK_BACKEND`` env var): "flock" → `FlockLeaseLock`,
+    "epoch" → `EpochLeaseLock`.  Both subclasses honor the identical
+    protocol and test surface (`_read`, `acquired`, context manager).
     """
+
+    def __new__(cls, *args, backend: str | None = None, **kwargs):
+        if cls is LeaseLock:
+            chosen = backend or _default_backend()
+            try:
+                cls = _BACKENDS[chosen]
+            except KeyError:
+                raise ValueError(
+                    f"unknown lock backend {chosen!r}; known: {sorted(_BACKENDS)}"
+                ) from None
+        return object.__new__(cls)
 
     def __init__(
         self,
         name: str,
         namespace: str,
         root: str,
-        lease_seconds: int = 60,
-        timeout: int = 10,
+        lease_seconds: float = 60,
+        timeout: float = 10,
         owner: str | None = None,
+        backend: str | None = None,  # consumed by __new__ dispatch
     ):
-        self.path = os.path.join(root, f"{name}-{namespace}.lock")
+        self.name = name
+        self.namespace = namespace
+        self.root = root
         self.lease_seconds = lease_seconds
         self.timeout = timeout
         # unique per INSTANCE, not just per process: two locks in one
@@ -57,7 +98,37 @@ class LeaseLock:
         self.acquired = False
         os.makedirs(root, exist_ok=True)
 
-    # -- protocol -----------------------------------------------------------
+    # -- protocol (implemented per backend) ----------------------------------
+
+    def acquire(self) -> None:
+        raise NotImplementedError
+
+    def renew(self) -> None:
+        raise NotImplementedError
+
+    def release(self) -> None:
+        raise NotImplementedError
+
+    def _read(self) -> dict | None:
+        """Current live lease record ({owner, expires_at}) or None."""
+        raise NotImplementedError
+
+    # -- context manager (ZKLock usage shape) -------------------------------
+
+    def __enter__(self) -> "LeaseLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.release()
+
+
+class FlockLeaseLock(LeaseLock):
+    """Lock-file lease with an flock guard (POSIX-flock filesystems)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.path = os.path.join(self.root, f"{self.name}-{self.namespace}.lock")
 
     @contextlib.contextmanager
     def _guard(self):
@@ -165,11 +236,230 @@ class LeaseLock:
                     pass
         self.acquired = False
 
-    # -- context manager (ZKLock usage shape) -------------------------------
 
-    def __enter__(self) -> "LeaseLock":
-        self.acquire()
-        return self
+class EpochLeaseLock(LeaseLock):
+    """Flock-free lease: a monotone epoch chain arbitrated by create-if-absent.
 
-    def __exit__(self, exc_type, exc, tb) -> None:
-        self.release()
+    State = the highest-numbered ``e-<n>.json`` file in the lock directory
+    (a lease record, or a ``released`` tombstone).  Every transition
+    CREATES epoch n+1; it never rewrites or deletes the live record:
+
+    - acquire: if the top epoch is absent/released/expired, publish
+      ``e-<n+1>`` with our lease.  Exactly one contender's create-if-absent
+      wins — the 8-way stale-break race needs no guard because the create
+      IS the arbitration.
+    - renew: publish ``e-<n+1>`` re-asserting ownership.  Losing that
+      create means a contender observed our lease expired and usurped —
+      we raise LockTimeout rather than steal it back.
+    - release: publish a ``released`` tombstone at n+1 (only if still the
+      owner — a usurped holder publishes nothing).
+
+    After every successful create the publisher re-lists and verifies its
+    epoch is still the maximum; this closes the one reuse race GC opens
+    (a slow contender re-creating a GC'd low epoch can never see itself
+    as top, because GC only ever runs after a higher epoch exists).
+    Debris epochs (≤ top - _GC_KEEP) are garbage-collected best-effort by
+    later publishers.
+
+    The epoch number is a fencing token: it increases monotonically across
+    holders, so downstream writers can reject operations stamped with a
+    stale token — the ZooKeeper-recipe property flock cannot give.
+    """
+
+    _GC_KEEP = 8  # epochs kept behind top before best-effort deletion
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.dir = os.path.join(self.root, f"{self.name}-{self.namespace}.lockd")
+        self.epoch = 0  # last epoch this instance published
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- storage primitives (the object-store seam) --------------------------
+
+    def _list_epochs(self) -> list[int]:
+        try:
+            names = os.listdir(self.dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if n.startswith("e-") and n.endswith(".json"):
+                try:
+                    out.append(int(n[2:-5]))
+                except ValueError:
+                    continue
+        return out
+
+    def _epoch_path(self, n: int) -> str:
+        return os.path.join(self.dir, f"e-{n:014d}.json")
+
+    def _publish_epoch(self, n: int, record: dict) -> bool:
+        """Atomically create epoch n with `record`; False if it exists.
+
+        Local emulation of conditional PUT: write a complete private tmp
+        file, then hard-link it to the epoch name — link is atomic and
+        fails with FileExistsError when the destination exists, so readers
+        only ever observe complete records and exactly one contender wins
+        each epoch.  A real object-store backend replaces this method with
+        its conditional create (S3 If-None-Match / GCS generation-0 / HDFS
+        create-exclusive); nothing else in the class touches the medium.
+        """
+        tmp = os.path.join(self.dir, f".tmp-{self.owner}-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        try:
+            os.link(tmp, self._epoch_path(n))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _read_epoch(self, n: int) -> dict | None:
+        try:
+            with open(self._epoch_path(n)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # GC'd between list and read — caller re-lists
+
+    # -- protocol -------------------------------------------------------------
+
+    def _top(self) -> tuple[int, dict | None]:
+        """(top epoch number, its record) — (0, None) for a fresh lock."""
+        while True:
+            epochs = self._list_epochs()
+            if not epochs:
+                return 0, None
+            top = max(epochs)
+            rec = self._read_epoch(top)
+            if rec is not None:
+                return top, rec
+            # the top file vanished between list and read: top can only
+            # ever be GC'd after a HIGHER epoch exists — re-list finds it
+
+    def _read(self) -> dict | None:
+        _, rec = self._top()
+        if rec is None or rec.get("released"):
+            return None
+        return rec
+
+    def _publish_verified(self, n: int, record: dict) -> bool:
+        """Create epoch n AND verify it is still the maximum.
+
+        The verify closes the GC reuse race: a contender that stalled long
+        enough for its target epoch file to be created, GC'd, and re-tried
+        would otherwise win a create for a number BELOW the live top.
+        """
+        if not self._publish_epoch(n, record):
+            return False
+        top = max(self._list_epochs())
+        if top != n:
+            return False  # our file is stale debris below a newer epoch
+        self.epoch = n
+        self._gc(n)
+        return True
+
+    def _gc(self, top: int) -> None:
+        for n in self._list_epochs():
+            if n <= top - self._GC_KEEP:
+                try:
+                    os.unlink(self._epoch_path(n))
+                except FileNotFoundError:
+                    pass  # another publisher's GC got it first
+
+    def acquire(self) -> None:
+        deadline = time.time() + self.timeout
+        while True:
+            n, rec = self._top()
+            free = (
+                rec is None
+                or rec.get("released")
+                or rec["expires_at"] < time.time()
+            )
+            if free:
+                if self._publish_verified(
+                    n + 1,
+                    {
+                        "owner": self.owner,
+                        "expires_at": time.time() + self.lease_seconds,
+                    },
+                ):
+                    self.acquired = True
+                    return
+                continue  # lost the create race — re-read the new top
+            if time.time() >= deadline:
+                raise LockTimeout(
+                    f"lock {self.dir} held by {rec['owner']!r}; another "
+                    "instance is already running against this source"
+                )
+            time.sleep(0.05)
+
+    def renew(self) -> None:
+        if not self.acquired:
+            raise RuntimeError("cannot renew a lock that is not held")
+        n, rec = self._top()
+        usurped = (
+            rec is None or rec.get("released") or rec.get("owner") != self.owner
+        )
+        if not usurped:
+            usurped = not self._publish_verified(
+                n + 1,
+                {"owner": self.owner, "expires_at": time.time() + self.lease_seconds},
+            )
+        if usurped:
+            # our lease expired and a contender took over mid-run: we are
+            # no longer the holder and must NOT publish over the usurper
+            self.acquired = False
+            holder = rec.get("owner") if rec else "unknown"
+            raise LockTimeout(
+                f"lease in {self.dir} was taken over by {holder!r}; "
+                "this instance lost the lock"
+            )
+
+    def release(self) -> None:
+        if not self.acquired:
+            return
+        n, rec = self._top()
+        if rec is not None and rec.get("owner") == self.owner and not rec.get("released"):
+            # losing this create means a contender just usurped the
+            # (expired) lease — the lock is theirs, nothing to release
+            self._publish_verified(n + 1, {"released": True, "owner": self.owner})
+        self.acquired = False
+
+
+_BACKENDS: dict[str, type[LeaseLock]] = {
+    "flock": FlockLeaseLock,
+    "epoch": EpochLeaseLock,
+}
+
+
+@contextlib.contextmanager
+def process_mutex(base: str, name: str = "build", backend: str | None = None):
+    """Blocking cross-process critical section rooted at ``base``.
+
+    Used by sidecar-cache builds (one process builds, others wait, all
+    re-check existence after acquiring).  Backend-dispatched like
+    LeaseLock: the flock path holds a kernel lock for exactly the build's
+    lifetime (crash → auto-release); the epoch path takes a generous lease
+    and relies on expiry to break a crashed builder — the semantics a real
+    object-store lease service provides.
+    """
+    chosen = backend or _default_backend()
+    os.makedirs(base, exist_ok=True)
+    if chosen == "flock":
+        fd = os.open(os.path.join(base, ".lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # closing drops the flock
+        return
+    with LeaseLock(
+        "mutex",
+        name,
+        base,
+        lease_seconds=3600,
+        timeout=3600,
+        backend=chosen,
+    ):
+        yield

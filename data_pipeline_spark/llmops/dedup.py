@@ -1495,6 +1495,20 @@ def exact_contract(
     edge — they must remain separate singletons, and therefore only docs
     with >= 1 shingle are eligible to contract (the fp for the rest is a
     per-doc unique sentinel).
+
+    SCOPE of the parity claim (ADVICE r11): the argument above holds in
+    the sub-``max_df`` regime of ``ngram_jaccard_pairs`` — where no
+    duplicate group alone pushes a shingle's document frequency past the
+    cap.  Exact-duplicate MULTIPLICITY counts toward df only in the
+    uncontracted form, so a group of more than ``max_df`` identical
+    copies has its own shingles df-pruned there (every copy degrades to a
+    signal-free singleton) while the contracted form counts the group
+    once and keeps them.  The two behaviors diverge by construction and
+    the contracted one is the intended semantics: it matches the UNCAPPED
+    Jaccard oracle (a duplicate pile should never stopword its own
+    contents away), while the cap keeps doing its real job — bounding
+    CROSS-document boilerplate expansion, measured over distinct texts.
+    Pinned by tests/test_llmops.py::test_exact_contract_beyond_max_df.
     """
     # the shuffles stay NARROW — (fp, id) only, text never moves: reps
     # come from a map-side-combined min(id) groupBy, members from a
@@ -1543,10 +1557,13 @@ def neardup_components(
     per distinct text, and members re-expand at the end (r10 verdict
     item #3 — the planted 100x rehearsal clusters spend GBs of shuffle
     and spill propagating through duplicate cores that contribute no new
-    components).  ``contract=False`` is the measured A/B twin; both
-    produce identical (id, component) rows (parity argument in
-    ``exact_contract``; pinned by the shared recursive-CTE oracle and
-    tests/test_llmops.py)."""
+    components).  ``contract=False`` is the measured A/B twin; the two
+    produce identical (id, component) rows in the sub-max_df regime
+    (parity argument and its SCOPE in ``exact_contract`` — a duplicate
+    group larger than ngram_jaccard_pairs' max_df df-prunes its own
+    shingles only in the uncontracted form; the contracted default keeps
+    them, matching the uncapped oracle).  Pinned by the shared
+    recursive-CTE oracle and tests/test_llmops.py."""
     if contract:
         rep_docs, members = exact_contract(docs, id_col, text_col, n)
     else:

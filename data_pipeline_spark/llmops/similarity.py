@@ -292,7 +292,17 @@ def lsh_scaled_banding(
     the explode carries (table, bucket, id) only — while bucket
     occupancy is the quadratic axis.  At small n this reproduces the
     recall-derived (b, L) exactly; at 100 TB it is the difference
-    between a banded plan and an accidental all-pairs."""
+    between a banded plan and an accidental all-pairs.
+
+    NOT silent past the table budget (ADVICE r11): once the depth the
+    corpus needs exceeds what ``lsh_tables_for_recall``'s max_tables can
+    buy back (threshold 0.45 hits the 1024-table cap from ~1M vectors),
+    expected boundary recall degrades continuously — so this emits a
+    ``RuntimeWarning`` carrying the ACHIEVED expected recall instead of
+    letting callers believe the target still holds.  Weakly-selective
+    low-threshold LSH is intrinsically near-all-pairs; the warned-about
+    regime is exactly where the IVF/PQ family is the measured scale path.
+    """
     b_recall = lsh_planes_for_recall(threshold, num_tables, target_recall)
     b_sparse = max(
         1, math.ceil(math.log2(max(corpus_size, 1) / max(target_occupancy, 1)))
@@ -300,9 +310,22 @@ def lsh_scaled_banding(
     b = max(b_recall, b_sparse)
     if b == b_recall:
         return b, num_tables
-    return b, max(
-        num_tables, lsh_tables_for_recall(threshold, b, target_recall)
-    )
+    L = max(num_tables, lsh_tables_for_recall(threshold, b, target_recall))
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    achieved = 1.0 - (1.0 - (1.0 - theta / math.pi) ** b) ** L
+    if achieved < target_recall:
+        import warnings
+
+        warnings.warn(
+            f"lsh_scaled_banding: occupancy-driven depth b={b} needs more "
+            f"tables than the max_tables cap allows — expected boundary "
+            f"recall at threshold {threshold} is {achieved:.3f}, below the "
+            f"{target_recall} target.  At this (threshold, corpus_size) "
+            f"banded LSH is near-all-pairs; use the IVF/PQ path instead.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return b, L
 
 
 def lsh_neardup_pairs(

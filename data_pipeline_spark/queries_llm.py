@@ -24,29 +24,17 @@ def _sidecar_lock(base):
     invocations on the same testdata) could both see the cache missing
     and race overwrite-writes into the same parquet dir — a reader could
     then observe writer A's _SUCCESS over writer B's half-written part
-    files (ADVICE r10).  An exclusive flock on ``base/.lock`` makes one
-    process build while the others wait, and the caller's existence
-    RE-CHECK after acquiring makes the losers no-op.  Artifacts are
-    staged in tmp names and renamed into place under the lock, so an
-    unlocked fast-path reader (the ``done()`` check before taking the
-    lock) only ever sees fully-published dirs."""
-    import contextlib
-    import fcntl
-    from pathlib import Path
+    files (ADVICE r10).  An exclusive mutex on ``base`` makes one process
+    build while the others wait, and the caller's existence RE-CHECK
+    after acquiring makes the losers no-op.  Artifacts are staged in tmp
+    names and renamed into place under the lock, so an unlocked fast-path
+    reader (the ``done()`` check before taking the lock) only ever sees
+    fully-published dirs.  Backend-dispatched (coordination.process_mutex):
+    flock on POSIX hosts, the create-if-absent epoch lease on stores
+    without flock semantics (SPARK_GRAFT_LOCK_BACKEND=epoch)."""
+    from data_pipeline_spark.coordination import process_mutex
 
-    base = Path(base)
-
-    @contextlib.contextmanager
-    def _cm():
-        base.mkdir(parents=True, exist_ok=True)
-        with open(base / ".lock", "w") as f:
-            fcntl.flock(f, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(f, fcntl.LOCK_UN)
-
-    return _cm()
+    return process_mutex(str(base), name="sidecar")
 
 
 def _publish_dir(stage, final) -> None:

@@ -149,6 +149,18 @@ def read_stream(
     return spark.readStream.format("kafka").options(**options).load()
 
 
+def smoke_topic(base: str, topic: str | None = None) -> str:
+    """Broker topic for one smoke run: uuid-suffixed unless the caller
+    names a topic it exclusively owns.  A fresh SchemaRegistry derives
+    the same ``base`` every run, and a REUSED broker topic still holds
+    the previous run's messages — whose envelope uuids/timestamps differ
+    — so an earliest..latest parity read over it fails spuriously on a
+    healthy deployment (ADVICE r11)."""
+    import uuid as _uuid
+
+    return topic or f"{base}-smoke-{_uuid.uuid4().hex[:12]}"
+
+
 def smoke_roundtrip(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -165,6 +177,13 @@ def smoke_roundtrip(
     round trip returns exactly the TopicStore round trip's (key, value)
     byte multiset and the consumer decodes the batch back to the source
     rows.  Returns {"rows", "bytes_parity", "decode_parity"}.
+
+    Re-runnable against a PERSISTENT broker (ADVICE r11): the broker
+    topic defaults to a uuid-suffixed name, so the earliest..latest read
+    can never pick up a previous smoke run's messages (whose envelope
+    uuids/timestamps differ) and fail bytes_parity spuriously on a
+    healthy deployment.  Pass ``topic`` explicitly only for a topic this
+    run exclusively owns.
 
     Requires the spark-sql-kafka jar and a reachable broker — the two
     things this sandbox lacks; ``read_stream``'s jar gate raises the
@@ -199,7 +218,7 @@ def smoke_roundtrip(
     rs = registry.register_schema(
         "smoke.db", "smoke_events", schema, primary_keys=("event_id",)
     )
-    topic = topic or rs.topic
+    topic = smoke_topic(rs.topic, topic)
     rows = spark.range(n).select(
         F.col("id").alias("event_id"),
         (F.col("id") * 0.5).alias("value"),

@@ -641,6 +641,7 @@ class SemanticGatedIngest(DedupGatedIngest):
         serialize_writers: bool = False,
         retrain_after: int | None = None,
         retrain_drift: float | None = None,
+        drift_check_every: int = 16,
     ):
         super().__init__(
             spark,
@@ -662,6 +663,11 @@ class SemanticGatedIngest(DedupGatedIngest):
         self.sample = sample
         self.retrain_after = retrain_after
         self.retrain_drift = retrain_drift
+        # drift is the one O(index) policy probe — run it every Nth
+        # non-empty commit, not per micro-batch (ADVICE r11): the module
+        # contract is O(ledger) per trigger in steady state
+        self.drift_check_every = max(1, drift_check_every)
+        self._commits_since_drift_check = 0
         # per-version model cache: version -> (coarse, books, err_bound,
         # trained_on_n).  _model_version is the version THIS process
         # gates and encodes with; it only changes via our own retrain()
@@ -742,6 +748,23 @@ class SemanticGatedIngest(DedupGatedIngest):
             )
         return int(row.a)
 
+    def _cached_version(self) -> int | None:
+        """Active model version WITHOUT an O(index) scan once known:
+        ``_model_version`` only changes via this writer's own retrain
+        (foreign concurrent retrains require serialize_writers — class
+        docstring), so after the first resolution it IS the committed
+        version.  Falls back to one ``_active_version()`` index scan —
+        which also enforces the mixed-version guard — for instances
+        attached to a pre-existing index (ADVICE r11: the per-commit
+        policy hook must not aggregate the full index per micro-batch)."""
+        if self._model_version is None:
+            v = self._active_version()
+            if v is None:
+                return None
+            self._load_model(v)
+            self._model_version = v
+        return self._model_version
+
     def _ensure_model(self, batch: DataFrame):
         import json
 
@@ -818,13 +841,26 @@ class SemanticGatedIngest(DedupGatedIngest):
     def committed_index(self) -> DataFrame | None:
         """Base read + sidecar back-compat: pre-r11 index rows have no
         ``model_v`` column and are by definition the one implicit model
-        generation (v1)."""
+        generation (v1).  Back-compat is PER ROW, not per directory
+        (ADVICE r11): the read merges schemas and coalesces null model_v
+        to 1, so a dir that legitimately mixes pre-r11 files with
+        post-retrain v2 files (the crash window between _retrain's ledger
+        append and its superseded-partition cleanup) surfaces as a MIXED
+        index to ``_active_version``'s guard — never as v1 stamped over
+        v2 rows, which would silently probe v2 PQ codes with the v1
+        quantizer."""
         committed = self._committed_pairs()
         if committed is None or not _has_partitions(self._docs_dir):
             return None
-        raw = self.spark.read.parquet(self._docs_dir)
+        raw = self.spark.read.option("mergeSchema", "true").parquet(
+            self._docs_dir
+        )
         if "model_v" not in raw.columns:
             raw = raw.withColumn("model_v", F.lit(1))
+        else:
+            raw = raw.withColumn(
+                "model_v", F.coalesce(F.col("model_v"), F.lit(1))
+            )
         return raw.join(
             F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi"
         ).select(*self._index_cols())
@@ -836,10 +872,9 @@ class SemanticGatedIngest(DedupGatedIngest):
         distribution drifts away from the codebooks' training sample
         (residuals quantize worse), the signal that PQ candidate cuts
         are getting looser.  None when nothing is committed."""
-        v = self._active_version()
+        v = self._cached_version()
         if v is None:
             return None
-        self._load_model(v)
         err_bound = self._models[v][2]
         if not err_bound:
             return None
@@ -850,13 +885,19 @@ class SemanticGatedIngest(DedupGatedIngest):
     def should_retrain(self) -> bool:
         """Staleness policy (both opt-in, OR-ed): the committed live
         corpus grew by >= ``retrain_after`` docs since the active model
-        trained, or ``adc_drift()`` exceeds ``retrain_drift``."""
+        trained, or ``adc_drift()`` exceeds ``retrain_drift``.
+
+        Cost discipline (ADVICE r11): this runs after every non-empty
+        commit, so it must stay inside the module's O(ledger)-per-trigger
+        steady state — the version comes from the instance cache (no
+        index min/max scan), the growth check reads the LEDGER, and the
+        one O(index) probe (adc_drift's avg over committed adc_err) runs
+        only every ``drift_check_every``-th non-empty commit."""
         if self.retrain_after is None and self.retrain_drift is None:
             return False
-        v = self._active_version()
+        v = self._cached_version()
         if v is None:
             return False
-        self._load_model(v)
         if self.retrain_after is not None:
             stats = self.ingest_stats()
             live = 0
@@ -865,9 +906,12 @@ class SemanticGatedIngest(DedupGatedIngest):
             if live - self._models[v][3] >= self.retrain_after:
                 return True
         if self.retrain_drift is not None:
-            d = self.adc_drift()
-            if d is not None and d > self.retrain_drift:
-                return True
+            self._commits_since_drift_check += 1
+            if self._commits_since_drift_check >= self.drift_check_every:
+                self._commits_since_drift_check = 0
+                d = self.adc_drift()
+                if d is not None and d > self.retrain_drift:
+                    return True
         return False
 
     def retrain(self) -> int:

@@ -110,6 +110,12 @@ def test_kafka_smoke_roundtrip_gates_and_activates(spark):
 
     from data_pipeline_spark.sources import kafka as k
 
+    # re-runnable against a persistent broker: the default topic is
+    # uuid-suffixed per run (ADVICE r11), an explicit one passes through
+    a, b = k.smoke_topic("pipeline.smoke.db.ev"), k.smoke_topic("pipeline.smoke.db.ev")
+    assert a != b and a.startswith("pipeline.smoke.db.ev-smoke-")
+    assert k.smoke_topic("base", "owned.topic") == "owned.topic"
+
     if not k._kafka_jar_available(spark):
         with pytest.raises(RuntimeError, match="spark-sql-kafka"):
             k.smoke_roundtrip(spark, "localhost:9092", n=10)

@@ -3076,6 +3076,21 @@ def test_lsh_scaled_banding_math_and_recall(spark):
     # already suffice
     assert lsh_tables_for_recall(0.45, b0) <= 64
 
+    # (b2) ADVICE r11: past the table budget the derivation must NOT be
+    # silent — at 10M vectors, threshold 0.45 needs more than max_tables
+    # can buy back, so a RuntimeWarning carries the achieved recall
+    import warnings as _w
+
+    with pytest.warns(RuntimeWarning, match="expected boundary recall"):
+        b_cap, L_cap = lsh_scaled_banding(0.45, 10_000_000, 64)
+    assert L_cap == 1024  # pinned at the cap, not silently undersized
+    assert 1.0 - (1.0 - p**b_cap) ** L_cap < 0.95
+    # sub-cap regimes stay warning-free (both the small-n and scaled legs)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        lsh_scaled_banding(0.45, 500, 64)
+        lsh_scaled_banding(0.45, 20_000, 64)
+
     # (c) recall floor holds under a forced-scaled config on real data
     emb = load_table(spark, SF_SMOKE, "embeddings")
     exact = {
@@ -3136,6 +3151,51 @@ def test_exact_contract_component_parity(spark):
         ).collect()
     }
     assert star == want
+
+
+def test_exact_contract_beyond_max_df(spark):
+    """ADVICE r11 (medium): the contraction parity claim is SCOPED to the
+    sub-max_df regime.  Once a duplicate group alone exceeds
+    ngram_jaccard_pairs' max_df, the forms intentionally diverge:
+    uncontracted, the group's multiplicity df-prunes its own shingles and
+    every copy degrades to a signal-free singleton; contracted, the group
+    counts ONCE and the components match the UNCAPPED Jaccard oracle —
+    the documented intended behavior."""
+    rows = (
+        [(i, "alpha beta gamma delta epsilon") for i in range(1, 6)]  # 5 copies
+        + [
+            (6, "alpha beta gamma delta zeta"),  # J=0.5 near dup of the pile
+            (7, "totally different text content here today"),
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def components(contract: bool, max_df: int) -> dict[int, int]:
+        # neardup_components' exact composition, with max_df injectable
+        if contract:
+            rep_docs, members = ld.exact_contract(docs, "doc_id", "text")
+        else:
+            rep_docs, members = docs, None
+        pairs = ld.ngram_jaccard_pairs(
+            rep_docs, "doc_id", "text", threshold=0.45, max_df=max_df
+        )
+        comp = ld.connected_components(pairs, rep_docs, "doc_id")
+        if members is not None:
+            comp = ld.expand_contracted_components(comp, members, "doc_id")
+        return {r.doc_id: r.component for r in comp.collect()}
+
+    # the 5-copy group alone exceeds max_df=3
+    contracted = components(contract=True, max_df=3)
+    uncontracted = components(contract=False, max_df=3)
+    uncapped_oracle = components(contract=False, max_df=10**6)
+
+    # contracted == uncapped oracle: the pile clusters with its near dup
+    assert contracted == uncapped_oracle
+    assert all(contracted[i] == 1 for i in range(1, 7))
+    assert contracted[7] == 7
+    # uncontracted: the group's own multiplicity stopwords its shingles —
+    # everything degrades to singletons (the documented divergence)
+    assert uncontracted == {i: i for i in range(1, 8)}
 
 
 def test_persisted_ivf_centroid_reload_parity(spark):

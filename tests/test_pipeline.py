@@ -394,7 +394,7 @@ def test_zombie_refresh_detection(spark):
     assert mgr.set_zombie_refreshes_to_fail(lease_seconds=60, now=now + 10**6) == []
 
 
-def test_lease_lock_single_instance(tmp_path):
+def test_lease_lock_single_instance(tmp_path, lock_backend):
     """T12: second instance times out while the lease is live; a crashed
     holder's expired lease is broken; release is owner-checked."""
     from data_pipeline_spark.coordination import LeaseLock, LockTimeout
@@ -420,7 +420,7 @@ def test_lease_lock_single_instance(tmp_path):
         assert lock2.acquired
 
 
-def test_lease_lock_usurped_holder_cannot_clobber(tmp_path):
+def test_lease_lock_usurped_holder_cannot_clobber(tmp_path, lock_backend):
     """A holder whose lease expired and was taken over must not delete or
     rewrite the new holder's lock (renew raises, release is a no-op)."""
     from data_pipeline_spark.coordination import LeaseLock, LockTimeout
@@ -445,7 +445,7 @@ def test_lease_lock_usurped_holder_cannot_clobber(tmp_path):
     assert new._read() is None
 
 
-def test_lease_lock_concurrent_stale_break_single_winner(tmp_path):
+def test_lease_lock_concurrent_stale_break_single_winner(tmp_path, lock_backend):
     """Many contenders racing to break the same stale lease: exactly one
     acquires; the loser must not delete the winner's fresh lock."""
     import threading
@@ -480,6 +480,126 @@ def test_lease_lock_concurrent_stale_break_single_winner(tmp_path):
     holder = LeaseLock("refresh", "ns.db", root, timeout=0)._read()
     assert holder is not None and holder["owner"] == winners[0]
     assert holder["expires_at"] > __import__("time").time()
+
+
+def test_epoch_lock_never_touches_flock(tmp_path, monkeypatch):
+    """The epoch backend's whole protocol — acquire, renew, stale break,
+    usurped-release, contention timeout — runs with fcntl.flock poisoned:
+    the object-store deployment contract is NO flock anywhere."""
+    import fcntl
+
+    from data_pipeline_spark.coordination import LeaseLock, LockTimeout
+
+    def boom(*a, **k):
+        raise AssertionError("epoch backend called fcntl.flock")
+
+    monkeypatch.setattr(fcntl, "flock", boom)
+    root = str(tmp_path / "locks")
+    with LeaseLock("refresh", "ns.db", root, timeout=1, backend="epoch") as lk:
+        lk.renew()
+        with pytest.raises(LockTimeout):
+            LeaseLock("refresh", "ns.db", root, timeout=0, backend="epoch").acquire()
+    dead = LeaseLock(
+        "refresh", "ns.db", root, lease_seconds=-1, timeout=0, backend="epoch"
+    )
+    dead.acquire()
+    dead.acquired = False  # crash — lease expires, next acquirer breaks it
+    with LeaseLock("refresh", "ns.db", root, timeout=0, backend="epoch"):
+        # the usurped holder cannot renew its way back in
+        dead.acquired = True
+        with pytest.raises(LockTimeout):
+            dead.renew()
+
+
+def test_epoch_lock_fencing_token_monotone(tmp_path):
+    """Epoch numbers are fencing tokens: strictly increasing across
+    holders AND across usurpation, so a writer fenced at token n can have
+    its late writes rejected by any store that saw n+1."""
+    from data_pipeline_spark.coordination import LeaseLock
+
+    root = str(tmp_path / "locks")
+    seen = []
+    for _ in range(3):
+        with LeaseLock("refresh", "ns.db", root, backend="epoch") as lk:
+            seen.append(lk.epoch)
+            lk.renew()
+            seen.append(lk.epoch)
+    # usurpation keeps the chain monotone (stale holder never reuses a slot)
+    stale = LeaseLock(
+        "refresh", "ns.db", root, lease_seconds=-1, timeout=0, backend="epoch"
+    )
+    stale.acquire()
+    seen.append(stale.epoch)
+    usurper = LeaseLock("refresh", "ns.db", root, timeout=0, backend="epoch")
+    usurper.acquire()
+    seen.append(usurper.epoch)
+    usurper.release()
+    assert seen == sorted(seen) and len(set(seen)) == len(seen)
+
+
+def test_epoch_lock_gc_bounds_directory(tmp_path):
+    """A long-lived holder renewing forever must not grow the lock dir
+    unboundedly — publishers GC epochs more than _GC_KEEP behind top."""
+    import os
+
+    from data_pipeline_spark.coordination import EpochLeaseLock, LeaseLock
+
+    root = str(tmp_path / "locks")
+    with LeaseLock("refresh", "ns.db", root, backend="epoch") as lk:
+        for _ in range(50):
+            lk.renew()
+        files = [f for f in os.listdir(lk.dir) if f.startswith("e-")]
+        assert len(files) <= EpochLeaseLock._GC_KEEP + 1
+    # state is still correct after heavy GC: released, re-acquirable
+    with LeaseLock("refresh", "ns.db", root, timeout=0, backend="epoch") as lk2:
+        assert lk2.epoch > 50
+
+
+def _epoch_race_proc(root: str, owner: str, q) -> None:
+    from data_pipeline_spark.coordination import LeaseLock, LockTimeout
+
+    lk = LeaseLock(
+        "refresh", "ns.db", root, lease_seconds=60, timeout=1.5,
+        owner=owner, backend="epoch",
+    )
+    try:
+        lk.acquire()
+    except LockTimeout:
+        return
+    q.put(owner)
+
+
+def test_epoch_lock_stale_break_race_across_processes(tmp_path):
+    """The 8-way stale-break race with REAL separate processes (no shared
+    interpreter state): exactly one winner, arbitrated purely by atomic
+    create-if-absent — the semantics an object store provides."""
+    import multiprocessing as mp
+
+    from data_pipeline_spark.coordination import LeaseLock
+
+    root = str(tmp_path / "locks")
+    dead = LeaseLock(
+        "refresh", "ns.db", root, lease_seconds=-1, timeout=0,
+        owner="dead", backend="epoch",
+    )
+    dead.acquire()  # expired immediately
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_epoch_race_proc, args=(root, f"c{i}", q))
+        for i in range(8)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(30)
+    winners = []
+    while not q.empty():
+        winners.append(q.get())
+    assert len(winners) == 1
+    holder = LeaseLock("refresh", "ns.db", root, timeout=0, backend="epoch")._read()
+    assert holder is not None and holder["owner"] == winners[0]
 
 
 def test_ledger_and_sidecar_compaction(spark, registry, store, tmp_path):
@@ -660,7 +780,9 @@ def test_encrypted_publish_consume_roundtrip(spark, registry, store):
         consumer.messages(rs.topic, crypto_keys={2: key}).collect()
 
 
-def test_concurrent_publishes_serialized_unique_offsets(spark, registry, tmp_path):
+def test_concurrent_publishes_serialized_unique_offsets(
+    spark, registry, tmp_path, lock_backend
+):
     """With serialize_publishes, racing producer threads never duplicate a
     (partition, offset) pair — the Kafka broker-side append serialization
     TopicStore otherwise lacks."""

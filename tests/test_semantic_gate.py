@@ -359,3 +359,75 @@ def test_mixed_version_index_fails_loud(spark, tmp_path):
     fresh = _sink(spark, tmp_path, name="probe")
     with pytest.raises(RuntimeError, match="MIXED model versions"):
         fresh.gate_flags(_df(spark, B2)).collect()
+
+
+def test_pre_r11_rows_mixed_with_v2_surface_as_mixed(spark, tmp_path):
+    """ADVICE r11: pre-r11 index files (no model_v COLUMN at all)
+    committed alongside post-retrain v2 files must surface as a MIXED
+    index and fail loud — not be silently stamped v1-or-v2 by whichever
+    parquet footer the schema sampler picked.  Probing v1-encoded PQ
+    codes with the v2 quantizer is the exact silent recall loss the
+    mixed-version guard exists to prevent; per-row coalesce over a
+    merged schema is what routes this mix INTO that guard."""
+    import glob
+    import shutil
+
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, B1), 0)
+    sink.retrain()  # whole index re-encoded at v2
+    # a stale v1 writer commits an epoch, then its files are rewritten
+    # WITHOUT the model_v column — the on-disk shape of a pre-r11 sidecar
+    stale = _sink(spark, tmp_path, name="stale")
+    stale._load_model(1)
+    stale._model_version = 1
+    stale.admit_batch(_df(spark, [(70, BASE[7])]), 0)
+    parts = glob.glob(
+        os.path.join(sink._docs_dir, "ingest_writer=*", "ingest_epoch=*")
+    )
+    stripped_one = False
+    for part in parts:
+        rows = spark.read.parquet(part)
+        ids = {r.cor_id for r in rows.select("cor_id").collect()}
+        if ids == {70}:
+            rows.drop("model_v").write.parquet(part + ".new")
+            shutil.rmtree(part)
+            os.rename(part + ".new", part)
+            stripped_one = True
+    assert stripped_one
+    fresh = _sink(spark, tmp_path, name="probe")
+    with pytest.raises(RuntimeError, match="MIXED model versions"):
+        fresh.gate_flags(_df(spark, B2)).collect()
+
+
+def test_retrain_policy_is_ledger_cost_per_commit(spark, tmp_path):
+    """ADVICE r11: with a retrain policy set, the per-commit policy hook
+    must not aggregate the full index per micro-batch — the version comes
+    from the instance cache (no _active_version index scan after the
+    first resolution) and adc_drift runs only every Nth non-empty
+    commit."""
+    sink = _sink(
+        spark, tmp_path, retrain_drift=float("inf"), drift_check_every=3
+    )
+    drift_calls = []
+    version_scans = []
+    orig_drift, orig_active = sink.adc_drift, sink._active_version
+
+    def spy_drift():
+        drift_calls.append(1)
+        return orig_drift()
+
+    def spy_active():
+        version_scans.append(1)
+        return orig_active()
+
+    sink.adc_drift = spy_drift
+    sink._active_version = spy_active
+    for i, doc in enumerate(range(20, 26)):
+        vec = _unit(doc)
+        assert sink.admit_batch(_df(spark, [(doc, vec)]), i) == 1
+    # drift probed on commits 3 and 6 only (cadence 3)
+    assert len(drift_calls) == 2
+    # no O(index) version scan after the model resolved on commit 1
+    assert len(version_scans) <= 1
+    # the infinite threshold never retrains
+    assert sink._cached_version() == 1
