@@ -33,69 +33,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # second, and a representative spread of the long-green set fills the
 # remaining window; the rest follow.
 _PRIORITY = [
-    # -- r11 evidence targets ------------------------------------------------
-    # NEW: planted-recall certificates for the pruned ANN paths — these
-    # take the driver slots the rows-only ivf/pq/ivfpq_ann_topk entries
-    # held (r10 verdict item #2: the window should be 50/50 oracle-green;
-    # the rows-only production-config entries remain in the catalog)
-    "ivf_planted_recall",
-    "ivfpq_planted_recall",
-    # ORACLE CHANGED (zero-norm NULLIF guard mirrored into _cos_sql — the
-    # r10 ADVICE low): every cosine-oracle query re-verifies this round
-    "embedding_cosine_topk",
-    "filtered_cosine_topk",
-    "embedding_neardup_pairs",
-    "embedding_neardup_clusters",
-    "lsh_exact_neardup",
-    "ivf_exact_topk",
-    "ivf_partitioned_exact_topk",
-    "pq_exact_topk",
-    "ivfpq_exact_topk",
-    # CODE CHANGED: exact-dup pre-contraction in the components family,
-    # adaptive literal/join crossover + locked sidecar builds in the
-    # ingest gates, sidecar lock in the semantic gate path
-    "neardup_cluster_assignment",
-    "neardup_cluster_assignment_star",
-    "leakage_safe_split",
+    # -- r12 evidence targets ------------------------------------------------
+    # recency rotation: the 7 r8-vintage queries (nothing's latest verdict
+    # predates r9 after this window)
+    "simhash_neardup_pairs",
+    "simhash_signatures",
+    "temperature_mix_sampling",
+    "tfidf_top_terms",
+    "trailing_7d_user_spend",
+    "unigram_logprob_score",
+    "word_frequencies",
+    # CODE CHANGED this round: sidecar builds ride the backend-dispatched
+    # process_mutex; the semantic gate's policy hook + model_v back-compat
+    # changed; the ADC scan gains list-pruning; the contraction trio gains
+    # the duplicate-rate probe; lsh banding gains the recall-cap guard
+    "semantic_dedup_gate",
     "banded_index_dedup_gate",
     "persisted_index_dedup_gate",
     "incremental_dedup_gate",
-    "semantic_dedup_gate",
-    # -- recency rotation: the four r7-vintage stragglers ---------------------
-    "q1_pricing_summary",
-    "hypertable_rollup",
-    "quality_decile_binning",
-    "segment_dedup_stats",
-    # -- recency rotation: the r8-vintage family (28 of 37 remaining; the
-    # rest rotate in r12) ------------------------------------------------
-    "asof_click_attribution",
-    "bpe_token_stats",
-    "broadcast_dim_enrich",
-    "cdc_update_diff",
-    "compaction_latest_per_key",
-    "corpus_mix_stats",
-    "deterministic_sample",
-    "doc_exact_dedup",
-    "eval_decontamination",
-    "exact_doc_length_percentiles",
-    "gapfill_interpolated_series",
-    "jaccard_neardup_pairs",
-    "monitor_window_counts",
-    "multimodal_flac_roundtrip",
-    "multimodal_mp4_keyframes",
-    "neardup_quality_survivors",
-    "ngram_repetition_filter",
-    "pretraining_corpus_filter",
-    "props_json_extract",
-    "q13_order_count_distribution",
-    "q2_min_cost_supplier",
-    "refresh_range_batches",
-    "revenue_by_nation",
-    "sequence_packing",
-    "sessionize_events",
-    "shipped_within_90d",
-    "simhash64_neardup_pairs",
-    "simhash_flood_stats",
+    "neardup_cluster_assignment",
+    "neardup_cluster_assignment_star",
+    "leakage_safe_split",
+    "lsh_ann_neardup",
+    "ivf_partitioned_exact_topk",
+    "ivf_planted_recall",
+    "ivfpq_planted_recall",
+    # -- recency rotation: r9-vintage spread (32 of 41; the rest in r13;
+    # oracle-paired entries preferred so the window keeps the r11 50/50
+    # rows+schema+hash standard outside the 4 rows-only-by-nature slots
+    # the verdict asked for by name) -----------------------------------------
+    "doc_lang_id",
+    "doc_quality_scores",
+    "bloom_prefilter_decontamination",
+    "doc_text_stats",
+    "bpe_pair_counts_exact",
+    "cms_bigram_bounds",
+    "container_codec_probe",
+    "duplicate_span_stats",
+    "grouped_heavy_hitters_exact",
+    "heavy_hitter_bigrams_exact",
+    "hll_user_overlap",
+    "html_text_extraction",
+    "multimodal_features",
+    "multimodal_frame_pipeline",
+    "multimodal_jpeg_differential",
+    "multimodal_meta",
+    "multimodal_quarantine_stats",
+    "multimodal_real_decode",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "zorder_curve_keys",
+    "zorder_box_query",
 ]
 
 

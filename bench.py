@@ -4,6 +4,15 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+``python bench.py --sf1`` is the cross-round REGRESSION GATE (r11 verdict
+item #3): same query set, same warmup + min-of-reps policy, but at the 10x
+sf1 corpus ($SPARK_GRAFT_SF1_DIR, default /tmp/spark_graft_sf1, generated
+by tools_gen_sf1.py) — three consecutive rounds of sf0.1 cross-round
+deltas were scatter-dominated (±17-20%, fixed-cost regime; median
+sf1/sf0.1 scaling ratio is only 1.7), while the sf1 leg separates signal
+from noise and caught the r11 LSH banding bug.  Judge per-query deltas at
+sf1 with an ABA bracket; keep the sf0.1 artifact for the driver contract.
+
 Timing policy (r7): each query gets one UNTIMED warmup execution (Python-UDF
 worker spinup, codegen, parquet footer caches, shuffle-service init), then
 ``SPARK_GRAFT_BENCH_REPS`` (default 2) timed executions of which the MIN is
@@ -155,6 +164,25 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf1",
+        action="store_true",
+        help="run the cross-round regression gate at the 10x sf1 corpus "
+        "($SPARK_GRAFT_SF1_DIR, default /tmp/spark_graft_sf1 — generate "
+        "with tools_gen_sf1.py); writes BENCH_SELF_SF1.json",
+    )
+    args = ap.parse_args()
+    global SF_DIR
+    if args.sf1:
+        SF_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+        if not os.path.isdir(SF_DIR):
+            raise SystemExit(
+                f"sf1 corpus missing at {SF_DIR}: run tools_gen_sf1.py "
+                "first (or point SPARK_GRAFT_SF1_DIR at it)"
+            )
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark = get_spark("bench")
 
@@ -173,6 +201,8 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if args.sf1:
+        sf = "1"
     result = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
@@ -188,10 +218,13 @@ def main() -> None:
     # (written BEFORE the print, gitignored so driver re-runs don't dirty
     # the tree) remains the complete evidence of record.
     line = json.dumps(result, separators=(",", ":"))
+    # leg-specific self-artifact: an sf1 run must never overwrite the
+    # sf0.1 evidence (the r11 measurement pitfall)
+    self_name = "BENCH_SELF_SF1.json" if args.sf1 else "BENCH_SELF.json"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_SELF.json"), "w"
+                         self_name), "w"
         ) as fh:
             fh.write(line + "\n")
     except OSError:

@@ -1542,6 +1542,39 @@ def expand_contracted_components(
     ).select(F.col(id_col), "component")
 
 
+def duplicate_rate(df: DataFrame, text_col: str, rsd: float = 0.005) -> float:
+    """Estimated fraction of rows whose text is a byte-exact duplicate of
+    an earlier row: ``1 - distinct_texts / rows``, one map-side-combined
+    aggregate (``approx_count_distinct`` over md5 — HLL++ partials, no
+    wide shuffle, no text movement).  ``rsd=0.005`` keeps the estimate
+    within ~±0.5pp of rate, sharp enough to sit a contraction crossover
+    threshold on; the probe costs one O(corpus) hash scan — the same
+    order as a single pass of the contraction it decides about."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))), rsd
+        ).alias("d"),
+    ).first()
+    if not row.n:
+        return 0.0
+    return max(0.0, 1.0 - row.d / row.n)
+
+
+# Skip-the-contraction threshold, grounded in the r12 forced-rate sweep
+# (tools_contract_crossover.py, 50k-doc corpus, PAIR-style duplicates —
+# the conservative case, least removable clique mass per duplicate):
+# parity 0 mismatches at every rate; walls cross over near ~14% there,
+# while pile-style duplication (real crawls) crosses near zero and wins
+# 7.4x with 45 GB less spill at 100x/30% (ROUND11_NOTES §4).  The
+# threshold sits LOW: below it there is by definition almost nothing to
+# contract (the premium is pure waste — the r11 sf0.1 trio's ~1.2x),
+# above it the contraction is cheap O(corpus) insurance against
+# duplicate piles, whose uncontracted worst case is otherwise only
+# bounded by ngram_jaccard_pairs' max_df backstop.
+CONTRACT_MIN_DUP_RATE = 0.02
+
+
 def neardup_components(
     docs: DataFrame,
     id_col: str,
@@ -1549,21 +1582,33 @@ def neardup_components(
     n: int = 3,
     threshold: float = 0.8,
     star: bool = False,
-    contract: bool = True,
+    contract: bool | str = "auto",
 ) -> DataFrame:
     """pairs -> connected components over the full corpus, with the
-    exact-dup PRE-CONTRACTION on by default: shingling, posting lists,
-    pair expansion and label propagation all run on one representative
-    per distinct text, and members re-expand at the end (r10 verdict
-    item #3 — the planted 100x rehearsal clusters spend GBs of shuffle
-    and spill propagating through duplicate cores that contribute no new
-    components).  ``contract=False`` is the measured A/B twin; the two
-    produce identical (id, component) rows in the sub-max_df regime
-    (parity argument and its SCOPE in ``exact_contract`` — a duplicate
-    group larger than ngram_jaccard_pairs' max_df df-prunes its own
-    shingles only in the uncontracted form; the contracted default keeps
-    them, matching the uncapped oracle).  Pinned by the shared
-    recursive-CTE oracle and tests/test_llmops.py."""
+    exact-dup PRE-CONTRACTION rate-adaptive by default: shingling,
+    posting lists, pair expansion and label propagation all run on one
+    representative per distinct text, and members re-expand at the end
+    (r10 verdict item #3 — the planted 100x rehearsal clusters spend GBs
+    of shuffle and spill propagating through duplicate cores that
+    contribute no new components).
+
+    ``contract="auto"`` (default, r11 verdict item #6) probes the
+    corpus's byte-exact duplicate rate with ONE approx-distinct
+    aggregate and contracts only when the rate clears
+    ``CONTRACT_MIN_DUP_RATE`` — at realistic crawl rates (20-40%) the
+    contraction is a 7.4x wall / 8.3x shuffle / 45 GB-spill win, while
+    on a nearly-duplicate-free corpus (the sf0.1 base at 0.16%) the md5
+    groupBy + re-expand join can only cost; the probe removes that
+    premium without giving up the win.  ``contract=True``/``False``
+    force either form (the measured A/B twins); the two produce
+    identical (id, component) rows in the sub-max_df regime (parity
+    argument and its SCOPE in ``exact_contract`` — a duplicate group
+    larger than ngram_jaccard_pairs' max_df df-prunes its own shingles
+    only in the uncontracted form; the contracted form keeps them,
+    matching the uncapped oracle).  Pinned by the shared recursive-CTE
+    oracle and tests/test_llmops.py."""
+    if contract == "auto":
+        contract = duplicate_rate(docs, text_col) >= CONTRACT_MIN_DUP_RATE
     if contract:
         rep_docs, members = exact_contract(docs, id_col, text_col, n)
     else:

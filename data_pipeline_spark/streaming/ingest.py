@@ -396,9 +396,9 @@ class DedupGatedIngest:
                     .withColumn(_WRITER_COL, F.lit(self.writer_id))
                     .withColumn(_EPOCH_COL, F.lit(epoch_id))
                 )
-                idx.write.mode("append").partitionBy(
-                    _WRITER_COL, _EPOCH_COL
-                ).parquet(self._docs_dir)
+                self._index_layout(idx, bulk=False).write.mode(
+                    "append"
+                ).partitionBy(_WRITER_COL, _EPOCH_COL).parquet(self._docs_dir)
                 self._chaos("after_index")
             # ledger append LAST is the commit point: everything above is
             # purgeable debris until this row lands
@@ -412,6 +412,13 @@ class DedupGatedIngest:
             return n_admitted
         finally:
             admitted.unpersist()
+
+    def _index_layout(self, idx: DataFrame, bulk: bool) -> DataFrame:
+        """Physical-layout hook for index sidecar writes (identity here).
+        ``bulk=True`` marks whole-index rewrites (compact/retrain) where
+        a clustering shuffle amortizes over every later read; per-trigger
+        appends (``bulk=False``) must stay shuffle-free."""
+        return idx
 
     def corpus(self) -> DataFrame:
         """The ingested corpus without the commit-protocol partition
@@ -532,6 +539,10 @@ class DedupGatedIngest:
             if base == self.corpus_dir:
                 rows = rows.persist()
                 n_docs = rows.count()
+            else:
+                # the one whole-index rewrite: cluster the sidecar so
+                # the gate's pushed list filters skip files/row groups
+                rows = self._index_layout(rows, bulk=True)
             rows.write.mode("append").partitionBy(_WRITER_COL, _EPOCH_COL).parquet(
                 base
             )
@@ -838,6 +849,23 @@ class SemanticGatedIngest(DedupGatedIngest):
             "model_v",
         ]
 
+    def _index_layout(self, idx: DataFrame, bulk: bool) -> DataFrame:
+        """Cluster the ANN sidecar by coarse list (r11 verdict item #4 —
+        the served IVF layout's shape, inside the ledger protocol's
+        (writer, epoch) partitions): compact/retrain rewrites range-
+        partition on (list_id, cor_id) so each output file covers a
+        narrow list range and the gate's pushed ``list_id IN`` filter
+        skips non-probed files outright via row-group stats; per-trigger
+        appends only sort locally (no shuffle per micro-batch — their
+        total size is bounded by the triggers since the last compact)."""
+        if bulk:
+            idx = idx.repartitionByRange(
+                self.spark.sparkContext.defaultParallelism,
+                "list_id",
+                "cor_id",
+            )
+        return idx.sortWithinPartitions("list_id")
+
     def committed_index(self) -> DataFrame | None:
         """Base read + sidecar back-compat: pre-r11 index rows have no
         ``model_v`` column and are by definition the one implicit model
@@ -995,9 +1023,9 @@ class SemanticGatedIngest(DedupGatedIngest):
                 .withColumn(_WRITER_COL, F.lit(cw))
                 .withColumn(_EPOCH_COL, F.lit(0))
             )
-            idx.write.mode("append").partitionBy(_WRITER_COL, _EPOCH_COL).parquet(
-                self._docs_dir
-            )
+            self._index_layout(idx, bulk=True).write.mode(
+                "append"
+            ).partitionBy(_WRITER_COL, _EPOCH_COL).parquet(self._docs_dir)
             self._chaos("retrain_before_ledger")
             ledger_rows = [(0, n_docs, cw)] + [(e, -1, w) for w, e in pairs]
             self.spark.createDataFrame(

@@ -3198,6 +3198,53 @@ def test_exact_contract_beyond_max_df(spark):
     assert uncontracted == {i: i for i in range(1, 8)}
 
 
+def test_contract_auto_duplicate_rate_probe(spark, monkeypatch):
+    """r11 verdict item #6: contract="auto" probes the byte-exact
+    duplicate rate with one approx-distinct aggregate and contracts only
+    when it clears CONTRACT_MIN_DUP_RATE — a nearly-duplicate-free
+    corpus skips the md5 groupBy + re-expand premium, a duplicate-heavy
+    one keeps the 7.4x win, and components are identical either way."""
+    calls = []
+    orig = ld.exact_contract
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ld, "exact_contract", spy)
+
+    # the rate probe itself: planted 30% duplicates measure ~0.30
+    base = [(i, f"wholly unique document body number {i} with words") for i in range(70)]
+    dup = [(100 + i, "the one duplicated body shared by thirty rows") for i in range(30)]
+    mixed = spark.createDataFrame(base + dup, "doc_id LONG, text STRING")
+    r = ld.duplicate_rate(mixed, "text")
+    assert abs(r - 0.29) < 0.02  # 100 rows, 71 distinct texts
+
+    # duplicate-free corpus: auto must NOT contract
+    clean = spark.createDataFrame(base, "doc_id LONG, text STRING")
+    auto_clean = {
+        (x.doc_id, x.component)
+        for x in ld.neardup_components(clean, "doc_id", "text").collect()
+    }
+    assert not calls
+    # duplicate-heavy corpus: auto contracts
+    auto_mixed = {
+        (x.doc_id, x.component)
+        for x in ld.neardup_components(mixed, "doc_id", "text").collect()
+    }
+    assert calls
+    # parity at BOTH rates across BOTH forced forms
+    for df, auto_rows in ((clean, auto_clean), (mixed, auto_mixed)):
+        for forced in (True, False):
+            got = {
+                (x.doc_id, x.component)
+                for x in ld.neardup_components(
+                    df, "doc_id", "text", contract=forced
+                ).collect()
+            }
+            assert got == auto_rows
+
+
 def test_persisted_ivf_centroid_reload_parity(spark):
     """ADVICE r10 (medium): _persisted_ivf_layout's centroids.json reload
     must reproduce the WRITE-TIME quantizer bit-for-bit.  The r10 reload

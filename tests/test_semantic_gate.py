@@ -431,3 +431,56 @@ def test_retrain_policy_is_ledger_cost_per_commit(spark, tmp_path):
     assert len(version_scans) <= 1
     # the infinite threshold never retrains
     assert sink._cached_version() == 1
+
+
+def test_gate_scan_prunes_to_probed_lists(spark, tmp_path):
+    """r11 verdict item #4: the ADC scan's probed-list membership is
+    pushed into the index scan (a ``list_id IN`` parquet filter, not a
+    python-side mask over a full-index Arrow transfer), the exact-verify
+    fetch prunes with the same filter, and decisions are IDENTICAL
+    before and after the compaction that clusters the sidecar layout by
+    list range."""
+    from data_pipeline_spark.plans.audit import formatted_plan
+
+    sink = _sink(spark, tmp_path, n_probe=1)
+    assert sink.admit_batch(_df(spark, B1), 0) == 3
+    assert sink.admit_batch(_df(spark, [(20, BASE[6]), (21, BASE[7])]), 1) == 2
+
+    batch = _df(spark, [(99, _near(BASE[1], 17)), (98, BASE[0])])
+    before = {
+        (r.doc_id, r.near_dup, r.keep)
+        for r in sink.gate_flags(batch).collect()
+    }
+    plan = formatted_plan(sink.gate_flags(batch))
+    # the In filter reaches the parquet scan (pushed, not residual-only)
+    assert "In(list_id" in plan.split("PushedFilters", 1)[1].splitlines()[0], plan
+
+    # compact rewrites the sidecar range-partitioned + sorted on list_id;
+    # decisions must not move
+    assert sink.compact() == 5
+    after = {
+        (r.doc_id, r.near_dup, r.keep)
+        for r in sink.gate_flags(batch).collect()
+    }
+    assert after == before
+    # near-copy of committed doc 1 flagged, novel vector kept
+    flags = dict((d, (nd, k)) for d, nd, k in after)
+    assert flags[99] == (1, 0) and flags[98] == (0, 1)
+    # the compacted files each cover a narrow list range (clustering
+    # actually happened): per-file distinct list_id spans are bounded
+    import glob
+
+    files = glob.glob(
+        os.path.join(sink._docs_dir, "ingest_writer=c*", "*", "*.parquet")
+    )
+    assert files
+    spans = []
+    for f in files:
+        rows = spark.read.parquet(f).select("list_id").collect()
+        if rows:
+            vals = [r.list_id for r in rows]
+            spans.append((min(vals), max(vals)))
+    # ranges are disjoint-ish: no file covers the whole list space when
+    # more than one file exists
+    if len(spans) > 1:
+        assert any(hi - lo < sink.n_lists - 1 for lo, hi in spans)
