@@ -1,13 +1,16 @@
 """Semantic-gate ADC-scan pruning A/B (r11 verdict item #4).
 
-Fixed-size trigger against committed indexes 10x apart (the 20k / 200k
-rehearsal embedding corpora): the PRUNED gate (probed-list membership
-pushed into the parquet scan + the compacted list-clustered layout) must
-hold a near-flat wall as the index grows, where the unpruned twin's wall
-tracks the full index (every row rides Arrow transfer into the ADC
-kernel).  Decisions must be identical between the twins at every leg —
-the kernel re-tests membership row-by-row, so pruning is invisible in
-the output by construction, and this script asserts it.
+Fixed-size trigger against committed indexes 10x apart (200k and 2M rows,
+id-shifted replicas of the rehearsal embeddings): the PRUNED gate
+(probed-list membership pushed into the parquet scan + the compacted
+list-clustered layout) scans only the probed union's rows per trigger,
+where the unpruned twin ships the whole index through Arrow into the ADC
+kernel — the report records both the walls and the SCAN-ROW counts (the
+design-level statement; at small absolute scales walls are fixed-cost-
+dominated, the row counts are not).  Decisions must be identical between
+the twins at every leg — the kernel re-tests membership row-by-row, so
+pruning is invisible in the output by construction, and this script
+asserts it.
 
 Usage: python tools_semantic_gate_ab.py [--out SEMANTIC_GATE_AB_r12.json]
 """
@@ -20,15 +23,24 @@ import shutil
 import time
 from pathlib import Path
 
-CORPORA = {
-    "x10_20k": "/tmp/spark_graft_scale_rehearsal/sf0.1x10_v3",
-    "x100_200k": "/tmp/spark_graft_scale_rehearsal/sf0.1x100_v3",
-}
+# (label, base corpus, replication): 200k and 2M-row indexes, 10x apart.
+# n_lists scales with the index (the production sizing rule n_lists ~
+# sqrt(n)); the trigger stays SMALL and fixed — the steady-state stream
+# shape where the probed union is a small fraction of the lists and
+# pruning is the difference between O(probed) and O(index) per trigger.
+LEGS = [
+    ("200k", "/tmp/spark_graft_scale_rehearsal/sf0.1x100_v3", 1),
+    ("2M", "/tmp/spark_graft_scale_rehearsal/sf0.1x100_v3", 10),
+]
 SCRATCH = Path("/tmp/spark_graft_gate_ab")
-BATCH = 50  # fixed trigger size at every index scale
+BATCH = 8      # fixed trigger size at every index scale
+N_LISTS = 256
+N_PROBE = 8
 
 
-def run_leg(spark, corpus_dir: str, label: str) -> dict:
+def run_leg(spark, corpus_dir: str, label: str, repl: int) -> dict:
+    import numpy as np
+
     from pyspark.sql import functions as F
 
     from data_pipeline_spark.llmops import pq
@@ -36,9 +48,18 @@ def run_leg(spark, corpus_dir: str, label: str) -> dict:
 
     root = SCRATCH / label
     shutil.rmtree(root, ignore_errors=True)
-    emb = spark.read.parquet(f"{corpus_dir}/embeddings.parquet").select(
+    base = spark.read.parquet(f"{corpus_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
+    # id-shifted replicas grow the index without changing its geometry
+    emb = base
+    for i in range(1, repl):
+        emb = emb.unionByName(
+            base.select(
+                (F.col("doc_id") + 10_000_000 * i).alias("doc_id"),
+                "embedding",
+            )
+        )
     n_corpus = emb.count()
     sink = SemanticGatedIngest(
         spark,
@@ -47,8 +68,8 @@ def run_leg(spark, corpus_dir: str, label: str) -> dict:
         id_col="doc_id",
         vec_col="embedding",
         threshold=0.9,
-        n_probe=8,
-        n_lists=64,
+        n_probe=N_PROBE,
+        n_lists=N_LISTS,
         m=8,
         within_batch_neardup=False,  # bulk load, no driver pairwise
     )
@@ -59,15 +80,17 @@ def run_leg(spark, corpus_dir: str, label: str) -> dict:
     sink.compact()  # the list-clustered bulk rewrite
     compact_s = time.time() - t0
 
-    # fixed trigger: 25 exact copies of corpus vectors (id-shifted; their
-    # nearest committed cosine is 1.0 -> near_dup) + 25 perturbed-novel
-    copies = emb.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "embedding"
+    # fixed trigger: BATCH/2 exact copies of corpus vectors (id-shifted;
+    # their nearest committed cosine is 1.0 -> near_dup) + BATCH/2
+    # perturbed-novel vectors
+    h = BATCH // 2
+    copies = base.filter(F.col("doc_id") < h).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "embedding"
     )
-    novel = emb.filter(
-        (F.col("doc_id") >= 25) & (F.col("doc_id") < 50)
+    novel = base.filter(
+        (F.col("doc_id") >= h) & (F.col("doc_id") < BATCH)
     ).select(
-        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        (F.col("doc_id") + 910_000_000).alias("doc_id"),
         F.transform(
             "embedding", lambda x, i: x * 0.2 + F.lit(0.1) * (i % 7)
         ).alias("embedding"),
@@ -81,9 +104,24 @@ def run_leg(spark, corpus_dir: str, label: str) -> dict:
     v = sink._cached_version()
     coarse, books, _err, _n = sink._models[v]
 
+    # design-level IO statement: rows the ADC scan INGESTS per trigger —
+    # the probed union's rows (pruned) vs the whole index (unpruned).
+    # The union is re-derived exactly as the gate derives it.
+    qx = np.asarray([r.embedding for r in batch], np.float64)
+    qn = np.linalg.norm(qx, axis=1)
+    sims = (qx / np.where(qn == 0, 1.0, qn)[:, None]) @ coarse.T
+    probed = np.unique(np.argsort(-sims, axis=1)[:, :N_PROBE])
+    pruned_rows = index.filter(
+        F.col("list_id").isin([int(x) for x in probed])
+    ).count()
+
     out = {
         "leg": label, "index_rows": n_corpus, "admitted": admitted,
-        "batch": BATCH, "build_s": round(build_s, 1),
+        "batch": BATCH, "n_lists": N_LISTS, "n_probe": N_PROBE,
+        "probed_lists": int(len(probed)),
+        "scan_rows_pruned": pruned_rows,
+        "scan_rows_unpruned": n_corpus,
+        "build_s": round(build_s, 1),
         "compact_s": round(compact_s, 1),
     }
     decisions = {}
@@ -94,7 +132,7 @@ def run_leg(spark, corpus_dir: str, label: str) -> dict:
             flags = pq.semantic_gate_flags(
                 index, batch_df(), coarse, books,
                 id_col="doc_id", vec_col="embedding",
-                threshold=0.9, n_probe=8, prune_scan=prune,
+                threshold=0.9, n_probe=N_PROBE, prune_scan=prune,
             )
             return {(r.doc_id, r.near_dup, r.keep) for r in flags.collect()}
 
@@ -108,6 +146,7 @@ def run_leg(spark, corpus_dir: str, label: str) -> dict:
         out[f"{mode}_wall_s"] = round(best, 2)
     out["decision_parity"] = decisions["pruned"] == decisions["unpruned"]
     out["n_flagged"] = sum(r[1] for r in decisions["pruned"])
+    shutil.rmtree(root, ignore_errors=True)
     return out
 
 
@@ -120,13 +159,19 @@ def main() -> None:
 
     spark = get_spark("gate_ab", shuffle_partitions=32)
     legs = []
-    for label, corpus in CORPORA.items():
-        leg = run_leg(spark, corpus, label)
+    for label, corpus, repl in LEGS:
+        leg = run_leg(spark, corpus, label, repl)
         print(json.dumps(leg), flush=True)
         legs.append(leg)
     a, b = legs
     summary = {
         "index_growth": round(b["index_rows"] / a["index_rows"], 1),
+        "scan_io_ratio_at_big": round(
+            b["scan_rows_unpruned"] / max(b["scan_rows_pruned"], 1), 2
+        ),
+        "scan_rows_growth_pruned": round(
+            b["scan_rows_pruned"] / max(a["scan_rows_pruned"], 1), 2
+        ),
         "pruned_wall_growth": round(
             b["pruned_wall_s"] / max(a["pruned_wall_s"], 1e-9), 2
         ),
