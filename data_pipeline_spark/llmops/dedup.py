@@ -1542,20 +1542,27 @@ def expand_contracted_components(
     ).select(F.col(id_col), "component")
 
 
-def duplicate_rate(df: DataFrame, text_col: str, rsd: float = 0.005) -> float:
-    """Estimated fraction of rows whose text is a byte-exact duplicate of
-    an earlier row: ``1 - distinct_texts / rows``, one map-side-combined
-    aggregate (``approx_count_distinct`` over md5 — HLL++ partials, no
-    wide shuffle, no text movement).  ``rsd=0.005`` keeps the estimate
-    within ~±0.5pp of rate, sharp enough to sit a contraction crossover
-    threshold on; the probe costs one O(corpus) hash scan — the same
-    order as a single pass of the contraction it decides about."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(
-            F.md5(F.coalesce(F.col(text_col), F.lit(""))), rsd
-        ).alias("d"),
-    ).first()
+def duplicate_rate(df: DataFrame, text_col: str) -> float:
+    """EXACT fraction of rows whose text is a byte-exact duplicate of an
+    earlier row: ``1 - distinct_texts / rows`` via a two-level aggregate
+    (groupBy md5 -> count groups).  The shuffle carries only
+    PER-PARTITION-DISTINCT 32-byte fingerprints (map-side combine), so
+    at any corpus scale the probe moves a vanishing fraction of corpus
+    bytes (~0.003% for 1 KB docs) and the text itself never moves.
+
+    An earlier form used ``approx_count_distinct``: at the rsd needed to
+    sit a 2% threshold (0.005) Spark's HLL++ has a multi-second fixed
+    register cost (measured 7-13 s vs 0.5-1.0 s for this exact form at
+    the sf1 corpus — the r12 sf1 ABA bracket flagged it as a 1.9-2.6x
+    wall regression on every contraction-wired query), so exact is both
+    sharper AND cheaper here."""
+    row = (
+        df.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("d"), F.sum("c").alias("n"))
+        .first()
+    )
     if not row.n:
         return 0.0
     return max(0.0, 1.0 - row.d / row.n)

@@ -617,7 +617,25 @@ class SemanticGatedIngest(DedupGatedIngest):
     every superseded one.  A crash anywhere before that append leaves
     the old single-version index fully live (the orphaned model file and
     partitions are vacuumed/reused); after it, the index is single-
-    version at N+1.  Staleness policy: ``retrain_after`` (admitted docs
+    version at N+1.
+
+    Because a retrain re-encodes the WHOLE index under one new model, it
+    is also the one safe point to change coarse geometry:
+    ``auto_scale_lists=True`` makes each retrain train its quantizer
+    with ``n_lists ~ sqrt(committed docs)`` (clamped to [constructor
+    n_lists, 4096]), so the gate's per-trigger scan — n_probe lists of
+    ~n/n_lists rows each — stays ~sqrt(n)-bounded as the index grows
+    instead of linear at fixed lists (the production knob the r12
+    pruning A/B measures around).  n_probe stays fixed, so the probed
+    FRACTION shrinks with corpus growth — the standard IVF recall
+    trade, and for a dedup gate it fails in the safe direction: a
+    coarse-quantizer miss ADMITS a near-duplicate, it never wrongly
+    rejects new data (every candidate that IS probed gets
+    exact-verified).  Nothing outside the model file changes — gate and
+    encode geometry derive from the coarse array's own shape, versioned
+    per ``model_v`` like any retrain.
+
+    Staleness policy: ``retrain_after`` (admitted docs
     since the active model trained — derived from the ledger) and/or
     ``retrain_drift`` (mean committed ADC error vs the model's
     training-time bound, ``adc_drift()``) auto-trigger a retrain after a
@@ -643,6 +661,7 @@ class SemanticGatedIngest(DedupGatedIngest):
         n_probe: int = 8,
         margin: float = 0.0,
         n_lists: int = 64,
+        auto_scale_lists: bool = False,
         m: int = 8,
         n_centroids: int | None = 64,
         sample: int = 4096,
@@ -669,6 +688,7 @@ class SemanticGatedIngest(DedupGatedIngest):
         self.n_probe = n_probe
         self.margin = margin
         self.n_lists = n_lists
+        self.auto_scale_lists = auto_scale_lists
         self.m = m
         self.n_centroids = n_centroids
         self.sample = sample
@@ -966,6 +986,22 @@ class SemanticGatedIngest(DedupGatedIngest):
         ):
             return self._retrain()
 
+    def _lists_for(self, n_docs: int) -> int:
+        """Coarse list count for a retrain over ``n_docs`` committed
+        documents: the constructor value when ``auto_scale_lists`` is
+        off, else ``~sqrt(n_docs)`` clamped to [constructor n_lists,
+        4096] — never shrinking below the configured floor, capped where
+        the driver-side k-means sample (``max(sample, n_lists)`` rows)
+        stays trivially collectable."""
+        if not self.auto_scale_lists:
+            return self.n_lists
+        import math
+
+        return max(
+            self.n_lists,
+            min(4096, int(round(math.sqrt(max(1, n_docs))))),
+        )
+
     def _retrain(self) -> int:
         import json
         import uuid
@@ -983,14 +1019,19 @@ class SemanticGatedIngest(DedupGatedIngest):
         corpus = self.corpus().persist()
         try:
             n_docs = corpus.count()
+            n_lists_eff = self._lists_for(n_docs)
             coarse, books, err_bound = pq.semantic_model_train(
                 corpus,
                 self.id_col,
                 self.vec_col,
-                n_lists=self.n_lists,
+                n_lists=n_lists_eff,
                 m=self.m,
                 n_centroids=self.n_centroids,
-                sample=self.sample,
+                # hold >=4 training points per coarse cluster as the
+                # auto-scaled list count approaches the configured
+                # sample, or the k-means degenerates to one-point lists
+                # (cap keeps the driver-side collect <=16384 rows)
+                sample=max(self.sample, 4 * n_lists_eff),
             )
             path = self._model_file(new_v)
             tmp = f"{path}.tmp.{os.getpid()}"

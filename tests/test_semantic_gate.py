@@ -484,3 +484,55 @@ def test_gate_scan_prunes_to_probed_lists(spark, tmp_path):
     # more than one file exists
     if len(spans) > 1:
         assert any(hi - lo < sink.n_lists - 1 for lo, hi in spans)
+
+
+# -- auto-scaled coarse geometry (r12) ---------------------------------------
+
+
+def test_lists_for_clamps():
+    """n_lists ~ sqrt(n) with the constructor value as floor and 4096 as
+    cap; the knob is inert when auto_scale_lists is off."""
+    sink = object.__new__(SemanticGatedIngest)
+    sink.n_lists, sink.auto_scale_lists = 64, True
+    assert sink._lists_for(100) == 64            # floor: never shrinks
+    assert sink._lists_for(1_000_000) == 1000    # sqrt regime
+    assert sink._lists_for(10**9) == 4096        # sample-collect cap
+    sink.auto_scale_lists = False
+    assert sink._lists_for(10**9) == 64
+
+
+def test_retrain_auto_scales_coarse_lists(spark, tmp_path):
+    """auto_scale_lists: retrain re-derives the coarse list count from
+    the committed corpus size (sqrt, floored at the constructor value),
+    and the grown geometry lives entirely in the versioned model file —
+    post-retrain gating still rejects near-copies of committed docs and
+    admits novel ones.  Default off: retrain keeps the constructor
+    count on the same corpus."""
+    import math
+
+    rows = [(100 + i, _unit(100 + i)) for i in range(144)]
+    sink = _sink(spark, tmp_path, auto_scale_lists=True)
+    n = sink.admit_batch(_df(spark, rows), 0)
+    assert n >= 140  # well-separated seeds; tolerate rare 16-dim collapse
+    assert sink.retrain() == n
+    v = sink._cached_version()
+    coarse = sink._models[v][0]
+    assert len(coarse) == int(round(math.sqrt(n)))  # 12 at n=144, > floor 4
+    # decisions under the grown geometry: near-copy of a committed doc
+    # (id 100, smallest id — never within-batch collapsed) rejected,
+    # novel admitted
+    nxt = [(900, _near(_unit(100), 3)), (901, _unit(90001))]
+    assert sink.admit_batch(_df(spark, nxt), 1) == 1
+    assert 901 in _corpus_ids(spark, tmp_path)
+    assert 900 not in _corpus_ids(spark, tmp_path)
+    # a fresh instance attached to the grown index loads the persisted
+    # scaled model (geometry is model-file state, not instance state)
+    again = _sink(spark, tmp_path, name="reader", auto_scale_lists=True)
+    assert len(again._models[again._cached_version()][0]) == len(coarse)
+    # fixed-geometry default on an identical corpus: count unchanged
+    fixed_dir = tmp_path / "fixed"
+    fixed_dir.mkdir()
+    fsink = _sink(spark, fixed_dir)
+    assert fsink.admit_batch(_df(spark, rows), 0) == n
+    fsink.retrain()
+    assert len(fsink._models[fsink._cached_version()][0]) == fsink.n_lists
