@@ -434,15 +434,29 @@ _BACKENDS: dict[str, type[LeaseLock]] = {
 
 
 @contextlib.contextmanager
-def process_mutex(base: str, name: str = "build", backend: str | None = None):
+def process_mutex(
+    base: str,
+    name: str = "build",
+    backend: str | None = None,
+    lease_seconds: float = 600.0,
+):
     """Blocking cross-process critical section rooted at ``base``.
 
     Used by sidecar-cache builds (one process builds, others wait, all
     re-check existence after acquiring).  Backend-dispatched like
     LeaseLock: the flock path holds a kernel lock for exactly the build's
-    lifetime (crash → auto-release); the epoch path takes a generous lease
-    and relies on expiry to break a crashed builder — the semantics a real
-    object-store lease service provides.
+    lifetime (crash → auto-release); the epoch path takes a lease and
+    RENEWS it from a daemon thread every lease/3 while the build runs —
+    a fixed unrenewed lease would silently stop excluding once a build
+    outlives it, letting a second builder race the first (the exact
+    overwrite race the mutex exists for), while expiry still breaks a
+    CRASHED builder within lease_seconds — the semantics a real
+    object-store lease service provides.  If a renewal ever fails (the
+    lease was usurped despite renewal — e.g. extreme clock skew), the
+    thread stops renewing and the build runs to completion: artifacts
+    publish via staged atomic renames and every waiter re-checks
+    ``done()`` after acquiring, so the worst case is duplicate work,
+    never a torn artifact.
     """
     chosen = backend or _default_backend()
     os.makedirs(base, exist_ok=True)
@@ -454,12 +468,36 @@ def process_mutex(base: str, name: str = "build", backend: str | None = None):
         finally:
             os.close(fd)  # closing drops the flock
         return
-    with LeaseLock(
+    import threading
+
+    lock = LeaseLock(
         "mutex",
         name,
         base,
-        lease_seconds=3600,
-        timeout=3600,
+        lease_seconds=lease_seconds,
+        timeout=86400,  # waiters block ~like the flock branch does
         backend=chosen,
-    ):
+    )
+    lock.acquire()
+    stop = threading.Event()
+
+    def _renew_loop() -> None:
+        while not stop.wait(lease_seconds / 3):
+            try:
+                lock.renew()
+            except Exception:
+                return  # usurped: stop renewing (see docstring)
+
+    renewer = threading.Thread(
+        target=_renew_loop, name=f"mutex-renew-{name}", daemon=True
+    )
+    renewer.start()
+    try:
         yield
+    finally:
+        stop.set()
+        renewer.join(timeout=10)
+        try:
+            lock.release()
+        except Exception:
+            pass  # usurped while building: nothing left to release

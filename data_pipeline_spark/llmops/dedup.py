@@ -1542,13 +1542,20 @@ def expand_contracted_components(
     ).select(F.col(id_col), "component")
 
 
-def duplicate_rate(df: DataFrame, text_col: str) -> float:
-    """EXACT fraction of rows whose text is a byte-exact duplicate of an
-    earlier row: ``1 - distinct_texts / rows`` via a two-level aggregate
-    (groupBy md5 -> count groups).  The shuffle carries only
-    PER-PARTITION-DISTINCT 32-byte fingerprints (map-side combine), so
-    at any corpus scale the probe moves a vanishing fraction of corpus
-    bytes (~0.003% for 1 KB docs) and the text itself never moves.
+def duplicate_rate(df: DataFrame, text_col: str, n: int = 3) -> float:
+    """EXACT fraction of rows the contraction can actually REMOVE:
+    byte-exact duplicates of an earlier row that also carry >= 1
+    n-shingle — the same eligibility rule ``exact_contract`` applies
+    (short/NULL/empty texts get per-doc sentinel fps there and never
+    collapse, so counting them would enable a contraction pass that
+    contracts nothing on a short-duplicate-heavy corpus — NULL and ''
+    even hash identically).  Computed with a two-level aggregate
+    (groupBy md5 -> count groups; ineligible rows share the one NULL-fp
+    group and are excluded from the numerator).  The shuffle carries
+    only PER-PARTITION-DISTINCT 32-byte fingerprints (map-side
+    combine), so at any corpus scale the probe moves a vanishing
+    fraction of corpus bytes (~0.003% for 1 KB docs) and the text
+    itself never moves.
 
     An earlier form used ``approx_count_distinct``: at the rsd needed to
     sit a 2% threshold (0.005) Spark's HLL++ has a multi-second fixed
@@ -1556,16 +1563,23 @@ def duplicate_rate(df: DataFrame, text_col: str) -> float:
     the sf1 corpus — the r12 sf1 ABA bracket flagged it as a 1.9-2.6x
     wall regression on every contraction-wired query), so exact is both
     sharper AND cheaper here."""
+    has_shingle = F.size(tokens(text_col)) >= n
     row = (
-        df.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"))
+        df.select(
+            F.when(has_shingle, F.md5(F.col(text_col))).alias("fp")
+        )
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.count(F.lit(1)).alias("d"), F.sum("c").alias("n"))
+        .agg(
+            F.sum("c").alias("n_total"),
+            F.sum(F.when(F.col("fp").isNotNull(), F.col("c"))).alias("elig"),
+            F.count(F.when(F.col("fp").isNotNull(), True)).alias("groups"),
+        )
         .first()
     )
-    if not row.n:
+    if not row.n_total or row.elig is None:
         return 0.0
-    return max(0.0, 1.0 - row.d / row.n)
+    return max(0.0, (row.elig - row.groups) / row.n_total)
 
 
 # Skip-the-contraction threshold, grounded in the r12 forced-rate sweep
@@ -1600,8 +1614,10 @@ def neardup_components(
     contribute no new components).
 
     ``contract="auto"`` (default, r11 verdict item #6) probes the
-    corpus's byte-exact duplicate rate with ONE approx-distinct
-    aggregate and contracts only when the rate clears
+    corpus's CONTRACTIBLE byte-exact duplicate rate with one exact
+    distinct-fingerprint aggregate (``duplicate_rate`` — narrow
+    md5-only shuffle, same eligibility rule as the contraction
+    itself) and contracts only when the rate clears
     ``CONTRACT_MIN_DUP_RATE`` — at realistic crawl rates (20-40%) the
     contraction is a 7.4x wall / 8.3x shuffle / 45 GB-spill win, while
     on a nearly-duplicate-free corpus (the sf0.1 base at 0.16%) the md5

@@ -227,6 +227,16 @@ class DedupGatedIngest:
             ["bands_v2"] if self.band_prune else []
         )
 
+    def _read_docs(self) -> DataFrame:
+        """Raw read of the index sidecar dir.  The one override point for
+        schema back-compat: EVERY path that touches sidecar rows —
+        gate-time ``committed_index`` and the ``compact()`` rewrite —
+        must read through this hook, or a schema-evolved dir (e.g.
+        pre-``model_v`` files beside post-retrain ones) can have its
+        evolution laundered away by whichever file the schema sampler
+        happens to pick."""
+        return self.spark.read.parquet(self._docs_dir)
+
     def committed_index(self) -> DataFrame | None:
         """COMMITTED dedup-index rows: docs partitions semi-joined against
         the (small, broadcast) ledger, so neither this writer's nor any
@@ -236,7 +246,7 @@ class DedupGatedIngest:
         if committed is None or not _has_partitions(self._docs_dir):
             return None
         return (
-            self.spark.read.parquet(self._docs_dir)
+            self._read_docs()
             .join(F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi")
             .select(*self._index_cols())
         )
@@ -530,7 +540,15 @@ class DedupGatedIngest:
             if not _has_partitions(base):
                 continue  # nothing ever admitted through this dataset
             rows = (
-                self.spark.read.parquet(base)
+                # the docs dir MUST go through the back-compat read hook:
+                # a plain read of a schema-evolved sidecar can sample a
+                # pre-evolution footer and silently drop the new column
+                # from the rewrite (destroying e.g. model_v evidence)
+                (
+                    self._read_docs()
+                    if base == self._docs_dir
+                    else self.spark.read.parquet(base)
+                )
                 .join(pair_df, [_WRITER_COL, _EPOCH_COL], "left_semi")
                 .drop(_WRITER_COL, _EPOCH_COL)
                 .withColumn(_WRITER_COL, F.lit(cw))
@@ -701,11 +719,19 @@ class SemanticGatedIngest(DedupGatedIngest):
         self._commits_since_drift_check = 0
         # per-version model cache: version -> (coarse, books, err_bound,
         # trained_on_n).  _model_version is the version THIS process
-        # gates and encodes with; it only changes via our own retrain()
-        # (foreign concurrent retrains require serialize_writers — see
-        # class docstring)
+        # gates and encodes with; it changes via our own retrain() or
+        # when _foreign_version_check reconciles a COMMITTED foreign
+        # retrain (concurrent ones still require serialize_writers —
+        # see class docstring)
         self._models: dict[int, tuple] = {}
         self._model_version: int | None = None
+        # stat signature (version, mtime_ns, size) of the newest model
+        # FILE this instance has already reconciled against the committed
+        # index (foreign-retrain guard); and the cached sidecar schema +
+        # the file version it was resolved under
+        self._file_version_seen: tuple | None = None
+        self._docs_schema = None
+        self._docs_schema_fv: int | None = None
 
     # -- model -------------------------------------------------------------
     @property
@@ -779,21 +805,66 @@ class SemanticGatedIngest(DedupGatedIngest):
             )
         return int(row.a)
 
+    def _foreign_version_check(self) -> None:
+        """O(listdir) steady-state twin of the mixed-version guard, for
+        LONG-LIVED writer instances: a foreign retrain always publishes
+        its ``model_v{N}.json`` BEFORE its ledger commit, so a model
+        file newer than anything this instance has reconciled is the
+        one cheap, reliable signal that the committed version may have
+        moved under us.  Only then do we pay the authoritative O(index)
+        ``_active_version()`` scan — which re-raises on MIXED — and
+        swap in the new model; gating or encoding with a stale cache
+        would otherwise silently probe new-version PQ codes with the
+        old quantizer AND commit old-version rows into the new index
+        (the corruption the fail-loud guard exists to catch, which a
+        pure instance cache would never re-run).
+
+        An orphaned model file from a retrain that crashed before its
+        ledger append costs ONE re-scan and is remembered by the file's
+        stat SIGNATURE, not its version number: a later retrain rewrites
+        the same ``model_v{N}.json`` name (new mtime/size) before
+        committing, so keying on the number alone would let that commit
+        slip past the guard forever.  Under ``serialize_writers`` (the
+        documented multi-writer contract) the check runs inside the
+        commit lease retrains also hold, so no retrain can land between
+        this check and our commit."""
+        if self._model_version is None:
+            return
+        fv = self._latest_model_file_version() or self._model_version
+        if fv <= self._model_version:
+            return
+        try:
+            st = os.stat(self._model_file(fv))
+            sig = (fv, st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = (fv, None, None)  # listed then vanished: still probe
+        if sig == self._file_version_seen:
+            return  # known orphan, unchanged since last reconcile
+        self._file_version_seen = sig
+        v = self._active_version()  # authoritative; raises on MIXED
+        if v is not None and v != self._model_version:
+            self._load_model(v)
+            self._model_version = v
+
     def _cached_version(self) -> int | None:
         """Active model version WITHOUT an O(index) scan once known:
         ``_model_version`` only changes via this writer's own retrain
-        (foreign concurrent retrains require serialize_writers — class
-        docstring), so after the first resolution it IS the committed
-        version.  Falls back to one ``_active_version()`` index scan —
-        which also enforces the mixed-version guard — for instances
-        attached to a pre-existing index (ADVICE r11: the per-commit
-        policy hook must not aggregate the full index per micro-batch)."""
+        or a reconciled foreign one (``_foreign_version_check`` — an
+        O(listdir) probe that only pays an index scan when a NEW model
+        file appears), so after the first resolution it tracks the
+        committed version.  Falls back to one ``_active_version()``
+        index scan — which also enforces the mixed-version guard — for
+        instances attached to a pre-existing index (ADVICE r11: the
+        per-commit policy hook must not aggregate the full index per
+        micro-batch)."""
         if self._model_version is None:
             v = self._active_version()
             if v is None:
                 return None
             self._load_model(v)
             self._model_version = v
+        else:
+            self._foreign_version_check()
         return self._model_version
 
     def _ensure_model(self, batch: DataFrame):
@@ -804,6 +875,9 @@ class SemanticGatedIngest(DedupGatedIngest):
         from data_pipeline_spark.llmops import pq
 
         if self._model_version is not None:
+            # gate/encode-time guard: pick up a committed foreign
+            # retrain (cheap listdir; index scan only on a new file)
+            self._foreign_version_check()
             m = self._models[self._model_version]
             return m[0], m[1], m[2]
         v = self._active_version()
@@ -886,32 +960,50 @@ class SemanticGatedIngest(DedupGatedIngest):
             )
         return idx.sortWithinPartitions("list_id")
 
-    def committed_index(self) -> DataFrame | None:
-        """Base read + sidecar back-compat: pre-r11 index rows have no
-        ``model_v`` column and are by definition the one implicit model
-        generation (v1).  Back-compat is PER ROW, not per directory
-        (ADVICE r11): the read merges schemas and coalesces null model_v
-        to 1, so a dir that legitimately mixes pre-r11 files with
-        post-retrain v2 files (the crash window between _retrain's ledger
-        append and its superseded-partition cleanup) surfaces as a MIXED
-        index to ``_active_version``'s guard — never as v1 stamped over
-        v2 rows, which would silently probe v2 PQ codes with the v1
-        quantizer."""
-        committed = self._committed_pairs()
-        if committed is None or not _has_partitions(self._docs_dir):
-            return None
-        raw = self.spark.read.option("mergeSchema", "true").parquet(
-            self._docs_dir
-        )
-        if "model_v" not in raw.columns:
-            raw = raw.withColumn("model_v", F.lit(1))
-        else:
-            raw = raw.withColumn(
-                "model_v", F.coalesce(F.col("model_v"), F.lit(1))
+    def _read_docs(self) -> DataFrame:
+        """Sidecar read with model-version back-compat, applied PER ROW
+        and at O(1) steady-state cost.
+
+        Pre-r11 index rows have no ``model_v`` column and are by
+        definition the one implicit model generation (v1).  Back-compat
+        is per row, not per directory (ADVICE r11): null model_v
+        coalesces to 1, so a dir that legitimately mixes pre-r11 files
+        with post-retrain v2 files (the crash window between _retrain's
+        ledger append and its superseded-partition cleanup) surfaces as
+        a MIXED index to ``_active_version``'s guard — never as v1
+        stamped over v2 rows, which would silently probe v2 PQ codes
+        with the v1 quantizer.
+
+        Cost discipline: ``mergeSchema`` launches an all-file
+        footer-union job, which at thousands of per-epoch files would
+        make EVERY gate trigger O(files) — against the module's
+        O(ledger)-per-trigger contract.  So the merged schema is
+        resolved ONCE and cached; later reads pass it explicitly (no
+        inference job at all — parquet fills files that lack a schema
+        column with nulls, which the coalesce then stamps v1).  The
+        cache is keyed to the newest model FILE version (one listdir):
+        new model generations are the only events that can evolve the
+        sidecar schema, and every retrain publishes its model file
+        before committing rows, so the key changes before any new-shape
+        row can be read."""
+        fv = self._latest_model_file_version()
+        if self._docs_schema is not None and fv != self._docs_schema_fv:
+            self._docs_schema = None
+        if self._docs_schema is None:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                self._docs_dir
             )
-        return raw.join(
-            F.broadcast(committed), [_WRITER_COL, _EPOCH_COL], "left_semi"
-        ).select(*self._index_cols())
+            if "model_v" not in raw.columns:
+                raw = raw.withColumn("model_v", F.lit(1))
+            self._docs_schema = raw.schema
+            self._docs_schema_fv = fv
+        else:
+            raw = self.spark.read.schema(self._docs_schema).parquet(
+                self._docs_dir
+            )
+        return raw.withColumn(
+            "model_v", F.coalesce(F.col("model_v"), F.lit(1))
+        )
 
     # -- lifecycle ----------------------------------------------------------
     def adc_drift(self) -> float | None:

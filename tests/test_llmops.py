@@ -3317,3 +3317,29 @@ def test_ivf_layout_handles_degenerate_vectors(spark, tmp_path):
     # never rank above real neighbors
     top = [t[1] for t in served]
     assert top[0] == 2 and 3 not in top[:2] and 4 not in top[:2]
+
+
+def test_duplicate_rate_counts_only_contractible_rows(spark):
+    """The auto-contraction probe mirrors exact_contract's eligibility
+    rule: short (< n tokens), NULL and empty duplicate texts get
+    per-doc sentinel fps in the contraction and never collapse, so
+    counting them (NULL and '' even hash identically) would enable a
+    contraction pass that contracts nothing."""
+    short = (
+        [(i, "tag") for i in range(20)]
+        + [(100 + i, None) for i in range(10)]
+        + [(200 + i, "") for i in range(10)]
+    )
+    longs = [
+        (300 + i, f"real document body {i} with several tokens")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(short + longs, "doc_id LONG, text STRING")
+    assert ld.duplicate_rate(df, "text") == 0.0
+    # eligible duplicates still measure exactly: 90 rows, 29 removable
+    dup = [
+        (400 + i, "shared long duplicate body with tokens")
+        for i in range(30)
+    ]
+    df2 = spark.createDataFrame(short + longs + dup, "doc_id LONG, text STRING")
+    assert abs(ld.duplicate_rate(df2, "text") - 29 / 90) < 1e-9

@@ -921,3 +921,40 @@ def test_fused_consume_raises_named_error_on_encrypted_topic(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="crypto_keys"):
         Consumer(store, reg).messages(rs.topic).collect()
+
+
+def test_process_mutex_renews_past_lease_expiry(tmp_path):
+    """A sidecar build that outlives the epoch lease must keep mutual
+    exclusion: the holder renews from a daemon thread, so a waiter never
+    breaks the 'expired' lease mid-build (the overwrite race the mutex
+    exists for).  Pinned with a sub-second lease and a build 3x longer —
+    without renewal the waiter would usurp at ~1 lease and interleave."""
+    import threading
+    import time
+
+    from data_pipeline_spark.coordination import process_mutex
+
+    base = str(tmp_path / "cache")
+    lease_s = 0.4
+    events = []
+
+    def holder():
+        with process_mutex(base, backend="epoch", lease_seconds=lease_s):
+            events.append(("h-in", time.monotonic()))
+            time.sleep(3 * lease_s)
+            events.append(("h-out", time.monotonic()))
+
+    def waiter():
+        time.sleep(lease_s / 2)  # arrive mid-hold, past nothing
+        with process_mutex(base, backend="epoch", lease_seconds=lease_s):
+            events.append(("w-in", time.monotonic()))
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=waiter)
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert [e[0] for e in sorted(events, key=lambda e: e[1])] == [
+        "h-in", "h-out", "w-in",
+    ]

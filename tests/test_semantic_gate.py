@@ -351,10 +351,16 @@ def test_mixed_version_index_fails_loud(spark, tmp_path):
     sink = _sink(spark, tmp_path)
     sink.admit_batch(_df(spark, B1), 0)
     sink.retrain()  # index now v2
-    # simulate the foreign stale writer: commit an epoch encoded under v1
+    # simulate a TRULY CONCURRENT stale commit: the retrain lands between
+    # the foreign writer's version check and its append — the one
+    # interleaving only serialize_writers can prevent, so the reconcile
+    # hook is disabled to model it (a merely STALE cached writer is now
+    # reconciled before committing — see
+    # test_foreign_retrain_is_picked_up_by_cached_writer)
     stale = _sink(spark, tmp_path, name="stale")
     stale._load_model(1)
     stale._model_version = 1
+    stale._foreign_version_check = lambda: None
     stale.admit_batch(_df(spark, [(70, BASE[7])]), 0)
     fresh = _sink(spark, tmp_path, name="probe")
     with pytest.raises(RuntimeError, match="MIXED model versions"):
@@ -536,3 +542,118 @@ def test_retrain_auto_scales_coarse_lists(spark, tmp_path):
     assert fsink.admit_batch(_df(spark, rows), 0) == n
     fsink.retrain()
     assert len(fsink._models[fsink._cached_version()][0]) == fsink.n_lists
+
+
+# -- foreign-retrain reconciliation + sidecar read discipline (r12) ----------
+
+
+def test_foreign_retrain_is_picked_up_by_cached_writer(spark, tmp_path):
+    """A long-lived writer whose model version is instance-cached must
+    reconcile a COMMITTED foreign retrain instead of encoding stale-
+    version rows into the new index (the silent corruption the mixed-
+    version guard exists to catch, which a pure cache never re-runs).
+    The signal is O(listdir): the foreign retrain's model file."""
+    a = _sink(spark, tmp_path, name="a")
+    a.admit_batch(_df(spark, B1), 0)
+    assert a._model_version == 1
+    b = _sink(spark, tmp_path, name="b")
+    assert b.retrain() == 3  # commits v2, re-encodes the whole index
+    # a's next admit gates AND encodes under v2 — no mixed index, no error
+    assert a.admit_batch(_df(spark, [(50, BASE[6])]), 1) == 1
+    assert a._model_version == 2
+    vs = {
+        r.model_v
+        for r in a.committed_index().select("model_v").distinct().collect()
+    }
+    assert vs == {2}
+
+
+def test_orphan_model_file_rescans_once_then_real_retrain_lands(spark, tmp_path):
+    """An orphaned model file (retrain crashed before its ledger append)
+    must not flip the cached version — and because a LATER retrain
+    rewrites the SAME filename before committing, the orphan is
+    remembered by stat signature, not version number, so that commit is
+    still reconciled."""
+    import json as _json
+    import time as _time
+
+    a = _sink(spark, tmp_path, name="a")
+    a.admit_batch(_df(spark, B1), 0)
+    # plant the orphan: v2 model file exists, index still fully v1
+    with open(a._model_path) as fh:
+        payload = _json.load(fh)
+    payload["version"] = 2
+    with open(a._model_file(2), "w") as fh:
+        fh.write(_json.dumps(payload))
+    assert a.admit_batch(_df(spark, [(60, BASE[6])]), 1) == 1
+    assert a._model_version == 1  # orphan: committed index is the truth
+    _time.sleep(0.01)  # ensure a distinguishable mtime on the rewrite
+    b = _sink(spark, tmp_path, name="b")
+    assert b.retrain() == 4  # overwrites model_v2.json, commits v2
+    assert a.admit_batch(_df(spark, [(61, BASE[7])]), 2) == 1
+    assert a._model_version == 2
+    vs = {
+        r.model_v
+        for r in a.committed_index().select("model_v").distinct().collect()
+    }
+    assert vs == {2}
+
+
+def test_sidecar_schema_cached_not_remerged(spark, tmp_path, monkeypatch):
+    """mergeSchema is an all-file footer job — O(files) per gate trigger
+    on a long-running stream.  The merged schema must resolve once and
+    be reused as an explicit schema (parquet fills missing columns with
+    nulls, the per-row coalesce stamps them v1)."""
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, B1), 0)
+    assert sink.committed_index().count() == 3  # resolves + caches
+    assert sink._docs_schema is not None
+    from pyspark.sql.readwriter import DataFrameReader
+
+    def boom(self, *a, **k):
+        raise AssertionError("schema re-inferred after cache")
+
+    monkeypatch.setattr(DataFrameReader, "option", boom)
+    assert sink.committed_index().count() == 3  # explicit-schema read
+    # cache invalidates when a new model generation appears
+    monkeypatch.undo()
+    sink.retrain()
+    assert sink.committed_index().count() == 3
+    assert sink._docs_schema_fv == 2
+
+
+def test_compact_preserves_model_v_on_pre_r11_mix(spark, tmp_path):
+    """compact() must read the sidecar through the back-compat hook: a
+    plain read of a dir mixing pre-r11 files (no model_v column) with
+    v2 files can sample a pre-r11 footer and drop model_v from the
+    rewrite — laundering a MIXED index into 'all v1' and destroying the
+    evidence the fail-loud guard needs.  After compaction the mix must
+    still surface as MIXED."""
+    import glob
+    import shutil
+
+    sink = _sink(spark, tmp_path)
+    sink.admit_batch(_df(spark, B1), 0)
+    sink.retrain()  # whole index re-encoded at v2
+    stale = _sink(spark, tmp_path, name="stale")
+    stale._load_model(1)
+    stale._model_version = 1
+    stale.admit_batch(_df(spark, [(70, BASE[7])]), 0)
+    parts = glob.glob(
+        os.path.join(sink._docs_dir, "ingest_writer=*", "ingest_epoch=*")
+    )
+    stripped_one = False
+    for part in parts:
+        rows = spark.read.parquet(part)
+        ids = {r.cor_id for r in rows.select("cor_id").collect()}
+        if ids == {70}:
+            rows.drop("model_v").write.parquet(part + ".new")
+            shutil.rmtree(part)
+            os.rename(part + ".new", part)
+            stripped_one = True
+    assert stripped_one
+    compactor = _sink(spark, tmp_path, name="compactor")
+    assert compactor.compact() == 4
+    probe = _sink(spark, tmp_path, name="probe2")
+    with pytest.raises(RuntimeError, match="MIXED model versions"):
+        probe.gate_flags(_df(spark, B2)).collect()

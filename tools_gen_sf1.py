@@ -14,7 +14,10 @@ append-token near-dups + salted rest), so the dedup/gate family sees the
 same realistic duplicate structure the rehearsal measures.
 
 Usage: python tools_gen_sf1.py   (idempotent; writes /tmp/spark_graft_sf1)
-Then:  SPARK_GRAFT_SF_DIR=/tmp/spark_graft_sf1 python bench.py
+Then:  python bench.py --sf1
+(--sf1, not SPARK_GRAFT_SF_DIR=... alone: the flag routes the
+self-artifact to BENCH_SELF_SF1.json so an sf1 run can never overwrite
+the sf0.1 BENCH_SELF.json evidence — the r11 measurement pitfall.)
 """
 
 from __future__ import annotations
