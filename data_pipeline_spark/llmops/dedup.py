@@ -619,19 +619,31 @@ def indexed_dedup_gate(
     if broadcast_batch:
         # the batch is trigger-bounded by the same contract that lets it
         # broadcast: materialize its index rows ONCE (one tokenize job)
-        # and replay them as a LocalRelation — the exact/near/size
-        # branches below otherwise each re-tokenize the batch per
-        # trigger, and the band buckets fall out of the same rows for
-        # free (in-row bands are bit-identical to the exploded
-        # formulation; tests pin the equality)
+        # and let every branch below replay them — the exact/near/size
+        # branches otherwise each re-tokenize the batch per trigger.
+        # localCheckpoint (r12) keeps the materialized rows in executor
+        # block storage instead of round-tripping them through the driver
+        # as a Python LocalRelation: the old collect()+createDataFrame
+        # form re-deserialized the pickled batch rows (shingle arrays
+        # included) in a single task for EVERY broadcast build that read
+        # it — three 0.8-1.4 s single-task jobs per trigger at sf0.1 —
+        # while checkpointed blocks are read once each, in parallel.
+        # Fault tolerance is unchanged: the collected rows were driver-
+        # resident before, checkpoint blocks are executor-resident now;
+        # both re-run the trigger on loss.
         batch_idx = doc_shingle_index(
             incoming, id_col, text_col, n, with_bands=band_prune
-        )
-        rows = batch_idx.collect()
-        local = incoming.sparkSession.createDataFrame(rows, batch_idx.schema)
+        ).localCheckpoint(eager=True)
+        local = batch_idx
         if band_prune:
+            # band buckets ride the same materialized rows; ship ONLY the
+            # bands column to the driver (the shingle arrays stay put)
             batch_buckets = sorted(
-                {b for r in rows for b in (r.bands_v2 or [])}
+                {
+                    b
+                    for r in batch_idx.select("bands_v2").collect()
+                    for b in (r.bands_v2 or [])
+                }
             )
             local = local.drop("bands_v2")
         inc = local.select(

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_spark.io import load_table
+from data_pipeline_spark.io import load_spread, load_table, spread_scan
 from data_pipeline_spark.llmops import dedup as ld
 from data_pipeline_spark.llmops import multimodal, similarity, sketches, textstats
 from data_pipeline_spark.queries import QUERIES, register
@@ -322,13 +322,11 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "decontamination"),
 )
 def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return ld.decontaminate(train, eval_df, "doc_id", "text", n=4)
@@ -370,13 +368,11 @@ _MH_VALUES_SQL = ", ".join(
     tags=("llm", "dedup"),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     return ld.minhash_lsh_candidate_pairs(
         docs, "doc_id", "text", num_hashes=12, bands=4, n=3
     )
@@ -413,13 +409,11 @@ _SIMHASH_SQL = """
     tags=("llm", "dedup"),
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     return ld.simhash_signatures(docs, "doc_id", "text", bits=32)
 
 
@@ -690,9 +684,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the small-SF documents table is one parquet file = ONE partition;
     # spread it so the codec kernels use the cluster (at 100 TB the scan
     # arrives already split)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     media = multimodal.synthesize_multiformat_media(docs, "doc_id", "text")
     feats = multimodal.extract_features(media)
     return feats.select(
@@ -769,9 +761,7 @@ def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     media = multimodal.synthesize_mp4_media(docs, "doc_id", "text")
     frames = multimodal.sample_keyframes(media)
     joined = frames.join(
@@ -813,9 +803,7 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     media = multimodal.synthesize_audio_media(docs, "doc_id", "text", fmt="flac")
     joined = media.join(
         docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
@@ -848,9 +836,7 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
 
     def run(batches):
         from data_pipeline_spark.llmops import html_text
@@ -919,9 +905,7 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
 
     def run(batches):
         from data_pipeline_spark.llmops import html_text, warc
@@ -1141,9 +1125,7 @@ def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     media = multimodal.synthesize_corrupt_media(docs, "doc_id", "text")
     return multimodal.decode_with_quarantine(media)
 
@@ -1198,9 +1180,7 @@ def multimodal_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def container_codec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     return multimodal.container_probe(docs, "doc_id")
 
 
@@ -1296,10 +1276,10 @@ def cms_bigram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_jpeg_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 25 == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0),
+        spark,
+        cache_key=sf_dir + "/documents.parquet",
     )
     return multimodal.jpeg_progressive_differential(docs, "doc_id", "text")
 
@@ -1318,7 +1298,9 @@ def multimodal_jpeg_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def lsh_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the single-file scan: the Arrow bucketize matmul and the
+    # quantize projections otherwise run in ONE task (r12 profile)
+    emb = load_spread(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(
         emb, threshold=0.45, num_tables=64, dim=64,
         corpus_size=emb.count(),  # one metadata-cheap count
@@ -2168,13 +2150,11 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     # exact-dup pre-contraction (r11): one representative per distinct
     # text feeds shingling/pairs/propagation, members re-expand at the
     # end — identical components (exact_contract's parity argument, and
@@ -2235,13 +2215,11 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_cluster_assignment_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     comp = ld.neardup_components(
         docs, "doc_id", "text", n=3, threshold=0.8, star=True
     )
@@ -2892,13 +2870,11 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "transform"),
 )
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     return ld.strip_duplicated_segments(docs, "doc_id", "text", seg_len=8)
 
 
@@ -3183,13 +3159,11 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "ingest"),
 )
 def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return ld.incremental_dedup_gate(corpus, incoming, "doc_id", "text")
@@ -3228,7 +3202,7 @@ def _persisted_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # already split
                 stage = base / f"index.stage.{os.getpid()}"
                 ld.doc_shingle_index(
-                    corpus.repartition(spark.sparkContext.defaultParallelism),
+                    spread_scan(corpus, spark),
                     "doc_id",
                     "text",
                 ).write.mode("overwrite").parquet(str(stage))
@@ -3349,9 +3323,7 @@ def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     single file so the per-partition summaries + mergeable reduction are
     genuinely exercised (the guarantee is merge-tree-independent, so the
     exact-configuration oracle is unaffected)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(textstats.tokens("text").alias("t"))
     bigrams = F.when(
         F.size("t") >= 2,
@@ -3669,9 +3641,7 @@ def _persisted_semantic_index(spark: SparkSession, sf_dir: str):
 def grouped_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(textstats.tokens("text")).alias("item"))
     mg = sketches.misra_gries_by_group(toks, "lang", "item", k=1_000_000)
     w = Window.partitionBy("lang").orderBy(F.col("weight").desc(), F.col("item"))
@@ -3830,9 +3800,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the small-SF documents table is one parquet file = ONE partition;
     # spread it so gram generation (tokenize + ngrams + md5) uses the
     # cluster — at 100 TB the scan arrives already split
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     return ld.duplicate_span_stats(docs, "doc_id", "text", n=8)
 
 
@@ -3892,13 +3860,11 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "sampling", "iterative"),
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the small-SF documents table is one parquet file = ONE partition;
-    # spread it so the tokenize/shingle/md5 map work uses the cluster
-    # (at 100 TB the scan arrives already split) — measured win at
-    # sf0.1 in the r9 repartition A/B (ROUND9_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the small-SF single-file scan so the tokenize/shingle/md5
+    # map work uses the cluster (r9 measured A/B); r12: conditional — at
+    # scale the scan arrives already split and the round-robin shuffle
+    # the unconditional form paid is removed outright (guide §2.4)
+    docs = load_spread(spark, sf_dir, "documents")
     comp = ld.neardup_components(docs, "doc_id", "text", n=3, threshold=0.8)
     bucket = (
         F.conv(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_spark import envelope as env
-from data_pipeline_spark.io import load_table
+from data_pipeline_spark.io import load_spread, load_table, spread_scan
 from data_pipeline_spark.queries import register
 
 _EVENT_WIRE_SCHEMA = json.dumps(
@@ -46,9 +46,10 @@ _EVENT_WIRE_SCHEMA = json.dumps(
     tags=("E1", "E2", "wire"),
 )
 def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
-    )
+    # spread the single-file scan: both Arrow codec crossings otherwise
+    # run in ONE task (r12 measured 2.1 s on one of 32 cores; the
+    # conditional repartition is a no-op once the scan arrives split)
+    events = load_spread(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     # the engine's common wire path (r7): encode+pack fused into one Arrow
     # crossing, unpack+decode into another — byte-identical to the layered
     # shape (parity-tested), half the Python boundary traffic

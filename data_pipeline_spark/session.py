@@ -92,6 +92,20 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is a BYTE proxy for task cost; the
+        # engine's post-shuffle stages are frequently compute-dense (pair
+        # expansion over posting lists, quantized-cosine verification,
+        # shingle intersection) where 1 MB of input is seconds of CPU —
+        # the default 1m floor collapsed the LSH verify stage to 6 tasks
+        # on 32 cores (r12 profile).  64k keeps small-byte/high-CPU
+        # stages near core-count parallelism; at production scale every
+        # healthy partition is far above ANY floor (the advisory size
+        # governs), so the setting is inert there — env-overridable for
+        # deployments that want the stock floor back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
