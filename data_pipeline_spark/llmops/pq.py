@@ -77,6 +77,31 @@ def pq_train(
     return _train_books(x, m, n_centroids, iters)
 
 
+def _sq_dists(xs: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Per-pair squared distances, BIT-IDENTICAL to
+    ``((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)``.
+
+    The broadcast form materializes an (n, k, sub) temporary per Lloyd
+    iteration (~2 MB×8 per codebook round at the default sample) — most
+    of pq training's driver wall (r12 profile: 1.2 s of a 2.4 s query).
+    For the engine's sub=8 subspaces the same quantity is built from 8
+    (n, k) planes combined in EXACTLY numpy's pairwise-summation order
+    for an 8-element axis reduction (((p0+p1)+(p2+p3))+((p4+p5)+(p6+p7)))
+    — float addition is non-associative, so the tree must match for the
+    codebooks (and every ANN/gate output derived from them) to stay
+    bit-identical; tests/test_llmops.py pins equality against the
+    broadcast form.  The expensive exactness-certified formulation stays
+    the fallback for any other width (NOT the unrolled tree: numpy's
+    base case differs per length)."""
+    if xs.shape[1] != 8:
+        return ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    p = [
+        (xs[:, s, None] - cent[None, :, s]) ** 2
+        for s in range(8)
+    ]
+    return ((p[0] + p[1]) + (p[2] + p[3])) + ((p[4] + p[5]) + (p[6] + p[7]))
+
+
 def _train_books(
     x: np.ndarray, m: int, n_centroids: int | None, iters: int
 ) -> np.ndarray:
@@ -102,7 +127,7 @@ def _train_books(
                 break
         cent = np.asarray(list(seen), np.float64)
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = _sq_dists(xs, cent)
             assign = d2.argmin(axis=1)
             for c in range(k):
                 pts = xs[assign == c]
@@ -187,7 +212,7 @@ def pq_encode(
             codes = np.empty((len(x), m), np.int32)
             for j in range(m):
                 xs = x[:, j * sub : (j + 1) * sub]
-                d2 = ((xs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+                d2 = _sq_dists(xs, codebooks[j])
                 codes[:, j] = d2.argmin(axis=1)
             out = {"id": pdf["id"], "codes": [c.tolist() for c in codes]}
             if residual:
@@ -380,8 +405,38 @@ def ivfpq_topk(
         similarity.ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
     )
 
+    # train on a frame that is SAMPLED BEFORE the in-row assignment:
+    # feeding `listed` straight in evaluated the n_lists-way argmax
+    # expression over the whole corpus inside the TakeOrdered sample job
+    # (r12 profile: a 9 CPU-s stage at sf0.1 whose output is 4096 rows).
+    # Cutting the md5-ordered sample first and applying the SAME
+    # assignment expression to the surviving rows selects identical rows
+    # and computes identical list_ids — codebooks are bit-identical
+    # (pq_train_residual re-sorts by the same md5 key, so the training
+    # matrix row order is unchanged too).
+    sampled = (
+        base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample)
+        .drop("__h")
+    )
     codebooks = pq_train_residual(
-        listed, coarse, id_col, vec_col, m=m, n_centroids=n_centroids,
+        sampled.select(
+            F.col(id_col),
+            F.col(vec_col),
+            similarity.ivf_assign_col(cq_rows, F.col(vec_col)).alias(
+                "list_id"
+            ),
+        ),
+        coarse,
+        id_col,
+        vec_col,
+        m=m,
+        n_centroids=n_centroids,
         sample=sample,
     )
     m_, _width, sub = codebooks.shape
@@ -529,7 +584,7 @@ def semantic_model_train(
     rhat = np.empty_like(res)
     for j in range(m_):
         seg = res[:, j * sub : (j + 1) * sub]
-        d2 = ((seg[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        d2 = _sq_dists(seg, books[j])
         rhat[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(axis=1)]
     err = np.linalg.norm(res - rhat, axis=1) / np.where(norms == 0, 1.0, norms)
     err_bound = float(err.max() * 1.25 + 1e-9) if len(err) else 0.0
@@ -576,9 +631,7 @@ def semantic_index_rows(
             rhat = np.empty_like(res)
             for j in range(m_):
                 xs = res[:, j * sub : (j + 1) * sub]
-                d2 = ((xs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                d2 = _sq_dists(xs, codebooks[j])
                 codes[:, j] = d2.argmin(axis=1)
                 rhat[:, j * sub : (j + 1) * sub] = codebooks[j][codes[:, j]]
             adc_err = np.linalg.norm(res - rhat, axis=1) / safe

@@ -1676,6 +1676,34 @@ def test_gif_codec_property_roundtrip():
     check()
 
 
+def test_sq_dists_bit_identical_to_broadcast_form():
+    """The r12 plane-combined squared-distance fast path must reproduce
+    the broadcast ``((xs[:,None,:]-cent[None,:,:])**2).sum(axis=2)`` form
+    BIT-FOR-BIT (float addition is non-associative — the combine tree
+    replicates numpy's pairwise order for an 8-wide axis): every PQ
+    codebook, code and ADC ranking derives from these distances, and the
+    driver hash-checks outputs downstream of them.  Covers the sub=8
+    fast path, the non-8 fallback, and adversarial near-tie values."""
+    import numpy as np
+
+    from data_pipeline_spark.llmops.pq import _sq_dists
+
+    rng = np.random.default_rng(7)
+    for n, k, sub in ((513, 64, 8), (64, 3, 8), (100, 16, 4), (1, 1, 8)):
+        xs = rng.standard_normal((n, sub))
+        cent = rng.standard_normal((k, sub))
+        ref = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assert np.array_equal(_sq_dists(xs, cent), ref)
+    # near-tie adversarial: tiny perturbations around shared centroids
+    xs = np.repeat(rng.standard_normal((4, 8)), 32, axis=0)
+    xs += rng.standard_normal(xs.shape) * 1e-12
+    cent = xs[:16].copy()
+    ref = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    got = _sq_dists(xs, cent)
+    assert np.array_equal(got, ref)
+    assert np.array_equal(got.argmin(axis=1), ref.argmin(axis=1))
+
+
 def test_pq_recall_and_lossless_exactness(spark):
     """PQ ADC shortlist + exact re-rank: recall@10 >= 0.9 vs brute force
     at the DEFAULT config (m=8, 64 centroids, 20*k re-rank depth —
