@@ -21,6 +21,7 @@ Every hash is md5-based so a SQL oracle reproduces results exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +105,13 @@ def ngram_jaccard_pairs(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    if cache:
+        # sizes feeds BOTH sides of the pair join (sa/sb below are two
+        # plan branches — no CSE in Spark), so without materialization the
+        # explode+groupBy over posting runs twice per action (r12 profile:
+        # duplicate 1 MB exchanges).  Narrow (id, int) rows; same
+        # cache-lifetime caveat as posting for streaming callers.
+        sizes = sizes.cache()
     pair_structs = F.flatten(
         F.transform(
             "ids",
@@ -1284,9 +1292,29 @@ def connected_components(
     HIGH-DIAMETER graphs use ``connected_components_star`` (O(log n)
     rounds on any topology).
     """
-    fwd = edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
-    rev = edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
-    und = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    # Both edge directions via ONE in-row explode, not union(fwd, rev):
+    # Spark has no common-subexpression elimination, so the union form
+    # plans the ENTIRE upstream pair pipeline twice — at r12 profiling the
+    # posting-list pair expansion and both sizes joins ran two times per
+    # materialization (duplicate 12 MB exchanges in the same DAG).  Row
+    # set is identical (each (a,b) contributes (a,b) and (b,a) either way).
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("id"), F.col(src_col).alias("nbr")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.id", "e.nbr")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     n_edges = und.count()  # materialized by the checkpoint: O(1)-ish
     if n_edges <= 2 * driver_threshold:  # und carries both directions
@@ -1375,13 +1403,36 @@ def _driver_union_find(und: DataFrame, nodes: DataFrame, id_col: str) -> DataFra
         if m is None or x < m:
             comp_min[r] = x
     spark = und.sparkSession
-    labels = spark.createDataFrame(
+    schema = und.select(
+        F.col("id").alias("node"), F.col("id").alias("component")
+    ).schema
+    # Arrow-path creation (pandas in, not a list of tuples): a pickled
+    # LocalRelation is re-deserialized by EVERY task of every stage that
+    # scans it (r12 profile: 13 CPU-s on a 50k-row label set inside the
+    # downstream window stage); the Arrow form converts once driver-side.
+    pdf = pd.DataFrame(
         [(x, comp_min[find(x)]) for x in members],
-        schema=und.select(
-            F.col("id").alias("node"), F.col("id").alias("component")
-        ).schema,
+        columns=["node", "component"],
     )
-    return _attach_singletons(labels, nodes, id_col)
+    labels = spark.createDataFrame(pdf, schema=schema)
+    # Labels here are bounded by driver_threshold BY CONSTRUCTION (this
+    # path only runs below it), so the singleton attach can be one
+    # broadcast LEFT join against the node set — no anti-join + union
+    # re-scan of the label relation, and the broadcast build reads it
+    # exactly once.  The distributed path keeps the co-keyed anti-join
+    # form (its label set grows with the graph).
+    return (
+        nodes.select(F.col(id_col))
+        .join(
+            F.broadcast(labels.withColumnRenamed("node", id_col)),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
 
 
 def connected_components_star(
@@ -1428,9 +1479,16 @@ def connected_components_star(
         # previous round) and link every strictly-larger neighbor to
         # m = min(N(u) u {u}) with an in-row explode — the r7 form spent
         # a groupBy + a join + a distinct here (3 shuffles)
-        adj = cur.select(F.col("s").alias("u"), F.col("l").alias("v")).union(
-            cur.select(F.col("l").alias("u"), F.col("s").alias("v"))
-        )
+        # both directions in-row (same no-CSE argument as the und build in
+        # connected_components: one branch over cur, not two)
+        adj = cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("u"), F.col("l").alias("v")),
+                    F.struct(F.col("l").alias("u"), F.col("s").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
         grouped = adj.groupBy("u").agg(F.collect_set("v").alias("vs"))
         m = F.least(F.col("u"), F.array_min("vs"))
         ls = grouped.select(
