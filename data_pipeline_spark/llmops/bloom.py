@@ -200,7 +200,15 @@ def bloom_decontaminate(
     """
     from data_pipeline_spark.llmops.dedup import shingles
 
-    e_sh = shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
+    # benchmark-sized by contract; materialize once — the frame feeds two
+    # consumers (the bitmap-build action and the exact-verify broadcast),
+    # which would otherwise each re-run the eval shingle pipeline
+    e_sh = (
+        shingles(eval_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bitmap = bloom_build(e_sh, "shingle", m_bits, k)
 
     t_sh = shingles(train, id_col, text_col, n)

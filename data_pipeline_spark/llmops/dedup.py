@@ -721,8 +721,13 @@ def indexed_dedup_gate(
             # the (bounded) candidate ids reshuffle for the distinct, and
             # the surviving rows semi-join back.  Decisions are identical
             # to the literal path (test-pinned).
+            # pandas in => Arrow conversion; a plain list of tuples
+            # becomes a pickled LocalRelation that the broadcast build
+            # re-deserializes row by row (r12: ~0.5 s driver+build for a
+            # 50k-bucket trigger)
             bframe = incoming.sparkSession.createDataFrame(
-                [(int(b),) for b in buckets], "bb bigint"
+                pd.DataFrame({"bb": [int(b) for b in buckets]}),
+                schema="bb bigint",
             )
             candidates = (
                 index.select("cor_id", F.explode("bands_v2").alias("bb"))
@@ -1733,14 +1738,15 @@ def duplicate_span_stats(
     one double division is engine-reproducible.
 
     Scale shape: positions ride the gram stream in-row (posexplode of the
-    in-row n-gram array); the shuffle key is md5(gram) — fixed 32-byte
-    rows, never the gram text.  Duplicate grams are found by groupBy +
-    join-back (two linear shuffles) rather than a posting-list expansion:
-    a boilerplate gram shared by a million documents contributes one
-    counter row and a million join probes, never an in-row million-entry
-    list, so flood grams cannot blow worker memory.  Span merging is one
-    per-doc window over the FLAGGED positions only (duplicated-content-
-    sized, not corpus-sized): cumulative max-end interval union.
+    in-row n-gram array); the shuffle key is md5(gram) — fixed 16-byte
+    binary rows, never the gram text.  Duplicate grams are found in ONE
+    hash-partitioned pass (min/max(id) window over the gram hash) rather
+    than a posting-list expansion: a boilerplate gram shared by a million
+    documents is a million rows in one spillable window buffer, never an
+    in-row million-entry list, so flood grams cannot blow worker memory
+    (they spill).  Span merging is one per-doc window over the FLAGGED
+    positions only (duplicated-content-sized, not corpus-sized):
+    cumulative max-end interval union.
     """
     from pyspark.sql import Window
 
@@ -1754,16 +1760,24 @@ def duplicate_span_stats(
     # aggregated pass, no distinct expansion.  The key is the 16-byte
     # BINARY md5 (not the 32-char hex string) — halves the shuffle width
     # of the gram stream, still collision-safe at corpus scale.
-    dup = (
-        grams.groupBy("h")
-        .agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi"))
+    # ONE hash-partitioned pass over the gram stream (r12): min/max(id)
+    # as window aggregates over partitionBy(h), filter in place.  The
+    # r11 groupBy(h) + join-back form scanned AND shuffled the corpus
+    # gram stream twice (no CSE across the two branches; 18.7 CPU-s of
+    # its 28 at sf0.1 was the duplicated stream); the join itself also
+    # concentrated every flood-gram row in one h-partition, so the
+    # window form's per-group buffer (spillable
+    # ExternalAppendOnlyUnsafeRowArray) has the same skew exposure the
+    # join had, while moving the stream over the network once instead
+    # of twice.  Row set is identical: min(id) != max(id) over the
+    # h-partition == "occurs in >= 2 distinct docs".
+    w_h = Window.partitionBy("h")
+    flagged = (
+        grams.withColumn("lo", F.min(id_col).over(w_h))
+        .withColumn("hi", F.max(id_col).over(w_h))
         .filter(F.col("lo") != F.col("hi"))
-        .select("h")
+        .select(id_col, "pos")
     )
-    # dup (the duplicated-hash set) grows with the corpus — same
-    # misestimate-broadcast class as the sizes joins: pin the co-keyed
-    # shuffle so the plan is scale-invariant
-    flagged = grams.join(dup.hint("shuffle_hash"), "h").select(id_col, "pos")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")

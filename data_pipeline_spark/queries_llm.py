@@ -1070,14 +1070,24 @@ def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, ext["text"] == expected))
             yield pd.DataFrame(out, columns=["doc_id", "text_ok"])
 
-    parsed = rows.filter(F.col("error_class") == "").select(
-        F.element_at(F.split(F.col("url"), "/"), -1).cast("long").alias(
-            "doc_id"
-        ),
-        "url",
-        "http_status",
-        "warc_file",
-        "body",
+    # parsed feeds THREE consumers (per-file counts, the verify join, and
+    # the final projection); without materialization each branch re-reads
+    # and re-gunzips the whole archive (r12 profile: three ~25-task parse
+    # stages, 26 CPU-s total, for one 12 CPU-s parse).  One checkpointed
+    # parse pass is also the 100 TB shape: the archive bytes are read
+    # once and every downstream decision runs on the parsed rows.
+    parsed = (
+        rows.filter(F.col("error_class") == "")
+        .select(
+            F.element_at(F.split(F.col("url"), "/"), -1).cast("long").alias(
+                "doc_id"
+            ),
+            "url",
+            "http_status",
+            "warc_file",
+            "body",
+        )
+        .localCheckpoint(eager=False)
     )
     per_file = parsed.groupBy("warc_file").agg(
         F.count(F.lit(1)).alias("responses_in_file")
@@ -3692,7 +3702,9 @@ def bloom_prefilter_decontamination(
 ) -> DataFrame:
     from data_pipeline_spark.llmops import bloom
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the train-side shingle stream + bitmap probe is the heavy
+    # map phase; r12 profile had it in ONE task off the single-split scan
+    docs = load_spread(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 89 == 0)
     train = docs.filter(F.col("doc_id") % 89 != 0)
     return bloom.bloom_decontaminate(
