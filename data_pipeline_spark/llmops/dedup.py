@@ -1317,13 +1317,18 @@ def connected_components(
             ).alias("e")
         )
         .select("e.id", "e.nbr")
-        .distinct()
         .localCheckpoint(eager=True)
     )
 
     n_edges = und.count()  # materialized by the checkpoint: O(1)-ish
     if n_edges <= 2 * driver_threshold:  # und carries both directions
+        # no distinct on this path (one exchange + AQE round saved):
+        # union-find is duplicate-tolerant, and for unique canonical
+        # edge lists the row count is 2|E| either way
         return _driver_union_find(und, nodes, id_col)
+    # the distributed rounds join und every iteration — dedup once so a
+    # caller's duplicate edges don't inflate every round
+    und = und.distinct().localCheckpoint(eager=True)
 
     # Only nodes that appear in an edge can ever change label: propagate
     # over that set alone (|near-dup docs|, tiny vs |corpus|) and re-attach
@@ -1468,13 +1473,16 @@ def connected_components_star(
     passes there — but adversarial chain topologies (e.g. overlapping
     shingle chains across a scraped mirror farm) do.
     """
+    # no distinct on the canonicalized input (one exchange + AQE round
+    # saved): round 1's collect_set dedups duplicate edges in-row, the
+    # round invariant keeps later edge sets canonical, and label
+    # extraction dedups with its own distinct
     pairs = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("s"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("l"),
         )
         .filter(F.col("s") != F.col("l"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     cur = pairs  # invariant: edges as (s, l) canonical pairs, s < l

@@ -61,6 +61,33 @@ def join_strategies(df: DataFrame) -> list[str]:
     )
 
 
+def broadcast_build_subtrees(df: DataFrame) -> list[list[str]]:
+    """The operator lines inside each BroadcastExchange subtree of the plan
+    tree — i.e. what each broadcast actually builds over.  Lets tests
+    distinguish a driver-bounded broadcast (LocalTableScan of a relation
+    bounded by construction, e.g. union-find labels below driver_threshold)
+    from a corpus-sized one (subtree contains a parquet scan or a shuffle),
+    which is the r10 rehearsal's bug class."""
+    tree = formatted_plan(df).split("\n\n")[0].splitlines()
+
+    def marker_pos(line: str) -> int:
+        m = re.search(r"\+-|:-", line)
+        return m.start() if m else -1
+
+    subtrees: list[list[str]] = []
+    for i, line in enumerate(tree):
+        if "BroadcastExchange" not in line:
+            continue
+        pos = marker_pos(line)
+        body: list[str] = []
+        for child in tree[i + 1 :]:
+            if marker_pos(child) <= pos:
+                break
+            body.append(child.strip())
+        subtrees.append(body)
+    return subtrees
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     """Execute this plan so AQE finalizes it, then check for codegen spans.
     (A sink write would spawn a fresh QueryExecution; collect() finalizes

@@ -268,10 +268,14 @@ def test_no_corpus_sized_broadcasts_in_heavy_family(spark):
     """The r10 100x rehearsal's bug class, pinned: Catalyst estimates
     aggregates-over-explodes as tiny and will broadcast frames that grow
     with the corpus (the jaccard sizes join blew the 1 GiB driver result
-    cap at 500k docs).  The fixed queries carry shuffle_hash pins, so
-    their plans must stay broadcast-free at EVERY scale; the bigram LM
-    keeps exactly its two deliberate word-keyed model broadcasts
-    (unigram + context totals — Heaps-bounded), never the bigram table."""
+    cap at 500k docs).  The fixed queries carry shuffle_hash pins, so any
+    broadcast in their plans must build over a DRIVER-LOCAL relation
+    (LocalTableScan — e.g. the union-find labels, bounded by
+    driver_threshold by construction; the r12 singleton attach broadcasts
+    them so the corpus node side is never shuffled), never over a subtree
+    that reads or shuffles the corpus.  The bigram LM keeps exactly its
+    two deliberate word-keyed model broadcasts (unigram + context totals —
+    Heaps-bounded), never the bigram table."""
     for name in (
         "boilerplate_strip",
         "duplicate_span_stats",
@@ -279,11 +283,14 @@ def test_no_corpus_sized_broadcasts_in_heavy_family(spark):
         "pretraining_corpus_filter",
     ):
         df = _q(name, spark)
-        strategies = audit.join_strategies(df)
-        assert "BroadcastHashJoin" not in strategies, (
-            name,
-            audit.formatted_plan(df),
-        )
+        for build in audit.broadcast_build_subtrees(df):
+            corpus_sized = [
+                op
+                for op in build
+                if "Scan parquet" in op
+                or re.match(r"(\+-|:-)?\s*(AQEShuffleRead|Exchange)\b", op)
+            ]
+            assert not corpus_sized, (name, build, audit.formatted_plan(df))
     lm = _q("bigram_lm_perplexity", spark)
     s = audit.join_strategies(lm)  # each join counts twice (tree+details)
     assert set(s) == {"BroadcastHashJoin", "ShuffledHashJoin"}, s
