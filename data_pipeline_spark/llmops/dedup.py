@@ -165,15 +165,19 @@ def decontaminate(
 
     Scale shape: the eval side is a benchmark (thousands of docs), so its
     distinct shingle set broadcasts; the corpus-side shingle stream is
-    filtered map-side — no shuffle of the 100 TB side at all, and the
-    per-doc aggregation is a partial-agg groupBy on (id).
+    filtered map-side — no shuffle of the 100 TB side at all.  The raw
+    (non-distinct) stream feeds the broadcast filter, and the per-doc
+    DISTINCT-shingle count dedups only the surviving hits
+    (contamination-sized), like contamination_report — a distinct before
+    the filter would hash-exchange every corpus shingle (the r12 profile
+    measured that exchange carrying 50x the bytes of the hit stream).
     """
-    t_sh = shingles(train, id_col, text_col, n)
+    t_sh = shingles(train, id_col, text_col, n, distinct=False)
     e_sh = shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
     return (
         t_sh.join(F.broadcast(e_sh), "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
     )
 
 

@@ -157,19 +157,29 @@ def gapfill_interpolate(
     interpolation (the time_bucket_gapfill / interpolate pattern).
 
     Buckets the facts, generates the missing buckets per key with an
-    in-row ``sequence`` + explode over each key's [min, max] span (no
-    driver loop, no cross join against a global spine), left-joins the
-    aggregates back, and fills gaps two ways from one pair of running
-    windows: last-observation-carried-forward and linear interpolation
-    between the neighboring present buckets.
+    in-row ``sequence`` + explode over each present-bucket-to-next span
+    (no driver loop, no cross join against a global spine, no join-back),
+    and fills gaps two ways from one per-key window pass:
+    last-observation-carried-forward and linear interpolation between the
+    neighboring present buckets.
 
-    Scale shape: one shuffle for the per-key aggregation, one window
-    partition per key for the fills (both hash-partitioned on the keys, so
-    the partitioning is reused); sums ride as scaled longs so present
-    buckets are exact, and the interpolation expression — prev + ((next -
-    prev) * dt) / span — multiplies in int64 and divides once in double,
-    reproducible bit-for-bit by any engine.  Spine edges are always
-    present buckets (each key's min/max), so fills never extrapolate.
+    Scale shape: the fact stream is aggregated ONCE (one corpus shuffle,
+    map-side combined), then every missing bucket is generated by the
+    present bucket that precedes it — explode over [this_bucket,
+    next_bucket) from one lead() — with the LOCF/interpolation anchors
+    attached from the same per-key window pass.  The r12 form replaced a
+    spine-generate + left-join-back that planned (and executed) the fact
+    aggregation twice (Spark has no common-subexpression elimination) and
+    paid a (keys, bucket) join exchange the windows then re-partitioned
+    anyway; same row set by construction — gap buckets lie strictly
+    between consecutive present buckets, and each key's min/max bucket is
+    always a present edge, so fills never extrapolate.  Sums ride as
+    scaled longs so present buckets are exact, and the interpolation
+    expression — prev + ((next - prev) * dt) / span — multiplies in int64
+    and divides once in double, reproducible bit-for-bit by any engine.
+    A bucket whose values are all NULL stays a present spine point with
+    is_gap=true (sum NULL), invisible to the fill anchors — identical to
+    the join form's IGNORE NULLS windows.
     """
     from pyspark.sql import Window
 
@@ -182,17 +192,6 @@ def gapfill_interpolate(
         .groupBy(*keys, "bucket_start")
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__sv").alias("sv"))
     )
-    spine = (
-        agg.groupBy(*keys)
-        .agg(F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx"))
-        .select(
-            *keys,
-            F.explode(
-                F.sequence("mn", "mx", F.lit(bucket_seconds).cast("bigint"))
-            ).alias("bucket_start"),
-        )
-    )
-    joined = spine.join(agg, [*keys, "bucket_start"], "left")
     w_prev = (
         Window.partitionBy(*keys)
         .orderBy("bucket_start")
@@ -204,22 +203,68 @@ def gapfill_interpolate(
         .rowsBetween(0, Window.unboundedFollowing)
     )
     present_b = F.when(F.col("sv").isNotNull(), F.col("bucket_start"))
-    prev_sv = F.last("sv", ignorenulls=True).over(w_prev)
-    prev_b = F.last(present_b, ignorenulls=True).over(w_prev)
-    next_sv = F.first("sv", ignorenulls=True).over(w_next)
-    next_b = F.first(present_b, ignorenulls=True).over(w_next)
-    linear = F.when(
-        F.col("sv").isNotNull(), F.col("sv").cast("double")
-    ).otherwise(
-        prev_sv
-        + ((next_sv - prev_sv) * (F.col("bucket_start") - prev_b))
-        / (next_b - prev_b)
+    step = F.lit(bucket_seconds).cast("bigint")
+    # anchors at the present row: prev = last non-null up to and including
+    # this row; nxt = first non-null from this row on (skips this row
+    # exactly when its own sum is NULL — the all-NULL-bucket case)
+    anchored = agg.select(
+        *keys,
+        F.col("bucket_start").alias("__b"),
+        "__n",
+        "sv",
+        F.last("sv", ignorenulls=True).over(w_prev).alias("__psv"),
+        F.last(present_b, ignorenulls=True).over(w_prev).alias("__pb"),
+        F.first("sv", ignorenulls=True).over(w_next).alias("__nsv"),
+        F.first(present_b, ignorenulls=True).over(w_next).alias("__nb"),
     )
-    return joined.select(
+    # the buckets a row generates: itself plus the gap run up to
+    # (exclusive) the next present bucket; the gap rows' interpolation
+    # anchor ahead is the NEXT row's first-non-null (this row's would see
+    # its own sv).  Same partitioning and sort as the anchor pass — one
+    # exchange, consecutive WindowExecs.
+    w_lead = Window.partitionBy(*keys).orderBy("__b")
+    enriched = anchored.select(
+        "*",
+        F.lead("__b").over(w_lead).alias("__lead_b"),
+        F.lead("__nsv").over(w_lead).alias("__lead_nsv"),
+        F.lead("__nb").over(w_lead).alias("__lead_nb"),
+    ).select(
+        *keys,
+        "__b",
+        "__n",
+        "sv",
+        "__psv",
+        "__pb",
+        "__nsv",
+        "__nb",
+        "__lead_nsv",
+        "__lead_nb",
+        F.explode(
+            F.sequence(
+                "__b",
+                F.coalesce(F.col("__lead_b") - step, F.col("__b")),
+                step,
+            )
+        ).alias("bucket_start"),
+    )
+    at_row = F.col("bucket_start") == F.col("__b")
+    nxt_sv = F.when(at_row, F.col("__nsv")).otherwise(F.col("__lead_nsv"))
+    nxt_b = F.when(at_row, F.col("__nb")).otherwise(F.col("__lead_nb"))
+    linear = F.when(
+        at_row & F.col("sv").isNotNull(), F.col("sv").cast("double")
+    ).otherwise(
+        F.col("__psv")
+        + ((nxt_sv - F.col("__psv")) * (F.col("bucket_start") - F.col("__pb")))
+        / (nxt_b - F.col("__pb"))
+    )
+    return enriched.select(
         *keys,
         "bucket_start",
-        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_events"),
-        F.col("sv").isNull().alias("is_gap"),
-        (prev_sv / F.lit(100.0)).alias("sum_value_locf"),
+        F.when(at_row, F.col("__n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        (~at_row | F.col("sv").isNull()).alias("is_gap"),
+        (F.col("__psv") / F.lit(100.0)).alias("sum_value_locf"),
         (linear / F.lit(100.0)).alias("sum_value_linear"),
     )
