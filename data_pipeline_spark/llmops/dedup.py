@@ -79,8 +79,13 @@ def ngram_jaccard_pairs(
     oracle regime); integer counts => the double division is reproducible
     bit-for-bit.
 
-    Scale shape: posting lists come from ONE map-side-combined groupBy and
-    pairs are expanded IN-ROW with higher-order functions — there is no
+    Scale shape: posting lists come from ONE map-side-combined groupBy —
+    ``collect_set`` fuses the per-doc shingle dedup into the posting-list
+    build, so the corpus shingle stream crosses the network once (the
+    pre-r12 ``shingles(distinct=True)`` + ``collect_list`` form paid a
+    second, (id, shingle)-keyed exchange of the same stream just to
+    dedup it first) — and pairs are expanded IN-ROW with higher-order
+    functions — there is no
     shingle self-join, so no single join key ever goes quadratic.  A
     shingle in k docs costs k^2/2 in-row pairs, bounded by max_df^2/2
     (~8 MB peak per row at the default 1000 — the cap is also the
@@ -88,10 +93,10 @@ def ngram_jaccard_pairs(
     (the pre-r5 shape), one "terms of service" shingle shared by a
     million docs is half a trillion rows.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n, distinct=False)
     posting = (
         sh.groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("ids"))
+        .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") <= max_df)
     )
     # posting feeds both the sizes and the intersection: cache it for

@@ -387,14 +387,13 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
-    centroids = similarity.ivf_centroids(
-        base, id_col, vec_col, n_lists, kmeans_iters, sample
+    # the quantized centroid rows come straight off the driver-side
+    # k-means matrix (driver_centroid_rows — zero Spark jobs, bit-equal
+    # to the _qvec expressions); the raw matrix rides the same rows for
+    # the residual math
+    _, cq_rows = similarity.ivf_centroids_with_rows(
+        base, id_col, vec_col, n_lists, kmeans_iters, sample, with_vec=True
     )
-    # ONE tiny collect carries both the raw centroid matrix (residual
-    # math) and the Spark-quantized forms (bit-exact in-row assignment
-    # and driver-side probe selection) — a LocalTableScan on the
-    # k-means path
-    cq_rows = similarity.quantized_centroid_rows(centroids, with_vec=True)
     coarse = np.asarray([r.c_vec for r in cq_rows], np.float64)
     # list_id IN-ROW on the corpus scan (r9 joined a separately-derived
     # assignments frame back onto base: a corpus-sized self-join + the
@@ -405,40 +404,29 @@ def ivfpq_topk(
         similarity.ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
     )
 
-    # train on a frame that is SAMPLED BEFORE the in-row assignment:
-    # feeding `listed` straight in evaluated the n_lists-way argmax
-    # expression over the whole corpus inside the TakeOrdered sample job
-    # (r12 profile: a 9 CPU-s stage at sf0.1 whose output is 4096 rows).
-    # Cutting the md5-ordered sample first and applying the SAME
-    # assignment expression to the surviving rows selects identical rows
-    # and computes identical list_ids — codebooks are bit-identical
-    # (pq_train_residual re-sorts by the same md5 key, so the training
-    # matrix row order is unchanged too).
-    sampled = (
+    # train on a sample COLLECTED ONCE, assigned on the DRIVER: the r12
+    # batch-2 form cut the md5-ordered sample before the in-row argmax
+    # (so the n_lists-way assignment expression stopped running over the
+    # whole corpus inside the TakeOrdered job), but still paid a second
+    # TakeOrdered job + an Arrow crossing to re-sort and assign 4096
+    # rows.  One plain TakeOrdered collect (no Python eval in the plan)
+    # + similarity.assign_rows_ndarray — the SAME numpy kernel the
+    # ivf_assign_col UDF runs per batch, on the same float64 values —
+    # selects identical rows in identical order (both md5-keyed) and
+    # computes identical list_ids, so codebooks stay bit-identical
+    # (pinned by test_ivfpq_driver_sample_assignment_parity).
+    srows = (
         base.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
         )
-        .orderBy("__h")
+        .orderBy("h")
         .limit(sample)
-        .drop("__h")
+        .collect()
     )
-    codebooks = pq_train_residual(
-        sampled.select(
-            F.col(id_col),
-            F.col(vec_col),
-            similarity.ivf_assign_col(cq_rows, F.col(vec_col)).alias(
-                "list_id"
-            ),
-        ),
-        coarse,
-        id_col,
-        vec_col,
-        m=m,
-        n_centroids=n_centroids,
-        sample=sample,
-    )
+    sx = np.asarray([r.v for r in srows], np.float64)
+    slids = similarity.assign_rows_ndarray(sx, cq_rows)
+    codebooks = _train_books(sx - coarse[slids], m, n_centroids, 10)
     m_, _width, sub = codebooks.shape
 
     # queries collect once, WITH their Spark-quantized forms: probe

@@ -491,6 +491,46 @@ def ivf_centroids(
     training is O(sample), never O(corpus), the pq_train pattern.
     ``kmeans_iters=0`` reproduces the r9 raw-corpus-vector quantizer
     exactly (lazy, empty-tolerant)."""
+    return _ivf_centroids_impl(
+        df, id_col, vec_col, n_lists, kmeans_iters, sample
+    )[0]
+
+
+def ivf_centroids_with_rows(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    kmeans_iters: int = 10,
+    sample: int = 4096,
+    with_vec: bool = False,
+) -> tuple:
+    """``(centroids_df, cq_rows)`` in one call.  On the k-means path the
+    centroid matrix is ALREADY driver-resident, so the quantized rows are
+    computed right there (``driver_centroid_rows`` — bit-identical to the
+    ``_qvec`` expressions, pinned by
+    test_driver_centroid_rows_bit_identical) instead of round-tripping
+    them through a createDataFrame -> collect job (r12 profile: ~0.5 s
+    of pure overhead per ANN query construction).  The
+    ``kmeans_iters=0`` fallback path still derives the rows through
+    Spark (its centroids never exist driver-side)."""
+    cdf, cent = _ivf_centroids_impl(
+        df, id_col, vec_col, n_lists, kmeans_iters, sample
+    )
+    if cent is None:
+        return cdf, quantized_centroid_rows(cdf, with_vec)
+    return cdf, driver_centroid_rows(cent, with_vec)
+
+
+def _ivf_centroids_impl(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    kmeans_iters: int,
+    sample: int,
+) -> tuple:
+    """(centroids DataFrame, driver-side centroid matrix | None)."""
     rows = []
     if kmeans_iters > 0:
         import numpy as np
@@ -513,9 +553,15 @@ def ivf_centroids(
             n_lists,
             kmeans_iters,
         )
-        return df.sparkSession.createDataFrame(
-            [(i, [float(val) for val in cent[i]]) for i in range(len(cent))],
-            "list_id INT, c_vec ARRAY<DOUBLE>",
+        return (
+            df.sparkSession.createDataFrame(
+                [
+                    (i, [float(val) for val in cent[i]])
+                    for i in range(len(cent))
+                ],
+                "list_id INT, c_vec ARRAY<DOUBLE>",
+            ),
+            cent,
         )
     # kmeans_iters=0, an all-NULL corpus, or an empty one: the r9
     # raw-corpus-vector quantizer (lazy, empty-tolerant)
@@ -529,9 +575,12 @@ def ivf_centroids(
         .limit(n_lists)
         .drop("h")
     )
-    return centroids.withColumn(
-        "list_id", F.row_number().over(Window.orderBy("c_src")) - 1
-    ).select("list_id", "c_vec")
+    return (
+        centroids.withColumn(
+            "list_id", F.row_number().over(Window.orderBy("c_src")) - 1
+        ).select("list_id", "c_vec"),
+        None,
+    )
 
 
 def quantized_centroid_rows(centroids: DataFrame, with_vec: bool = False) -> list:
@@ -549,6 +598,52 @@ def quantized_centroid_rows(centroids: DataFrame, with_vec: bool = False) -> lis
     if with_vec:
         cols.append(F.col("c_vec"))
     return sorted(centroids.select(*cols).collect(), key=lambda r: r.list_id)
+
+
+def driver_centroid_rows(cent, with_vec: bool = False) -> list:
+    """``quantized_centroid_rows`` computed on the DRIVER from an
+    already-resident centroid matrix — no createDataFrame -> collect
+    round trip.  Bit-identical to the Spark expressions for arbitrary
+    doubles: Spark's ``round(x, 0)`` on a double goes through
+    BigDecimal.valueOf (the SHORTEST-repr decimal of the double, not its
+    exact binary expansion) with HALF_UP, which
+    ``Decimal(repr(x)).quantize(0, ROUND_HALF_UP)`` reproduces exactly —
+    verified over 47k adversarial values including the n+0.5
+    representability band, and pinned by
+    test_driver_centroid_rows_bit_identical.  NaN/Inf elements quantize
+    to NULL like the Spark cast, and a NULL element nulls the norm like
+    the aggregate."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import Row
+
+    out = []
+    for i in range(len(cent)):
+        vec = [float(v) for v in cent[i]]
+        cq: list = []
+        for v in vec:
+            y = v * Q
+            if math.isnan(y) or math.isinf(y):
+                cq.append(None)
+            else:
+                cq.append(
+                    int(
+                        Decimal(repr(y)).quantize(
+                            Decimal(1), rounding=ROUND_HALF_UP
+                        )
+                    )
+                )
+        cn = (
+            None
+            if any(q is None for q in cq)
+            else sum(q * q for q in cq)
+        )
+        d = {"list_id": i, "c_q": cq, "c_n": cn}
+        if with_vec:
+            d["c_vec"] = vec
+        out.append(Row(**d))
+    return out
 
 
 def ivf_assign_col(cq_rows: list, vec: Column) -> Column:
@@ -608,34 +703,70 @@ def ivf_assign_col(cq_rows: list, vec: Column) -> Column:
         res = np.full(n, fallback, np.int64)  # NULL vector -> lowest list
         mask = s.notna().to_numpy()
         if cq_mat is not None and mask.any():
-            x = np.asarray(list(s[mask]), np.float64) * Q
-            # a NULL/NaN ELEMENT inside a vector would pass through
-            # .astype(int64) as undefined garbage (INT64_MIN) and wrap
-            # the dot products — route those rows to the NULL-vector
-            # outcome (list 0) instead, the window form's
-            # all-NULL-cosine result
-            finite = np.isfinite(x).all(axis=1)
-            x[~finite] = 0.0
-            qv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
-            vn = (qv * qv).sum(axis=1)  # exact int64: 64 * Q^2 << 2^63
-            dots = qv @ cq_mat.T
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots / (
-                    np.sqrt(vn.astype(np.float64))[:, None]
-                    * np.sqrt(c_n)[None, :]
-                )
-            # a zero-norm CENTROID yields a NaN cosine for every vector;
-            # raw np.argmax would let that NaN column win for the whole
-            # corpus.  Rank non-finite cosines LAST (the window form's
-            # NULL-cosine ordering): chosen only when nothing finite is
-            np.copyto(cos, -np.inf, where=~np.isfinite(cos))
-            best = lids[np.argmax(cos, axis=1)].astype(np.int64)
-            best[vn == 0] = fallback  # zero-norm vector: list 0
-            best[~finite] = fallback  # NULL/NaN element: list 0
-            res[mask] = best
+            res[mask] = _assign_matrix(
+                np.asarray(list(s[mask]), np.float64),
+                cq_mat,
+                c_n,
+                lids,
+                fallback,
+            )
         return pd.Series(res, dtype="int32")
 
     return _assign(vec)
+
+
+def _assign_matrix(xraw, cq_mat, c_n, lids, fallback):
+    """The ivf_assign_col kernel on a plain (n, d) float64 matrix —
+    shared by the Arrow UDF (per batch) and driver-side callers that
+    already hold the vectors (the PQ training sample), so both produce
+    the SAME list_ids from the same bytes.  See ivf_assign_col for the
+    numerics and the degenerate-input contract."""
+    x = xraw * Q
+    # a NULL/NaN ELEMENT inside a vector would pass through
+    # .astype(int64) as undefined garbage (INT64_MIN) and wrap
+    # the dot products — route those rows to the NULL-vector
+    # outcome (list 0) instead, the window form's
+    # all-NULL-cosine result
+    finite = np.isfinite(x).all(axis=1)
+    x[~finite] = 0.0
+    qv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    vn = (qv * qv).sum(axis=1)  # exact int64: 64 * Q^2 << 2^63
+    dots = qv @ cq_mat.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dots / (
+            np.sqrt(vn.astype(np.float64))[:, None] * np.sqrt(c_n)[None, :]
+        )
+    # a zero-norm CENTROID yields a NaN cosine for every vector;
+    # raw np.argmax would let that NaN column win for the whole
+    # corpus.  Rank non-finite cosines LAST (the window form's
+    # NULL-cosine ordering): chosen only when nothing finite is
+    np.copyto(cos, -np.inf, where=~np.isfinite(cos))
+    best = lids[np.argmax(cos, axis=1)].astype(np.int64)
+    best[vn == 0] = fallback  # zero-norm vector: list 0
+    best[~finite] = fallback  # NULL/NaN element: list 0
+    return best
+
+
+def assign_rows_ndarray(x: "np.ndarray", cq_rows: list) -> "np.ndarray":
+    """Driver-side nearest-list assignment of an already-collected
+    float64 vector matrix, bit-identical to mapping ``ivf_assign_col``
+    over the same rows (same kernel, same centroid literals).  Lets a
+    caller that must collect the vectors anyway (the md5-ordered PQ
+    training sample) skip the extra Spark job + Arrow crossing the
+    column form would cost."""
+    real = [r for r in cq_rows if r.c_q is not None and r.c_n is not None]
+    fallback = int(cq_rows[0].list_id) if cq_rows else None
+    if fallback is None:
+        raise ValueError("no centroids")
+    if not real or not len(x):
+        return np.full(len(x), fallback, np.int64)
+    return _assign_matrix(
+        np.asarray(x, np.float64),
+        np.asarray([list(r.c_q) for r in real], np.int64),
+        np.asarray([r.c_n for r in real], np.float64),
+        np.asarray([r.list_id for r in real], np.int32),
+        fallback,
+    )
 
 
 def ivf_assign(
@@ -654,8 +785,9 @@ def ivf_assign(
     join + window form (same quantized-cosine doubles, same tie-break).
     Returns (assignments(id, list_id), centroids(list_id, c_vec)).
     """
-    c = ivf_centroids(df, id_col, vec_col, n_lists, kmeans_iters, sample)
-    cq_rows = quantized_centroid_rows(c)
+    c, cq_rows = ivf_centroids_with_rows(
+        df, id_col, vec_col, n_lists, kmeans_iters, sample
+    )
     assignments = df.select(
         F.col(id_col),
         ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
@@ -757,10 +889,9 @@ def ivf_topk(
     probe reads n_probe/n_lists of the corpus — the scan shrinks by the
     probe ratio while recall stays tunable.
     """
-    centroids = ivf_centroids(
+    centroids, cq_rows = ivf_centroids_with_rows(
         base, id_col, vec_col, n_lists, kmeans_iters, sample
     )
-    cq_rows = quantized_centroid_rows(centroids)
     # list_id computed IN-ROW on the quantized scan itself: the r9 plan
     # joined the corpus against a separately-derived assignments frame —
     # a corpus-sized self-join whose only payload was one int per row
@@ -814,10 +945,9 @@ def ivf_write_layout(
     persist) for probe-time routing — probes computed against any other
     quantizer would silently search the wrong lists.
     """
-    centroids = ivf_centroids(
+    centroids, cq_rows = ivf_centroids_with_rows(
         base, id_col, vec_col, n_lists, kmeans_iters, sample
     )
-    cq_rows = quantized_centroid_rows(centroids)
     listed = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("embedding"),

@@ -1704,6 +1704,98 @@ def test_sq_dists_bit_identical_to_broadcast_form():
     assert np.array_equal(got.argmin(axis=1), ref.argmin(axis=1))
 
 
+def test_driver_centroid_rows_bit_identical(spark):
+    """driver_centroid_rows (quantized centroid rows computed on the
+    driver from the k-means matrix) must equal quantized_centroid_rows
+    (the _qvec/quantized_norm_sq Spark expressions over the same
+    createDataFrame) FIELD-FOR-FIELD — every ANN assignment, probe
+    selection and ADC add-back keys off these integers.  Adversarial
+    values included: exact halves at the quantization step, the
+    0.49999999999999994 shortest-repr band, negatives, zeros."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cent = rng.standard_normal((6, 8))
+    cent[1] = 0.0  # zero centroid: c_q zeros, c_n 0
+    cent[2, 0] = 0.5 / 1e6  # exact half after scaling
+    cent[2, 1] = -0.5 / 1e6
+    cent[2, 2] = 0.49999999999999994 / 1e6  # HALF_UP vs floor(+0.5) band
+    cent[2, 3] = 1.5 / 1e6
+    cent[2, 4] = -2.5 / 1e6
+
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in cent[i]]) for i in range(len(cent))],
+        "list_id INT, c_vec ARRAY<DOUBLE>",
+    )
+    via_spark = similarity.quantized_centroid_rows(cdf, with_vec=True)
+    via_driver = similarity.driver_centroid_rows(cent, with_vec=True)
+    assert len(via_spark) == len(via_driver)
+    for s, d in zip(via_spark, via_driver):
+        assert s.list_id == d.list_id
+        assert list(s.c_q) == list(d.c_q)
+        assert s.c_n == d.c_n
+        assert list(s.c_vec) == list(d.c_vec)
+
+
+def test_ivfpq_driver_sample_assignment_parity(spark):
+    """The r12 driver-side training-sample assignment
+    (similarity.assign_rows_ndarray over the collected md5-ordered
+    sample) must produce the SAME list_ids as mapping the
+    ivf_assign_col Arrow UDF over the same rows — codebooks, codes and
+    every ADC ranking derive from these assignments, and the driver
+    hash-checks outputs downstream of them.  Covers real corpus
+    vectors plus the degenerate rows of the kernel contract (zero-norm
+    vector, NaN element)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = similarity.ivf_centroids(emb, "vec_id", "embedding", 8, 10, 256)
+    cq_rows = similarity.quantized_centroid_rows(centroids, with_vec=True)
+
+    rows = (
+        emb.select(
+            F.col("embedding").alias("v"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(64)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], np.float64)
+    driver = similarity.assign_rows_ndarray(x, cq_rows)
+
+    sample_df = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(64)
+    )
+    via_udf = {
+        r.vec_id: r.list_id
+        for r in sample_df.select(
+            "vec_id",
+            "h",
+            similarity.ivf_assign_col(cq_rows, F.col("embedding")).alias(
+                "list_id"
+            ),
+        ).collect()
+    }
+    ordered_ids = [
+        r.vec_id
+        for r in sample_df.select("vec_id").collect()
+    ]
+    assert [via_udf[i] for i in ordered_ids] == list(driver)
+
+    # degenerate rows: zero-norm -> list 0; NaN element -> list 0
+    weird = np.zeros((2, len(x[0])), np.float64)
+    weird[1, 3] = np.nan
+    got = similarity.assign_rows_ndarray(weird, cq_rows)
+    assert list(got) == [cq_rows[0].list_id, cq_rows[0].list_id]
+
+
 def test_pq_recall_and_lossless_exactness(spark):
     """PQ ADC shortlist + exact re-rank: recall@10 >= 0.9 vs brute force
     at the DEFAULT config (m=8, 64 centroids, 20*k re-rank depth —
