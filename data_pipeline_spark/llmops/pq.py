@@ -325,10 +325,10 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            similarity._cos_from_parts(
-                similarity._int_dot(F.col("query_q"), F.col("neighbor_q")),
-                F.col("query_n"),
-                F.col("neighbor_n"),
+            F.expr(
+                similarity.cos_cols_sql(
+                    "query_q", "neighbor_q", "query_n", "neighbor_n"
+                )
             ).alias("cos_sim"),
         )
     )
@@ -387,14 +387,38 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
-    # the quantized centroid rows come straight off the driver-side
-    # k-means matrix (driver_centroid_rows — zero Spark jobs, bit-equal
-    # to the _qvec expressions); the raw matrix rides the same rows for
-    # the residual math
-    _, cq_rows = similarity.ivf_centroids_with_rows(
-        base, id_col, vec_col, n_lists, kmeans_iters, sample, with_vec=True
+    # ONE md5-ordered TakeOrdered collect serves BOTH driver-side
+    # trainers (r12 opt): the coarse k-means sample is the NULL-filtered
+    # prefix of the SAME ordering the PQ residual sample cuts, so when
+    # the unfiltered prefix holds no NULL vectors the two row sets
+    # coincide and the second sample job disappears.  NULL vectors in
+    # the prefix, or kmeans_iters<=0, fall back to the original
+    # two-collect path unchanged (exact parity both ways — the trainer
+    # math below is byte-for-byte ivf_centroids_with_rows' k-means arm).
+    n_samp = max(sample, n_lists)
+    srows = (
+        base.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_samp)
+        .collect()
     )
+    if kmeans_iters > 0 and srows and all(r.v is not None for r in srows):
+        cent, _xn = similarity.spherical_kmeans(
+            np.asarray([r.v for r in srows], np.float64),
+            n_lists,
+            kmeans_iters,
+        )
+        cq_rows = similarity.driver_centroid_rows(cent, with_vec=True)
+    else:
+        _, cq_rows = similarity.ivf_centroids_with_rows(
+            base, id_col, vec_col, n_lists, kmeans_iters, sample,
+            with_vec=True,
+        )
     coarse = np.asarray([r.c_vec for r in cq_rows], np.float64)
+    srows = srows[:sample]
     # list_id IN-ROW on the corpus scan (r9 joined a separately-derived
     # assignments frame back onto base: a corpus-sized self-join + the
     # assignment window shuffle, both gone — see ivf_assign_col)
@@ -404,26 +428,11 @@ def ivfpq_topk(
         similarity.ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
     )
 
-    # train on a sample COLLECTED ONCE, assigned on the DRIVER: the r12
-    # batch-2 form cut the md5-ordered sample before the in-row argmax
-    # (so the n_lists-way assignment expression stopped running over the
-    # whole corpus inside the TakeOrdered job), but still paid a second
-    # TakeOrdered job + an Arrow crossing to re-sort and assign 4096
-    # rows.  One plain TakeOrdered collect (no Python eval in the plan)
-    # + similarity.assign_rows_ndarray — the SAME numpy kernel the
-    # ivf_assign_col UDF runs per batch, on the same float64 values —
-    # selects identical rows in identical order (both md5-keyed) and
-    # computes identical list_ids, so codebooks stay bit-identical
-    # (pinned by test_ivfpq_driver_sample_assignment_parity).
-    srows = (
-        base.select(
-            F.col(vec_col).alias("v"),
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-        )
-        .orderBy("h")
-        .limit(sample)
-        .collect()
-    )
+    # PQ residual sample: the first ``sample`` rows of the SAME collect
+    # (cut above), assigned on the DRIVER via assign_rows_ndarray — the
+    # same numpy kernel the ivf_assign_col UDF runs per batch, on the
+    # same float64 values, so codebooks stay bit-identical (pinned by
+    # test_ivfpq_driver_sample_assignment_parity).
     sx = np.asarray([r.v for r in srows], np.float64)
     slids = similarity.assign_rows_ndarray(sx, cq_rows)
     codebooks = _train_books(sx - coarse[slids], m, n_centroids, 10)
@@ -437,8 +446,8 @@ def ivfpq_topk(
     qrows = queries.select(
         F.col(id_col).cast("long").alias("qid"),
         F.col(vec_col).alias("v"),
-        similarity._qvec(F.col(vec_col)).alias("qq"),
-        similarity.quantized_norm_sq(F.col(vec_col)).alias("qn"),
+        similarity._qvec(f"`{vec_col}`").alias("qq"),
+        similarity.quantized_norm_sq(f"`{vec_col}`").alias("qn"),
     ).collect()
     qids = [int(r.qid) for r in qrows]
     qx = np.asarray([r.v for r in qrows], np.float64)
@@ -499,10 +508,10 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            similarity._cos_from_parts(
-                similarity._int_dot(F.col("query_q"), F.col("neighbor_q")),
-                F.col("query_n"),
-                F.col("neighbor_n"),
+            F.expr(
+                similarity.cos_cols_sql(
+                    "query_q", "neighbor_q", "query_n", "neighbor_n"
+                )
             ).alias("cos_sim"),
         )
     )

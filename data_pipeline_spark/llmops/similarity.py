@@ -27,15 +27,64 @@ from pyspark.sql import functions as F
 Q = 1_000_000  # 1e-6 quantization
 
 
-def _qvec(col: Column) -> Column:
+# --- SQL-text twins of the quantized-expression builders (r12 opt) --------
+# Building these expressions through the Column DSL costs dozens of py4j
+# roundtrips per higher-order lambda (~20 ms each; the r12 profile measured
+# ~1.5 s of a 2.5 s ANN query construction in socket recv alone).  Composing
+# the SAME expression as SQL text and parsing it with ONE F.expr call yields
+# the identical analyzed expression — schema- and value-identical, pinned by
+# tests/test_llmops.py::test_sql_expr_twins_bit_identical — at a fraction of
+# the driver cost.  Each *_sql function returns a SQL fragment; arguments
+# are SQL fragments themselves (plain column names or nested fragments).
+
+def qvec_sql(col: str) -> str:
+    return (
+        f"transform({col}, _qx -> "
+        f"cast(round(cast(_qx as double) * {Q}, 0) as bigint))"
+    )
+
+
+def norm_sq_sql(col: str) -> str:
+    return (
+        f"aggregate(transform({qvec_sql(col)}, _nx -> _nx * _nx), "
+        f"cast(0 as bigint), (_na, _nv) -> _na + _nv)"
+    )
+
+
+def int_dot_sql(a: str, b: str) -> str:
+    """Integer dot of two PRE-QUANTIZED array<bigint> fragments."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (_dx, _dy) -> _dx * _dy), "
+        f"cast(0 as bigint), (_da, _dv) -> _da + _dv)"
+    )
+
+
+def cos_parts_sql(dot: str, na: str, nb: str) -> str:
+    """Quantized cosine from (int dot, norm², norm²) fragments — the
+    nullif zero-norm guard of ``_cos_from_parts`` (0D = double literal,
+    matching F.lit(0.0))."""
+    return f"{dot} / nullif(sqrt({na}) * sqrt({nb}), 0D)"
+
+
+def cos_cols_sql(aq: str, bq: str, an: str, bn: str) -> str:
+    """Full scored cosine over pre-quantized column names."""
+    return cos_parts_sql(int_dot_sql(aq, bq), an, bn)
+
+
+def _qvec(col: Column | str) -> Column:
     """array<float> -> array<bigint> quantized view.  The float32 value is
     widened to double BEFORE scaling: float32 * int would multiply in
-    float32 and round differently than any double-math engine."""
+    float32 and round differently than any double-math engine.  A str
+    argument is a SQL fragment and takes the one-roundtrip F.expr path."""
+    if isinstance(col, str):
+        return F.expr(qvec_sql(col))
     return F.transform(col, lambda x: F.round(x.cast("double") * Q, 0).cast("bigint"))
 
 
-def quantized_dot(a: Column, b: Column) -> Column:
+def quantized_dot(a: Column | str, b: Column | str) -> Column:
     """Exact integer dot product of two quantized vectors."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(int_dot_sql(qvec_sql(a), qvec_sql(b)))
     return F.aggregate(
         F.zip_with(_qvec(a), _qvec(b), lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -43,7 +92,9 @@ def quantized_dot(a: Column, b: Column) -> Column:
     )
 
 
-def quantized_norm_sq(a: Column) -> Column:
+def quantized_norm_sq(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(norm_sq_sql(a))
     return F.aggregate(
         F.transform(_qvec(a), lambda x: x * x),
         F.lit(0).cast("bigint"),
@@ -51,10 +102,18 @@ def quantized_norm_sq(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     """Reproducible cosine: integer dot / (sqrt * sqrt) in one double
     expr.  Zero-norm inputs score NULL (nullif guard — same contract as
     ``_cos_from_parts``), never an ANSI DIVIDE_BY_ZERO."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            cos_parts_sql(
+                int_dot_sql(qvec_sql(a), qvec_sql(b)),
+                norm_sq_sql(a),
+                norm_sq_sql(b),
+            )
+        )
     return quantized_dot(a, b) / F.nullif(
         F.sqrt(quantized_norm_sq(a)) * F.sqrt(quantized_norm_sq(b)),
         F.lit(0.0),
@@ -67,13 +126,15 @@ def quantized(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFram
     (the dominant cost in the naive formulation)."""
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
-        _qvec(F.col(vec_col)).alias(f"{prefix}_q"),
-        quantized_norm_sq(F.col(vec_col)).alias(f"{prefix}_n"),
+        _qvec(f"`{vec_col}`").alias(f"{prefix}_q"),
+        quantized_norm_sq(f"`{vec_col}`").alias(f"{prefix}_n"),
     )
 
 
-def _int_dot(a: Column, b: Column) -> Column:
+def _int_dot(a: Column | str, b: Column | str) -> Column:
     """Integer dot of two pre-quantized vectors."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(int_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -113,10 +174,8 @@ def cosine_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        _cos_from_parts(
-            _int_dot(F.col("query_q"), F.col("neighbor_q")),
-            F.col("query_n"),
-            F.col("neighbor_n"),
+        F.expr(
+            cos_cols_sql("query_q", "neighbor_q", "query_n", "neighbor_n")
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -147,8 +206,8 @@ def neardup_pairs(
         .select(
             F.col("a_id").alias("id_a"),
             F.col("b_id").alias("id_b"),
-            _cos_from_parts(
-                _int_dot(F.col("a_q"), F.col("b_q")), F.col("a_n"), F.col("b_n")
+            F.expr(
+                cos_cols_sql("a_q", "b_q", "a_n", "b_n")
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -436,8 +495,8 @@ def lsh_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            _cos_from_parts(
-                _int_dot(F.col("a_q"), F.col("b_q")), F.col("a_n"), F.col("b_n")
+            F.expr(
+                cos_cols_sql("a_q", "b_q", "a_n", "b_n")
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -592,8 +651,8 @@ def quantized_centroid_rows(centroids: DataFrame, with_vec: bool = False) -> lis
     broadcast-join formulation."""
     cols = [
         F.col("list_id"),
-        _qvec(F.col("c_vec")).alias("c_q"),
-        quantized_norm_sq(F.col("c_vec")).alias("c_n"),
+        _qvec("c_vec").alias("c_q"),
+        quantized_norm_sq("c_vec").alias("c_n"),
     ]
     if with_vec:
         cols.append(F.col("c_vec"))
@@ -839,16 +898,16 @@ def ivf_probes(
     q = quantized(queries, id_col, vec_col, "query")
     cq = centroids.select(
         "list_id",
-        _qvec(F.col("c_vec")).alias("c_q"),
-        quantized_norm_sq(F.col("c_vec")).alias("c_n"),
+        _qvec("c_vec").alias("c_q"),
+        quantized_norm_sq("c_vec").alias("c_n"),
     )
     q_probe = q.join(F.broadcast(cq)).select(
         "query_id",
         "query_q",
         "query_n",
         "list_id",
-        _cos_from_parts(
-            _int_dot(F.col("query_q"), F.col("c_q")), F.col("query_n"), F.col("c_n")
+        F.expr(
+            cos_cols_sql("query_q", "c_q", "query_n", "c_n")
         ).alias("c_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -897,8 +956,8 @@ def ivf_topk(
     # a corpus-sized self-join whose only payload was one int per row
     listed = base.select(
         F.col(id_col).alias("neighbor_id"),
-        _qvec(F.col(vec_col)).alias("neighbor_q"),
-        quantized_norm_sq(F.col(vec_col)).alias("neighbor_n"),
+        _qvec(f"`{vec_col}`").alias("neighbor_q"),
+        quantized_norm_sq(f"`{vec_col}`").alias("neighbor_n"),
         ivf_assign_col(cq_rows, F.col(vec_col)).alias("list_id"),
     )
 
@@ -909,10 +968,8 @@ def ivf_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        _cos_from_parts(
-            _int_dot(F.col("query_q"), F.col("neighbor_q")),
-            F.col("query_n"),
-            F.col("neighbor_n"),
+        F.expr(
+            cos_cols_sql("query_q", "neighbor_q", "query_n", "neighbor_n")
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -994,8 +1051,8 @@ def ivf_layout_topk(
     )
     listed = idx.select(
         "neighbor_id",
-        _qvec(F.col("embedding")).alias("neighbor_q"),
-        quantized_norm_sq(F.col("embedding")).alias("neighbor_n"),
+        _qvec("embedding").alias("neighbor_q"),
+        quantized_norm_sq("embedding").alias("neighbor_n"),
         "list_id",
     )
     scored = probes.join(listed, "list_id").filter(
@@ -1003,10 +1060,8 @@ def ivf_layout_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        _cos_from_parts(
-            _int_dot(F.col("query_q"), F.col("neighbor_q")),
-            F.col("query_n"),
-            F.col("neighbor_n"),
+        F.expr(
+            cos_cols_sql("query_q", "neighbor_q", "query_n", "neighbor_n")
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(

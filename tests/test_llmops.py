@@ -3463,3 +3463,83 @@ def test_duplicate_rate_counts_only_contractible_rows(spark):
     ]
     df2 = spark.createDataFrame(short + longs + dup, "doc_id LONG, text STRING")
     assert abs(ld.duplicate_rate(df2, "text") - 29 / 90) < 1e-9
+
+
+def test_sql_expr_twins_bit_identical(spark):
+    """The SQL-text twins (qvec_sql/norm_sq_sql/int_dot_sql/cos_*_sql and
+    the str fast paths of _qvec/quantized_norm_sq/quantized_dot/cosine/
+    _int_dot) must produce schema- AND value-identical columns to the
+    Column-DSL lambda forms they replace (r12 opt: one F.expr parse per
+    expression instead of dozens of py4j lambda roundtrips)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    # lambda forms, built exactly as the pre-r12 builders did
+    Q = similarity.Q
+
+    def qvec_old(col):
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * Q, 0).cast("bigint")
+        )
+
+    def norm_old(col):
+        return F.aggregate(
+            F.transform(qvec_old(col), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def dot_old(a, b):
+        return F.aggregate(
+            F.zip_with(qvec_old(a), qvec_old(b), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    old = emb.select(
+        qvec_old(F.col("embedding")).alias("q"),
+        norm_old(F.col("embedding")).alias("n"),
+        dot_old(F.col("embedding"), F.col("embedding")).alias("d"),
+        (
+            dot_old(F.col("embedding"), F.col("embedding"))
+            / F.nullif(
+                F.sqrt(norm_old(F.col("embedding")))
+                * F.sqrt(norm_old(F.col("embedding"))),
+                F.lit(0.0),
+            )
+        ).alias("c"),
+    )
+    new = emb.select(
+        similarity._qvec("embedding").alias("q"),
+        similarity.quantized_norm_sq("embedding").alias("n"),
+        similarity.quantized_dot("embedding", "embedding").alias("d"),
+        similarity.cosine("embedding", "embedding").alias("c"),
+    )
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+    # the composed scored-cosine fragment over pre-quantized columns
+    qframe = similarity.quantized(emb, "vec_id", "embedding", "a").join(
+        similarity.quantized(emb, "vec_id", "embedding", "b"),
+        F.col("a_id") == F.col("b_id"),
+    )
+    old_c = qframe.select(
+        (
+            F.aggregate(
+                F.zip_with(F.col("a_q"), F.col("b_q"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            / F.nullif(
+                F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")), F.lit(0.0)
+            )
+        ).alias("cos")
+    )
+    new_c = qframe.select(
+        F.expr(similarity.cos_cols_sql("a_q", "b_q", "a_n", "b_n")).alias(
+            "cos"
+        )
+    )
+    assert old_c.schema == new_c.schema
+    assert old_c.exceptAll(new_c).count() == 0
+    assert new_c.exceptAll(old_c).count() == 0
