@@ -52,12 +52,31 @@ def shingles(
     per-element-slice transform was quadratic per doc; the zip_with form
     measured 1.8 s -> 0.8 s at sf0.1 with identical output, and the gap
     grows with document length."""
-    from data_pipeline_spark.llmops.textstats import word_ngrams
+    from data_pipeline_spark.llmops.textstats import tokens_sql, word_ngrams_sql
 
+    # SQL-text construction (r12 opt): one F.expr parse instead of the
+    # n-1 zip_with lambda roundtrips — identical analyzed tree (pinned
+    # by test_word_ngrams_sql_twin_bit_identical)
     out = df.select(
-        F.col(id_col), F.explode(word_ngrams(tokens(text_col), n)).alias("shingle")
+        F.col(id_col),
+        F.explode(
+            F.expr(word_ngrams_sql(tokens_sql(f"`{text_col}`"), n))
+        ).alias("shingle"),
     )
     return out.distinct() if distinct else out
+
+
+# In-row unordered-pair expansion over an `ids` posting list, as ONE parsed
+# expression (r12 opt — the nested-lambda DSL form cost ~6 py4j-heavy HOF
+# constructions per call; named_struct is what F.struct(alias...) builds, so
+# the analyzed tree is identical, pinned by
+# test_pair_structs_sql_twin_bit_identical):
+_PAIR_STRUCTS_SQL = (
+    "flatten(transform(ids, (_px, _pi) -> "
+    "transform(slice(ids, _pi + 2, size(ids)), "
+    "_py -> named_struct('id_a', least(_px, _py), "
+    "'id_b', greatest(_px, _py)))))"
+)
 
 
 def ngram_jaccard_pairs(
@@ -117,17 +136,7 @@ def ngram_jaccard_pairs(
         # duplicate 1 MB exchanges).  Narrow (id, int) rows; same
         # cache-lifetime caveat as posting for streaming callers.
         sizes = sizes.cache()
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
+    pair_structs = F.expr(_PAIR_STRUCTS_SQL)
     inter = (
         posting.filter(F.size("ids") >= 2)
         .select(F.explode(pair_structs).alias("p"))
@@ -408,29 +417,37 @@ def _with_band_buckets(df: DataFrame, shingles_col: str) -> DataFrame:
     per row.  Empty shingle sets get an EMPTY bands array (array_min of
     nothing is null, which would otherwise bucket all empty docs
     together)."""
+    # SQL-text construction (r12 opt): the Column-DSL form built 31
+    # higher-order lambdas (~20 ms of py4j each) per call — ~0.6 s of
+    # driver wall per gate trigger / index build.  One F.expr parse
+    # yields the identical analyzed tree (pinned by
+    # test_band_buckets_sql_twin_bit_identical).
     col = F.col(shingles_col)
     staged = df.withColumns(
         {
             # 31-bit base value per shingle, hashed once; the 30 family
             # members are integer ops over this one array
-            "_x": F.transform(
-                col,
-                lambda s: F.shiftrightunsigned(F.xxhash64(s), 33) % _MH_P,
+            "_x": F.expr(
+                f"transform(`{shingles_col}`, "
+                f"_bs -> shiftrightunsigned(xxhash64(_bs), 33) % {_MH_P})"
             ),
         }
     )
 
-    def mh_min(j):  # factory: a plain lambda would capture j by reference
+    def mh_min_sql(j: int) -> str:
         a, b = _mh_consts(j)
-        return F.array_min(
-            F.transform(
-                F.col("_x"),
-                lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P,
-            )
+        return (
+            f"array_min(transform(_x, _bx -> ({a} * _bx + {b}) % {_MH_P}))"
         )
 
-    mins = [mh_min(j) for j in range(_INDEX_NUM_PERM)]
-    bands = F.when(F.size(col) > 0, _bucket_array(mins)).otherwise(
+    mins = [mh_min_sql(j) for j in range(_INDEX_NUM_PERM)]
+    buckets = ", ".join(
+        "xxhash64({}, {})".format(
+            ", ".join(mins[t * _INDEX_ROWS : (t + 1) * _INDEX_ROWS]), t
+        )
+        for t in range(_INDEX_BANDS)
+    )
+    bands = F.when(F.size(col) > 0, F.expr(f"array({buckets})")).otherwise(
         F.array().cast("array<bigint>")
     )
     return staged.withColumn("bands_v2", bands).drop("_x")
@@ -511,8 +528,14 @@ def doc_shingle_index(
     """
     from data_pipeline_spark.llmops.textstats import word_ngrams
 
+    from data_pipeline_spark.llmops.textstats import tokens_sql, word_ngrams_sql
+
     sh = F.array_distinct(
-        F.transform(word_ngrams(tokens(text_col), n), lambda s: F.xxhash64(s))
+        F.expr(
+            "transform({}, _hs -> xxhash64(_hs))".format(
+                word_ngrams_sql(tokens_sql(f"`{text_col}`"), n)
+            )
+        )
     )
     base = df.select(
         F.col(id_col).alias("cor_id"),
@@ -947,17 +970,7 @@ def minhash_lsh_candidate_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
+    pair_structs = F.expr(_PAIR_STRUCTS_SQL)
     return (
         posting.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.id_a", "p.id_b")

@@ -466,17 +466,9 @@ def lsh_neardup_pairs(
         .agg(F.collect_list("v_id").alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
+    from data_pipeline_spark.llmops.dedup import _PAIR_STRUCTS_SQL
+
+    pair_structs = F.expr(_PAIR_STRUCTS_SQL)
     cand = (
         grp.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")

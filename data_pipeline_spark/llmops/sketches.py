@@ -208,7 +208,8 @@ def _cms_slot(item_col, d: int, width: int):
 
 
 def count_min_sketch(
-    df: DataFrame, item_col: str, width: int = 2048, depth: int = 5
+    df: DataFrame, item_col: str, width: int = 2048, depth: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(d, slot, cnt) sparse Count-Min sketch of an item stream.
 
@@ -216,7 +217,13 @@ def count_min_sketch(
     explode to (d, slot), one partial-aggregated groupBy — the shuffle
     carries at most depth * width rows per partition regardless of stream
     size (map-side combine collapses to slot space).  NULL items are
-    excluded explicitly (same contract as the other sketches)."""
+    excluded explicitly (same contract as the other sketches).
+
+    ``weight_col``: build from a PRE-AGGREGATED (item, count) frame —
+    CMS counters are additive, so summing per-item counts into slots is
+    exactly the sketch of the underlying stream (r12 opt: lets callers
+    that also need exact per-item counts share ONE pass over the corpus
+    instead of re-scanning it per consumer)."""
     slots = F.array(
         *[
             F.struct(
@@ -226,12 +233,24 @@ def count_min_sketch(
             for d in range(depth)
         ]
     )
-    return (
-        df.select(F.col(item_col).alias("item"))
+    cols = [F.col(item_col).alias("item")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+    agg = (
+        F.sum("_w").alias("cnt")
+        if weight_col is not None
+        else F.count(F.lit(1)).alias("cnt")
+    )
+    slotted = (
+        df.select(*cols)
         .filter(F.col("item").isNotNull())
-        .select(F.explode(slots).alias("s"))
-        .groupBy(F.col("s.d").alias("d"), F.col("s.slot").alias("slot"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.explode(slots).alias("s"), *(
+            [F.col("_w")] if weight_col is not None else []
+        ))
+    )
+    return (
+        slotted.groupBy(F.col("s.d").alias("d"), F.col("s.slot").alias("slot"))
+        .agg(agg)
     )
 
 

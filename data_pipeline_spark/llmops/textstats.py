@@ -29,6 +29,31 @@ def tokens(text: str | Column) -> Column:
     return F.split(c, _WS)
 
 
+# SQL-text twins (r12 opt): the Column-DSL zip_with chain in word_ngrams
+# costs ~20 ms of py4j roundtrips per lambda per construction; composing
+# the SAME expression as SQL text parses in one F.expr call with an
+# identical analyzed tree (schema- and value-identical, pinned by
+# tests/test_llmops.py::test_word_ngrams_sql_twin_bit_identical).
+
+def tokens_sql(col: str) -> str:
+    return f"split({col}, '{_WS}')"
+
+
+def word_ngrams_sql(toks: str, n: int) -> str:
+    """SQL fragment form of ``word_ngrams`` over a token-array fragment."""
+    cnt = f"(size({toks}) - {n - 1})"
+    grams = f"slice({toks}, 1, {cnt})"
+    for k in range(2, n + 1):
+        grams = (
+            f"zip_with({grams}, slice({toks}, {k}, {cnt}), "
+            f"(_wa, _wb) -> concat_ws(' ', _wa, _wb))"
+        )
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN {grams} "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
 def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 

@@ -1225,14 +1225,26 @@ def cms_bigram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     width, depth = 2048, 5
     stream = _bigram_stream(spark, sf_dir)
-    sketch = sketches.count_min_sketch(stream, "item", width, depth)
-    exact = (
+    # ONE corpus pass (r12 opt): the raw stream previously fed THREE plan
+    # branches (sketch build, exact top-50, total count) and Spark has no
+    # CSE, so the tokenize + bigram expansion executed three times per
+    # action.  All three consumers derive exactly from the per-item
+    # counts: CMS counters are additive (weighted build == stream build),
+    # big_n = sum of group counts (coalesce 0 keeps the empty-stream
+    # row), and the top-50 is a sort of the groups.  localCheckpoint
+    # materializes the vocabulary-bounded group table once.
+    grouped = (
         stream.groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("item").asc())
-        .limit(50)
+        .localCheckpoint(eager=True)
     )
-    total = stream.agg(F.count(F.lit(1)).alias("big_n"))
+    sketch = sketches.count_min_sketch(
+        grouped, "item", width, depth, weight_col="n"
+    )
+    exact = grouped.orderBy(F.col("n").desc(), F.col("item").asc()).limit(50)
+    total = grouped.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("big_n")
+    )
     est = sketches.cms_estimates(sketch, exact, "item", width, depth)
     return (
         exact.join(est, "item")
@@ -1593,10 +1605,19 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = toks.count()  # plan-time scalar, same value the oracle computes
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     seq = toks.withColumn("prev", F.lag("w").over(w_doc))
+    # materialize the (prev, w, cb) MODEL table once (r12 opt): big feeds
+    # both the scored join and the ctx aggregation — two plan branches,
+    # and Spark has no CSE, so each otherwise replays the tokenize +
+    # posexplode + lag-window pipeline over the corpus.  The model table
+    # is bigram-vocabulary-bounded (Heaps-law at natural language), so
+    # checkpointing it is cheap at any corpus scale; materializing the
+    # raw token stream instead was measured SLOWER at sf0.1 (the token
+    # rows outweigh re-tokenizing).
     big = (
         seq.filter(F.col("prev").isNotNull())
         .groupBy("prev", "w")
         .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
     )
     ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
     p = F.when(

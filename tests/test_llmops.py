@@ -3543,3 +3543,87 @@ def test_sql_expr_twins_bit_identical(spark):
     assert old_c.schema == new_c.schema
     assert old_c.exceptAll(new_c).count() == 0
     assert new_c.exceptAll(old_c).count() == 0
+
+
+def test_word_ngrams_sql_twin_bit_identical(spark):
+    from data_pipeline_spark.llmops import textstats
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for n in (3, 4, 8):
+        old = docs.select(
+            textstats.word_ngrams(textstats.tokens("text"), n).alias("g")
+        )
+        new = docs.select(
+            F.expr(
+                textstats.word_ngrams_sql(textstats.tokens_sql("text"), n)
+            ).alias("g")
+        )
+        assert old.schema == new.schema
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+
+def test_pair_structs_sql_twin_bit_identical(spark):
+    """_PAIR_STRUCTS_SQL == the nested-lambda struct(alias) form it
+    replaced, over posting lists incl. empty and single-element lists."""
+    rows = [([],), ([5],), ([3, 1],), ([9, 2, 7, 2],), ([1, 2, 3, 4, 5],)]
+    df = spark.createDataFrame(rows, "ids array<bigint>")
+    old = df.select(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("id_a"),
+                        F.greatest(x, y).alias("id_b"),
+                    ),
+                ),
+            )
+        ).alias("p")
+    )
+    new = df.select(F.expr(ld._PAIR_STRUCTS_SQL).alias("p"))
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_band_buckets_sql_twin_bit_identical(spark):
+    """_with_band_buckets' SQL-text construction == the 31-lambda DSL
+    form (rebuilt here verbatim from the pre-r12 code), bucket for
+    bucket, including empty shingle sets."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = ld.doc_shingle_index(docs, "doc_id", "text", 3, with_bands=False)
+
+    col = F.col("shingles")
+    staged = idx.withColumns(
+        {
+            "_x": F.transform(
+                col,
+                lambda s: F.shiftrightunsigned(F.xxhash64(s), 33) % ld._MH_P,
+            ),
+        }
+    )
+
+    def mh_min(j):
+        a, b = ld._mh_consts(j)
+        return F.array_min(
+            F.transform(
+                F.col("_x"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % ld._MH_P,
+            )
+        )
+
+    mins = [mh_min(j) for j in range(ld._INDEX_NUM_PERM)]
+    bands_old = F.when(F.size(col) > 0, ld._bucket_array(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    old = (
+        staged.withColumn("bands_v2", bands_old)
+        .drop("_x")
+        .select("cor_id", "bands_v2")
+    )
+    new = ld._with_band_buckets(idx, "shingles").select("cor_id", "bands_v2")
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
