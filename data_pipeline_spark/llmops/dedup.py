@@ -1668,7 +1668,16 @@ def duplicate_rate(df: DataFrame, text_col: str, n: int = 3) -> float:
     the sf1 corpus — the r12 sf1 ABA bracket flagged it as a 1.9-2.6x
     wall regression on every contraction-wired query), so exact is both
     sharper AND cheaper here."""
-    has_shingle = F.size(tokens(text_col)) >= n
+    # ">= n tokens" WITHOUT materializing the token array (r12 opt): the
+    # corpus is single-space tokenized and split(' ') keeps empties, so
+    # size(tokens) == spaces + 1 identically (NULL text is NULL through
+    # both forms) — counting spaces via one replace() skips the regex
+    # split + per-token string allocation that dominated the probe's
+    # map stage (pinned by test_duplicate_rate_predicate_equivalence).
+    has_shingle = F.expr(
+        f"length(`{text_col}`) - length(replace(`{text_col}`, ' ', ''))"
+        f" >= {n - 1}"
+    )
     row = (
         df.select(
             F.when(has_shingle, F.md5(F.col(text_col))).alias("fp")

@@ -3627,3 +3627,32 @@ def test_band_buckets_sql_twin_bit_identical(spark):
     assert old.schema == new.schema
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_duplicate_rate_predicate_equivalence(spark):
+    """The space-counting eligibility predicate in duplicate_rate must
+    equal size(tokens) >= n row-for-row, including NULL/empty/trailing-
+    space texts, so the probe's contract decision can never drift from
+    the tokens-based rule exact_contract applies."""
+    from data_pipeline_spark.llmops.textstats import tokens
+
+    rows = [
+        (1, None), (2, ""), (3, "one"), (4, "a b"), (5, "a b c"),
+        (6, "a b c d"), (7, "a  b"), (8, " leading"), (9, "trailing "),
+        (10, "  "), (11, "a b "), (12, " a b c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for n in (1, 2, 3, 4):
+        old = df.select(
+            "id", (F.size(tokens("text")) >= n).alias("e")
+        )
+        new = df.select(
+            "id",
+            F.expr(
+                f"length(`text`) - length(replace(`text`, ' ', ''))"
+                f" >= {n - 1}"
+            ).alias("e"),
+        )
+        assert old.schema == new.schema
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
