@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_spark.llmops.textstats import tokens
+from data_pipeline_spark.llmops.textstats import token_count, tokens
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1622,7 +1622,9 @@ def exact_contract(
     # at warehouse scale this is the write of the deduplicated corpus).
     # An earlier form carried the text through min(struct(id, text)) —
     # one wide shuffle of every document body, measured ~2x this one.
-    has_shingle = F.size(tokens(text_col)) >= n
+    # token_count is the space-counting form (no token-array allocation
+    # in the keying map stage; same rule duplicate_rate probes with)
+    has_shingle = token_count(text_col) >= n
     keyed = df.select(
         F.col(id_col),
         F.when(has_shingle, F.md5(F.col(text_col)))
@@ -1668,16 +1670,13 @@ def duplicate_rate(df: DataFrame, text_col: str, n: int = 3) -> float:
     the sf1 corpus — the r12 sf1 ABA bracket flagged it as a 1.9-2.6x
     wall regression on every contraction-wired query), so exact is both
     sharper AND cheaper here."""
-    # ">= n tokens" WITHOUT materializing the token array (r12 opt): the
-    # corpus is single-space tokenized and split(' ') keeps empties, so
-    # size(tokens) == spaces + 1 identically (NULL text is NULL through
-    # both forms) — counting spaces via one replace() skips the regex
-    # split + per-token string allocation that dominated the probe's
-    # map stage (pinned by test_duplicate_rate_predicate_equivalence).
-    has_shingle = F.expr(
-        f"length(`{text_col}`) - length(replace(`{text_col}`, ' ', ''))"
-        f" >= {n - 1}"
-    )
+    # ">= n tokens" WITHOUT materializing the token array (r12 opt):
+    # token_count is the space-counting form — skips the regex split +
+    # per-token string allocation that dominated the probe's map stage
+    # (pinned by test_duplicate_rate_predicate_equivalence), and is the
+    # SAME expression exact_contract keys on, so the probe's decision
+    # can never drift from the rule the contraction applies.
+    has_shingle = token_count(text_col) >= n
     row = (
         df.select(
             F.when(has_shingle, F.md5(F.col(text_col))).alias("fp")
@@ -1835,7 +1834,10 @@ def duplicate_span_stats(
         F.sum(new_span.cast("long")).alias("n_dup_spans"),
         F.sum(contrib).alias("dup_tokens"),
     )
-    nt = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    # token_count = the space-counting form: this branch re-reads the
+    # corpus text ONLY to count tokens, so skipping the regex split +
+    # token-array allocation cuts the branch's map stage ~5x (r12)
+    nt = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
     # per is one row per document (corpus-sized, post-agg estimate reads
     # small) — pin the co-keyed shuffle instead of a growing broadcast
     return nt.join(per.hint("shuffle_hash"), id_col, "left").select(

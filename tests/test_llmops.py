@@ -3656,3 +3656,23 @@ def test_duplicate_rate_predicate_equivalence(spark):
         assert old.schema == new.schema
         assert old.exceptAll(new).count() == 0
         assert new.exceptAll(old).count() == 0
+
+
+def test_token_count_equals_size_tokens(spark):
+    """token_count's space-counting form must equal size(tokens(text))
+    row-for-row — schema included — on NULL/empty/multi-space/leading/
+    trailing-space texts: duplicate_span_stats' n_tokens, bpe_token_stats
+    and exact_contract's eligibility all key on it."""
+    from data_pipeline_spark.llmops.textstats import token_count, tokens
+
+    rows = [
+        (1, None), (2, ""), (3, "one"), (4, "a b"), (5, "a b c"),
+        (6, "a  b"), (7, " leading"), (8, "trailing "), (9, "  "),
+        (10, "a b "), (11, " a b c"), (12, "a" * 50),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    old = df.select("id", F.size(tokens("text")).alias("n"))
+    new = df.select("id", token_count("text").alias("n"))
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
