@@ -604,12 +604,21 @@ def _ivf_centroids_impl(
             n_lists,
             kmeans_iters,
         )
+        # pandas in => Arrow LocalTableScan: a plain list of tuples plans
+        # as an RDD-backed Scan ExistingRDD whose every consumer stage
+        # fans the n_lists rows across defaultParallelism PYTHON tasks
+        # (r12 profile: ~10 CPU-s of worker spin per ANN construction)
         return (
             df.sparkSession.createDataFrame(
-                [
-                    (i, [float(val) for val in cent[i]])
-                    for i in range(len(cent))
-                ],
+                pd.DataFrame(
+                    {
+                        "list_id": list(range(len(cent))),
+                        "c_vec": [
+                            [float(val) for val in cent[i]]
+                            for i in range(len(cent))
+                        ],
+                    }
+                ),
                 "list_id INT, c_vec ARRAY<DOUBLE>",
             ),
             cent,
@@ -1033,7 +1042,17 @@ def ivf_layout_topk(
     probes = ivf_probes(queries, centroids, id_col, vec_col, n_probe)
     probe_schema = probes.schema
     probe_rows = probes.collect()
-    probes = spark.createDataFrame(probe_rows, probe_schema)
+    # pandas in => Arrow LocalTableScan (not an RDD-backed frame whose
+    # consumer stages each pay defaultParallelism Python-worker tasks)
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                f: [r[f] for r in probe_rows]
+                for f in probe_schema.fieldNames()
+            }
+        ),
+        probe_schema,
+    )
     probe_lists = sorted({int(r.list_id) for r in probe_rows})
     idx = spark.read.parquet(path)
     idx = (

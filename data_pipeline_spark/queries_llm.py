@@ -1401,10 +1401,18 @@ def bpe_pair_counts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_spark.llmops import bpe
 
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, n_merges=60, max_words=20_000)
+    # pandas in => Arrow LocalTableScan: the tuple-list form made the
+    # RESULT frame RDD-backed, so every timed collect paid a 32-task
+    # Python stage to read 60 driver-resident rows (r12)
     return spark.createDataFrame(
-        merges, "rank long, lhs string, rhs string, pair_count long"
+        pd.DataFrame(
+            merges, columns=["rank", "lhs", "rhs", "pair_count"]
+        ),
+        "rank long, lhs string, rhs string, pair_count long",
     )
 
 
@@ -1817,8 +1825,19 @@ def _persisted_ivf_layout(spark: SparkSession, sf_dir: str):
     # float32 — a DIFFERENT quantizer from the one that assigned the
     # layout's lists, masked only because the certificate probes all
     # lists (ADVICE r10 medium; parity pinned in tests/test_llmops.py).
+    # pandas in => Arrow LocalTableScan: the tuple-list form planned as
+    # an RDD-backed frame whose consumer stages each fanned these 16
+    # rows across 32 Python-worker tasks (r12 profile: ~10 CPU-s per
+    # probe construction)
+    import pandas as pd
+
     centroids = spark.createDataFrame(
-        [(int(lid), [float(x) for x in vec]) for lid, vec in rows],
+        pd.DataFrame(
+            {
+                "list_id": [int(lid) for lid, _ in rows],
+                "c_vec": [[float(x) for x in vec] for _, vec in rows],
+            }
+        ),
         "list_id INT, c_vec ARRAY<DOUBLE>",
     )
     return str(layout), centroids
