@@ -341,12 +341,25 @@ def strip_duplicated_segments(
             ),
         )
     )
-    toks = tokens(text_col)
-    n_full = (F.size(toks) / seg_len).cast("int")
-    tail = F.concat_ws(
-        " ", F.slice(toks, n_full * seg_len + 1, F.size(toks) - n_full * seg_len)
+    # tail = the last (token_count % seg_len) tokens WITHOUT
+    # materializing the token array (r12): substring_index takes the
+    # suffix after the m-th-last space, which under the split-keeps-
+    # empties contract is exactly the re-joined sliced token array
+    # (multi-space runs and leading/trailing empties reproduce verbatim;
+    # m = token count means fewer than m delimiters exist and the whole
+    # text returns; NULL text coalesces to '' like concat_ws did).  This
+    # branch re-read the corpus text ONLY to slice its tail — the regex
+    # split was 4 CPU-s of its 4.5 at sf0.1.  Pinned row-for-row by
+    # test_strip_tail_expression_equivalence.
+    cnt = f"(length(`{text_col}`) - length(replace(`{text_col}`, ' ', '')) + 1)"
+    m = f"({cnt} % {seg_len})"
+    base = df.select(
+        F.col(id_col),
+        F.expr(
+            f"coalesce(CASE WHEN {m} = 0 THEN '' "
+            f"ELSE substring_index(`{text_col}`, ' ', -{m}) END, '')"
+        ).alias("tail"),
     )
-    base = df.select(F.col(id_col), tail.alias("tail"))
     # kept is one row PER DOCUMENT carrying the reassembled text — a
     # corpus-sized frame whose post-agg estimate reads small, so without
     # the hint the planner broadcasts (nearly) the whole corpus text

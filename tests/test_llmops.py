@@ -3676,3 +3676,42 @@ def test_token_count_equals_size_tokens(spark):
     assert old.schema == new.schema
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_strip_tail_expression_equivalence(spark):
+    """strip_duplicated_segments' substring_index tail must equal the
+    token-array slice form row-for-row — multi-space runs, leading/
+    trailing spaces, empty, NULL, exact-multiple and sub-seg_len texts —
+    since the cleaned md5 embeds the tail verbatim."""
+    from data_pipeline_spark.llmops.textstats import tokens
+
+    rows = [
+        (1, None), (2, ""), (3, "one"), (4, " ".join("t%d" % i for i in range(8))),
+        (5, " ".join("t%d" % i for i in range(9))),
+        (6, " ".join("t%d" % i for i in range(23))),
+        (7, "a  b"), (8, "a b "), (9, " a b"), (10, "  "),
+        (11, " ".join("x" for _ in range(16)) + " y  z "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for seg_len in (3, 8):
+        toks = tokens("text")
+        n_full = (F.size(toks) / seg_len).cast("int")
+        old = df.select(
+            "id",
+            F.concat_ws(
+                " ",
+                F.slice(toks, n_full * seg_len + 1, F.size(toks) - n_full * seg_len),
+            ).alias("tail"),
+        )
+        cnt = "(length(`text`) - length(replace(`text`, ' ', '')) + 1)"
+        m = f"({cnt} % {seg_len})"
+        new = df.select(
+            "id",
+            F.expr(
+                f"coalesce(CASE WHEN {m} = 0 THEN '' "
+                f"ELSE substring_index(`text`, ' ', -{m}) END, '')"
+            ).alias("tail"),
+        )
+        assert old.schema == new.schema
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
