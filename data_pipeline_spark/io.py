@@ -30,14 +30,60 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Analyzed source frames per (SparkContext, path, file fingerprint).  A bare
+# ``spark.read.parquet`` re-lists the directory and re-reads a parquet FOOTER
+# for schema inference on EVERY call — ~110 ms per table on this host (r12
+# gap profile), paid again for every frame a query builds over the same
+# immutable file set; across the 67-query bench that footer tax alone was
+# ~10 s of the 61.6 s wall.  The cached value is the analyzed DataFrame (a
+# logical plan — METADATA, never row data: every action over it still scans
+# the parquet inputs), keyed on the file set's (name, size, mtime_ns)
+# fingerprint so any rewrite of the table invalidates it, exactly like the
+# split-count memo below and Spark's own session-scoped
+# filesourcePartitionFileCacheSize listing cache for catalog tables
+# (guide §6: avoid repeated listings of the same table).
+_TABLE_FRAMES: dict = {}
+
+
+def _path_sig(path: str):
+    """(size, mtime) fingerprint of a parquet file, or the sorted
+    (name, size, mtime) set of a parquet directory; None when unstatable
+    (missing path falls through to spark.read for its usual error)."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_size, st.st_mtime_ns)
+        with os.scandir(path) as it:
+            return tuple(
+                sorted(
+                    (e.name, s.st_size, s.st_mtime_ns)
+                    for e in it
+                    for s in (e.stat(),)
+                )
+            )
+    except OSError:
+        return None
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    sig = _path_sig(path)
+    key = None
+    if sig is not None:
+        # applicationId is unique per SparkContext launch, so a cached
+        # frame can never outlive its JVM context (id() could be reused)
+        key = (spark.sparkContext.applicationId, path)
+        hit = _TABLE_FRAMES.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+    df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+    if key is not None:
+        if len(_TABLE_FRAMES) > 512:  # bound growth across many sessions
+            _TABLE_FRAMES.clear()
+        _TABLE_FRAMES[key] = (sig, df)
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
