@@ -187,6 +187,57 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+# Footer row-count memo per (path, fingerprint) — see parquet_num_rows.
+_NUM_ROWS: dict = {}
+
+
+def parquet_num_rows(path: str) -> int | None:
+    """EXACT row count of a parquet file/dir from its FOOTER metadata —
+    driver-side metadata I/O, no Spark job.  ``count()`` on an unfiltered
+    parquet scan computes the same number the slow way: a full scan stage
+    plus a job's fixed overhead (~0.1-0.3 s at sf0.1), for a value every
+    footer already stores.  This is the same metadata Spark's own
+    statistics use; None when the path is missing or holds no parquet
+    files (callers fall back to a real count).  Memoized on the file-set
+    fingerprint so repeated probes (gate triggers, bench reps) pay one
+    footer read per layout version."""
+    import pyarrow.parquet as pq
+
+    sig = _path_sig(path)
+    if sig is None:
+        return None
+    hit = _NUM_ROWS.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
+            if not files:
+                return None
+            total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        else:
+            total = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    if len(_NUM_ROWS) > 512:
+        _NUM_ROWS.clear()
+    _NUM_ROWS[path] = (sig, total)
+    return total
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a base table — parquet footer metadata when possible
+    (no job), ``count()`` otherwise."""
+    n = parquet_num_rows(os.path.join(sf_dir, f"{name}.parquet"))
+    if n is not None:
+        return n
+    return load_table(spark, sf_dir, name).count()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

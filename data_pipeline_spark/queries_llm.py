@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_spark.io import load_spread, load_table, spread_scan
+from data_pipeline_spark.io import (
+    load_spread,
+    load_table,
+    parquet_num_rows,
+    spread_scan,
+    table_rows,
+)
 from data_pipeline_spark.llmops import dedup as ld
 from data_pipeline_spark.llmops import multimodal, similarity, sketches, textstats
 from data_pipeline_spark.queries import QUERIES, register
@@ -1325,7 +1331,9 @@ def lsh_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(
         emb, threshold=0.45, num_tables=64, dim=64,
-        corpus_size=emb.count(),  # one metadata-cheap count
+        # exact corpus size from the parquet footers — the count() job
+        # this replaces computed the same number with a full scan stage
+        corpus_size=table_rows(spark, sf_dir, "embeddings"),
     )
 
 
@@ -1474,7 +1482,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(textstats.tokens("text")).alias("w"))
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()  # plan-time scalar, same value the oracle computes
+    # plan-time scalar, same value the oracle computes — exact row count
+    # straight off the parquet footers (no count() job)
+    n_docs = table_rows(spark, sf_dir, "documents")
     scored = tf.join(F.broadcast(dfreq), "w").select(
         "doc_id",
         "w",
@@ -1526,7 +1536,14 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(textstats.tokens("text")).alias("w"))
     wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.count()  # plan-time scalar, same value the oracle computes
+    # plan-time scalar, same value the oracle computes: sum of per-doc
+    # token counts == count of exploded token rows (explode emits
+    # size(tokens) rows per doc, 0 for NULL; token_count == size(tokens)
+    # row-for-row, test-pinned), via space arithmetic instead of a
+    # second tokenize+explode pass over the corpus
+    total = (
+        docs.agg(F.sum(textstats.token_count("text"))).first()[0] or 0
+    )
     scored = toks.join(F.broadcast(wf), "w").select(
         "doc_id",
         F.round(
@@ -1610,7 +1627,11 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(textstats.tokens("text")).alias("i", "w")
     )
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    total = toks.count()  # plan-time scalar, same value the oracle computes
+    # same space-arithmetic token total as unigram_logprob_score (the
+    # posexplode row count), one cheap map stage instead of re-tokenizing
+    total = (
+        docs.agg(F.sum(textstats.token_count("text"))).first()[0] or 0
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     seq = toks.withColumn("prev", F.lag("w").over(w_doc))
     # materialize the (prev, w, cb) MODEL table once (r12 opt): big feeds
@@ -3219,15 +3240,10 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ld.incremental_dedup_gate(corpus, incoming, "doc_id", "text")
 
 
-def _persisted_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus half's doc_shingle_index sidecar, materialized ONCE per
-    (sf_dir, source-file identity) and reused — by both gate catalog
-    entries and across bench reps — so their timings measure the
-    steady-state per-trigger gate, not an index rebuild (the streaming
-    sink builds index rows incrementally per admitted batch; a full
-    rebuild per trigger is precisely what the sidecar exists to avoid).
-    The cache key carries the documents file's (size, mtime) so a
-    regenerated testdata tree invalidates it."""
+def _gate_index_dir(sf_dir: str):
+    """Base/index dirs of the persisted gate sidecar for this sf_dir —
+    keyed on the documents file's (size, mtime) so a regenerated
+    testdata tree invalidates the layout."""
     import hashlib
     import os
     import tempfile
@@ -3239,7 +3255,19 @@ def _persisted_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     base = Path(tempfile.gettempdir()) / "spark_graft_gate_index" / key
-    idx_dir = base / "index"
+    return base, base / "index"
+
+
+def _persisted_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus half's doc_shingle_index sidecar, materialized ONCE per
+    (sf_dir, source-file identity) and reused — by both gate catalog
+    entries and across bench reps — so their timings measure the
+    steady-state per-trigger gate, not an index rebuild (the streaming
+    sink builds index rows incrementally per admitted batch; a full
+    rebuild per trigger is precisely what the sidecar exists to avoid)."""
+    import os
+
+    base, idx_dir = _gate_index_dir(sf_dir)
     if not (idx_dir / "_SUCCESS").exists():
         with _sidecar_lock(base):
             if not (idx_dir / "_SUCCESS").exists():
@@ -3362,6 +3390,9 @@ def banded_index_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = ld.indexed_dedup_gate(
         _persisted_gate_index(spark, sf_dir), incoming, "doc_id", "text",
         band_prune=True,
+        # adaptive literal/join crossover sizing off the sidecar's parquet
+        # footers (exact row count, no count() job per trigger)
+        index_rows=lambda: parquet_num_rows(str(_gate_index_dir(sf_dir)[1])),
     )
     return flags.select("doc_id", "exact_dup", "near_dup", "keep")
 
