@@ -1332,38 +1332,47 @@ def connected_components(
     HIGH-DIAMETER graphs use ``connected_components_star`` (O(log n)
     rounds on any topology).
     """
+    # Materialize the DIRECTED edge list once (one checkpoint job over
+    # the pair pipeline — half the rows/blocks of the pre-r12 both-
+    # directions form; the mirror direction is derived later, in-row for
+    # the distributed rounds and by symmetric union() calls in the driver
+    # union-find), then probe its size with ONE bounded limit-collect off
+    # the checkpointed blocks instead of a count job + a second full
+    # collect: at or below the threshold the probe already holds every
+    # edge, so the decision action IS the data fetch.
+    canon = edges.select(
+        F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
+    ).localCheckpoint(eager=True)
+    head = canon.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        # no distinct on this path (one exchange + AQE round saved):
+        # union-find is duplicate-tolerant, and for unique canonical
+        # edge lists the row count is |E| either way
+        return _driver_union_find(
+            [(r.id, r.nbr) for r in head], canon, nodes, id_col
+        )
     # Both edge directions via ONE in-row explode, not union(fwd, rev):
     # Spark has no common-subexpression elimination, so the union form
-    # plans the ENTIRE upstream pair pipeline twice — at r12 profiling the
-    # posting-list pair expansion and both sizes joins ran two times per
-    # materialization (duplicate 12 MB exchanges in the same DAG).  Row
-    # set is identical (each (a,b) contributes (a,b) and (b,a) either way).
+    # plans the ENTIRE upstream subtree twice (here: one block read of
+    # the checkpoint per direction — cheap, but the explode form also
+    # keeps the r12-profiled single-branch shape for un-checkpointed
+    # callers).  The distributed rounds join und every iteration — dedup
+    # once so a caller's duplicate edges don't inflate every round.
     und = (
-        edges.select(
+        canon.select(
             F.explode(
                 F.array(
+                    F.struct(F.col("id"), F.col("nbr")),
                     F.struct(
-                        F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
-                    ),
-                    F.struct(
-                        F.col(dst_col).alias("id"), F.col(src_col).alias("nbr")
+                        F.col("nbr").alias("id"), F.col("id").alias("nbr")
                     ),
                 )
             ).alias("e")
         )
         .select("e.id", "e.nbr")
+        .distinct()
         .localCheckpoint(eager=True)
     )
-
-    n_edges = und.count()  # materialized by the checkpoint: O(1)-ish
-    if n_edges <= 2 * driver_threshold:  # und carries both directions
-        # no distinct on this path (one exchange + AQE round saved):
-        # union-find is duplicate-tolerant, and for unique canonical
-        # edge lists the row count is 2|E| either way
-        return _driver_union_find(und, nodes, id_col)
-    # the distributed rounds join und every iteration — dedup once so a
-    # caller's duplicate edges don't inflate every round
-    und = und.distinct().localCheckpoint(eager=True)
 
     # Only nodes that appear in an edge can ever change label: propagate
     # over that set alone (|near-dup docs|, tiny vs |corpus|) and re-attach
@@ -1421,10 +1430,14 @@ def _attach_singletons(
     return labels.union(singletons).select(F.col("node").alias(id_col), "component")
 
 
-def _driver_union_find(und: DataFrame, nodes: DataFrame, id_col: str) -> DataFrame:
+def _driver_union_find(
+    pairs: list, edge_frame: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
     """Exact small-graph path: union-find with path compression over the
-    collected (id, nbr) pairs, labels = min node id per component —
-    identical output to the distributed propagation."""
+    already-collected (id, nbr) pairs (direction-insensitive: union(a,b)
+    == union(b,a), so the caller passes each edge ONCE), labels = min
+    node id per component — identical output to the distributed
+    propagation.  ``edge_frame`` supplies the session and the id dtype."""
     parent: dict = {}
 
     def find(x):
@@ -1435,7 +1448,6 @@ def _driver_union_find(und: DataFrame, nodes: DataFrame, id_col: str) -> DataFra
             parent[x], x = root, parent[x]
         return root
 
-    pairs = [(r.id, r.nbr) for r in und.collect()]
     for a, b in pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
@@ -1447,8 +1459,8 @@ def _driver_union_find(und: DataFrame, nodes: DataFrame, id_col: str) -> DataFra
         m = comp_min.get(r)
         if m is None or x < m:
             comp_min[r] = x
-    spark = und.sparkSession
-    schema = und.select(
+    spark = edge_frame.sparkSession
+    schema = edge_frame.select(
         F.col("id").alias("node"), F.col("id").alias("component")
     ).schema
     # Arrow-path creation (pandas in, not a list of tuples): a pickled
