@@ -65,10 +65,14 @@ def _path_sig(path: str):
         return None
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
+def read_parquet_cached(
+    spark: SparkSession, path: str, loader=None
+) -> DataFrame:
+    """``spark.read.parquet(path)`` with the analyzed frame memoized per
+    (SparkContext, path, file fingerprint) — the footer-tax fix above,
+    usable for any immutable-until-rewritten parquet layout (base tables,
+    persisted index/layout sidecars).  ``loader`` overrides the read for
+    sources needing post-load normalization (the events ts branch)."""
     sig = _path_sig(path)
     key = None
     if sig is not None:
@@ -78,12 +82,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         hit = _TABLE_FRAMES.get(key)
         if hit is not None and hit[0] == sig:
             return hit[1]
-    df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+    df = loader(spark, path) if loader else spark.read.parquet(path)
     if key is not None:
         if len(_TABLE_FRAMES) > 512:  # bound growth across many sessions
             _TABLE_FRAMES.clear()
         _TABLE_FRAMES[key] = (sig, df)
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return read_parquet_cached(
+        spark, path, loader=_load_events if name == "events" else None
+    )
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_spark.io import read_parquet_cached
+
 Q = 1_000_000  # 1e-6 quantization
 
 
@@ -1054,7 +1056,9 @@ def ivf_layout_topk(
         probe_schema,
     )
     probe_lists = sorted({int(r.list_id) for r in probe_rows})
-    idx = spark.read.parquet(path)
+    # footer-tax-free layout read (immutable until rewritten;
+    # fingerprint-keyed cache in io.read_parquet_cached)
+    idx = read_parquet_cached(spark, path)
     idx = (
         idx.filter(F.col("list_id").isin(probe_lists))
         if probe_lists

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_spark.functions import scalars
-from data_pipeline_spark.io import load_table
+from data_pipeline_spark.io import load_table, read_parquet_cached
 from data_pipeline_spark.operators import aggregates as agg
 from data_pipeline_spark.operators import dedup, joins, ordering
 
@@ -1441,7 +1441,7 @@ def zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder.zorder_write(
             li, layout_dir, ["l_orderkey", "l_partkey"], bits=10, n_files=16
         )
-    zl = spark.read.parquet(layout_dir)
+    zl = read_parquet_cached(spark, layout_dir)
     # the box bounds must be LITERALS for the predicate to push into the
     # parquet scan (PushedFilters -> row-group pruning — the very thing
     # the layout exists for); a joined-in stats row would evaluate the

@@ -13,6 +13,7 @@ from data_pipeline_spark.io import (
     load_spread,
     load_table,
     parquet_num_rows,
+    read_parquet_cached,
     spread_scan,
     table_rows,
 )
@@ -3285,7 +3286,7 @@ def _persisted_gate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "text",
                 ).write.mode("overwrite").parquet(str(stage))
                 _publish_dir(stage, idx_dir)
-    return spark.read.parquet(str(idx_dir))
+    return read_parquet_cached(spark, str(idx_dir))
 
 
 
@@ -3691,7 +3692,7 @@ def _persisted_semantic_index(spark: SparkSession, sf_dir: str):
     return (
         np.asarray(d["coarse"], np.float64),
         np.asarray(d["codebooks"], np.float64),
-        spark.read.parquet(str(idx_dir)),
+        read_parquet_cached(spark, str(idx_dir)),
     )
 
 
