@@ -714,15 +714,19 @@ def indexed_dedup_gate(
             F.col("n_sh").alias("inc_n"),
             "shingles",
         )
-    # index side stays map-side: filter the index hash stream by the
-    # BROADCAST incoming hash set, then the (tiny) surviving hashes
-    # broadcast back onto the batch — the index never shuffles
-    matched_hashes = index.select("h").join(
-        bc(inc.select("h").distinct()), "h", "left_semi"
+    # index side stays map-side: join the index hash stream against the
+    # BROADCAST batch (inc_id, h) map — a matching index row yields the
+    # duplicated batch id directly, so the old second broadcast (matched
+    # hashes shipped back onto the batch) and its distinct exchange are
+    # gone.  The distinct on the surviving ids partial-aggregates
+    # map-side, so even a boilerplate flood shuffles at most
+    # |batch| x partitions rows; the index itself never shuffles.
+    exact = (
+        index.select("h")
+        .join(bc(inc.select("inc_id", "h")), "h")
+        .select(F.col("inc_id").alias("exact_id"))
+        .distinct()
     )
-    exact = inc.select("inc_id", "h").join(
-        bc(matched_hashes.distinct()), "h", "left_semi"
-    ).select(F.col("inc_id").alias("exact_id"))
 
     near_source = index
     if band_prune and broadcast_batch:
