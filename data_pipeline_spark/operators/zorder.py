@@ -40,12 +40,43 @@ def _quantize(col: Column, minv: Column, maxv: Column, bits: int) -> Column:
     return F.floor(scaled / span).cast("long")
 
 
+def _spread_even(x: Column, bits: int) -> Column:
+    """Spread the low ``bits`` (<= 16) bits of ``x`` to the even bit
+    positions — the classic magic-mask Morton step: each masked
+    shift-or doubles the gap between occupied bit groups, so 16 bits
+    spread in 4 steps instead of ``bits`` per-bit extract terms."""
+    assert bits <= 16
+    for shift, mask in (
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ):
+        if shift < bits:  # a shift >= bits moves nothing under the mask
+            x = F.shiftleft(x, shift).bitwiseOR(x).bitwiseAND(F.lit(mask))
+    return x
+
+
 def interleave_bits(cols: list, bits: int) -> Column:
     """Morton-interleave the low ``bits`` bits of each quantized column:
     output bit (b * n_dims + d) = bit b of column d.  Closed-form bitwise
-    expression (no UDF) — 2 dims x 10 bits is 20 OR terms the optimizer
-    constant-folds around."""
+    expression (no UDF).
+
+    Two dimensions (the engine's layouts) use magic-mask bit spreading:
+    ~4 shift-or-and steps per dimension instead of ``bits`` extract terms
+    each OR-combined — the expression tree shrinks ~10x (analysis and
+    codegen cost) and the per-row work drops from 3*bits*n ops to ~14,
+    which is what a 100 TB layout write pays per row.  Values are
+    BIT-IDENTICAL to the per-bit form (same Morton code; pinned by
+    tests/test_scale_ops.py::test_interleave_magic_mask_bit_identical);
+    other arities keep the general per-bit construction."""
     n = len(cols)
+    if n == 2 and bits <= 16:
+        return (
+            _spread_even(cols[0], bits)
+            .bitwiseOR(F.shiftleft(_spread_even(cols[1], bits), 1))
+            .cast("long")
+        )
     terms = []
     for d, c in enumerate(cols):
         for b in range(bits):
@@ -76,17 +107,28 @@ def zorder_key(
         ]
     )
     joined = df.crossJoin(F.broadcast(stats))
-    q = [
-        _quantize(
-            F.col(c).cast("long"),
-            F.col(f"min_{c}"),
-            F.col(f"max_{c}"),
-            bits,
-        )
-        for c in cols
-    ]
-    return joined.withColumn(key_name, interleave_bits(q, bits)).drop(
-        *[f"{agg}_{c}" for c in cols for agg in ("min", "max")]
+    # bind each quantized dimension to a NAMED column before the
+    # interleave: the bit-spreading steps reference their input several
+    # times, and over a bound attribute that duplicates a cheap
+    # reference instead of the whole quantize subtree (Catalyst keeps
+    # the projections separate precisely because the aliases are
+    # multiply-referenced and non-trivial)
+    qnames = [f"__zq_{c}" for c in cols]
+    bound = joined.select(
+        "*",
+        *[
+            _quantize(
+                F.col(c).cast("long"),
+                F.col(f"min_{c}"),
+                F.col(f"max_{c}"),
+                bits,
+            ).alias(qn)
+            for c, qn in zip(cols, qnames)
+        ],
+    )
+    q = [F.col(qn) for qn in qnames]
+    return bound.withColumn(key_name, interleave_bits(q, bits)).drop(
+        *qnames, *[f"{agg}_{c}" for c in cols for agg in ("min", "max")]
     )
 
 
