@@ -1336,24 +1336,23 @@ def connected_components(
     HIGH-DIAMETER graphs use ``connected_components_star`` (O(log n)
     rounds on any topology).
     """
-    # Materialize the DIRECTED edge list once (one checkpoint job over
-    # the pair pipeline — half the rows/blocks of the pre-r12 both-
-    # directions form; the mirror direction is derived later, in-row for
-    # the distributed rounds and by symmetric union() calls in the driver
-    # union-find), then probe its size with ONE bounded limit-collect off
-    # the checkpointed blocks instead of a count job + a second full
-    # collect: at or below the threshold the probe already holds every
-    # edge, so the decision action IS the data fetch.
+    # Materialize the DIRECTED edge list once — half the rows/blocks of
+    # the pre-r12 both-directions form; the mirror direction is derived
+    # later, in-row for the distributed rounds, and union(a,b) ==
+    # union(b,a) makes it redundant for the driver union-find.  The size
+    # probe is a count over the checkpointed blocks (a bounded
+    # limit+collect was tried instead and measured WORSE: CollectLimit's
+    # incremental scale-up launched 4 jobs to gather 100k rows from 32
+    # small blocks where count + collect are exactly 2).
     canon = edges.select(
         F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
     ).localCheckpoint(eager=True)
-    head = canon.limit(driver_threshold + 1).collect()
-    if len(head) <= driver_threshold:
+    if canon.count() <= driver_threshold:
         # no distinct on this path (one exchange + AQE round saved):
         # union-find is duplicate-tolerant, and for unique canonical
         # edge lists the row count is |E| either way
         return _driver_union_find(
-            [(r.id, r.nbr) for r in head], canon, nodes, id_col
+            [(r.id, r.nbr) for r in canon.collect()], canon, nodes, id_col
         )
     # Both edge directions via ONE in-row explode, not union(fwd, rev):
     # Spark has no common-subexpression elimination, so the union form
