@@ -157,7 +157,12 @@ def main() -> None:
             "fetch_wait_s": round(a.get("fetch_wait_ms", 0) / 1e3, 2),
         }
 
-    with open("PROFILE_r12.json", "w") as fh:
+    # targeted runs (explicit query args) must not clobber the committed
+    # full-bench snapshot
+    dest = (
+        "PROFILE_r12.json" if not sys.argv[1:] else "/tmp/PROFILE_partial.json"
+    )
+    with open(dest, "w") as fh:
         json.dump({"sf_dir": SF_DIR, "queries": out}, fh, indent=1)
 
     hdr = (
