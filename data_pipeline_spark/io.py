@@ -130,15 +130,20 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         # timestamp[us] reads as TIMESTAMP_NTZ; downstream code (and the
         # reference semantics) want epoch-convertible TimestampType, with
         # the stored wall time read as a UTC instant. Shift the NTZ wall
-        # time from UTC into the caller's session tz before the cast (which
+        # time from UTC into the session tz before the cast (which
         # interprets NTZ in session tz), so the instant is identical for
         # ANY session timezone — no session-conf mutation as a load side
-        # effect.
+        # effect.  The tz is captured as a LITERAL at build time: the cast
+        # stamps its zone at ANALYSIS while current_timezone() folds at
+        # EXECUTION, so the current_timezone() form only cancels when the
+        # frame is analyzed and executed under the same session tz — reuse
+        # through read_parquet_cached across a tz change would shift every
+        # instant (caught by test_events_loader_handles_both_ts_encodings).
+        # With both sides pinned to the build tz the plan is tz-invariant.
+        tz = spark.conf.get("spark.sql.session.timeZone")
         df = df.withColumn(
             "ts",
-            F.expr(
-                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
-            ),
+            F.expr(f"cast(convert_timezone('UTC', '{tz}', ts) as timestamp)"),
         )
     return df
 
