@@ -73,6 +73,23 @@ def token_count(text: str | Column) -> Column:
     return F.length(c) - F.length(F.replace(c, F.lit(_WS))) + F.lit(1)
 
 
+def first_token(text: str | Column) -> Column:
+    """``tokens(text)[0]`` WITHOUT materializing the token array.
+
+    Under the single-space tokenizer contract the first token is the
+    prefix before the first space — ``substring_index(text, ' ', 1)``
+    reproduces ``element_at(split(text, ' '), 1)`` for EVERY string
+    (no-space text returns the whole string, leading-space text returns
+    '', NULL propagates; pinned row-for-row by
+    tests/test_llmops.py::test_first_token_equals_tokens_head).  A
+    regex-``_WS`` corpus falls back to the literal form.
+    """
+    if _WS != " ":  # pragma: no cover - regex-tokenizer fallback
+        return F.element_at(tokens(text), 1)
+    c = F.col(text) if isinstance(text, str) else text
+    return F.substring_index(c, _WS, 1)
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams of a token array as space-joined strings, LINEAR in
     document length: zip_with over n shifted slices.  The obvious

@@ -1627,12 +1627,6 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.posexplode(textstats.tokens("text")).alias("i", "w")
     )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    # same space-arithmetic token total as unigram_logprob_score (the
-    # posexplode row count), one cheap map stage instead of re-tokenizing
-    total = (
-        docs.agg(F.sum(textstats.token_count("text"))).first()[0] or 0
-    )
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     seq = toks.withColumn("prev", F.lag("w").over(w_doc))
     # materialize the (prev, w, cb) MODEL table once (r12 opt): big feeds
@@ -1650,6 +1644,32 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    # The UNIGRAM table derives from the checkpointed MODEL plus one
+    # cheap first-token pass instead of a third full tokenize+explode+
+    # groupBy over the corpus (r12 opt): every token occurrence is
+    # either a doc's FIRST token or the second element of exactly one
+    # bigram occurrence, so cu(w) = sum_prev cb(prev, w) + count(docs
+    # whose first token is w), exact integers.  The first-token pass is
+    # space arithmetic only (substring_index — no token-array
+    # allocation), its group table is vocabulary-bounded, and it runs
+    # inside the async uni BroadcastExchange build, not as an extra
+    # blocking action.  Pinned value-identical by tests/test_llmops.py::
+    # test_bigram_uni_from_model_identity.
+    ft = docs.filter(F.col("text").isNotNull()).select(
+        textstats.first_token("text").alias("w"),
+        F.lit(1).cast("long").alias("cu"),
+    )
+    # same space-arithmetic token total as unigram_logprob_score (the
+    # posexplode row count), one cheap map stage instead of re-tokenizing
+    total = docs.agg(F.sum(textstats.token_count("text"))).first()[0] or 0
+    # union BEFORE the aggregate: one exchange (map-side combined) builds
+    # the whole table, vs groupBy+union+groupBy's three
+    uni = (
+        big.select("w", F.col("cb").alias("cu"))
+        .unionByName(ft)
+        .groupBy("w")
+        .agg(F.sum("cu").alias("cu"))
+    )
     p = F.when(
         F.col("prev").isNull(),
         F.col("cu").cast("double") / F.lit(total),

@@ -3678,6 +3678,83 @@ def test_token_count_equals_size_tokens(spark):
     assert new.exceptAll(old).count() == 0
 
 
+def test_first_token_equals_tokens_head(spark):
+    """first_token's substring_index form must equal
+    element_at(tokens(text), 1) row-for-row — schema included — on NULL/
+    empty/no-space/leading/trailing/multi-space texts:
+    bigram_lm_perplexity's unigram reconstruction keys on it."""
+    from data_pipeline_spark.llmops.textstats import first_token, tokens
+
+    rows = [
+        (1, None), (2, ""), (3, "one"), (4, "a b"), (5, "a b c"),
+        (6, "a  b"), (7, " leading"), (8, "trailing "), (9, "  "),
+        (10, "a b "), (11, " a b c"), (12, "a" * 50),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    old = df.select("id", F.element_at(tokens("text"), 1).alias("w"))
+    new = df.select("id", first_token("text").alias("w"))
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_bigram_uni_from_model_identity(spark):
+    """bigram_lm_perplexity now reconstructs the unigram table from the
+    bigram model plus first-token counts instead of a third tokenize
+    pass; the identity cu(w) = sum_prev cb(prev, w) + c1(w) (and
+    total = sum token_count) must hold EXACTLY on corpora with
+    single-token docs, empty texts, NULL texts and repeated tokens."""
+    from data_pipeline_spark.llmops.textstats import (
+        first_token,
+        token_count,
+        tokens,
+    )
+
+    rows = [
+        (1, "a b a"), (2, "b"), (3, ""), (4, None),
+        (5, "a a a a"), (6, "c b a"), (7, "b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("i", "w")
+    )
+    old_uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    old_total = docs.agg(F.sum(token_count("text"))).first()[0] or 0
+
+    from pyspark.sql import Window
+
+    seq = toks.withColumn(
+        "prev", F.lag("w").over(Window.partitionBy("doc_id").orderBy("i"))
+    )
+    big = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ft = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(first_token("text").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.sum(token_count("text")).alias("tc"),
+        )
+    )
+    new_uni = (
+        big.groupBy("w")
+        .agg(F.sum("cb").alias("cu"))
+        .unionByName(ft.select("w", F.col("c1").alias("cu")))
+        .groupBy("w")
+        .agg(F.sum("cu").alias("cu"))
+    )
+    new_total = ft.agg(F.sum("tc")).first()[0] or 0
+    # dtypes (not nullability: count() plans non-nullable, sum() nullable
+    # — downstream consumes cu only through a double cast)
+    assert old_uni.dtypes == new_uni.dtypes
+    assert old_uni.exceptAll(new_uni).count() == 0
+    assert new_uni.exceptAll(old_uni).count() == 0
+    assert old_total == new_total
+
+
 def test_strip_tail_expression_equivalence(spark):
     """strip_duplicated_segments' substring_index tail must equal the
     token-array slice form row-for-row — multi-space runs, leading/
