@@ -1526,15 +1526,18 @@ def connected_components_star(
     # no distinct on the canonicalized input (one exchange + AQE round
     # saved): round 1's collect_set dedups duplicate edges in-row, the
     # round invariant keeps later edge sets canonical, and label
-    # extraction dedups with its own distinct
-    pairs = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("s"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("l"),
-        )
-        .filter(F.col("s") != F.col("l"))
-        .localCheckpoint(eager=True)
-    )
+    # extraction dedups with its own distinct.  NOT checkpointed (r12):
+    # since the in-row explode rewrite, round 1 reads the input edge
+    # frame through exactly ONE plan branch, so an eager checkpoint here
+    # is a pure extra materialization (one blocking job + a full write/
+    # read of the edge list) — the caller's pipeline executes once
+    # either way, inside round 1's own checkpoint job; every LATER round
+    # reads only the previous round's checkpointed cur, so lineage stays
+    # truncated.
+    pairs = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("s"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("l"),
+    ).filter(F.col("s") != F.col("l"))
     cur = pairs  # invariant: edges as (s, l) canonical pairs, s < l
     for _ in range(max_rounds):
         # -- large-star, ONE shuffle: group each node's neighborhood
