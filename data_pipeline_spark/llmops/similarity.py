@@ -389,6 +389,129 @@ def lsh_scaled_banding(
     return b, L
 
 
+def _bucket_pair_verify(threshold: float):
+    """mapInArrow kernel: per bucket row (``ms`` = list of
+    (v_id, v_q, v_n) member structs), verify every i<j member pair with
+    the EXACT quantized cosine and emit survivors.
+
+    Bit-parity contract with the expression form
+    ``cos = int_dot(a_q, b_q) / nullif(sqrt(a_n) * sqrt(b_n), 0)`` and
+    with the pre-r12 join form (pinned by
+    test_lsh_arrow_verify_matches_expression_form):
+
+    - the dot is an exact int64 product-sum; numpy int64 matmul wraps on
+      overflow exactly like the JVM long;
+    - int64 -> float64 widening, sqrt, multiply, divide are IEEE-754
+      double ops in both engines — identical bits;
+    - members with a NULL id are dropped (the join form's inner join on
+      the id never matched them);
+    - members with a NULL v_q / v_n or a NULL vector ELEMENT are dropped
+      (zip_with/aggregate propagate the null into the cosine, and a
+      null cosine never passes the >= threshold filter);
+    - pairs of members with UNEQUAL vector lengths are dropped (zip_with
+      null-pads the shorter side -> null cosine), so dots are computed
+      per equal-length class;
+    - a zero (or NaN-producing negative-wrapped) denominator is dropped
+      (nullif -> null / NaN >= t is false);
+    - members sort by id first, so every emitted pair has id_a < id_b —
+      the canonical orientation least/greatest produced.
+    """
+
+    def verify(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def _id_values(arr):
+            """ids as a numpy array safe to index for VALID members only
+            (invalid ones are masked out via ``bad``): typed null-fill
+            keeps int64 exact (bare to_numpy would degrade an int column
+            WITH nulls to float64, corrupting ids past 2^53); object
+            fallback for any other id type."""
+            t = arr.type
+            if pa.types.is_integer(t):
+                return arr.fill_null(0).to_numpy(zero_copy_only=False)
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return arr.fill_null("").to_numpy(zero_copy_only=False)
+            return np.array(arr.to_pylist(), dtype=object)
+
+        for rb in batches:
+            lst = rb.column(0)
+            offs = lst.offsets.to_numpy().astype(np.int64)
+            members = lst.values
+            ids_a = members.field("v_id")
+            qs = members.field("v_q")
+            ns = members.field("v_n")
+            n_members = len(members)
+            if n_members == 0:
+                continue
+            bad = np.zeros(n_members, dtype=bool)
+            for arr in (ids_a, qs, ns):
+                if arr.null_count:
+                    bad |= arr.is_null().to_numpy(zero_copy_only=False)
+            qoffs = qs.offsets.to_numpy().astype(np.int64)
+            qvals = qs.values
+            if qvals.null_count:
+                # member has a null ELEMENT iff its slice of the child
+                # validity map contains one
+                elem_null = qvals.is_null().to_numpy(zero_copy_only=False)
+                cum = np.concatenate(
+                    ([0], np.cumsum(elem_null, dtype=np.int64))
+                )
+                bad |= (cum[qoffs[1:]] - cum[qoffs[:-1]]) > 0
+                qvals_np = qvals.fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64, copy=False)
+            else:
+                qvals_np = qvals.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+            ids_np = _id_values(ids_a)
+            ns_np = (
+                ns.fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            lens = qoffs[1:] - qoffs[:-1]
+            out_a, out_b, out_c = [], [], []
+            for r in range(len(lst)):
+                lo, hi = offs[r], offs[r + 1]
+                sel = np.arange(lo, hi)
+                if bad[lo:hi].any():
+                    sel = sel[~bad[lo:hi]]
+                if len(sel) < 2:
+                    continue
+                # canonical orientation: ascending id
+                sel = sel[np.argsort(ids_np[sel], kind="stable")]
+                for ln in np.unique(lens[sel]):
+                    cls = sel[lens[sel] == ln]
+                    k = len(cls)
+                    if k < 2:
+                        continue
+                    g = qvals_np[qoffs[cls][:, None] + np.arange(ln)]
+                    dots = g @ g.T
+                    sq = np.sqrt(ns_np[cls].astype(np.float64))
+                    iu, ju = np.triu_indices(k, 1)
+                    denom = sq[iu] * sq[ju]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots[iu, ju].astype(np.float64) / denom
+                        keep = (denom != 0) & (cos >= threshold)
+                    if keep.any():
+                        out_a.append(ids_np[cls][iu[keep]])
+                        out_b.append(ids_np[cls][ju[keep]])
+                        out_c.append(cos[keep])
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a), ids_a.type),
+                        pa.array(np.concatenate(out_b), ids_a.type),
+                        pa.array(np.concatenate(out_c), pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "cos_sim"],
+                )
+
+    return verify
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -446,55 +569,73 @@ def lsh_neardup_pairs(
         # and keep the input bounded); it certifies the full LSH pipeline
         # (posting lists, in-row pair expansion, quantized-cosine verify)
         # against the brute-force oracle.
-        ids = df.select(
-            F.col(id_col).alias("v_id"),
+        ids = quantized(df, id_col, vec_col, "v").select(
+            "v_id",
+            "v_q",
+            "v_n",
             F.lit(0).alias("t"),
             F.lit(0).alias("bucket"),
         )
     else:
         bucket_of = _bucket_tables_udf(num_tables, planes_per_table, dim)
+        # quantize + posexplode in ONE projection — no join back to the
+        # vector table; the generator replicates the quantized payload
+        # per (t, bucket) row
         ids = df.select(
             F.col(id_col).alias("v_id"),
+            F.expr(qvec_sql(f"`{vec_col}`")).alias("v_q"),
+            F.expr(norm_sq_sql(f"`{vec_col}`")).alias("v_n"),
             F.posexplode(bucket_of(F.col(vec_col))).alias("t", "bucket"),
         )
-    # bucket membership lists from ONE groupBy; pairs expand IN-ROW (the
-    # same posting-list shape as the Jaccard path) — no bucket self-join,
-    # and the max_bucket cap is a size filter on the list (hot-bucket
-    # OOM/skew guard: a degenerate bucket at 100 TB otherwise becomes one
-    # quadratic join key).  Measured at sf0.1: 2.9s vs 4.9s for the
-    # window + self-join formulation, identical candidate set.
+    # bucket membership lists from ONE groupBy, with the QUANTIZED
+    # VECTOR riding the posting list; pairs expand AND VERIFY in-row —
+    # no bucket self-join, no candidate-stream shuffle, no vector
+    # re-join.  The max_bucket cap is a size filter on the list
+    # (hot-bucket OOM/skew guard: a degenerate bucket at 100 TB
+    # otherwise becomes one quadratic key) and bounds the in-row pair
+    # array.
+    #
+    # WHY vectors ride the posting lists (r12, guide §8): the prior form
+    # expanded (id_a, id_b) candidates, deduped them across tables with
+    # a full pair-stream exchange, then joined vectors back per pair.
+    # The sf1 profile caught the static planner BROADCASTING the
+    # 56M-pair candidate aggregate (~900 MB through the driver —
+    # Catalyst's size estimate for a post-explode aggregate is
+    # garbage-small, the bug class ngram_jaccard_pairs pinned in
+    # ROUND10_NOTES §15), and the honest any-scale repair (shuffle_hash
+    # vector joins) has to ship the vector payload ON the candidate
+    # stream between the two joins — C x payload bytes.  Carrying
+    # vectors in the bucket shuffle costs n x L x payload instead, and
+    # lsh_scaled_banding holds occupancy ~constant, so the candidate
+    # stream is ~(occupancy/2)x the bucket stream (sf1 measured: 2.9M
+    # bucket rows vs 56M+ candidate occurrences) — the heavy bytes move
+    # ONCE, in the smaller stream, and the only pair-keyed exchange left
+    # is the OUTPUT-sized distinct after the threshold filter.
+    # Cross-table duplicate candidates are verified redundantly (sf1
+    # dup factor 1.38) instead of deduped first; duplicate (id_a, id_b,
+    # cos_sim) rows collapse in the final distinct because the quantized
+    # cosine is a pure function of the two int vectors — identical row
+    # set, pinned by test_lsh_pair_rows_identical_to_join_form.
     grp = (
         ids.groupBy("t", "bucket")
-        .agg(F.collect_list("v_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .agg(F.collect_list(F.struct("v_id", "v_q", "v_n")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select("ms")
     )
-    from data_pipeline_spark.llmops.dedup import _PAIR_STRUCTS_SQL
-
-    pair_structs = F.expr(_PAIR_STRUCTS_SQL)
-    cand = (
-        grp.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+    # per-bucket verification in ONE vectorized numpy kernel (guide
+    # §4.2): the expression form evaluates an interpreted
+    # aggregate(zip_with(...)) per pair (~10 us each; 778 CPU-s of the
+    # 973 at the sf1 profile), where an exact int64 G @ G.T per bucket
+    # does the same multiplies in C.  Bit-parity with the expression
+    # form is pinned by test_lsh_arrow_verify_matches_expression_form
+    # (null vectors, null elements, zero norms, mixed dims, overflow
+    # wrap-around — int64 matmul wraps exactly like the JVM long).
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out = grp.mapInArrow(
+        _bucket_pair_verify(threshold),
+        f"id_a {id_dt}, id_b {id_dt}, cos_sim double",
     )
-    qv = quantized(df, id_col, vec_col, "v")
-    a = qv.select(
-        F.col("v_id").alias("id_a"), F.col("v_q").alias("a_q"), F.col("v_n").alias("a_n")
-    )
-    b = qv.select(
-        F.col("v_id").alias("id_b"), F.col("v_q").alias("b_q"), F.col("v_n").alias("b_n")
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.expr(
-                cos_cols_sql("a_q", "b_q", "a_n", "b_n")
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return out.distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,97 @@ def test_lsh_recall_against_brute_force(spark):
         assert len(approx) / len(exact) >= 0.9
 
 
+def test_lsh_arrow_verify_matches_expression_form(spark):
+    """The mapInArrow bucket-pair verifier must reproduce the
+    expression-form quantized cosine BIT-FOR-BIT and its null/degenerate
+    semantics row-for-row: null ids drop, null vectors / null elements /
+    null norms drop, unequal-length pairs drop (zip_with null-pads),
+    zero norms drop (nullif), and survivors carry id_a < id_b."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.llmops import similarity as sim
+
+    # buckets stress every branch: normal pairs near/below threshold,
+    # a null id, a null vector, a null element, a zero-norm vector, a
+    # mixed-dims class, single-member classes, exact duplicates
+    def m(i, q, n):
+        return {"v_id": i, "v_q": q, "v_n": n}
+
+    def nrm(q):
+        return sum(x * x for x in q)
+
+    q1 = [1000000, 0, 0]
+    q2 = [999999, 1, 0]
+    q3 = [0, 1000000, 0]
+    q4 = [707107, 707107, 0]
+    q5 = [500, 600]  # shorter dim class
+    q6 = [400, 900]
+    buckets = [
+        [m(1, q1, nrm(q1)), m(2, q2, nrm(q2)), m(3, q3, nrm(q3))],
+        [m(4, q4, nrm(q4)), m(1, q1, nrm(q1))],       # unsorted ids
+        [m(5, None, None), m(6, q1, nrm(q1)), m(7, q2, nrm(q2))],
+        [m(None, q1, nrm(q1)), m(8, q2, nrm(q2)), m(9, q1, nrm(q1))],
+        [m(10, [1, None, 3], 10), m(11, q1, nrm(q1)), m(12, q2, nrm(q2))],
+        [m(13, [0, 0, 0], 0), m(14, q1, nrm(q1))],    # zero norm
+        [m(15, q5, nrm(q5)), m(16, q6, nrm(q6)), m(17, q1, nrm(q1))],
+        [m(18, q1, nrm(q1)), m(19, q1, nrm(q1))],     # exact duplicate
+    ]
+    schema = (
+        "ms array<struct<v_id: bigint, v_q: array<bigint>, v_n: bigint>>"
+    )
+    df = spark.createDataFrame([(b,) for b in buckets], schema)
+    thr = 0.45
+    pair_cos = (
+        "flatten(transform(array_sort(ms), (_px, _pi) -> "
+        "transform(slice(array_sort(ms), _pi + 2, size(ms)), "
+        "_py -> named_struct("
+        "'id_a', _px.v_id, 'id_b', _py.v_id, "
+        "'cos_sim', "
+        + sim.cos_cols_sql("_px.v_q", "_py.v_q", "_px.v_n", "_py.v_n")
+        + "))))"
+    )
+    expr_form = (
+        df.select(F.explode(F.expr(pair_cos)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cos_sim")
+        .filter(F.col("cos_sim") >= thr)
+        # the join form dropped null-id members at the inner join; the
+        # expression form above keeps them, so align here
+        .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+    )
+    arrow_form = df.mapInArrow(
+        sim._bucket_pair_verify(thr), "id_a long, id_b long, cos_sim double"
+    )
+    a = sorted(map(tuple, expr_form.collect()))
+    b = sorted(map(tuple, arrow_form.collect()))
+    assert a == b and len(a) > 0
+    assert all(x < y for x, y, _ in b)
+
+    # STRING ids (the flood-guard tests use them): canonical orientation
+    # must match Spark's UTF8 ordering, including non-ASCII
+    sbuckets = [
+        [m("b", q1, nrm(q1)), m("a", q2, nrm(q2)), m("é", q3, nrm(q3))],
+        [m("z9", q4, nrm(q4)), m("z10", q1, nrm(q1))],
+    ]
+    sschema = (
+        "ms array<struct<v_id: string, v_q: array<bigint>, v_n: bigint>>"
+    )
+    sdf = spark.createDataFrame([(b_,) for b_ in sbuckets], sschema)
+    s_expr = (
+        sdf.select(F.explode(F.expr(pair_cos)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cos_sim")
+        .filter(F.col("cos_sim") >= thr)
+    )
+    s_arrow = sdf.mapInArrow(
+        sim._bucket_pair_verify(thr),
+        "id_a string, id_b string, cos_sim double",
+    )
+    sa = sorted(map(tuple, s_expr.collect()))
+    sb = sorted(map(tuple, s_arrow.collect()))
+    assert sa == sb and len(sa) > 0
+
+
 def test_multimodal_decode_stub_retained_for_compressed_formats():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"RIFF....WEBP", "webp")
