@@ -53,6 +53,44 @@ def norm_sq_sql(col: str) -> str:
     )
 
 
+def qvec_fixed_sql(col: str, dim: int) -> str:
+    """``qvec_sql`` with the element loop UNROLLED for a declared dim.
+
+    Higher-order functions evaluate interpreted and return a BOXED
+    GenericArrayData, which every downstream UnsafeRow copy re-converts
+    element-by-element — ruinous below a generator that replicates the
+    array (the sf1 LSH payload projection measured 6.8 s boxed vs 0.8 s
+    unrolled: posexplode copies each quantized vector L=147 times).  An
+    unrolled ``array(...)`` of get()-terms compiles through whole-stage
+    codegen straight into UnsafeArrayData, so replication is memcpy.
+    Rows whose length differs from ``dim`` keep the transform form via
+    the size guard — values identical for EVERY input (null vector,
+    null elements, short/long rows; pinned by
+    test_qvec_fixed_sql_bit_identical)."""
+    elems = ",".join(
+        f"cast(round(cast(get({col}, {i}) as double) * {Q}, 0) as bigint)"
+        for i in range(dim)
+    )
+    return (
+        f"CASE WHEN size({col}) = {dim} THEN array({elems}) "
+        f"ELSE {qvec_sql(col)} END"
+    )
+
+
+def norm_sq_from_q_sql(qcol: str, dim: int) -> str:
+    """Norm² from an ALREADY-QUANTIZED vector column, unrolled for the
+    declared dim (same boxed-array rationale as ``qvec_fixed_sql``;
+    integer addition is associative even on wrap-around, so the term
+    chain equals the aggregate's left fold bit-for-bit).  Non-dim rows
+    fall back to the aggregate form."""
+    terms = "+".join(f"({qcol}[{i}] * {qcol}[{i}])" for i in range(dim))
+    return (
+        f"CASE WHEN size({qcol}) = {dim} THEN ({terms}) "
+        f"ELSE aggregate(transform({qcol}, _nx -> _nx * _nx), "
+        f"cast(0 as bigint), (_na, _nv) -> _na + _nv) END"
+    )
+
+
 def int_dot_sql(a: str, b: str) -> str:
     """Integer dot of two PRE-QUANTIZED array<bigint> fragments."""
     return (
@@ -578,14 +616,22 @@ def lsh_neardup_pairs(
         )
     else:
         bucket_of = _bucket_tables_udf(num_tables, planes_per_table, dim)
-        # quantize + posexplode in ONE projection — no join back to the
+        # quantize + posexplode in ONE pipeline — no join back to the
         # vector table; the generator replicates the quantized payload
-        # per (t, bucket) row
+        # per (t, bucket) row, so the payload must be built UNSAFE
+        # (qvec_fixed_sql) or every replica pays a boxed-array
+        # conversion.  Two selects keep the norm from inlining 2 x dim
+        # copies of the array construction (CollapseProject leaves
+        # multiply-referenced non-cheap aliases alone).
         ids = df.select(
             F.col(id_col).alias("v_id"),
-            F.expr(qvec_sql(f"`{vec_col}`")).alias("v_q"),
-            F.expr(norm_sq_sql(f"`{vec_col}`")).alias("v_n"),
-            F.posexplode(bucket_of(F.col(vec_col))).alias("t", "bucket"),
+            F.col(vec_col).alias("_v"),
+            F.expr(qvec_fixed_sql(f"`{vec_col}`", dim)).alias("v_q"),
+        ).select(
+            "v_id",
+            "v_q",
+            F.expr(norm_sq_from_q_sql("v_q", dim)).alias("v_n"),
+            F.posexplode(bucket_of(F.col("_v"))).alias("t", "bucket"),
         )
     # bucket membership lists from ONE groupBy, with the QUANTIZED
     # VECTOR riding the posting list; pairs expand AND VERIFY in-row —

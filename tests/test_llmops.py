@@ -131,6 +131,39 @@ def test_lsh_arrow_verify_matches_expression_form(spark):
     assert sa == sb and len(sa) > 0
 
 
+def test_qvec_fixed_sql_bit_identical(spark):
+    """The unrolled fixed-dim quantize/norm builders must equal the
+    transform/aggregate forms row-for-row on every shape: exact-dim,
+    short, long, empty, NULL vector, NULL elements, negative values."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.llmops import similarity as sim
+
+    dim = 4
+    rows = [
+        (1, [0.5, -0.25, 1.0, 0.125]),
+        (2, [0.1, 0.2, 0.3]),              # short
+        (3, [0.1, 0.2, 0.3, 0.4, 0.5]),    # long
+        (4, []),                           # empty
+        (5, None),                         # null vector
+        (6, [0.1, None, 0.3, 0.4]),        # null element
+        (7, [0.0, 0.0, 0.0, 0.0]),         # zero
+        (8, [-1.0, 1.0, -1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    old = df.select(
+        "id",
+        F.expr(sim.qvec_sql("v")).alias("q"),
+        F.expr(sim.norm_sq_sql("v")).alias("n"),
+    )
+    new = df.select(
+        "id", F.expr(sim.qvec_fixed_sql("v", dim)).alias("q")
+    ).select("id", "q", F.expr(sim.norm_sq_from_q_sql("q", dim)).alias("n"))
+    assert old.dtypes == new.dtypes
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_multimodal_decode_stub_retained_for_compressed_formats():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"RIFF....WEBP", "webp")
