@@ -1621,14 +1621,30 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "textstats", "quality"),
 )
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(textstats.tokens("text")).alias("i", "w")
+    # (w, prev) pairs derived IN-ROW from the token array (r13 opt): the
+    # previous token of position i is tokens[i-1] — no posexplode + lag
+    # window, so the doc_id hash-exchange + sort of the ENTIRE corpus
+    # token stream disappears from BOTH consumers of seq (the model
+    # build and the scoring join; Spark has no CSE, so each branch paid
+    # it).  The model groupBy now map-side-combines straight off the
+    # scan, shuffling bigram-vocabulary-bounded partials instead of every
+    # token.  Row set identical: lag over (doc, i) is exactly "previous
+    # array element, NULL at i=0" (pinned by tests/test_llmops.py::
+    # test_bigram_seq_inline_matches_window_form).  Two selects keep the
+    # split from inlining into both lambda references (CollapseProject
+    # leaves multiply-referenced non-cheap aliases alone).
+    seq = docs.select(
+        "doc_id", F.expr(textstats.tokens_sql("`text`")).alias("_tk")
+    ).select(
+        "doc_id",
+        F.expr(
+            "inline(transform(_tk, (_w, _i) -> named_struct("
+            "'w', _w, "
+            "'prev', CASE WHEN _i = 0 THEN CAST(NULL AS STRING) "
+            "ELSE element_at(_tk, _i) END)))"
+        ),
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    seq = toks.withColumn("prev", F.lag("w").over(w_doc))
     # materialize the (prev, w, cb) MODEL table once (r12 opt): big feeds
     # both the scored join and the ctx aggregation — two plan branches,
     # and Spark has no CSE, so each otherwise replays the tokenize +

@@ -3879,6 +3879,46 @@ def test_bigram_uni_from_model_identity(spark):
     assert old_total == new_total
 
 
+def test_bigram_seq_inline_matches_window_form(spark):
+    """bigram_lm_perplexity's (doc_id, w, prev) stream now derives prev
+    IN-ROW from the token array (prev of position i is tokens[i-1], NULL
+    at i=0) instead of posexplode + lag window — the row MULTISET must be
+    identical on NULL/empty/single-token/repeated-token/multi-space
+    corpora, since both the model counts and the scoring join consume it."""
+    from data_pipeline_spark.llmops.textstats import tokens, tokens_sql
+
+    rows = [
+        (1, "a b a"), (2, "b"), (3, ""), (4, None),
+        (5, "a a a a"), (6, "c b a"), (7, "b c"),
+        (8, "a  b"), (9, " leading"), (10, "trailing "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("i", "w")
+    )
+    old = toks.withColumn(
+        "prev", F.lag("w").over(Window.partitionBy("doc_id").orderBy("i"))
+    ).select("doc_id", "w", "prev")
+
+    new = docs.select(
+        "doc_id", F.expr(tokens_sql("`text`")).alias("_tk")
+    ).select(
+        "doc_id",
+        F.expr(
+            "inline(transform(_tk, (_w, _i) -> named_struct("
+            "'w', _w, "
+            "'prev', CASE WHEN _i = 0 THEN CAST(NULL AS STRING) "
+            "ELSE element_at(_tk, _i) END)))"
+        ),
+    )
+    assert old.dtypes == new.dtypes
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_strip_tail_expression_equivalence(spark):
     """strip_duplicated_segments' substring_index tail must equal the
     token-array slice form row-for-row — multi-space runs, leading/
