@@ -78,6 +78,17 @@ _PAIR_STRUCTS_SQL = (
     "'id_b', greatest(_px, _py)))))"
 )
 
+# The struct-membered twin (r13): posting lists whose members are
+# (id, nd) structs.  Struct ordering compares fields left-to-right and
+# member ids are distinct within a posting set, so least/greatest orient
+# the pair by id exactly as the plain form does.
+_PAIR_MEMBER_STRUCTS_SQL = (
+    "flatten(transform(ids, (_px, _pi) -> "
+    "transform(slice(ids, _pi + 2, size(ids)), "
+    "_py -> named_struct('a', least(_px, _py), "
+    "'b', greatest(_px, _py)))))"
+)
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -111,55 +122,84 @@ def ngram_jaccard_pairs(
     expansion's memory guard, keep it in the low thousands); uncapped
     (the pre-r5 shape), one "terms of service" shingle shared by a
     million docs is half a trillion rows.
+
+    Per-doc set sizes RIDE the posting members (r13): each posting entry
+    is an (id, nd) struct where nd = the doc's in-row distinct-shingle
+    count, so candidate pairs come out of the in-row expansion already
+    carrying both raw sizes — the per-doc sizes table (one more full
+    posting explode + id-keyed exchange, cached because two join
+    branches read it) is GONE.  The df-filtered size the Jaccard needs
+    is nd minus the doc's OVERFLOW count (its shingles with df >
+    max_df); that correction frame is built by exploding only the
+    overflow postings (empty wherever no shingle exceeds the cap — the
+    oracle regime) and left-joins the candidates with shuffle_hash
+    hints: the build side is the overflow frame, which must never be
+    assumed broadcastable (a boilerplate-heavy crawl can put most docs
+    in it), and the candidate side must never broadcast (Catalyst's
+    estimate for a post-explode aggregate is garbage-small — the 100x
+    rehearsal measured that broadcast blowing the 1 GiB driver cap,
+    ROUND10_NOTES §15).
     """
-    sh = shingles(df, id_col, text_col, n, distinct=False)
-    posting = (
-        sh.groupBy("shingle")
-        .agg(F.collect_set(id_col).alias("ids"))
-        .filter(F.size("ids") <= max_df)
+    from data_pipeline_spark.llmops.textstats import (
+        tokens_sql,
+        word_ngrams_sql,
     )
-    # posting feeds both the sizes and the intersection: cache it for
-    # one-shot analytical calls, but per-trigger callers (the streaming
-    # ingest gate) pass cache=False — an uncollected cache entry per
-    # micro-batch grows the CacheManager for the life of the stream
+
+    grams_sql = word_ngrams_sql(tokens_sql(f"`{text_col}`"), n)
+    # two selects keep the grams array from inlining into both consumers
+    # (CollapseProject leaves multiply-referenced non-cheap aliases alone)
+    sh = df.select(
+        F.col(id_col), F.expr(grams_sql).alias("_g")
+    ).select(
+        F.col(id_col),
+        F.size(F.array_distinct("_g")).alias("nd"),
+        F.explode("_g").alias("shingle"),
+    )
+    posting = sh.groupBy("shingle").agg(
+        F.collect_set(
+            F.struct(F.col(id_col).alias("id"), F.col("nd"))
+        ).alias("ids")
+    )
+    # posting feeds both the pair expansion and the overflow correction:
+    # cache it for one-shot analytical calls, but per-trigger callers
+    # (the streaming ingest gate) pass cache=False — an uncollected cache
+    # entry per micro-batch grows the CacheManager for the life of the
+    # stream
     if cache:
         posting = posting.cache()
-    sizes = (
-        posting.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    kept = posting.filter(F.size("ids") <= max_df)
+    # per-doc overflow counts: how many of the doc's distinct shingles
+    # were df-pruned.  n_sh(doc) = nd - overflow EXACTLY (the old sizes
+    # table counted the doc's memberships in kept postings).
+    ov = (
+        posting.filter(F.size("ids") > max_df)
+        .select(F.explode("ids").alias("m"))
+        .groupBy(F.col("m.id").alias("_ov_id"))
+        .agg(F.count(F.lit(1)).alias("_ov"))
     )
-    if cache:
-        # sizes feeds BOTH sides of the pair join (sa/sb below are two
-        # plan branches — no CSE in Spark), so without materialization the
-        # explode+groupBy over posting runs twice per action (r12 profile:
-        # duplicate 1 MB exchanges).  Narrow (id, int) rows; same
-        # cache-lifetime caveat as posting for streaming callers.
-        sizes = sizes.cache()
-    pair_structs = F.expr(_PAIR_STRUCTS_SQL)
     inter = (
-        posting.filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
+        kept.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(_PAIR_MEMBER_STRUCTS_SQL)).alias("p"))
+        .groupBy("p.a", "p.b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.nd").alias("nd_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.nd").alias("nd_b"),
+            "n_inter",
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    # the sizes joins must NEVER broadcast the candidate-pair side: inter
-    # is an aggregate over an in-row explode, so Catalyst's size estimate
-    # for it is garbage-small, and the static planner will happily pick
-    # BuildLeft broadcast of a frame that grows with the corpus — the
-    # 100x scale rehearsal measured the broadcast collect blowing the
-    # 1 GiB driver result cap (ROUND10_NOTES §15).  shuffle_hash on the
-    # per-doc sizes side is the any-scale plan: both sides hash-partition
-    # on the id, the bounded per-partition build is the sizes slice, and
-    # no side ever collects to the driver.
+    ova = ov.select(F.col("_ov_id").alias("id_a"), F.col("_ov").alias("_ov_a"))
+    ovb = ov.select(F.col("_ov_id").alias("id_b"), F.col("_ov").alias("_ov_b"))
+    n_a = F.col("nd_a").cast("long") - F.coalesce(F.col("_ov_a"), F.lit(0))
+    n_b = F.col("nd_b").cast("long") - F.coalesce(F.col("_ov_b"), F.lit(0))
     return (
-        inter.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
+        inter.join(ova.hint("shuffle_hash"), "id_a", "left")
+        .join(ovb.hint("shuffle_hash"), "id_b", "left")
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("n_inter") / (n_a + n_b - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -1425,9 +1465,17 @@ def _attach_singletons(
     """Nodes untouched by any edge become singleton components of
     themselves — shared tail of every components formulation so singleton
     semantics can never diverge between paths."""
+    # shuffle_hash pin (r13): labels grow with the GRAPH, and the
+    # checkpoint-inherited Catalyst estimate for them chains through
+    # aggregate-over-explode rounds (the garbage-small class of
+    # ROUND10_NOTES §15) — without the pin the static planner flipped
+    # this anti-join to a labels BROADCAST when the upstream pipeline's
+    # estimate moved.  Both consumers of this helper are the distributed
+    # paths (the bounded driver-union-find path has its own broadcast
+    # attach); the co-keyed anti-join is their any-scale shape.
     singletons = (
         nodes.select(F.col(id_col).alias("node"))
-        .join(labels.select("node"), "node", "left_anti")
+        .join(labels.select("node").hint("shuffle_hash"), "node", "left_anti")
         .select("node", F.col("node").alias("component"))
     )
     return labels.union(singletons).select(F.col("node").alias(id_col), "component")
