@@ -1061,7 +1061,7 @@ def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
+            ok = []
             for did, body, t in zip(pdf["doc_id"], pdf["body"], pdf["text"]):
                 did = int(did)
                 ext = html_text.extract_html(
@@ -1074,8 +1074,14 @@ def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 expected = "\n".join(
                     nav + [p for p in paras if p] + ["© corpus"]
                 )
-                out.append((did, ext["text"] == expected))
-            yield pd.DataFrame(out, columns=["doc_id", "text_ok"])
+                ok.append(ext["text"] == expected)
+            # echo the envelope columns through the kernel (r13): carrying
+            # url/status/warc_file past the verify removes the old third
+            # join (checked back onto parsed by doc_id) — one exchange of
+            # the response stream gone; body/text stay kernel-local
+            yield pdf[
+                ["doc_id", "url", "http_status", "warc_file"]
+            ].assign(text_ok=ok)
 
     # parsed feeds THREE consumers (per-file counts, the verify join, and
     # the final projection); without materialization each branch re-reads
@@ -1101,12 +1107,15 @@ def warc_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     checked = (
         parsed.join(docs, "doc_id")
-        .select("doc_id", "body", "text")
-        .mapInPandas(verify, schema="doc_id long, text_ok boolean")
+        .select("doc_id", "url", "http_status", "warc_file", "body", "text")
+        .mapInPandas(
+            verify,
+            schema="doc_id long, url string, http_status long, "
+            "warc_file string, text_ok boolean",
+        )
     )
     return (
-        parsed.join(F.broadcast(per_file), "warc_file")
-        .join(checked, "doc_id")
+        checked.join(F.broadcast(per_file), "warc_file")
         .select("doc_id", "url", "http_status", "responses_in_file",
                 "text_ok")
     )
@@ -3271,7 +3280,7 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map work uses the cluster (r9 measured A/B); r12: conditional — at
     # scale the scan arrives already split and the round-robin shuffle
     # the unconditional form paid is removed outright (guide §2.4)
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", shared=True)
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return ld.incremental_dedup_gate(corpus, incoming, "doc_id", "text")
@@ -3812,7 +3821,7 @@ def bloom_prefilter_decontamination(
 
     # spread: the train-side shingle stream + bitmap probe is the heavy
     # map phase; r12 profile had it in ONE task off the single-split scan
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", shared=True)
     eval_df = docs.filter(F.col("doc_id") % 89 == 0)
     train = docs.filter(F.col("doc_id") % 89 != 0)
     return bloom.bloom_decontaminate(
@@ -3920,7 +3929,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the small-SF documents table is one parquet file = ONE partition;
     # spread it so gram generation (tokenize + ngrams + md5) uses the
     # cluster — at 100 TB the scan arrives already split
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", shared=True)
     return ld.duplicate_span_stats(docs, "doc_id", "text", n=8)
 
 
