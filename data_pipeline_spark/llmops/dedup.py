@@ -357,66 +357,96 @@ def strip_duplicated_segments(
     under a hash-partitioned window; the rebuild is one groupBy(doc) +
     one equi-join back to the corpus for the tail — both on the doc id.
     """
-    marked = _counted_segments(df, id_col, text_col, seg_len)
-    kept = (
-        marked.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("cnt") <= max_df,
-                                F.struct("si", "seg"),
-                            )
-                        )
-                    ),
-                    lambda s: s.seg,
-                ),
-            ).alias("kept_text"),
-            F.sum((F.col("cnt") <= max_df).cast("long")).alias("n_kept_segments"),
-            F.sum((F.col("cnt") > max_df).cast("long")).alias(
-                "n_dropped_segments"
-            ),
-        )
+    from pyspark.sql import Window
+
+    # The TAIL rides the segment stream as one synthetic per-doc row
+    # (r13): the pre-r13 form re-scanned the corpus for the tail and
+    # shuffle_hash-joined it back onto the per-doc aggregate — a second
+    # text scan, a join, and its exchange, all gone.  The tail row is
+    # emitted UNCONDITIONALLY (so every document reaches the aggregate —
+    # the old LEFT join's job), sorts last by construction (si = full
+    # segment count), carries a count key no real segment can collide
+    # with (md5 hex is [0-9a-f]+, '~t~<id>' is not, and it is unique per
+    # doc so the count window sees a singleton partition — no hot key),
+    # and is exempt from the drop rule / excluded from the segment
+    # counts.  An empty tail ('' — exact-multiple docs, NULL text) is
+    # filtered out of the reassembly exactly like the old
+    # filter(x != '') did.  tail = the last (token_count % seg_len)
+    # tokens WITHOUT materializing a second token array (r12,
+    # substring_index under the split-keeps-empties contract; pinned by
+    # test_strip_tail_expression_equivalence).
+    cnt_sql = (
+        f"(length(`{text_col}`) - length(replace(`{text_col}`, ' ', '')) + 1)"
     )
-    # tail = the last (token_count % seg_len) tokens WITHOUT
-    # materializing the token array (r12): substring_index takes the
-    # suffix after the m-th-last space, which under the split-keeps-
-    # empties contract is exactly the re-joined sliced token array
-    # (multi-space runs and leading/trailing empties reproduce verbatim;
-    # m = token count means fewer than m delimiters exist and the whole
-    # text returns; NULL text coalesces to '' like concat_ws did).  This
-    # branch re-read the corpus text ONLY to slice its tail — the regex
-    # split was 4 CPU-s of its 4.5 at sf0.1.  Pinned row-for-row by
-    # test_strip_tail_expression_equivalence.
-    cnt = f"(length(`{text_col}`) - length(replace(`{text_col}`, ' ', '')) + 1)"
-    m = f"({cnt} % {seg_len})"
-    base = df.select(
-        F.col(id_col),
-        F.expr(
-            f"coalesce(CASE WHEN {m} = 0 THEN '' "
-            f"ELSE substring_index(`{text_col}`, ' ', -{m}) END, '')"
-        ).alias("tail"),
+    m = f"({cnt_sql} % {seg_len})"
+    tail_expr = F.expr(
+        f"coalesce(CASE WHEN {m} = 0 THEN '' "
+        f"ELSE substring_index(`{text_col}`, ' ', -{m}) END, '')"
     )
-    # kept is one row PER DOCUMENT carrying the reassembled text — a
-    # corpus-sized frame whose post-agg estimate reads small, so without
-    # the hint the planner broadcasts (nearly) the whole corpus text
-    # (100x plan audit); the co-keyed shuffle is the any-scale plan
-    joined = base.join(kept.hint("shuffle_hash"), id_col, "left")
-    clean = F.concat_ws(
-        " ",
-        F.filter(
-            F.array(F.coalesce("kept_text", F.lit("")), F.col("tail")),
-            lambda x: x != "",
+    si_tail = (F.expr(cnt_sql) / seg_len).cast("int")
+    seg_structs = F.transform(
+        _segments_expr(text_col, seg_len),
+        lambda s, i: F.struct(
+            i.alias("si"), s.alias("seg"), F.lit(False).alias("is_tail")
         ),
     )
-    return joined.select(
+    rows = df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                seg_structs,
+                F.array(
+                    F.struct(
+                        si_tail.alias("si"),
+                        tail_expr.alias("seg"),
+                        F.lit(True).alias("is_tail"),
+                    )
+                ),
+            )
+        ).alias("r"),
+    ).select(
         id_col,
-        F.md5(clean).alias("clean_md5"),
-        F.coalesce("n_kept_segments", F.lit(0)).alias("n_kept_segments"),
-        F.coalesce("n_dropped_segments", F.lit(0)).alias("n_dropped_segments"),
+        "r.si",
+        "r.seg",
+        "r.is_tail",
+        F.when(
+            F.col("r.is_tail"),
+            F.concat(F.lit("~t~"), F.col(id_col).cast("string")),
+        )
+        .otherwise(F.md5("r.seg"))
+        .alias("h"),
+    )
+    marked = rows.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    keep_row = F.col("is_tail") | (F.col("cnt") <= max_df)
+    kept = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep_row, F.struct("si", "seg", "is_tail"))
+                        )
+                    ),
+                    lambda s: ~(s.is_tail & (s.seg == "")),
+                ),
+                lambda s: s.seg,
+            ),
+        ).alias("clean_text"),
+        F.sum(
+            (~F.col("is_tail") & (F.col("cnt") <= max_df)).cast("long")
+        ).alias("n_kept_segments"),
+        F.sum(
+            (~F.col("is_tail") & (F.col("cnt") > max_df)).cast("long")
+        ).alias("n_dropped_segments"),
+    )
+    return kept.select(
+        id_col,
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept_segments",
+        "n_dropped_segments",
     )
 
 
@@ -1587,7 +1617,7 @@ def connected_components_star(
         F.greatest(F.col(src_col), F.col(dst_col)).alias("l"),
     ).filter(F.col("s") != F.col("l"))
     cur = pairs  # invariant: edges as (s, l) canonical pairs, s < l
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         # -- large-star, ONE shuffle: group each node's neighborhood
         # in-row (collect_set dedups cross-group edge duplicates from the
         # previous round) and link every strictly-larger neighbor to
@@ -1626,7 +1656,16 @@ def connected_components_star(
         # fixpoints of the alternation are exactly unions of stars, and a
         # canonical edge set is a star set iff no node is both a root (s)
         # and a member (l) — one semi-join probe per round, far cheaper
-        # than the two exceptAll set-equality shuffles it replaces
+        # than the two exceptAll set-equality shuffles it replaces.
+        # The probe is SKIPPED after round 1 (r13): a non-trivial edge
+        # set essentially never stars in one round, and when it does, the
+        # next round is an idempotent no-op on a star set (large-star
+        # re-emits (root, member) edges verbatim, small-star re-groups
+        # them verbatim — both proven by the fixpoint characterization),
+        # so correctness is unchanged and the common case saves one
+        # action's worth of jobs per invocation.
+        if round_no == 0:
+            continue
         chained = (
             cur.select("l")
             .join(cur.select(F.col("s").alias("l")), "l", "leftsemi")
