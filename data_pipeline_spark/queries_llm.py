@@ -192,13 +192,13 @@ def ngram_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token count, only array_distinct touches the array; (2) the ratio
     # expressions then reference the tiny count columns, so the flag's
     # re-use of r2/r3 re-reads integers, not rebuilt arrays.
-    # NOTE: deliberately NOT repartitioned — this query is pure per-row
-    # map work with no downstream shuffle, and the plan test pins the
-    # single-scan zero-exchange shape (the scale-right form; a
-    # repartition would shuffle the full corpus text for nothing at
-    # 100 TB, even though it wins wall-clock on the one-partition
-    # small-SF file)
-    docs = load_table(spark, sf_dir, "documents")
+    # conditional spread (r13): the r9 "deliberately NOT repartitioned"
+    # rationale predates spread_scan's conditional form — at scale the
+    # scan arrives already split and NO exchange is planned (the plan
+    # test still pins join-free + single-scan; the only exchange ever
+    # allowed is the small-SF round-robin spread), while at the bench
+    # SFs the ~1 CPU-s of in-row gram math stops running on one core
+    docs = load_spread(spark, sf_dir, "documents")
     toks = textstats.tokens("text")
     sz = F.size(toks)
     counted = docs.select(
@@ -2836,7 +2836,10 @@ def exact_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_spark.llmops import classify
 
-    docs = load_table(spark, sf_dir, "documents")
+    # conditional spread (r13): the tokenize + 4096-bucket vote math ran
+    # in ONE task off the single-split scan; inert at scale (no exchange
+    # once the scan arrives split)
+    docs = load_spread(spark, sf_dir, "documents")
     return classify.hashed_linear_score(docs, "doc_id", "text", buckets=4096)
 
 

@@ -345,11 +345,16 @@ def test_unigram_score_broadcasts_vocabulary(spark):
 
 def test_repetition_filter_is_single_scan_no_shuffle(spark):
     """The repetition gate is in-row array math: one documents scan, no
-    join, no exchange before the final result."""
+    join, no data-keyed exchange before the final result.  The ONLY
+    exchange ever allowed is spread_scan's conditional small-SF
+    round-robin (absent at scale, where the scan arrives split)."""
     df = _q("ngram_repetition_filter", spark)
     assert audit.join_strategies(df) == []
     plan = audit.formatted_plan(df)
-    assert "Exchange" not in plan, plan
+    for ln in plan.splitlines():
+        if "Arguments" in ln and "partitioning" in ln.lower():
+            assert "RoundRobinPartitioning" in ln, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
     assert _fact_scan_count(df, "documents") == 1
 
 
