@@ -33,67 +33,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # second, and a representative spread of the long-green set fills the
 # remaining window; the rest follow.
 _PRIORITY = [
-    # -- r12 evidence targets ------------------------------------------------
-    # recency rotation: the 7 r8-vintage queries (nothing's latest verdict
-    # predates r9 after this window)
-    "simhash_neardup_pairs",
-    "simhash_signatures",
-    "temperature_mix_sampling",
-    "tfidf_top_terms",
-    "trailing_7d_user_spend",
-    "unigram_logprob_score",
-    "word_frequencies",
-    # CODE CHANGED this round: sidecar builds ride the backend-dispatched
-    # process_mutex; the semantic gate's policy hook + model_v back-compat
-    # changed; the ADC scan gains list-pruning; the contraction trio gains
-    # the duplicate-rate probe; lsh banding gains the recall-cap guard
-    "semantic_dedup_gate",
-    "banded_index_dedup_gate",
-    "persisted_index_dedup_gate",
-    "incremental_dedup_gate",
+    # -- r13 evidence targets ------------------------------------------------
+    # CODE CHANGED this optimization round (every restructured query and
+    # every consumer of the changed operators: the in-row bigram stream,
+    # posting-list sizes, the singleton-attach pin, the shared spread
+    # checkpoint, the tail-through-aggregation strip, the vectorized wire
+    # kernels, the star round-1 probe skip, the WARC verify fold)
+    "bigram_lm_perplexity",
+    "jaccard_neardup_pairs",
     "neardup_cluster_assignment",
     "neardup_cluster_assignment_star",
     "leakage_safe_split",
-    "lsh_ann_neardup",
-    "ivf_partitioned_exact_topk",
-    "ivf_planted_recall",
-    "ivfpq_planted_recall",
-    # -- recency rotation: r9-vintage spread (32 of 41; the rest in r13;
-    # oracle-paired entries preferred so the window keeps the r11 50/50
-    # rows+schema+hash standard outside the 4 rows-only-by-nature slots
-    # the verdict asked for by name) -----------------------------------------
-    "doc_lang_id",
-    "doc_quality_scores",
-    "bloom_prefilter_decontamination",
-    "doc_text_stats",
-    "bpe_pair_counts_exact",
-    "cms_bigram_bounds",
-    "container_codec_probe",
+    "embedding_neardup_clusters",
+    "neardup_quality_survivors",
+    "lsh_exact_neardup",
+    "incremental_dedup_gate",
     "duplicate_span_stats",
-    "grouped_heavy_hitters_exact",
-    "heavy_hitter_bigrams_exact",
-    "hll_user_overlap",
-    "html_text_extraction",
-    "multimodal_features",
-    "multimodal_frame_pipeline",
-    "multimodal_jpeg_differential",
-    "multimodal_meta",
-    "multimodal_quarantine_stats",
-    "multimodal_real_decode",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "zorder_curve_keys",
-    "zorder_box_query",
+    "bloom_prefilter_decontamination",
+    "boilerplate_strip",
+    "segment_dedup_stats",
+    "corpus_health_by_source",
+    "warc_file_source",
+    "envelope_roundtrip",
+    "topic_transport_roundtrip",
+    "wire_key_roundtrip",
+    "encrypted_transport_roundtrip",
+    # -- recency rotation: the 8 queries whose latest verdict is still r9
+    # (4 are rows-only by nature — approx sketches, the iterative BPE
+    # trainer, the Misra-Gries bound certificate)
+    "approx_distinct_users_scale_path",
+    "approx_doc_length_quantiles",
+    "bpe_learned_merges",
+    "doc_chunking",
+    "heavy_hitter_bigrams",
+    "incident_window_counts",
+    "session_window_sessions",
+    "weighted_sample_topk",
+    # -- recency rotation: oldest r10-vintage spread (oracle-paired)
+    "cdc_snapshot_apply",
+    "contamination_by_source",
+    "cube_lineitem_counts",
+    "customers_without_orders",
+    "distinct_users_per_type",
+    "doc_fingerprints",
+    "doc_pii_scrub",
+    "domain_quota_sample",
+    "dq_column_stats",
+    "event_type_intersection",
+    "first_event_at_or_after",
+    "gopher_quality_flags",
+    "hashed_classifier_score",
+    "minhash_lsh_candidates",
+    "namespace_parse",
+    "pii_redacted_display",
+    "priority_queue_head",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
 ]
 
 
