@@ -265,6 +265,53 @@ def parquet_num_rows(path: str) -> int | None:
     return total
 
 
+def parquet_nonnull_rows(path: str, col: str) -> int | None:
+    """EXACT count of non-NULL values of ``col`` from parquet FOOTER
+    statistics (num_rows minus the column's null_count per row group) —
+    driver-side metadata, no Spark job; None when the path is missing,
+    holds no parquet files, lacks the column, or any row group lacks a
+    null_count statistic (callers fall back to a real count)."""
+    import pyarrow.parquet as pq
+
+    sig = _path_sig(path)
+    if sig is None:
+        return None
+    key = (path, col)
+    hit = _NUM_ROWS.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
+        else:
+            files = [path]
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).path for i in range(md.num_columns)]
+            if col not in names:
+                return None
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(ci).statistics
+                if st is None or not st.has_null_count:
+                    return None
+                total += g.num_rows - st.null_count
+    except Exception:
+        return None
+    if len(_NUM_ROWS) > 512:
+        _NUM_ROWS.clear()
+    _NUM_ROWS[key] = (sig, total)
+    return total
+
+
 def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Row count of a base table — parquet footer metadata when possible
     (no job), ``count()`` otherwise."""

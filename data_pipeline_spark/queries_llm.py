@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from data_pipeline_spark.io import (
     load_spread,
     load_table,
+    parquet_nonnull_rows,
     parquet_num_rows,
     read_parquet_cached,
     spread_scan,
@@ -1684,9 +1685,23 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.first_token("text").alias("w"),
         F.lit(1).cast("long").alias("cu"),
     )
-    # same space-arithmetic token total as unigram_logprob_score (the
-    # posexplode row count), one cheap map stage instead of re-tokenizing
-    total = docs.agg(F.sum(textstats.token_count("text"))).first()[0] or 0
+    # token total WITHOUT a corpus-scan action (r13): every token is
+    # either a doc's first token or the second element of exactly one
+    # bigram, so total = sum(cb over the checkpointed MODEL) + count of
+    # non-NULL texts — and the latter is parquet FOOTER metadata
+    # (num_rows - null_count per row group; same integer identity the
+    # uni reconstruction rests on, summed over w).  The model sum is a
+    # tiny vocab-bounded job over checkpoint blocks; corpora without
+    # footer null-count stats fall back to the r12 space-arithmetic scan.
+    import os as _os
+
+    nn = parquet_nonnull_rows(
+        _os.path.join(sf_dir, "documents.parquet"), "text"
+    )
+    if nn is not None:
+        total = (big.agg(F.sum("cb")).first()[0] or 0) + nn
+    else:
+        total = docs.agg(F.sum(textstats.token_count("text"))).first()[0] or 0
     # union BEFORE the aggregate: one exchange (map-side combined) builds
     # the whole table, vs groupBy+union+groupBy's three
     uni = (
